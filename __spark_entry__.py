@@ -1,38 +1,109 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship hybrid search (RRF fusion of dense cosine +
+                 sparse BM25 legs) on /root/testdata/sf0.001.
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from workspace_qdrant_mcp_spark import oracles  # noqa: E402
+from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
+from workspace_qdrant_mcp_spark.operators import bm25, dense  # noqa: E402
+from workspace_qdrant_mcp_spark.plans import search_pipeline  # noqa: E402
+
+# Fixed flagship parameters. 'dup' is the only discriminative term in the
+# synthetic corpus (df=25 vs ~380/500 for all others → the only term with
+# idf > 0); the other terms exercise the idf floor (bm25.rs:178 max(0,...)).
+QUERY_TERMS = ["dup", "spark", "vector"]
+QUERY_VEC_ID = 0
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid search (SURVEY §3.1 pipeline) on sf0.001."""
+    return search_pipeline.hybrid_search(
+        spark, "/root/testdata/sf0.001", QUERY_TERMS, QUERY_VEC_ID
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_pipeline.hybrid_search(spark, sf_dir, QUERY_TERMS, QUERY_VEC_ID)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    leg = bm25.sparse_search(spark, docs, QUERY_TERMS, k=20, threshold=0.15)
+    return leg.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_dense_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    leg = dense.dense_search(emb, qvec, k=20, threshold=0.3)
+    return leg.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = bm25.doc_terms(docs)
+    dfreq = bm25.doc_freq(terms)
+    n = docs.count()
+    return dfreq.select(
+        "term",
+        "df",
+        F.round(bm25.idf_expr(F.lit(float(n))), 6).alias("idf"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min id (reference
+    content-hash dedup, strategies/processing/file/dedup.rs). The candidate
+    corpus is documents ∪ deterministic copies (doc_id%10==0 re-inserted
+    with shifted ids) so the operator has real duplicates to collapse."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(copies)
+    return (
+        corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hybrid_search_rrf": _q_hybrid,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "corpus_stats": _q_corpus_stats,
+        "dedup_exact": _q_dedup_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hybrid_search_rrf": oracles.hybrid_search_rrf(QUERY_TERMS, QUERY_VEC_ID),
+        "bm25_sparse_topk": oracles.bm25_sparse_topk(QUERY_TERMS),
+        "dense_knn_cosine": oracles.dense_knn_cosine(QUERY_VEC_ID),
+        "corpus_stats": oracles.corpus_stats(),
+        "dedup_exact": oracles.dedup_exact(),
+    }

@@ -1,0 +1,109 @@
+"""BM25 sparse scoring as DataFrame plans (the reference's sparse search leg).
+
+Parity targets:
+  - scoring formula  `IDF * (k1*tf) / (tf + k1)`,
+    `IDF = max(0, ln((N - df + 0.5)/(df + 0.5)))`, k1 = 1.2
+    (reference src/rust/daemon/core/src/embedding/bm25.rs:177-198,
+     default k1 embedding/types.rs:89)
+  - corpus stats: df counts unique docs per term, N = total docs
+    (bm25.rs:107-131)
+  - hapax eviction: drop df == 1 terms (bm25.rs:212-236)
+  - sparse search: top-k by Σ query_weight·doc_weight
+    (client/src/search/flow_collect.rs:142-166)
+
+Spark-first design decision (SURVEY §7): weights are computed AT QUERY TIME
+from (tf, df, N) aggregates instead of persisted per-chunk sparse vectors.
+This deletes the reference's IDF-drift rebalance machinery
+(idf_rebalance.rs) with identical scores: the df/N aggregation is a
+map-side-combinable groupBy, and the query-side join touches only the
+query's terms (Catalyst pushes the `term IN (...)` filter into the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_bm25
+
+K1_DEFAULT = 1.2
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term, tf) — term frequencies per document.
+
+    Partial aggregation (map-side combine) happens for free on the groupBy;
+    at 100 TB this is the classic word-count shape and scales linearly.
+    """
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize_bm25(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_freq(terms: DataFrame, id_col: str = "doc_id", evict_hapax: bool = False) -> DataFrame:
+    """(term, df) — document frequency per term (bm25.rs:107-131).
+
+    With ``evict_hapax`` mirrors bm25.rs:212-236 (drop df == 1 terms).
+    Input is (doc, term, tf) which is already distinct on (doc, term), so a
+    plain count works — no countDistinct shuffle explosion.
+    """
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if evict_hapax:
+        df = df.filter(F.col("df") > 1)
+    return df
+
+
+def idf_expr(n_docs, df_col="df"):
+    """max(0, ln((N - df + 0.5)/(df + 0.5))) — bm25.rs:174-180."""
+    return F.greatest(
+        F.lit(0.0),
+        F.log((n_docs - F.col(df_col) + F.lit(0.5)) / (F.col(df_col) + F.lit(0.5))),
+    )
+
+
+def bm25_weight_expr(n_docs, tf_col="tf", df_col="df", k1: float = K1_DEFAULT):
+    """Per (doc, term) BM25 weight — bm25.rs:184-185. No length
+    normalization: the reference's formula deliberately omits the `b` term."""
+    tf = F.col(tf_col).cast("double")
+    return idf_expr(n_docs, df_col) * (F.lit(k1) * tf) / (tf + F.lit(k1))
+
+
+def sparse_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    threshold: float = 0.0,
+    k1: float = K1_DEFAULT,
+) -> DataFrame:
+    """Sparse (keyword) search leg: top-k docs by Σ over query terms of the
+    document-side BM25 weight (flow_collect.rs:142-166 — the Qdrant sparse
+    dot product with a binary query vector; the reference weights the QUERY
+    side too when the query repeats a term, which a plain token list
+    de-duplicates to weight 1 per unique term for single-occurrence queries).
+
+    Plan shape: tokenize+explode → tf groupBy → broadcast-join the tiny query
+    term set → join df dim (itself an aggregate, broadcast by AQE) → score →
+    TakeOrdered(k). The only wide shuffles are the two word-count groupBys.
+
+    Returns (id_col, score) sorted by score desc, id asc.
+    """
+    terms = doc_terms(docs, id_col, text_col)
+    n_docs = docs.count()
+    dfreq = doc_freq(terms, id_col)
+    qterms = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], ["term"])
+    scored = (
+        terms.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("w", bm25_weight_expr(F.lit(float(n_docs)), k1=k1))
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("score"))
+        .filter(F.col("score") >= F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored

@@ -1,0 +1,124 @@
+"""DuckDB oracle SQL for every queries() entry in __spark_entry__.py.
+
+Each SQL string runs on DuckDB with the testdata tables pre-registered as
+views (region nation customer supplier part orders lineitem events documents
+embeddings). The SQL is built from the SAME regex/formula fragments as the
+Spark plans (functions/text.py, functions/vectors.py) so both engines compute
+identical token streams and identical double-precision scores.
+
+Convention: every float output column is round(x, 6) on BOTH sides; every
+top-k is cut by (score DESC, id ASC) so membership is deterministic.
+"""
+
+from __future__ import annotations
+
+from .functions.text import duckdb_char_shingles_sql, duckdb_tokenize_sql
+from .functions.vectors import duckdb_cosine_sql
+
+K1 = 1.2
+
+# Shared CTE bodies ---------------------------------------------------------
+
+def _tf_df_ctes(doc_table: str = "documents") -> str:
+    toks = duckdb_tokenize_sql("text")
+    return f"""
+tok AS (SELECT doc_id, unnest({toks}) AS term FROM {doc_table}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {doc_table})
+"""
+
+
+def _sparse_scored_sql(query_terms: list[str], threshold: float, k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+q AS (SELECT unnest([{terms}]) AS term),
+sparse_scored AS (
+  SELECT tf.doc_id,
+         sum(greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+             * ({K1} * tf.tf) / (tf.tf + {K1})) AS score
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN nn
+  GROUP BY tf.doc_id
+),
+sparse_top AS (
+  SELECT doc_id, score FROM sparse_scored WHERE score >= {threshold}
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
+def _dense_scored_sql(query_vec_id: int, threshold: float, k: int) -> str:
+    cos = duckdb_cosine_sql("embedding", "qe")
+    return f"""
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+dense_scored AS (
+  SELECT vec_id, {cos} AS score FROM embeddings CROSS JOIN qv
+),
+dense_top AS (
+  SELECT vec_id, score FROM dense_scored WHERE score >= {threshold}
+  ORDER BY score DESC, vec_id ASC LIMIT {k}
+)
+"""
+
+
+# Per-query oracles ----------------------------------------------------------
+
+def bm25_sparse_topk(query_terms: list[str], threshold: float = 0.15, k: int = 20) -> str:
+    return f"""
+WITH {_tf_df_ctes()}, {_sparse_scored_sql(query_terms, threshold, k)}
+SELECT doc_id, round(score, 6) AS score FROM sparse_top
+"""
+
+
+def dense_knn_cosine(query_vec_id: int = 0, threshold: float = 0.3, k: int = 20) -> str:
+    return f"""
+WITH {_dense_scored_sql(query_vec_id, threshold, k)}
+SELECT vec_id, round(score, 6) AS score FROM dense_top
+"""
+
+
+def hybrid_search_rrf(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    limit: int = 10,
+    threshold: float = 0.3,
+) -> str:
+    return f"""
+WITH {_tf_df_ctes()},
+{_sparse_scored_sql(query_terms, threshold * 0.5, 2 * limit)},
+{_dense_scored_sql(query_vec_id, threshold, 2 * limit)},
+sem AS (SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) - 1 AS rnk
+        FROM dense_top),
+kw AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rnk
+       FROM sparse_top),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rnk + 1)) AS score
+  FROM (SELECT * FROM sem UNION ALL SELECT * FROM kw) u
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def corpus_stats() -> str:
+    return f"""
+WITH {_tf_df_ctes()}
+SELECT term, df,
+       round(greatest(0.0, ln((nn.n - df + 0.5) / (df + 0.5))), 6) AS idf
+FROM dfreq CROSS JOIN nn
+"""
+
+
+def dedup_exact() -> str:
+    return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""

@@ -1,0 +1,67 @@
+"""The composed hybrid-search pipeline — the reference's `search` MCP tool
+as one DataFrame program (query lifecycle traced in SURVEY §3.1).
+
+Phases: per-leg search with per-leg thresholds (dense t, sparse t*0.5)
+→ optional relevance decay (before fusion) → RRF fusion (hybrid mode, with
+empty-leg pass-through) → sort score desc → slice to limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import bm25, dense, fusion
+
+
+def hybrid_fuse(sem_leg: DataFrame, kw_leg: DataFrame, id_cols: list[str]) -> DataFrame:
+    """RRF fusion with the reference's pass-through semantics: if either leg
+    is empty the combined (un-fused) legs are returned as-is
+    (fusion.rs:170-171). The emptiness probe is a head(1) on an
+    already-top-k leg — a few-row action, same cost class as the
+    reference's in-memory check."""
+    sem_empty = len(sem_leg.take(1)) == 0
+    kw_empty = len(kw_leg.take(1)) == 0
+    if sem_empty or kw_empty:
+        return sem_leg.unionByName(kw_leg)
+    return fusion.rrf_fuse({"semantic": sem_leg, "keyword": kw_leg}, id_cols)
+
+
+def hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    limit: int = fusion.DEFAULT_LIMIT,
+    threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+) -> DataFrame:
+    """Hybrid search over the synthetic corpus: documents = the text corpus
+    (sparse leg), embeddings = its dense vectors (dense leg; vec_id is the
+    doc key). The query embedding is the stored vector of ``query_vec_id``
+    (stand-in for the R1 query-embedding step, kept inside the plan as a
+    1-row broadcast).
+
+    Returns (doc_id, score) — RRF-fused, sorted desc, sliced to ``limit``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == query_vec_id).select("embedding")
+
+    # Per-leg candidate fetch is 2*limit (flow.rs:319); dense >= t,
+    # sparse >= t*0.5 (search_collection, flow.rs:~search_collection).
+    kw_leg = bm25.sparse_search(
+        spark, docs, query_terms, id_col="doc_id", text_col="text",
+        k=2 * limit, threshold=threshold * 0.5,
+    )
+    sem_leg = dense.dense_search(
+        emb, qvec, id_col="vec_id", vec_col="embedding",
+        k=2 * limit, threshold=threshold,
+    ).withColumnRenamed("vec_id", "doc_id")
+
+    fused = hybrid_fuse(sem_leg, kw_leg, ["doc_id"])
+    return (
+        fused.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

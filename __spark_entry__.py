@@ -20,7 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from workspace_qdrant_mcp_spark import oracles  # noqa: E402
 from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
-from workspace_qdrant_mcp_spark.operators import bm25, dense  # noqa: E402
+from workspace_qdrant_mcp_spark.operators import bm25, dense, exact, fusion  # noqa: E402
 from workspace_qdrant_mcp_spark.plans import search_pipeline  # noqa: E402
 
 # Fixed flagship parameters. 'dup' is the only discriminative term in the
@@ -28,6 +28,10 @@ from workspace_qdrant_mcp_spark.plans import search_pipeline  # noqa: E402
 # idf > 0); the other terms exercise the idf floor (bm25.rs:178 max(0,...)).
 QUERY_TERMS = ["dup", "spark", "vector"]
 QUERY_VEC_ID = 0
+# Per-tenant decay multipliers (tenant analog = documents.source);
+# absent tenants get the reference's default 0.4 (scope.rs:18).
+DECAY_MAP = {"src0": 1.0, "src1": 0.9, "src2": 0.75}
+GREP_PATTERN = "dup"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -89,6 +93,43 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decay_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_pipeline.decayed_hybrid_search(
+        spark, sf_dir, QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
+    )
+
+
+def _q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity re-rank (R12) over the dense top-40; source key =
+    'embeddings:<label>' (the collection:tenant scheme, fusion.rs:116-135)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    cand = (
+        dense.dense_search(emb, qvec, k=40, threshold=0.0)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.concat(F.lit("embeddings:"), F.col("label").cast("string")).alias(
+                "source_key"
+            ),
+            "score",
+        )
+    )
+    out = fusion.diversify(cand, id_cols=["vec_id"])
+    return out.select("vec_id", "final_pos")
+
+
+def _q_exact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    res = exact.exact_search(docs, GREP_PATTERN)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact.count_matches(docs, GREP_PATTERN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_search_rrf": _q_hybrid,
@@ -96,6 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_knn_cosine": _q_dense_knn,
         "corpus_stats": _q_corpus_stats,
         "dedup_exact": _q_dedup_exact,
+        "relevance_decay_hybrid": _q_decay_hybrid,
+        "diversity_rerank": _q_diversity,
+        "exact_match_scoring": _q_exact_scoring,
+        "grep_count": _q_grep_count,
     }
 
 
@@ -106,4 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "dense_knn_cosine": oracles.dense_knn_cosine(QUERY_VEC_ID),
         "corpus_stats": oracles.corpus_stats(),
         "dedup_exact": oracles.dedup_exact(),
+        "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
+            QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
+        ),
+        "diversity_rerank": oracles.diversity_rerank(QUERY_VEC_ID),
+        "exact_match_scoring": oracles.exact_match_scoring(GREP_PATTERN),
+        "grep_count": oracles.grep_count(GREP_PATTERN),
     }

@@ -90,6 +90,7 @@ def apply_decay(
 
 def diversify_pdf(
     pdf: pd.DataFrame,
+    id_cols: list[str] | None = None,
     max_per_source: int = DIVERSITY_MAX_PER_SOURCE,
     tier_threshold: float = DIVERSITY_TIER_THRESHOLD,
 ) -> pd.DataFrame:
@@ -103,7 +104,12 @@ def diversify_pdf(
     on the <=2k-row candidate set exactly like the reference — not worth
     distributing (SURVEY §7 de-risk note).
     """
-    rows = pdf.sort_values("score", ascending=False, kind="mergesort").reset_index(drop=True)
+    id_cols = id_cols or []
+    rows = pdf.sort_values(
+        ["score", *id_cols],
+        ascending=[False] + [True] * len(id_cols),
+        kind="mergesort",
+    ).reset_index(drop=True)
     if rows.empty:
         out = rows.copy()
         out["final_pos"] = pd.Series([], dtype="int64")
@@ -162,7 +168,8 @@ def diversity_score_pdf(pdf: pd.DataFrame) -> float:
     return pdf["source_key"].nunique() / len(pdf)
 
 
-def diversify(df: DataFrame, max_per_source: int = DIVERSITY_MAX_PER_SOURCE,
+def diversify(df: DataFrame, id_cols: list[str] | None = None,
+              max_per_source: int = DIVERSITY_MAX_PER_SOURCE,
               tier_threshold: float = DIVERSITY_TIER_THRESHOLD) -> DataFrame:
     """Spark wrapper: runs the re-rank as a single applyInPandas group (the
     candidate set is small by contract — post-top-k)."""
@@ -172,7 +179,7 @@ def diversify(df: DataFrame, max_per_source: int = DIVERSITY_MAX_PER_SOURCE,
         .groupBy("__g")
         .applyInPandas(
             lambda pdf: diversify_pdf(
-                pdf.drop(columns="__g"), max_per_source, tier_threshold
+                pdf.drop(columns="__g"), id_cols, max_per_source, tier_threshold
             ),
             schema=schema,
         )

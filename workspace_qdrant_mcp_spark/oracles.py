@@ -112,6 +112,107 @@ FROM dfreq CROSS JOIN nn
 """
 
 
+def relevance_decay_hybrid(
+    query_terms: list[str],
+    decay_map: dict[str, float],
+    query_vec_id: int = 0,
+    limit: int = 10,
+    threshold: float = 0.3,
+    default_mult: float = 0.4,
+) -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN {m}" for t, m in sorted(decay_map.items())
+    )
+    mult = f"(CASE d.source {whens} ELSE {default_mult} END)"
+    return f"""
+WITH {_tf_df_ctes()},
+{_sparse_scored_sql(query_terms, threshold * 0.5, 2 * limit)},
+{_dense_scored_sql(query_vec_id, threshold, 2 * limit)},
+kw_dec AS (
+  SELECT s.doc_id, s.score * {mult} AS score
+  FROM sparse_top s LEFT JOIN documents d USING (doc_id)
+),
+sem_dec AS (
+  SELECT t.vec_id AS doc_id, t.score * {mult} AS score
+  FROM dense_top t LEFT JOIN documents d ON d.doc_id = t.vec_id
+),
+sem AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rnk FROM sem_dec),
+kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rnk FROM kw_dec),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rnk + 1)) AS score
+  FROM (SELECT * FROM sem UNION ALL SELECT * FROM kw) u
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+def diversity_rerank(query_vec_id: int = 0, k: int = 40) -> str:
+    """Sequential score-tiering (tier top resets when |top-score| > 0.05) is
+    inherently order-dependent → expressed as a linear recursive CTE; the
+    round-robin interleave + per-source cap + spillover backfill reduce to
+    window functions over (tier, pos_in_src, src_first)."""
+    cos = duckdb_cosine_sql("embedding", "qe")
+    return f"""
+WITH RECURSIVE
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT vec_id, 'embeddings:' || CAST(label AS VARCHAR) AS src, {cos} AS score
+  FROM embeddings CROSS JOIN qv
+),
+topk AS (
+  SELECT vec_id, src, score FROM scored WHERE score >= 0.0
+  ORDER BY score DESC, vec_id ASC LIMIT {k}
+),
+cand AS (
+  SELECT vec_id, src, score,
+         row_number() OVER (ORDER BY score DESC, vec_id ASC) - 1 AS rn
+  FROM topk
+),
+tiers(rn, tier, top) AS (
+  SELECT rn, 1, score FROM cand WHERE rn = 0
+  UNION ALL
+  SELECT c.rn,
+         CASE WHEN abs(t.top - c.score) <= 0.05 THEN t.tier ELSE t.tier + 1 END,
+         CASE WHEN abs(t.top - c.score) <= 0.05 THEN t.top ELSE c.score END
+  FROM tiers t JOIN cand c ON c.rn = t.rn + 1
+),
+x AS (SELECT c.vec_id, c.src, c.rn, t.tier FROM cand c JOIN tiers t USING (rn)),
+y AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY tier, src ORDER BY rn) AS pos_in_src,
+         min(rn) OVER (PARTITION BY tier, src) AS src_first
+  FROM x
+),
+z AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src ORDER BY tier, pos_in_src, src_first)
+           AS src_seq
+  FROM y
+)
+SELECT vec_id,
+       row_number() OVER (ORDER BY (src_seq > 3), tier, pos_in_src, src_first) - 1
+         AS final_pos
+FROM z
+"""
+
+
+def exact_match_scoring(pattern: str, limit: int = 100) -> str:
+    return f"""
+WITH m AS (SELECT doc_id FROM documents WHERE instr(lower(text), '{pattern}') > 0),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) - 1 AS idx FROM m)
+SELECT doc_id, round(1.0 - idx * CAST(0.001 AS DOUBLE), 6) AS score
+FROM r WHERE idx < {limit}
+"""
+
+
+def grep_count(pattern: str) -> str:
+    return f"""
+SELECT count(*) AS n_matches FROM documents WHERE instr(lower(text), '{pattern}') > 0
+"""
+
+
 def dedup_exact() -> str:
     return """
 WITH corpus AS (

@@ -65,3 +65,46 @@ def hybrid_search(
         .limit(limit)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def decayed_hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: list[str],
+    decay_map: dict[str, float],
+    query_vec_id: int = 0,
+    limit: int = fusion.DEFAULT_LIMIT,
+    threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+) -> DataFrame:
+    """Group/all-scope hybrid search with per-tenant relevance decay.
+
+    The tenant analog is documents.source. Decay multiplies each leg
+    result's score (default 0.4 for absent tenants) BEFORE fusion, so the
+    decayed ordering feeds the rank-based RRF (scope.rs:61-77,
+    flow_collect.rs:38-44). Thresholds remain at the leg level, applied to
+    the RAW scores (the reference pushes them into the Qdrant query, which
+    runs before decay ever sees a score).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == query_vec_id).select("embedding")
+    tenants = docs.select("doc_id", F.col("source").alias("tenant_id"))
+
+    kw_leg = bm25.sparse_search(
+        spark, docs, query_terms, k=2 * limit, threshold=threshold * 0.5
+    ).join(F.broadcast(tenants), "doc_id", "left")
+    sem_leg = (
+        dense.dense_search(emb, qvec, k=2 * limit, threshold=threshold)
+        .withColumnRenamed("vec_id", "doc_id")
+        .join(F.broadcast(tenants), "doc_id", "left")
+    )
+
+    kw_leg = fusion.apply_decay(kw_leg, decay_map).select("doc_id", "score")
+    sem_leg = fusion.apply_decay(sem_leg, decay_map).select("doc_id", "score")
+
+    fused = hybrid_fuse(sem_leg, kw_leg, ["doc_id"])
+    return (
+        fused.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

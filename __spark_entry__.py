@@ -20,8 +20,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from workspace_qdrant_mcp_spark import oracles  # noqa: E402
 from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
-from workspace_qdrant_mcp_spark.operators import bm25, dense, exact, fusion  # noqa: E402
+from workspace_qdrant_mcp_spark.operators import (  # noqa: E402
+    bm25,
+    dense,
+    exact,
+    fusion,
+    grep,
+    textstats,
+)
 from workspace_qdrant_mcp_spark.plans import search_pipeline  # noqa: E402
+from workspace_qdrant_mcp_spark.sources import documents as docsrc  # noqa: E402
 
 # Fixed flagship parameters. 'dup' is the only discriminative term in the
 # synthetic corpus (df=25 vs ~380/500 for all others → the only term with
@@ -130,6 +138,40 @@ def _q_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.count_matches(docs, GREP_PATTERN)
 
 
+def _q_grep_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    return grep.grep_exact(lines, GREP_PATTERN)
+
+
+def _q_grep_regex_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    return grep.grep_regex(lines, "sc[ae]n")
+
+
+def _q_grep_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    matches = lines.filter(F.instr(F.col("content"), GREP_PATTERN) > 0)
+    return grep.with_context(lines, matches, n=1).select(
+        "doc_id", "line_number", "content", "context_before", "context_after"
+    )
+
+
+def _q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docsrc.chunk_text(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_search_rrf": _q_hybrid,
@@ -141,6 +183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_rerank": _q_diversity,
         "exact_match_scoring": _q_exact_scoring,
         "grep_count": _q_grep_count,
+        "grep_exact_lines": _q_grep_exact_lines,
+        "grep_regex_lines": _q_grep_regex_lines,
+        "grep_context_lines": _q_grep_context_lines,
+        "chunk_text": _q_chunk_text,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_fingerprint,
     }
 
 
@@ -157,4 +206,11 @@ def oracle_sql() -> dict[str, str]:
         "diversity_rerank": oracles.diversity_rerank(QUERY_VEC_ID),
         "exact_match_scoring": oracles.exact_match_scoring(GREP_PATTERN),
         "grep_count": oracles.grep_count(GREP_PATTERN),
+        "grep_exact_lines": oracles.grep_exact_lines(GREP_PATTERN),
+        "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
+        "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
+        "chunk_text": oracles.chunk_text(),
+        "lang_id": oracles.lang_id(),
+        "quality_score": oracles.quality_score(),
+        "doc_fingerprint": oracles.doc_fingerprint(),
     }

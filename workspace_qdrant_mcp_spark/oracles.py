@@ -12,8 +12,9 @@ top-k is cut by (score DESC, id ASC) so membership is deterministic.
 
 from __future__ import annotations
 
-from .functions.text import duckdb_char_shingles_sql, duckdb_tokenize_sql
+from .functions.text import LANG_MARKERS, duckdb_char_shingles_sql, duckdb_tokenize_sql
 from .functions.vectors import duckdb_cosine_sql
+from .sources.documents import duckdb_chunk_text_sql, duckdb_code_lines_sql
 
 K1 = 1.2
 
@@ -222,4 +223,113 @@ WITH corpus AS (
 )
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def grep_exact_lines(pattern: str, max_results: int = 1000) -> str:
+    return f"""
+WITH {duckdb_code_lines_sql()}
+SELECT doc_id, line_number, content FROM lines
+WHERE instr(content, '{pattern}') > 0
+ORDER BY doc_id ASC, line_number ASC LIMIT {max_results}
+"""
+
+
+def grep_regex_lines(pattern: str, max_results: int = 1000) -> str:
+    return f"""
+WITH {duckdb_code_lines_sql()}
+SELECT doc_id, line_number, content FROM lines
+WHERE regexp_matches(content, '{pattern}')
+ORDER BY doc_id ASC, line_number ASC LIMIT {max_results}
+"""
+
+
+def grep_context_lines(pattern: str) -> str:
+    return f"""
+WITH {duckdb_code_lines_sql()},
+l2 AS (
+  SELECT doc_id, line_number, content,
+         coalesce(lag(content) OVER (PARTITION BY doc_id ORDER BY line_number), '')
+           AS context_before,
+         coalesce(lead(content) OVER (PARTITION BY doc_id ORDER BY line_number), '')
+           AS context_after
+  FROM lines
+)
+SELECT doc_id, line_number, content, context_before, context_after
+FROM l2 WHERE instr(content, '{pattern}') > 0
+"""
+
+
+def chunk_text() -> str:
+    return f"""
+WITH {duckdb_chunk_text_sql()}
+SELECT doc_id, chunk_index, content FROM chunks
+"""
+
+
+def lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{markers}], t))) AS s_{lang}"
+        )
+    # argmax with ascending-code tiebreak — mirrors the Spark fold in
+    # textstats.lang_id exactly (later lang wins only on strictly greater).
+    case = (
+        "CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr' "
+        "WHEN s_es > greatest(s_de, s_en) THEN 'es' "
+        "WHEN s_en > s_de THEN 'en' ELSE 'de' END"
+    )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)
+           AS toks
+  FROM documents
+),
+scores AS (SELECT doc_id, {', '.join(score_cols)} FROM tokd)
+SELECT doc_id, {case} AS lang_pred FROM scores
+"""
+
+
+def quality_score() -> str:
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           AS n_punct,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)
+           AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         n_punct / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, t -> list_contains([{stop}], t)))
+           / greatest(len(toks), 1) AS stopword_ratio,
+         (n_chars - len(toks) + 1) / greatest(len(toks), 1) AS mean_word_len
+  FROM feats
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(CASE WHEN n_tokens < 20
+                  THEN (0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio)) * 0.5
+                  ELSE 0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio) END,
+             6) AS quality
+FROM r
+"""
+
+
+def doc_fingerprint() -> str:
+    return """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp
+FROM documents
 """

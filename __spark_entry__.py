@@ -21,7 +21,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from workspace_qdrant_mcp_spark import oracles  # noqa: E402
 from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
 from workspace_qdrant_mcp_spark.operators import (  # noqa: E402
+    ann,
     bm25,
+    dedup,
     dense,
     exact,
     fusion,
@@ -40,6 +42,7 @@ QUERY_VEC_ID = 0
 # absent tenants get the reference's default 0.4 (scope.rs:18).
 DECAY_MAP = {"src0": 1.0, "src1": 0.9, "src2": 0.75}
 GREP_PATTERN = "dup"
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -172,6 +175,50 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(corpus)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_neardup(corpus)
+
+
+def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash(docs)
+
+
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_neardup(corpus)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup(emb)
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.bruteforce_topk(emb, q)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    return ann.ivf_topk(emb, q, cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_search_rrf": _q_hybrid,
@@ -190,6 +237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_fingerprint,
+        "ngram_jaccard_neardup": _q_ngram_jaccard,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "simhash_fingerprints": _q_simhash_fp,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
@@ -213,4 +267,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),
+        "ngram_jaccard_neardup": oracles.ngram_jaccard(),
+        "minhash_lsh_neardup": oracles.minhash_lsh_neardup(),
+        "simhash_fingerprints": oracles.simhash_fingerprints(),
+        "simhash_neardup": oracles.simhash_neardup(),
+        "embedding_neardup": oracles.embedding_neardup(),
+        "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
+        "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
     }

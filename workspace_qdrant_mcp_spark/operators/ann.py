@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column: brute-force cosine top-k as
+the exact baseline, and an IVF-style cluster-pruned variant as the scale
+path.
+
+Brute force is O(N·d) per query but a pure narrow map + per-query
+TakeOrdered — it parallelizes perfectly and is the correctness oracle for
+any approximate index (SURVEY §7 M2 de-risk note).
+
+IVF: partition vectors by nearest centroid (computed once, broadcast),
+then search only the `n_probe` closest cells per query — the candidate
+scan shrinks by ~n_cells/n_probe at the cost of recall. Same output
+schema, swap-in replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def bruteforce_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — exact cosine top-k per query row,
+    excluding self-matches. queries: (query_id, embedding), broadcast."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+def assign_ivf_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (1 narrow join
+    against a broadcast centroid table + per-row argmax)."""
+    c = centroids.select(
+        F.col("cell_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        id_col, vec_col, "cell_id", dot(F.col(vec_col), F.col("__cv")).alias("__d")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("cell_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: per query, search only the n_probe nearest cells.
+
+    At 100 TB the assignment table is written bucketed by cell_id so the
+    probe join prunes file groups instead of scanning the corpus.
+    """
+    assigned = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            query_id_col, "__qv", "cell_id", dot(F.col("__qv"), F.col("__cv")).alias("__d")
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.desc("__d"), F.asc("cell_id"))
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "__qv", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(qcells), "cell_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col, cosine(F.col(vec_col), F.col("__qv")).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )

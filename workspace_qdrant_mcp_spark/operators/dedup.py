@@ -1,0 +1,334 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each with the plan shape that survives a 100 TB corpus:
+  - exact        : hash-groupBy on a content digest (one shuffle on a
+                   16-byte key; see __spark_entry__ dedup_exact)
+  - ngram Jaccard: word n-gram posting join → pair-count → Jaccard — the
+                   classic inverted-index candidate generation; the gram
+                   join replaces the O(N²) cross product
+  - MinHash+LSH  : char-shingle minhash signatures → banded bucket join →
+                   exact-Jaccard verify. The band join is the ONLY pair
+                   generator — candidates scale with collisions, not N²
+  - SimHash      : tf-weighted 32-bit fingerprint; near-dup pairs via the
+                   4-band pigeonhole trick (hamming <= 3 → at least one of
+                   four 8-bit bands equal), then exact hamming verify
+  - embedding    : cosine >= threshold within a blocking key (label here;
+                   LSH/IVF buckets at scale), pairs only inside blocks
+
+The reference's dedup is ingest-time content-hash skip (W5,
+strategies/processing/file/dedup.rs via ingest.rs:86-106); everything
+beyond exact-hash is the training-data extension this engine adds.
+
+All hashes are md5-based (functions/hashing.py) so the DuckDB oracle
+reproduces them bit-for-bit. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64
+from ..functions.text import char_shingles, tokenize_bm25
+
+N_MINHASHES = 16
+MINHASH_BANDS = 4
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.9
+HAMMING_THRESHOLD = 3
+
+
+# ---------------------------------------------------------------------------
+# Synthetic near-copy corpora (deterministic, reproduced by the oracle SQL)
+# ---------------------------------------------------------------------------
+
+def with_near_copies(docs: DataFrame, modulo: int = 7, cut: int = 25) -> DataFrame:
+    """documents ∪ truncated copies: doc_id%modulo==0 re-inserted with
+    id+2000000 and the last `cut` chars dropped — true near-duplicates."""
+    orig = docs.select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % modulo == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(f"substring(text, 1, length(text) - {cut})").alias("text"),
+    )
+    return orig.unionByName(copies)
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined). Empty array when < n words."""
+    w = F.filter(F.split(text, "\\s+"), lambda t: F.length(t) > 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with word-n-gram Jaccard >= threshold.
+
+    Plan: explode distinct grams → gram self-join (the inverted index) →
+    per-pair intersection count → join sizes → Jaccard filter. The gram join
+    shuffles on the gram — skew on stop-grams is the scale risk; AQE skew
+    handling plus a frequency cap (drop grams in > X% of docs) are the
+    mitigations at 100 TB.
+    """
+    grams = corpus.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    sizes = corpus.select(
+        "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_grams")
+    )
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_grams", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_grams", "nb"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    corpus: DataFrame, n_hashes: int = N_MINHASHES, shingle_k: int = 5
+) -> DataFrame:
+    """(doc_id, v0..v{n-1}) — wide minhash signature over distinct char-k
+    shingles.
+
+    Plan (the dedup-before-expensive-work rewrite, same idea as the
+    reference's phrase LRU cache, embedding/phrase_cache.rs:1-197): hash the
+    DISTINCT shingle table once — n_hashes values per unique shingle, as one
+    array column — then join back to (doc, shingle) and take n_hashes
+    column-wise `min` aggregates. No per-(doc,shingle,j) explode: the md5
+    count drops from |doc-shingle pairs|×16 to |unique shingles|×16, and the
+    signature groupBy is map-side combinable."""
+    sh = corpus.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), shingle_k)).alias("s")
+    )
+    uniq = sh.select("s").distinct()
+    harr = F.array(
+        *[
+            md5_hash64(F.concat(F.lit(f"{j}|"), F.col("s")))
+            for j in range(n_hashes)
+        ]
+    )
+    hashed = uniq.select("s", harr.alias("h"))
+    return (
+        sh.join(hashed, "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(F.col("h")[j]).alias(f"v{j}") for j in range(n_hashes)])
+    )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    bands: int = MINHASH_BANDS,
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """(doc_id, band, bucket) — bucket = md5 of the band's ordered minhash
+    values. String bucket keys keep the join key scalar (identical semantics
+    in the oracle). Bands come from the wide signature by column slicing —
+    no shuffle at all."""
+    rows = n_hashes // bands
+    out = None
+    for band in range(bands):
+        cols = [F.col(f"v{band * rows + r}").cast("string") for r in range(rows)]
+        part = signatures.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *cols).cast("binary")).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def minhash_lsh_neardup(
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — LSH candidate pairs verified by exact
+    char-shingle Jaccard. The bucket join generates candidates; everything
+    downstream touches only candidate pairs."""
+    sigs = minhash_signatures(corpus, shingle_k=shingle_k)
+    buckets = lsh_band_buckets(sigs)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = corpus.select(
+        "doc_id", char_shingles(F.col("text"), shingle_k).alias("ss")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("sb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted Charikar fingerprint over BM25 tokens.
+    Integer-exact (tf sums), so bit-identical across engines and reruns."""
+    toks = corpus.select(
+        "doc_id", F.explode(tokenize_bm25(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    th = tf.withColumn("h", md5_hash64(F.col("term"), salt="t|"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = th.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_neardup(
+    corpus: DataFrame,
+    max_hamming: int = HAMMING_THRESHOLD,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs within hamming <= 3 of the 32-bit
+    simhash. Candidates via the pigeonhole band trick: <= 3 differing bits
+    across 4 bands → at least one 8-bit band identical, so the band
+    equi-join finds every true pair without an N² cross product."""
+    sim = simhash(corpus)
+    band_width = SIMHASH_BITS // bands
+    mask = (1 << band_width) - 1
+    bs = None
+    for k in range(bands):
+        part = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(k).alias("k"),
+            F.shiftright(F.col("simhash"), k * band_width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bk"),
+        )
+        bs = part if bs is None else bs.unionByName(part)
+    cand = (
+        bs.alias("a")
+        .join(bs.alias("b"), ["k", "bk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def with_perturbed_vectors(emb: DataFrame, modulo: int = 10) -> DataFrame:
+    """embeddings ∪ perturbed copies (first component ×1.01) as double
+    arrays — cosine(orig, copy) ≈ 0.9999."""
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.01).otherwise(
+            x.cast("double")
+        ),
+    )
+    orig = emb.select("vec_id", "label", as_double.alias("e"))
+    copies = emb.filter(F.col("vec_id") % modulo == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "label", perturbed.alias("e")
+    )
+    return orig.unionByName(copies)
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    block_col: str = "label",
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) — cosine >= threshold within blocks. Blocking
+    turns the O(N²) cross join into Σ block² — at 100 TB the block key is an
+    LSH bucket or IVF centroid id instead of a label, same plan shape."""
+    from ..functions.vectors import cosine
+
+    corpus = with_perturbed_vectors(emb)
+    a = corpus.select(
+        F.col(block_col), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = corpus.select(
+        F.col(block_col), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -12,6 +12,7 @@ top-k is cut by (score DESC, id ASC) so membership is deterministic.
 
 from __future__ import annotations
 
+from .functions.hashing import duckdb_md5_hash64_sql
 from .functions.text import LANG_MARKERS, duckdb_char_shingles_sql, duckdb_tokenize_sql
 from .functions.vectors import duckdb_cosine_sql
 from .sources.documents import duckdb_chunk_text_sql, duckdb_code_lines_sql
@@ -324,6 +325,232 @@ SELECT doc_id, n_tokens,
                   ELSE 0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio) END,
              6) AS quality
 FROM r
+"""
+
+
+_NEAR_COPY_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, substr(text, 1, length(text) - 25) AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+wd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS w
+  FROM corpus
+),
+gs AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}), i -> {gram_i}))
+              ELSE [] END AS grams
+  FROM wd
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM gs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
+j AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_neardup(
+    n_hashes: int = 16, bands: int = 4, shingle_k: int = 5, threshold: float = 0.5
+) -> str:
+    sh = duckdb_char_shingles_sql("text", shingle_k)
+    h = duckdb_md5_hash64_sql("CAST(j AS VARCHAR) || '|' || s")
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+sh AS (SELECT doc_id, unnest({sh}) AS s FROM corpus),
+mh AS (
+  SELECT doc_id, j, min({h}) AS v
+  FROM sh, LATERAL unnest(generate_series(0, {n_hashes - 1})) AS t(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id, CAST(floor(j / {n_hashes // bands}) AS INT) AS band,
+         md5(array_to_string(list(v ORDER BY j), ',')) AS bucket
+  FROM mh GROUP BY doc_id, CAST(floor(j / {n_hashes // bands}) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, {sh} AS ss FROM corpus),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+           / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
+  FROM cand
+  JOIN sets x ON x.doc_id = id_a
+  JOIN sets y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_cte(bits: int = 32) -> str:
+    """CTE chain corpus→sim(doc_id, simhash). Expects a CTE named corpus."""
+    toks = duckdb_tokenize_sql("text")
+    h = duckdb_md5_hash64_sql("'t|' || term")
+    return f"""
+tok2 AS (SELECT doc_id, unnest({toks}) AS term FROM corpus),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+th AS (SELECT doc_id, term, tf, {h} AS h FROM tf2),
+bitsums AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h & (CAST(1 AS BIGINT) << b)) <> 0 THEN tf ELSE -tf END) AS s
+  FROM th, LATERAL unnest(generate_series(0, {bits - 1})) AS t(b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+           AS simhash
+  FROM bitsums GROUP BY doc_id
+)
+"""
+
+
+def simhash_fingerprints() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_simhash_cte()}
+SELECT doc_id, simhash FROM sim
+"""
+
+
+def simhash_neardup(max_hamming: int = 3, bands: int = 4, bits: int = 32) -> str:
+    bw = bits // bands
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+{_simhash_cte(bits)},
+bs AS (
+  SELECT doc_id, simhash, k, (simhash >> (k * {bw})) & {(1 << bw) - 1} AS bk
+  FROM sim, LATERAL unnest(generate_series(0, {bands - 1})) AS t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bs a JOIN bs b ON a.k = b.k AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def embedding_neardup(threshold: float = 0.9) -> str:
+    cos = duckdb_cosine_sql("ea", "eb")
+    dbl = "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE))"
+    pert = (
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.01 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END)"
+    )
+    return f"""
+WITH vc AS (
+  SELECT vec_id, label, {dbl} AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, label, {pert} AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+  FROM vc a JOIN vc b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS (SELECT id_a, id_b, {cos} AS cos_sim FROM p)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+FROM scored WHERE cos_sim >= {threshold}
+"""
+
+
+def ann_bruteforce_topk(query_ids: list[int], k: int = 5) -> str:
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
+def ann_ivf_topk(
+    query_ids: list[int], n_cells: int = 10, n_probe: int = 2, k: int = 5
+) -> str:
+    dot_ec = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    dot_qc = (
+        "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    cos = duckdb_cosine_sql("a.emb", "qc.qemb")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < {n_cells}),
+ass AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT e.vec_id, e.embedding AS emb, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.cell_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+qc AS (
+  SELECT query_id, qemb, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qemb, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_qc} DESC, c.cell_id ASC) AS r
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id IN ({ids})
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT qc.query_id, a.vec_id, {cos} AS score
+  FROM ass a JOIN qc ON a.cell_id = qc.cell_id
+  WHERE a.vec_id <> qc.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
 """
 
 

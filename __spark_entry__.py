@@ -27,7 +27,9 @@ from workspace_qdrant_mcp_spark.operators import (  # noqa: E402
     dense,
     exact,
     fusion,
+    graph,
     grep,
+    keywords,
     textstats,
 )
 from workspace_qdrant_mcp_spark.plans import search_pipeline  # noqa: E402
@@ -219,6 +221,144 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, q, cents)
 
 
+GRAPH_SEED = 1
+# impact analysis traverses INCOMING edges; src < dst in the co-occurrence
+# graph, so the reverse seed must be a high partkey to have in-edges
+GRAPH_SEED_IMPACT = 199
+
+
+def _edges(spark: SparkSession, sf_dir: str):
+    return graph.cooccurrence_edges(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.degree_stats(_edges(spark, sf_dir))
+
+
+def _q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.k_hop_neighbors(_edges(spark, sf_dir), GRAPH_SEED, max_hops=2)
+
+
+def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.k_hop_neighbors(
+        _edges(spark, sf_dir), GRAPH_SEED_IMPACT, max_hops=2, reverse=True
+    )
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = graph.pagerank(_edges(spark, sf_dir), n_iters=10)
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.connected_components(_edges(spark, sf_dir), n_iters=15)
+
+
+def _q_cooc_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return e.orderBy(F.desc("weight"), F.asc("src"), F.asc("dst")).limit(50)
+
+
+def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness — not SQL-expressible; the driver records a
+    rows-only check. Exact-value unit fixtures live in tests/test_graph.py.
+    Uses the reference's first-k source sampling with n/k scaling
+    (betweenness.rs:49-184, Bader et al. approximation) so the cost is
+    k BFS traversals, not one per node."""
+    bc = graph.betweenness(_edges(spark, sf_dir), sample_k=64)
+    return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 debounce semantics as a batch query: last event per
+    (hour window, user, type), deterministic tiebreak (ts desc, id desc)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("window_start", "user_id", "event_type").orderBy(
+                F.desc("ts_ns"), F.desc("event_id")  # raw nanos: exact order
+            )
+        ))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "user_id", "event_type", "event_id")
+    )
+
+
+def _q_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 queue/metrics rollup analog over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def _q_mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mock embedder (R1 embedding stage, seeded projection)
+    in long format (doc_id, dim, value)."""
+    from workspace_qdrant_mcp_spark.functions.embedder import mock_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(mock_embed(F.col("text"))).alias("dim", "value")
+    ).select("doc_id", "dim", F.round("value", 6).alias("value"))
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords.tfidf_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_centroid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords.centroid_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic taxonomy: 2 terms per category (label centroid + first
+    member vector) so the per-category dedup semantics get exercised."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = keywords._centroid_wide(emb).select(
+        F.concat(F.lit("lab"), F.col("label").cast("string"), F.lit("_centroid")).alias("term"),
+        F.concat(F.lit("lab"), F.col("label").cast("string")).alias("category"),
+        F.col("centroid").alias("embedding"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    firsts = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat(F.lit("lab"), F.col("label").cast("string"), F.lit("_first")).alias("term"),
+            F.concat(F.lit("lab"), F.col("label").cast("string")).alias("category"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    return cents.unionByName(firsts)
+
+
+def _q_taxonomy_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return keywords.taxonomy_tags(emb, _taxonomy(spark, sf_dir))
+
+
+def _q_keyword_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords.keyword_baskets(load_table(spark, sf_dir, "documents"))
+
+
+def _q_grouping_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords.grouping_jaccard(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_search_rrf": _q_hybrid,
@@ -244,6 +384,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_topk": _q_ann_ivf,
+        "graph_degree_stats": _q_graph_degree,
+        "graph_2hop_neighbors": _q_graph_2hop,
+        "graph_impact_analysis": _q_graph_impact,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_connected_components": _q_graph_components,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
+        "graph_betweenness": _q_graph_betweenness,
+        "events_debounce_last": _q_events_debounce,
+        "queue_stats": _q_queue_stats,
+        "mock_embeddings": _q_mock_embeddings,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "label_centroids": _q_label_centroids,
+        "centroid_rerank": _q_centroid_rerank,
+        "taxonomy_tags": _q_taxonomy_tags,
+        "keyword_baskets": _q_keyword_baskets,
+        "grouping_jaccard": _q_grouping_jaccard,
     }
 
 
@@ -274,4 +430,23 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.embedding_neardup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
+        "graph_degree_stats": oracles.graph_degree_stats(),
+        "graph_2hop_neighbors": oracles.graph_k_hop(GRAPH_SEED, 2),
+        "graph_impact_analysis": oracles.graph_k_hop(
+            GRAPH_SEED_IMPACT, 2, reverse=True
+        ),
+        "graph_pagerank": oracles.graph_pagerank(10),
+        "graph_connected_components": oracles.graph_connected_components(15),
+        "cooccurrence_top_pairs": oracles.cooccurrence_top_pairs(50),
+        # graph_betweenness: intentionally no oracle (non-SQL-expressible;
+        # rows-only check + exact fixtures in tests/test_graph.py)
+        "events_debounce_last": oracles.events_debounce_last(),
+        "queue_stats": oracles.queue_stats(),
+        "mock_embeddings": oracles.mock_embeddings(),
+        "tfidf_keywords": oracles.tfidf_keywords(),
+        "label_centroids": oracles.label_centroids(),
+        "centroid_rerank": oracles.centroid_rerank(),
+        "taxonomy_tags": oracles.taxonomy_tags(),
+        "keyword_baskets": oracles.keyword_baskets(),
+        "grouping_jaccard": oracles.grouping_jaccard(),
     }

@@ -1,0 +1,109 @@
+"""Streaming ingestion pipeline: debounce, content dedup, delete, DLQ-free
+happy path, checkpointed exactly-once effect, reconciliation (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.streaming import ingest
+
+
+def _write_events(events_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(events_dir, exist_ok=True)
+    with open(os.path.join(events_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "events": str(tmp_path / "events"),
+        "store": str(tmp_path / "store"),
+        "dlq": str(tmp_path / "dlq"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _run(spark, d):
+    ingest.run_ingestion_stream(
+        spark, d["events"], d["store"], d["dlq"], d["ckpt"]
+    )
+
+
+def _store(spark, d):
+    return spark.read.parquet(d["store"])
+
+
+def test_ingest_update_delete_dedup(spark, dirs):
+    d = dirs
+    # batch 1: two files
+    _write_events(d["events"], "b1.json", [
+        {"path": "a.txt", "event_type": "create", "content": "alpha " * 50,
+         "ts": "2026-01-01T00:00:00"},
+        {"path": "b.txt", "event_type": "create", "content": "bravo " * 50,
+         "ts": "2026-01-01T00:00:01"},
+    ])
+    _run(spark, d)
+    s1 = _store(spark, d)
+    assert s1.select("path").distinct().count() == 2
+    assert s1.filter(F.col("embedding").isNull()).count() == 0
+
+    # batch 2: burst of modifies to a.txt (debounce keeps the LAST), delete b
+    _write_events(d["events"], "b2.json", [
+        {"path": "a.txt", "event_type": "modify", "content": "stale version",
+         "ts": "2026-01-01T00:01:00"},
+        {"path": "a.txt", "event_type": "modify", "content": "final version",
+         "ts": "2026-01-01T00:01:02"},
+        {"path": "b.txt", "event_type": "remove", "content": "",
+         "ts": "2026-01-01T00:01:03"},
+    ])
+    _run(spark, d)
+    s2 = _store(spark, d)
+    paths = {r["path"] for r in s2.select("path").distinct().collect()}
+    assert paths == {"a.txt"}
+    contents = [r["content"] for r in s2.collect()]
+    assert contents == ["final version"]  # debounce: last event won
+
+    # batch 3: re-send identical content → W5 dedup (store byte-identical)
+    before = sorted(map(tuple, s2.drop("embedding").collect()))
+    _write_events(d["events"], "b3.json", [
+        {"path": "a.txt", "event_type": "modify", "content": "final version",
+         "ts": "2026-01-01T00:02:00"},
+    ])
+    _run(spark, d)
+    after = sorted(map(tuple, _store(spark, d).drop("embedding").collect()))
+    assert before == after
+
+    # rerun with nothing new: checkpoint makes it a no-op (exactly-once effect)
+    _run(spark, d)
+    again = sorted(map(tuple, _store(spark, d).drop("embedding").collect()))
+    assert before == again
+
+
+def test_reconciliation_diff(spark, dirs):
+    d = dirs
+    _write_events(d["events"], "b1.json", [
+        {"path": "x.txt", "event_type": "create", "content": "xray",
+         "ts": "2026-01-01T00:00:00"},
+        {"path": "y.txt", "event_type": "create", "content": "yankee",
+         "ts": "2026-01-01T00:00:01"},
+    ])
+    _run(spark, d)
+    # FS truth: x changed, y gone, z new
+    fs = spark.createDataFrame(
+        [("x.txt", "xray CHANGED"), ("z.txt", "zulu")], ["path", "content"]
+    )
+    diff = {
+        r["path"]: r["status"]
+        for r in ingest.reconcile(spark, fs, d["store"]).collect()
+    }
+    assert diff == {
+        "x.txt": "hash_mismatch",
+        "y.txt": "stale_in_store",
+        "z.txt": "missing_in_store",
+    }

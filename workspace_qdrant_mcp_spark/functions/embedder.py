@@ -1,0 +1,46 @@
+"""Deterministic mock embedder — seeded hash projection (SURVEY §7 M0).
+
+Correctness tests must not depend on a real model (FIXTURES.md §2), so the
+mock maps text → L2-normalized dim-D vector via md5-keyed per-dimension
+hashes. Pure column expressions; bit-reproducible; oracle-expressible.
+
+A real provider (the reference's pluggable DenseProvider,
+embedding/generator.rs:22-33) slots in as a Pandas UDF with the same
+(text → array<double>) signature; batching + dedup-before-embed (the phrase
+cache analog) live in the caller, not the UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import duckdb_md5_hash64_sql, md5_hash64
+
+MOCK_DIM = 16
+
+
+def mock_embed(text: Column, dim: int = MOCK_DIM) -> Column:
+    """text → array<double>[dim], components in [-0.5, 0.5), L2-normalized."""
+    comps = F.array(
+        *[
+            (md5_hash64(text, salt=f"e{d}|") % 10000).cast("double") / 10000.0 - 0.5
+            for d in range(dim)
+        ]
+    )
+    nrm = F.sqrt(
+        F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(comps, lambda x: x / nrm)
+
+
+def duckdb_mock_embed_sql(text_expr: str, dim: int = MOCK_DIM) -> str:
+    comps = ", ".join(
+        f"(({duckdb_md5_hash64_sql(text_expr, salt=f'e{d}|')}) % 10000) / 10000.0 - 0.5"
+        for d in range(dim)
+    )
+    arr = f"[{comps}]"
+    nrm = (
+        f"sqrt(list_sum(list_transform({arr}, x -> x * x)))"
+    )
+    return f"list_transform({arr}, x -> x / {nrm})"

@@ -554,6 +554,293 @@ FROM r WHERE rnk <= {k}
 """
 
 
+_COOC_EDGES = """
+ed AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         count(DISTINCT a.l_orderkey) AS weight
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+gn AS MATERIALIZED (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM ed UNION ALL SELECT dst FROM ed))
+"""
+
+
+def graph_degree_stats() -> str:
+    return f"""
+WITH {_COOC_EDGES},
+od AS (SELECT src AS node_id, count(*) AS out_deg, sum(weight) AS w_out FROM ed GROUP BY src),
+idg AS (SELECT dst AS node_id, count(*) AS in_deg, sum(weight) AS w_in FROM ed GROUP BY dst)
+SELECT gn.node_id,
+       coalesce(od.out_deg, 0) AS out_deg,
+       coalesce(idg.in_deg, 0) AS in_deg,
+       coalesce(od.w_out, 0) + coalesce(idg.w_in, 0) AS total_weight
+FROM gn LEFT JOIN od USING (node_id) LEFT JOIN idg USING (node_id)
+"""
+
+
+def graph_k_hop(seed: int, max_hops: int = 2, reverse: bool = False) -> str:
+    src, dst = ("dst", "src") if reverse else ("src", "dst")
+    return f"""
+WITH RECURSIVE {_COOC_EDGES},
+reach(node, depth) AS (
+  SELECT {seed}, 0
+  UNION ALL
+  SELECT e.{dst}, r.depth + 1
+  FROM reach r JOIN ed e ON e.{src} = r.node
+  WHERE r.depth < {max_hops}
+)
+SELECT node AS node_id, min(depth) AS depth
+FROM reach WHERE node <> {seed} GROUP BY node
+"""
+
+
+def graph_pagerank(n_iters: int = 10, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH {_COOC_EDGES},",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM gn),",
+        "odeg AS (SELECT gn.node_id, coalesce(o.c, 0) AS out_deg FROM gn "
+        "LEFT JOIN (SELECT src AS node_id, count(*) AS c FROM ed GROUP BY src) o "
+        "USING (node_id)),",
+        "pr0 AS MATERIALIZED (SELECT node_id, out_deg, 1.0 / nn.n AS rank FROM odeg CROSS JOIN nn)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+dg{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang FROM pr{i} WHERE out_deg = 0),
+cb{i} AS (
+  SELECT e.dst AS node_id, sum(p.rank / p.out_deg) AS inflow
+  FROM ed e JOIN pr{i} p ON p.node_id = e.src GROUP BY e.dst
+),
+pr{i + 1} AS MATERIALIZED (
+  SELECT p.node_id, p.out_deg,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c.inflow, 0.0) + dg{i}.dang / nn.n) AS rank
+  FROM pr{i} p LEFT JOIN cb{i} c USING (node_id) CROSS JOIN nn CROSS JOIN dg{i}
+)"""
+        )
+    parts.append(
+        f"\nSELECT node_id, round(rank, 6) AS rank FROM pr{n_iters}"
+    )
+    return "".join(parts)
+
+
+def graph_connected_components(n_iters: int = 15) -> str:
+    parts = [
+        f"WITH {_COOC_EDGES},",
+        "und AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),",
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM gn)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT u.dst AS node_id, min(l.component) AS nbr
+  FROM und u JOIN l{i} l ON l.node_id = u.src GROUP BY u.dst
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.node_id, least(l.component, coalesce(m.nbr, l.component)) AS component
+  FROM l{i} l LEFT JOIN m{i} m USING (node_id)
+)"""
+        )
+    parts.append(f"\nSELECT node_id, component FROM l{n_iters}")
+    return "".join(parts)
+
+
+def cooccurrence_top_pairs(k: int = 50) -> str:
+    return f"""
+WITH {_COOC_EDGES}
+SELECT src, dst, weight FROM ed
+ORDER BY weight DESC, src ASC, dst ASC LIMIT {k}
+"""
+
+
+def tfidf_keywords(top_n: int = 5) -> str:
+    return f"""
+WITH {_tf_df_ctes()},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+           AS rnk
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk
+FROM r WHERE rnk <= {top_n} AND tfidf > 0
+"""
+
+
+_CENTROID_CTES = """
+cent AS MATERIALIZED (
+  SELECT label, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+),
+cw AS MATERIALIZED (SELECT label, list(v ORDER BY dim) AS centroid FROM cent GROUP BY label)
+"""
+
+
+def label_centroids() -> str:
+    return """
+SELECT label, i - 1 AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS value
+FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i - 1
+"""
+
+
+def centroid_rerank(top_k: int = 3) -> str:
+    cos = duckdb_cosine_sql("e.embedding", "cw.centroid")
+    return f"""
+WITH {_CENTROID_CTES},
+scored AS (
+  SELECT e.label, e.vec_id, {cos} AS score
+  FROM embeddings e JOIN cw USING (label)
+),
+r AS (
+  SELECT label, vec_id, score,
+         row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT label, vec_id, round(score, 6) AS score, rnk FROM r WHERE rnk <= {top_k}
+"""
+
+
+def taxonomy_tags(
+    threshold: float = 0.35, max_tags: int = 10, score_gap: float = 0.02
+) -> str:
+    dbl = (
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(embedding[i] AS DOUBLE))"
+    )
+    cos = duckdb_cosine_sql("e.embedding", "t.tax_emb")
+    return f"""
+WITH {_CENTROID_CTES},
+firsts AS MATERIALIZED (
+  SELECT label, {dbl} AS fe
+  FROM (SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn = 1
+),
+tax AS MATERIALIZED (
+  SELECT 'lab' || CAST(label AS VARCHAR) || '_centroid' AS term,
+         'lab' || CAST(label AS VARCHAR) AS category, centroid AS tax_emb
+  FROM cw
+  UNION ALL
+  SELECT 'lab' || CAST(label AS VARCHAR) || '_first' AS term,
+         'lab' || CAST(label AS VARCHAR) AS category, fe AS tax_emb
+  FROM firsts
+),
+m AS (
+  SELECT e.vec_id, t.term, t.category, {cos} AS score
+  FROM embeddings e CROSS JOIN tax t
+),
+flt AS (SELECT * FROM m WHERE score >= {threshold}),
+k AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY vec_id, category
+                            ORDER BY score DESC, term ASC) AS cat_rn,
+         max(score) OVER (PARTITION BY vec_id, category) AS cat_best
+  FROM flt
+),
+kept AS (
+  SELECT * FROM k
+  WHERE cat_rn = 1 OR cat_best - score > {3 * score_gap}
+),
+fin AS (
+  SELECT vec_id, term, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, term ASC)
+           AS rn
+  FROM kept
+)
+SELECT vec_id, term, round(score, 6) AS score FROM fin WHERE rn <= {max_tags}
+"""
+
+
+def keyword_baskets(top_n: int = 5) -> str:
+    return f"""
+WITH {_tf_df_ctes()},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+           AS rnk
+  FROM scored
+),
+kws AS (SELECT doc_id, term FROM r WHERE rnk <= {top_n} AND tfidf > 0),
+b AS (
+  SELECT d.source, list_sort(list_distinct(list(k.term))) AS ks
+  FROM kws k JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, len(ks) AS n_keywords, array_to_string(ks, '|') AS keywords FROM b
+"""
+
+
+def grouping_jaccard() -> str:
+    return """
+WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+sizes AS (SELECT sk, count(*) AS n FROM sp GROUP BY sk),
+inter AS (
+  SELECT a.sk AS id_a, b.sk AS id_b, count(*) AS inter
+  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.sk = id_a
+JOIN sizes sb ON sb.sk = id_b
+"""
+
+
+def events_debounce_last() -> str:
+    return """
+WITH r AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT window_start, user_id, event_type, event_id FROM r WHERE rn = 1
+"""
+
+
+def queue_stats() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events GROUP BY event_type
+"""
+
+
+def mock_embeddings() -> str:
+    from .functions.embedder import MOCK_DIM, duckdb_mock_embed_sql
+
+    emb = duckdb_mock_embed_sql("text")
+    return f"""
+WITH v AS (SELECT doc_id, {emb} AS e FROM documents)
+SELECT doc_id, i - 1 AS dim, round(e[i], 6) AS value
+FROM v, LATERAL unnest(generate_series(1, {MOCK_DIM})) AS t(i)
+"""
+
+
 def doc_fingerprint() -> str:
     return """
 SELECT doc_id,

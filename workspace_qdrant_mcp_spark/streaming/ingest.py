@@ -1,0 +1,184 @@
+"""Structured Streaming ingestion — the reference's watcher → queue →
+process pipeline re-expressed as a checkpointed stream.
+
+Reference semantics preserved (SURVEY §2.8):
+  W1 debounce      : per-path last-event-wins inside each micro-batch
+                     (file_watcher_ops.rs:44-80, 500 ms flush tick — the
+                     micro-batch IS the debounce window)
+  W2 at-least-once + idempotency: checkpointed foreachBatch + idempotent
+                     upsert keyed on (path) with content hash — replays
+                     converge (unified_queue_schema/sql.rs:28-30
+                     idempotency_key UNIQUE)
+  W3 DLQ           : rows that fail processing append to a dead-letter
+                     table with the error (sql.rs:32-45)
+  W5 content dedup : anti-join on (path, file_hash) against the store —
+                     unchanged content skips the (expensive) embed stage
+                     (dedup.rs via ingest.rs:86-106)
+  W6 reconciliation: snapshot full-outer-join diff
+                     (startup/reconciliation/mod.rs)
+
+Storage here is plain parquet with read-union-overwrite upsert (the test
+container has no Delta); on a real deployment every MERGE below maps 1:1
+onto a Delta/Iceberg `MERGE INTO` keyed the same way — the plan shapes are
+identical, only the sink API changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedder import mock_embed
+from ..sources.documents import chunk_text
+
+EVENT_SCHEMA = (
+    "path STRING, event_type STRING, content STRING, ts TIMESTAMP"
+)
+
+
+def debounce_batch(batch: DataFrame) -> DataFrame:
+    """Per-path last-event-wins (max ts, deterministic tiebreak on
+    event_type so reruns are stable)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy(
+        F.desc("ts"), F.desc("event_type")
+    )
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.exists(path):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            pass
+    return spark.createDataFrame([], schema)
+
+
+def upsert_chunks(
+    spark: SparkSession, store_path: str, new_chunks: DataFrame
+) -> None:
+    """Idempotent MERGE emulation: delete-then-insert keyed on path.
+    (Delta: MERGE INTO chunks USING new ON path MATCHED DELETE+INSERT.)"""
+    schema = (
+        "path STRING, file_hash STRING, chunk_index INT, content STRING, "
+        "embedding ARRAY<DOUBLE>"
+    )
+    existing = _read_store(spark, store_path, schema)
+    keys = new_chunks.select("path").distinct()
+    kept = existing.join(keys, "path", "left_anti")
+    out = kept.unionByName(new_chunks).localCheckpoint()
+    out.write.mode("overwrite").parquet(store_path)
+
+
+def delete_paths(spark: SparkSession, store_path: str, paths: DataFrame) -> None:
+    schema = (
+        "path STRING, file_hash STRING, chunk_index INT, content STRING, "
+        "embedding ARRAY<DOUBLE>"
+    )
+    existing = _read_store(spark, store_path, schema)
+    out = existing.join(paths, "path", "left_anti").localCheckpoint()
+    out.write.mode("overwrite").parquet(store_path)
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    dlq_path: str,
+) -> None:
+    """One micro-batch: debounce → split deletes/upserts → content-hash
+    dedup → chunk+embed → idempotent upsert; failures → DLQ."""
+    try:
+        b = debounce_batch(batch).localCheckpoint()
+        deletes = b.filter(F.col("event_type") == "remove").select("path")
+        upserts = b.filter(F.col("event_type") != "remove").withColumn(
+            "file_hash", F.md5(F.col("content").cast("binary"))
+        )
+        # W5: skip paths whose (path, file_hash) already in the store
+        schema = (
+            "path STRING, file_hash STRING, chunk_index INT, content STRING, "
+            "embedding ARRAY<DOUBLE>"
+        )
+        existing = _read_store(spark, store_path, schema).select(
+            "path", "file_hash"
+        ).distinct()
+        changed = upserts.join(existing, ["path", "file_hash"], "left_anti")
+        chunks = (
+            chunk_text(changed, id_col="path", text_col="content")
+            .join(changed.select("path", "file_hash"), "path")
+            .withColumn("embedding", mock_embed(F.col("content")))
+            .select("path", "file_hash", "chunk_index", "content", "embedding")
+        )
+        if len(chunks.take(1)) > 0:
+            upsert_chunks(spark, store_path, chunks)
+        if len(deletes.take(1)) > 0:
+            delete_paths(spark, store_path, deletes)
+    except Exception as exc:  # W3: dead-letter the whole batch with the error
+        (
+            batch.withColumn("error", F.lit(str(exc)[:500]))
+            .write.mode("append")
+            .parquet(dlq_path)
+        )
+
+
+def run_ingestion_stream(
+    spark: SparkSession,
+    events_dir: str,
+    store_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """File-source stream of watcher events (json lines), processed with
+    exactly-once effect via checkpoint + idempotent upsert. Uses
+    availableNow so tests drain the backlog and stop."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)  # W7 warmup throttling analog
+        .json(events_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: process_batch(spark, b, store_path, dlq_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def reconcile(
+    spark: SparkSession, fs_snapshot: DataFrame, store_path: str
+) -> DataFrame:
+    """W6: (path, status) diff of filesystem vs store — 'missing_in_store'
+    (needs ingest), 'stale_in_store' (needs delete), 'hash_mismatch'
+    (needs re-ingest)."""
+    schema = (
+        "path STRING, file_hash STRING, chunk_index INT, content STRING, "
+        "embedding ARRAY<DOUBLE>"
+    )
+    store = (
+        _read_store(spark, store_path, schema)
+        .select("path", F.col("file_hash").alias("store_hash"))
+        .distinct()
+    )
+    fs = fs_snapshot.select(
+        "path", F.md5(F.col("content").cast("binary")).alias("fs_hash")
+    )
+    j = fs.join(store, "path", "full_outer")
+    return j.select(
+        "path",
+        F.when(F.col("store_hash").isNull(), "missing_in_store")
+        .when(F.col("fs_hash").isNull(), "stale_in_store")
+        .when(F.col("fs_hash") != F.col("store_hash"), "hash_mismatch")
+        .otherwise("ok")
+        .alias("status"),
+    ).filter(F.col("status") != "ok")

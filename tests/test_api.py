@@ -1,0 +1,147 @@
+"""API-surface tests: the 7 tools (SURVEY §2.10) against the sf0.001 corpus,
+including filter predicate semantics (P1-P8) and the rules dedup gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.api import WqmEngine
+from workspace_qdrant_mcp_spark.functions.filters import (
+    extract_glob_prefix,
+    glob_to_regex,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return WqmEngine(spark, SF_SMOKE)
+
+
+class TestFilters:
+    def test_glob_prefix_extraction(self):
+        # filters.rs:65-77 semantics: cut at first meta, back to last '/'
+        assert extract_glob_prefix("src/*/file.rs") == "src/"
+        assert extract_glob_prefix("src/mod_1/*.rs") == "src/mod_1/"
+        assert extract_glob_prefix("docs/guide.md") == "docs/guide.md"
+        assert extract_glob_prefix("*.rs") == ""
+
+    def test_glob_regex(self):
+        import re
+
+        rx = glob_to_regex("src/*/doc_1?.txt")
+        assert re.match(rx, "src/src3/doc_12.txt")
+        assert not re.match(rx, "src/a/b/doc_12.txt")  # * stops at '/'
+        assert re.match(glob_to_regex("src/**"), "src/a/b/c.txt")
+
+    def test_tenant_and_branch_scoping(self, engine):
+        res = engine.retrieve(tenant="src1", branch="dev", limit=500)
+        rows = res.collect()
+        assert rows, "dev-branch rows must exist (doc_id % 11 == 0 docs)"
+        assert all(r["tenant_id"] == "src1" for r in rows)
+
+    def test_deleted_tombstones_excluded(self, engine):
+        res = engine.retrieve(collections=["libraries"], limit=10000)
+        assert res.filter(F.col("deleted").isNotNull()).count() == 0
+
+    def test_tag_or_group(self, engine):
+        res = engine.retrieve(tags=["hot"], limit=10000).collect()
+        assert rows_have_tag(res)
+
+    def test_component_prefix(self, engine):
+        # dotted-boundary semantics (filters.rs:277-285): 'comp' is a parent
+        # of 'comp.3'; 'com' is NOT (no dot boundary)
+        res = engine.retrieve(component="com", limit=100).collect()
+        assert res == []
+        res2 = engine.retrieve(component="comp.3", limit=100).collect()
+        assert res2 and all(r["component_id"] == "comp.3" for r in res2)
+        res3 = engine.retrieve(component="comp", limit=100).collect()
+        assert res3  # parent prefix matches all comp.* ids
+
+
+def rows_have_tag(rows):
+    return bool(rows) and all("hot" in (r["concept_tags"] or []) for r in rows)
+
+
+class TestSearch:
+    def test_hybrid_returns_limit_with_stripped_metadata(self, engine):
+        res = engine.search("dup spark vector", mode="hybrid", limit=5)
+        rows = res.collect()
+        assert 0 < len(rows) <= 5
+        assert "dense" not in res.columns and "content" not in res.columns
+
+    def test_exact_mode_scoring(self, engine):
+        rows = engine.search("dup", mode="exact").collect()
+        assert rows
+        scores = [r["score"] for r in rows]
+        assert scores[0] == pytest.approx(1.0)
+        assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+
+    def test_semantic_only_leg(self, engine):
+        rows = engine.search("dup batch", mode="semantic", limit=5,
+                             threshold=-1.0, diverse=False).collect()
+        assert rows
+
+    def test_single_collection_skips_diversity(self, engine):
+        rows = engine.search(
+            "dup", mode="keyword", collections=["projects"], limit=5
+        ).collect()
+        assert all(r["collection"] == "projects" for r in rows)
+
+
+class TestRetrieve:
+    def test_paging_is_deterministic_and_disjoint(self, engine):
+        p1 = [r["point_id"] for r in engine.retrieve(limit=10, offset=0).collect()]
+        p2 = [r["point_id"] for r in engine.retrieve(limit=10, offset=10).collect()]
+        assert len(p1) == 10 and len(p2) == 10
+        assert not set(p1) & set(p2)
+        again = [r["point_id"] for r in engine.retrieve(limit=10, offset=0).collect()]
+        assert p1 == again
+
+    def test_by_id(self, engine):
+        some = engine.retrieve(limit=3).collect()
+        ids = [r["point_id"] for r in some]
+        got = engine.retrieve(ids=ids, limit=10).collect()
+        assert {r["point_id"] for r in got} == set(ids)
+
+
+class TestGrep:
+    def test_exact_with_context(self, engine):
+        rows = engine.grep("dup", context=1).collect()
+        assert rows
+        assert "context_before" in rows[0].asDict()
+
+    def test_regex_and_glob_scope(self, engine):
+        rows = engine.grep("sc[ae]n", regex=True, path_glob="src/src1/*").collect()
+        assert all("/src1/" in r["file_path"] for r in rows)
+
+
+class TestRulesStoreEmbedding:
+    def test_rules_exact_dedup_and_fuzzy_gate(self, spark, engine):
+        rules = spark.createDataFrame([("always run tests",)], ["text"])
+        added, rules = engine.rules_add(rules, "  always run tests  ")
+        assert not added  # exact trimmed dup
+        added, rules = engine.rules_add(rules, "always run tests", force=True)
+        assert not added  # exact dup wins even with force
+        added, rules = engine.rules_add(rules, "totally new and different rule")
+        assert added
+        assert rules.count() == 2
+
+    def test_store_note_idempotent(self, spark, engine):
+        notes = spark.createDataFrame([], "text STRING, note_hash STRING")
+        notes = engine.store_note(notes, "note A")
+        notes = engine.store_note(notes, "note A")
+        assert notes.count() == 1
+
+    def test_embedding_info(self, engine):
+        info = engine.embedding_info()
+        assert info["dim"] == 16 and info["distance"] == "cosine"
+
+
+class TestListFiles:
+    def test_flat_and_summary(self, engine):
+        flat = engine.list_files(tenant="src2").collect()
+        assert flat and all(r["tenant_id"] == "src2" for r in flat)
+        summary = engine.list_files(mode="summary").collect()
+        assert sum(r["n_files"] for r in summary) >= len(flat)

@@ -1,0 +1,321 @@
+"""The 7-tool query API — the reference's MCP surface (SURVEY §2.10,
+mcp-server/src/tools/definitions.rs:454-507) as an engine facade over
+DataFrames. A user of the reference's tools maps 1:1 onto these methods.
+
+  search    : hybrid/semantic/keyword + exact mode; filters branch/fileType/
+              tags/pathGlob/component; per-leg thresholds; RRF; diversity
+  retrieve  : by id or metadata filter with paging (daemon-independent)
+  grep      : exact/regex line search with context lines
+  list      : flat/summary listing of indexed files
+  rules     : add/list with the exact-dedup + fuzzy-similarity gate (R21)
+  store     : scratchpad note / document insertion (returns updated store)
+  embedding : provider report
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import filters as FL
+from .functions.embedder import MOCK_DIM, mock_embed
+from .functions.text import tokenize_bm25
+from .functions.vectors import cosine
+from .operators import bm25, exact, fusion, grep as grep_ops
+from .store import build_chunks, build_code_lines
+
+ALL_COLLECTIONS = ("projects", "libraries", "rules", "scratchpad")
+
+
+class WqmEngine:
+    """Engine facade bound to one corpus (sf_dir). DataFrames are lazy; the
+    chunks/lines stores are localCheckpointed once so repeated tool calls
+    do not re-derive them (at scale they are pre-built partitioned tables)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.chunks = build_chunks(spark, sf_dir).localCheckpoint()
+        self.lines = build_code_lines(spark, sf_dir).localCheckpoint()
+
+    # -- filter assembly (P1-P8) -------------------------------------------
+    def _filtered(
+        self,
+        collections: list[str] | None = None,
+        tenant=None,
+        branch: str | None = None,
+        file_type: str | None = None,
+        tags: list[str] | None = None,
+        path_glob: str | None = None,
+        component: str | None = None,
+        library_name: str | None = None,
+    ) -> DataFrame:
+        df = self.chunks
+        cols = collections or list(ALL_COLLECTIONS)
+        df = df.filter(F.col("collection").isin(cols))
+        df = df.filter(FL.tenant_filter(tenant))
+        df = df.filter(FL.branch_filter(branch))
+        df = df.filter(FL.file_type_filter(file_type))
+        df = df.filter(FL.tag_filter(tags))
+        df = df.filter(FL.path_glob_filter(path_glob))
+        df = df.filter(FL.component_filter(component))
+        df = df.filter(FL.library_filter(library_name))
+        df = df.filter(FL.not_deleted_filter())
+        return df
+
+    # -- search -------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        mode: str = "hybrid",
+        limit: int = fusion.DEFAULT_LIMIT,
+        threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+        diverse: bool = True,
+        **filter_kwargs,
+    ) -> DataFrame:
+        """Hybrid search (SURVEY §3.1): per-collection dense+sparse legs with
+        thresholds (t / t·0.5), RRF with empty-leg pass-through, diversity
+        re-rank when >1 collection, slice to limit, metadata stripped."""
+        if mode == "exact":
+            cand = self._filtered(**filter_kwargs)
+            res = exact.exact_search(
+                cand.select(F.col("point_id"), F.col("content").alias("text")),
+                query, id_col="point_id",
+            )
+            return res.join(
+                FL.strip_metadata(self.chunks), "point_id"
+            ).orderBy(F.desc("score"), F.asc("point_id"))
+
+        cand = self._filtered(**filter_kwargs)
+        collections = filter_kwargs.get("collections") or list(ALL_COLLECTIONS)
+        qterms = [t for t in _tokenize_py(query)]
+        legs = []
+        if mode in ("hybrid", "semantic"):
+            qvec = self.spark.createDataFrame([(query,)], ["q"]).select(
+                mock_embed(F.col("q")).alias("qv")
+            )
+            sem = (
+                cand.crossJoin(F.broadcast(qvec))
+                .select(
+                    "point_id", "collection", "tenant_id", "library_name",
+                    cosine(F.col("dense"), F.col("qv")).alias("score"),
+                )
+                .filter(F.col("score") >= threshold)
+                .orderBy(F.desc("score"), F.asc("point_id"))
+                .limit(2 * limit)
+            )
+            legs.append(("semantic", sem))
+        if mode in ("hybrid", "keyword"):
+            kw = self._sparse_leg(cand, qterms, 2 * limit, threshold * 0.5)
+            legs.append(("keyword", kw))
+
+        if len(legs) == 2:
+            sem, kw = legs[0][1], legs[1][1]
+            if len(sem.take(1)) == 0 or len(kw.take(1)) == 0:
+                fused = sem.unionByName(kw)
+            else:
+                ranked = fusion.rrf_fuse(
+                    {"semantic": sem.select("point_id", "collection", "score"),
+                     "keyword": kw.select("point_id", "collection", "score")},
+                    id_cols=["point_id", "collection"],
+                )
+                fused = ranked.join(
+                    self.chunks.select(
+                        "point_id", "collection", "tenant_id", "library_name"
+                    ),
+                    ["point_id", "collection"],
+                )
+        else:
+            fused = legs[0][1]
+
+        fused = fused.orderBy(F.desc("score"), F.asc("point_id"))
+        if diverse and len(collections) > 1:
+            src = F.when(
+                F.col("library_name").isNotNull() & (F.col("library_name") != ""),
+                F.concat(F.col("collection"), F.lit(":"), F.col("library_name")),
+            ).otherwise(
+                F.concat(F.col("collection"), F.lit(":"),
+                         F.coalesce(F.col("tenant_id"), F.lit("unknown")))
+            )
+            cand40 = fused.withColumn("source_key", src).select(
+                "point_id", "collection", "score", "source_key"
+            )
+            ordered = fusion.diversify(cand40, id_cols=["point_id"])
+            out = ordered.filter(F.col("final_pos") < limit).orderBy("final_pos")
+        else:
+            out = fused.limit(limit)
+        return FL.strip_metadata(
+            out.join(
+                self.chunks.select(
+                    "point_id", "collection", "relative_path", "chunk_index"
+                ).dropDuplicates(["point_id", "collection"]),
+                ["point_id", "collection"], "left",
+            )
+        )
+
+    def _sparse_leg(self, cand, qterms, k, thr):
+        if not qterms:
+            # empty tokenized query → empty keyword leg (the hybrid caller's
+            # pass-through branch then returns the dense leg as-is)
+            return self.spark.createDataFrame(
+                [],
+                "point_id STRING, collection STRING, tenant_id STRING, "
+                "library_name STRING, score DOUBLE",
+            ).select("point_id", "collection", "score", "tenant_id", "library_name")
+        terms = cand.select(
+            "point_id", "collection",
+            F.explode(tokenize_bm25(F.col("content"))).alias("term"),
+        ).groupBy("point_id", "collection", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        n = cand.count()
+        dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        q = self.spark.createDataFrame([(t,) for t in sorted(set(qterms))], ["term"])
+        scored = (
+            terms.join(F.broadcast(q), "term")
+            .join(F.broadcast(dfreq), "term")
+            .withColumn("w", bm25.bm25_weight_expr(F.lit(float(max(n, 1)))))
+            .groupBy("point_id", "collection")
+            .agg(F.sum("w").alias("score"))
+            .filter(F.col("score") >= thr)
+        )
+        meta = self.chunks.select(
+            "point_id", "collection", "tenant_id", "library_name"
+        ).dropDuplicates(["point_id", "collection"])
+        return (
+            scored.join(meta, ["point_id", "collection"])
+            .orderBy(F.desc("score"), F.asc("point_id"))
+            .limit(k)
+        )
+
+    # -- retrieve -----------------------------------------------------------
+    def retrieve(
+        self,
+        ids: list[str] | None = None,
+        limit: int = 50,
+        offset: int = 0,
+        **filter_kwargs,
+    ) -> DataFrame:
+        """By-id or metadata-filtered paged scan (retrieve.rs; S9 scroll).
+        Paging = deterministic (point_id) order + offset/limit window."""
+        df = self._filtered(**filter_kwargs)
+        if ids is not None:
+            df = df.filter(F.col("point_id").isin(ids))
+        w = Window.orderBy("point_id", "collection")
+        page = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            .drop("__rn")
+        )
+        return FL.strip_metadata(page)
+
+    # -- grep ---------------------------------------------------------------
+    def grep(
+        self,
+        pattern: str,
+        regex: bool = False,
+        context: int = 0,
+        tenant=None,
+        path_glob: str | None = None,
+        max_results: int = grep_ops.DEFAULT_MAX_RESULTS,
+    ) -> DataFrame:
+        lines = self.lines.filter(FL.tenant_filter(tenant))
+        if path_glob:
+            prefix = FL.extract_glob_prefix(path_glob)
+            cond = F.col("file_path").rlike(FL.glob_to_regex(path_glob))
+            if prefix:
+                cond = F.col("file_path").startswith(prefix) & cond
+            lines = lines.filter(cond)
+        if regex:
+            m = grep_ops.grep_regex(lines, pattern, max_results=max_results)
+        else:
+            m = grep_ops.grep_exact(lines, pattern, max_results=max_results)
+        if context > 0:
+            m = grep_ops.with_context(lines, m, n=context)
+        return m
+
+    # -- list ---------------------------------------------------------------
+    def list_files(
+        self, tenant=None, path_glob: str | None = None, mode: str = "flat",
+        limit: int = 200,
+    ) -> DataFrame:
+        """Indexed-file listing from the chunks store (list/mod.rs; default
+        limit 200, definitions.rs:373-417)."""
+        df = self.chunks.filter(FL.tenant_filter(tenant))
+        if path_glob:
+            df = df.filter(F.col("relative_path").rlike(FL.glob_to_regex(path_glob)))
+        files = df.groupBy("tenant_id", "relative_path").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("collection").alias("collection"),
+        )
+        if mode == "summary":
+            return files.groupBy("tenant_id").agg(
+                F.count(F.lit(1)).alias("n_files"), F.sum("n_chunks").alias("n_chunks")
+            )
+        return files.orderBy("tenant_id", "relative_path").limit(limit)
+
+    # -- rules (R21 dedup gate) --------------------------------------------
+    def rules_add(
+        self, rules_df: DataFrame, new_text: str, force: bool = False,
+        fuzzy_threshold: float = 0.9,
+    ) -> tuple[bool, DataFrame]:
+        """Add gate: exact trimmed-content idempotency scan first, then a
+        fuzzy embedding-similarity gate with `force` override
+        (rules/mutations.rs:1-80). Returns (added, updated_rules)."""
+        trimmed = new_text.strip()
+        dup = rules_df.filter(F.trim(F.col("text")) == trimmed).take(1)
+        if dup:
+            return False, rules_df
+        if not force:
+            qv = self.spark.createDataFrame([(trimmed,)], ["q"]).select(
+                mock_embed(F.col("q")).alias("qv")
+            )
+            sim = (
+                rules_df.select(mock_embed(F.col("text")).alias("e"))
+                .crossJoin(F.broadcast(qv))
+                .select(cosine(F.col("e"), F.col("qv")).alias("s"))
+                .filter(F.col("s") >= fuzzy_threshold)
+                .take(1)
+            )
+            if sim:
+                return False, rules_df
+        new_row = self.spark.createDataFrame([(trimmed,)], ["text"])
+        return True, rules_df.unionByName(new_row)
+
+    # -- store --------------------------------------------------------------
+    def store_note(self, notes_df: DataFrame, note: str) -> DataFrame:
+        """Scratchpad append (store/ tool): idempotent on content hash."""
+        row = self.spark.createDataFrame([(note,)], ["text"]).withColumn(
+            "note_hash", F.md5(F.col("text").cast("binary"))
+        )
+        return notes_df.unionByName(row).dropDuplicates(["note_hash"])
+
+    # -- embedding ----------------------------------------------------------
+    def embedding_info(self) -> dict:
+        """Provider report (embedding.rs tool)."""
+        return {
+            "provider": "mock-hash-projection",
+            "model": "md5-seeded-projection",
+            "dim": MOCK_DIM,
+            "distance": "cosine",
+            "status": "ok",
+        }
+
+
+def _tokenize_py(text: str) -> list[str]:
+    """Python-side mirror of tokenize_bm25 for query strings (R1 — query
+    embedding/tokenization happens once, driver-side)."""
+    import re
+
+    toks = re.split(r"[\s(){}\[\]<>;:,.\"'`~!@#$%^&*+=|\\]+", text)
+    out = []
+    for t in toks:
+        t = t.strip("-_/")
+        if len(t) <= 1:
+            continue
+        t = t.lower()
+        if re.match(r"^[a-f0-9]{8,}$", t) or re.match(r"^v?\d+\.\d+", t):
+            continue
+        if re.search(r"[/\\]", t) or re.match(r"^0x[a-f0-9]+$", t) or re.match(r"^\d+$", t):
+            continue
+        out.append(t)
+    return out

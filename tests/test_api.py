@@ -139,6 +139,49 @@ class TestRulesStoreEmbedding:
         assert info["dim"] == 16 and info["distance"] == "cosine"
 
 
+class TestFallbackExpansionParent:
+    def test_fallback_constant_score_and_status(self, engine):
+        rows = engine.search_fallback("dup", limit=5).collect()
+        assert rows
+        assert all(r["score"] == 0.5 for r in rows)
+        assert all(r["status"] == "uncertain" for r in rows)
+        assert all(r["search_type"] == "fallback" for r in rows)
+
+    def test_expansion_keywords_capped_and_matched(self, spark, engine):
+        tags = spark.createDataFrame([("spark",), ("vector",)], ["tag"])
+        baskets = spark.createDataFrame(
+            [("spark", f"kw{i}") for i in range(8)]
+            + [("vector", f"vw{i}") for i in range(8)],
+            ["tag", "keyword"],
+        )
+        kws = engine.expansion_keywords("spark vector query", tags, baskets)
+        assert len(kws) == 10  # DEFAULT_MAX_EXPANDED_KEYWORDS
+        kws2 = engine.expansion_keywords("nomatch", tags, baskets)
+        assert kws2 == []
+
+    def test_search_expanded_runs(self, spark, engine):
+        tags = spark.createDataFrame([("spark",)], ["tag"])
+        baskets = spark.createDataFrame([("spark", "dup")], ["tag", "keyword"])
+        # query 'spark' alone scores 0 (idf=0); expansion merges 'dup' at
+        # weight 0.5 → hits dup-containing chunks
+        rows = engine.search_expanded("spark", tags, baskets, limit=5).collect()
+        assert rows
+        base = engine.search("spark", mode="keyword", limit=5).collect()
+        assert not base  # without expansion the query finds nothing
+
+    def test_parent_context_attached(self, spark, engine):
+        later_chunks = engine.chunks.filter(F.col("chunk_index") > 0).select(
+            "point_id", "collection"
+        ).limit(3)
+        out = engine.attach_parent_context(later_chunks).collect()
+        assert out and all(r["parent_unit_text"] is not None for r in out)
+        first_chunks = engine.chunks.filter(F.col("chunk_index") == 0).select(
+            "point_id", "collection"
+        ).limit(3)
+        out0 = engine.attach_parent_context(first_chunks).collect()
+        assert all(r["parent_unit_text"] is None for r in out0)
+
+
 class TestListFiles:
     def test_flat_and_summary(self, engine):
         flat = engine.list_files(tenant="src2").collect()

@@ -1,0 +1,61 @@
+"""Quality-harness fixtures with hand-computed metric values, plus an
+end-to-end gold run: exact search must retrieve the planted needle docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.api import WqmEngine
+from workspace_qdrant_mcp_spark.operators import quality
+from tests.conftest import SF_SMOKE
+
+
+def test_metrics_hand_computed(spark):
+    # q1: gold {a,b}; results hit a at rank 2 → top3 yes, recall 1/2, mrr 1/2
+    # q2: gold {c};   results miss entirely   → all zero for q2
+    results = spark.createDataFrame(
+        [("q1", 1, "x"), ("q1", 2, "a"), ("q1", 3, "y"),
+         ("q2", 1, "z"), ("q2", 2, "z")],
+        ["query_id", "rank", "file"],
+    )
+    gold = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q2", "c")], ["query_id", "file"]
+    )
+    m = quality.evaluate(results, gold).collect()[0]
+    assert m["top1"] == pytest.approx(0.0)
+    assert m["top3"] == pytest.approx(0.5)
+    assert m["recall_at_10"] == pytest.approx((1 / 2 + 0) / 2, abs=1e-6)
+    assert m["precision_at_10"] == pytest.approx((1 / 3 + 0) / 2, abs=1e-6)
+    assert m["mrr"] == pytest.approx((1 / 2 + 0) / 2, abs=1e-6)
+    # q2 has a duplicate (z twice): dup rates (0, 1/2) → avg 0.25
+    assert m["duplicate_rate"] == pytest.approx(0.25)
+    v = quality.verdict(m)
+    assert not v["pass"]
+
+
+def test_gold_run_exact_mode(spark):
+    """Known-item retrieval: every doc containing the rare term 'dup' is a
+    gold item for the query 'dup'; exact mode must surface them."""
+    eng = WqmEngine(spark, SF_SMOKE)
+    res = eng.search("dup", mode="exact", limit=100)
+    ranked = (
+        res.orderBy(F.desc("score"), F.asc("point_id"))
+        .limit(10)
+        .select(
+            F.lit("g1").alias("query_id"),
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .orderBy(F.desc("score"), F.asc("point_id"))
+            ).alias("rank"),
+            F.col("relative_path").alias("file"),
+        )
+    )
+    gold = (
+        eng.chunks.filter(F.instr(F.lower(F.col("content")), "dup") > 0)
+        .select(F.lit("g1").alias("query_id"), F.col("relative_path").alias("file"))
+        .distinct()
+    )
+    m = quality.evaluate(ranked, gold).collect()[0]
+    assert m["top1"] == 1.0  # the top exact match is a gold doc by construction
+    assert m["recall_at_10"] > 0

@@ -289,6 +289,109 @@ class WqmEngine:
         )
         return notes_df.unionByName(row).dropDuplicates(["note_hash"])
 
+    # -- fallback search (R16) ---------------------------------------------
+    def search_fallback(
+        self, query: str, limit: int = fusion.DEFAULT_LIMIT, **filter_kwargs
+    ) -> DataFrame:
+        """Daemon-down fallback (flow_fallback.rs:42-205): scroll 3*limit
+        filtered points, case-insensitive substring on content, constant
+        score 0.5, tagged 'fallback' / status 'uncertain'."""
+        cand = self._filtered(**filter_kwargs)
+        w = Window.orderBy("point_id", "collection")
+        scroll = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3 * limit)
+            .drop("__rn")
+        )
+        matched = scroll.filter(
+            F.instr(F.lower(F.col("content")), query.lower()) > 0
+        )
+        return FL.strip_metadata(
+            matched.withColumn("score", F.lit(0.5))
+            .withColumn("search_type", F.lit("fallback"))
+            .withColumn("status", F.lit("uncertain"))
+            .limit(limit)
+        )
+
+    # -- tag-basket query expansion (R7) -----------------------------------
+    def expansion_keywords(
+        self,
+        query: str,
+        tags_df: DataFrame,
+        baskets_df: DataFrame,
+        max_keywords: int = 10,
+    ) -> list[str]:
+        """Match query tokens against the tags table, fetch those tags'
+        keyword baskets, cap at max 10 (expansion.rs:24-66; constants
+        options.rs:30-34 — weight 0.5 applied by the caller's sparse
+        merge). tags_df: (tag); baskets_df: (tag, keyword)."""
+        qtoks = _tokenize_py(query)
+        if not qtoks:
+            return []
+        qdf = self.spark.createDataFrame([(t,) for t in qtoks], ["tag"])
+        hits = tags_df.join(qdf, "tag").join(baskets_df, "tag")
+        kws = [
+            r["keyword"]
+            for r in hits.select("keyword").distinct().orderBy("keyword").collect()
+        ]
+        return kws[:max_keywords]
+
+    def search_expanded(
+        self, query: str, tags_df: DataFrame, baskets_df: DataFrame,
+        limit: int = fusion.DEFAULT_LIMIT,
+        threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+        expansion_weight: float = 0.5,
+        **filter_kwargs,
+    ) -> DataFrame:
+        """Keyword search with basket expansion: expansion terms join the
+        sparse query at weight 0.5 (flow.rs:265-300 sparse merge)."""
+        cand = self._filtered(**filter_kwargs)
+        base = [(t, 1.0) for t in _tokenize_py(query)]
+        extra = [
+            (t, expansion_weight)
+            for t in self.expansion_keywords(query, tags_df, baskets_df)
+        ]
+        merged: dict[str, float] = {}
+        for t, w in base + extra:  # base weight wins on collision (merge
+            merged.setdefault(t, w)  # keeps the original query weight)
+        if not merged:
+            return self._sparse_leg(cand, [], 2 * limit, threshold * 0.5)
+        terms = cand.select(
+            "point_id", "collection",
+            F.explode(tokenize_bm25(F.col("content"))).alias("term"),
+        ).groupBy("point_id", "collection", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        n = cand.count()
+        dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        q = self.spark.createDataFrame(
+            sorted(merged.items()), ["term", "qw"]
+        )
+        return (
+            terms.join(F.broadcast(q), "term")
+            .join(F.broadcast(dfreq), "term")
+            .withColumn("w", bm25.bm25_weight_expr(F.lit(float(max(n, 1)))))
+            .groupBy("point_id", "collection")
+            .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+            .filter(F.col("score") >= threshold * 0.5)
+            .orderBy(F.desc("score"), F.asc("point_id"))
+            .limit(2 * limit)
+        )
+
+    # -- parent-context expansion (R14) ------------------------------------
+    def attach_parent_context(self, results: DataFrame) -> DataFrame:
+        """Left-join parent units and attach {unit_text, unit_type}
+        (flow_collect.rs:300-362: batch retrieve by parent_unit_id)."""
+        parents = self.chunks.select(
+            F.col("point_id").alias("parent_unit_id"),
+            F.col("content").alias("parent_unit_text"),
+            F.lit("chunk").alias("parent_unit_type"),
+        )
+        withpid = results.join(
+            self.chunks.select("point_id", "parent_unit_id"), "point_id", "left"
+        )
+        return withpid.join(parents, "parent_unit_id", "left")
+
     # -- embedding ----------------------------------------------------------
     def embedding_info(self) -> dict:
         """Provider report (embedding.rs tool)."""

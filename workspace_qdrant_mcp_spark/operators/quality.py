@@ -1,0 +1,89 @@
+"""Retrieval-quality metrics (A16 / SURVEY §5 gold-set harness).
+
+Metrics mirror docs/testing/semantic-search-benchmarking.md:33-46:
+top1 / top3 / top10 hit rate, recall@10, precision@10, MRR, duplicateRate;
+verdict gates top3 >= 80% and recall@10 >= 70% (:58-66, semantic mode).
+
+Inputs are DataFrames so the evaluation itself distributes:
+  results: (query_id, rank, file)   rank 1-based, <=10 rows per query
+  gold:    (query_id, file)         expected files (globs pre-expanded)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOP3_GATE = 0.80
+RECALL10_GATE = 0.70
+
+
+def evaluate(results: DataFrame, gold: DataFrame) -> DataFrame:
+    """One metrics row: (top1, top3, top10, recall_at_10, precision_at_10,
+    mrr, duplicate_rate) averaged over queries."""
+    hits = results.join(gold, ["query_id", "file"]).select(
+        "query_id", "rank"
+    )
+    per_q_hit = hits.groupBy("query_id").agg(
+        F.min("rank").alias("first_hit"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    gold_sizes = gold.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_gold"))
+    res_stats = results.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.count_distinct("file").alias("n_distinct"),
+    )
+    per_q = (
+        gold_sizes.join(per_q_hit, "query_id", "left")
+        .join(res_stats, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("first_hit", F.lit(10**9)).alias("first_hit"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_gold",
+            F.coalesce("n_results", F.lit(0)).alias("n_results"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        )
+    )
+    return per_q.agg(
+        F.round(F.avg((F.col("first_hit") <= 1).cast("double")), 6).alias("top1"),
+        F.round(F.avg((F.col("first_hit") <= 3).cast("double")), 6).alias("top3"),
+        F.round(F.avg((F.col("first_hit") <= 10).cast("double")), 6).alias("top10"),
+        F.round(
+            F.avg(F.col("n_hits").cast("double") / F.col("n_gold")), 6
+        ).alias("recall_at_10"),
+        F.round(
+            F.avg(
+                F.when(F.col("n_results") > 0,
+                       F.col("n_hits").cast("double") / F.col("n_results"))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("precision_at_10"),
+        F.round(
+            F.avg(
+                F.when(F.col("first_hit") <= 10, 1.0 / F.col("first_hit"))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.avg(
+                F.when(F.col("n_results") > 0,
+                       1.0 - F.col("n_distinct").cast("double") / F.col("n_results"))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("duplicate_rate"),
+    )
+
+
+def verdict(metrics_row) -> dict:
+    """Gate check (top3 >= 0.80 AND recall@10 >= 0.70)."""
+    ok = metrics_row["top3"] >= TOP3_GATE and metrics_row["recall_at_10"] >= RECALL10_GATE
+    return {
+        "pass": bool(ok),
+        "top3": metrics_row["top3"],
+        "recall_at_10": metrics_row["recall_at_10"],
+        "gates": {"top3": TOP3_GATE, "recall_at_10": RECALL10_GATE},
+    }

@@ -95,12 +95,25 @@ def build_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("dense", mock_embed(F.col("content")))
+        # parent unit: non-first chunks point at chunk 0 of their document
+        # (R14 parent-context expansion, flow_collect.rs:300-362)
+        .withColumn(
+            "parent_unit_id",
+            F.when(
+                F.col("chunk_index") > 0,
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("tenant_id"), F.col("relative_path"), F.lit("0")
+                    ).cast("binary")
+                ),
+            ),
+        )
     )
     return enriched.select(
         "point_id", "collection", "tenant_id", "branches", "relative_path",
         "chunk_index", "content", "file_hash", "lang", "file_type", "tags",
         "concept_tags", "component_id", "library_name", "library_path",
-        "deleted", "dense", "doc_id",
+        "deleted", "dense", "doc_id", "parent_unit_id",
     )
 
 

@@ -359,6 +359,69 @@ def _q_grouping_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.grouping_jaccard(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_cross_collection_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19 cross-collection search: per-collection sparse legs, per-leg
+    0-based ranks, RRF k=60 (cross_collection_search.rs:1-50)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "collection",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    terms = bm25.doc_terms(docs)
+    dfreq = bm25.doc_freq(terms)
+    n = docs.count()
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(QUERY_TERMS))], ["term"])
+    scored = (
+        terms.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("w", bm25.bm25_weight_expr(F.lit(float(n))))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .join(docs.select("doc_id", "collection"), "doc_id")
+        .filter(F.col("score") >= 0.15)
+    )
+    wleg = Window.partitionBy("collection").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(wleg) - 1).filter(
+        F.col("rnk") < 10
+    )
+    fused = ranked.select(
+        "collection", "doc_id",
+        (1.0 / (F.lit(60.0) + F.col("rnk") + 1.0)).alias("score"),
+    )
+    return (
+        fused.orderBy(F.desc("score"), F.asc("collection"), F.asc("doc_id"))
+        .limit(10)
+        .select("collection", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas, Arrow batches) in long
+    format; the md5-derived fake decode is oracle-reproducible."""
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.build_assets(docs))
+    return feats.select(
+        "asset_id", "modality", "n_bytes",
+        F.posexplode(F.col("features")).alias("dim", "value"),
+    ).select(
+        "asset_id", "modality", "n_bytes", "dim",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 Leiden (CPM, deterministic) — rows-only check (driver-side pure
+    function over the adjacency export; fixtures in tests). Runs on the
+    partkey<500 subgraph so the driver query stays fast at every SF."""
+    from workspace_qdrant_mcp_spark.operators.leiden import leiden
+
+    e = _edges(spark, sf_dir).filter((F.col("src") < 500) & (F.col("dst") < 500))
+    return leiden(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_search_rrf": _q_hybrid,
@@ -400,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_tags": _q_taxonomy_tags,
         "keyword_baskets": _q_keyword_baskets,
         "grouping_jaccard": _q_grouping_jaccard,
+        "cross_collection_rrf": _q_cross_collection_rrf,
+        "multimodal_features": _q_multimodal_features,
+        "leiden_communities": _q_leiden_communities,
     }
 
 
@@ -449,4 +515,8 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_tags": oracles.taxonomy_tags(),
         "keyword_baskets": oracles.keyword_baskets(),
         "grouping_jaccard": oracles.grouping_jaccard(),
+        "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
+        "multimodal_features": oracles.multimodal_features(),
+        # leiden_communities: no oracle (iterative algorithm, rows-only
+        # check; exact fixtures in tests/test_multimodal_leiden.py)
     }

@@ -1,0 +1,77 @@
+"""Physical-plan shape checks — the scale contract, asserted.
+
+These lock in the properties ARCHITECTURE.md claims: filters reach the
+parquet scan, projections prune columns, the dense leg is shuffle-free,
+and whole-stage codegen covers the scoring expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.io import load_table
+from workspace_qdrant_mcp_spark.operators import dense
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_read_schema(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = docs.select("doc_id", "lang")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema  # the big column is pruned
+
+
+def test_dense_leg_is_shuffle_free(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    leg = dense.dense_search(emb, qvec, k=20, threshold=0.3)
+    plan = _plan(leg)
+    # brute-force cosine top-k: broadcast 1-row query + TakeOrdered — the
+    # only exchange allowed is the broadcast itself
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            raise AssertionError(f"unexpected shuffle in dense leg: {line}")
+
+
+def test_aggregation_path_in_wholestage_codegen(spark):
+    # the tf/df word-count spine runs inside whole-stage codegen (the dense
+    # leg's higher-order lambdas are interpreted expressions by design —
+    # still JVM-side, just outside codegen spans)
+    from workspace_qdrant_mcp_spark.operators import bm25
+
+    import contextlib
+    import io
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = load_table(spark, SF_SMOKE, "documents")
+        q = bm25.doc_terms(docs)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("codegen")
+        out = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in out
+    n = int(out.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 1

@@ -841,6 +841,65 @@ FROM v, LATERAL unnest(generate_series(1, {MOCK_DIM})) AS t(i)
 """
 
 
+def cross_collection_rrf(query_terms: list[str], limit: int = 10) -> str:
+    """R19: same query over N collections (documents partitioned by parity),
+    per-collection rank, RRF k=60 across the legs."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH {_tf_df_ctes()},
+coll AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS collection
+  FROM documents
+),
+q AS (SELECT unnest([{terms}]) AS term),
+scored AS (
+  SELECT c.collection, tf.doc_id,
+         sum(greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+             * ({K1} * tf.tf) / (tf.tf + {K1})) AS score
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN coll c ON c.doc_id = tf.doc_id CROSS JOIN nn
+  GROUP BY c.collection, tf.doc_id
+),
+flt AS (SELECT * FROM scored WHERE score >= 0.15),
+ranked AS (
+  SELECT collection, doc_id,
+         row_number() OVER (PARTITION BY collection
+                            ORDER BY score DESC, doc_id ASC) - 1 AS rnk
+  FROM flt
+),
+top AS (SELECT * FROM ranked WHERE rnk < 10),
+fused AS (
+  SELECT collection, doc_id, 1.0 / (60 + rnk + 1) AS score FROM top
+)
+SELECT collection, doc_id, round(score, 6) AS score
+FROM fused ORDER BY score DESC, collection ASC, doc_id ASC LIMIT {limit}
+"""
+
+
+def multimodal_features(feature_dim: int = 8) -> str:
+    """Oracle for the mapInPandas feature extraction: the deterministic
+    fake decode is md5-derived, so SQL reproduces it bit-for-bit."""
+    cols = ", ".join(
+        f"CAST(CAST(concat('0x', substr(h, {4 * i + 1}, 4)) AS INT) % 10000 "
+        f"AS DOUBLE) / 10000.0 AS f{i}"
+        for i in range(feature_dim)
+    )
+    vals = ", ".join(f"({i}, f{i})" for i in range(feature_dim))
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         text, length(text) AS n_bytes
+  FROM documents
+),
+h AS (SELECT asset_id, modality, n_bytes, md5(modality || '|' || text) AS h FROM a),
+f AS (SELECT asset_id, modality, n_bytes, {cols} FROM h)
+SELECT asset_id, modality, n_bytes, dim, round(value, 6) AS value
+FROM f, LATERAL (VALUES {vals}) AS t(dim, value)
+"""
+
+
 def doc_fingerprint() -> str:
     return """
 SELECT doc_id,

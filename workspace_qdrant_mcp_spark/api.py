@@ -392,6 +392,59 @@ class WqmEngine:
         )
         return withpid.join(parents, "parent_unit_id", "left")
 
+    # -- per-result graph context (R15) ------------------------------------
+    def attach_graph_context(
+        self, results: DataFrame, nodes: DataFrame, edges: DataFrame
+    ) -> DataFrame:
+        """1-hop callers/callees enrichment per sliced result — post-slice,
+        non-score-changing (graph_context.rs:1-207). results must carry a
+        node_id column; output adds sorted caller/callee name lists."""
+        callees = (
+            edges.join(
+                nodes.select(
+                    F.col("node_id").alias("target_node_id"),
+                    F.col("symbol_name").alias("callee_name"),
+                ),
+                "target_node_id",
+            )
+            .groupBy(F.col("source_node_id").alias("node_id"))
+            .agg(F.sort_array(F.collect_set("callee_name")).alias("callees"))
+        )
+        callers = (
+            edges.join(
+                nodes.select(
+                    F.col("node_id").alias("source_node_id"),
+                    F.col("symbol_name").alias("caller_name"),
+                ),
+                "source_node_id",
+            )
+            .groupBy(F.col("target_node_id").alias("node_id"))
+            .agg(F.sort_array(F.collect_set("caller_name")).alias("callers"))
+        )
+        return (
+            results.join(callees, "node_id", "left")
+            .join(callers, "node_id", "left")
+            .withColumn("callees", F.coalesce("callees", F.array().cast("array<string>")))
+            .withColumn("callers", F.coalesce("callers", F.array().cast("array<string>")))
+        )
+
+    # -- scope resolution (R18) --------------------------------------------
+    def resolve_scope(self, watch_folders: DataFrame, cwd: str) -> str | None:
+        """Project scope from cwd: the LONGEST watch-folder prefix of cwd
+        wins (search/mod.rs:213-296 cwd longest-prefix lookup). Returns the
+        tenant_id or None (callers translate None into the fail-closed
+        refusal, F-001)."""
+        rows = (
+            watch_folders.filter(
+                F.lit(cwd + "/").startswith(
+                    F.concat(F.col("folder"), F.lit("/"))
+                ) | (F.col("folder") == cwd)
+            )
+            .orderBy(F.length("folder").desc())
+            .take(1)
+        )
+        return rows[0]["tenant_id"] if rows else None
+
     # -- embedding ----------------------------------------------------------
     def embedding_info(self) -> dict:
         """Provider report (embedding.rs tool)."""

@@ -34,6 +34,18 @@ def mock_embed(text: Column, dim: int = MOCK_DIM) -> Column:
     return F.transform(comps, lambda x: x / nrm)
 
 
+def splade_sparse_stub(texts, vocab_size: int = 30522):
+    """R6 SPLADE++ neural sparse encoder slot (generator.rs:337-388,
+    BERT vocab 30522). The model is not available in this environment; a
+    real deployment registers this as an Arrow-batched pandas UDF returning
+    MapType(IntegerType, FloatType) term→weight activations with the same
+    batching/dedup wrapper the mock embedder uses."""
+    raise NotImplementedError(
+        "SPLADE sparse encoding requires a neural model runtime; "
+        "BM25 (operators/bm25.py) is the default sparse path"
+    )
+
+
 def duckdb_mock_embed_sql(text_expr: str, dim: int = MOCK_DIM) -> str:
     comps = ", ".join(
         f"(({duckdb_md5_hash64_sql(text_expr, salt=f'e{d}|')}) % 10000) / 10000.0 - 0.5"

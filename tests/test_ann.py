@@ -1,0 +1,34 @@
+"""ANN behaviors: KMeans-trained IVF recall vs brute force, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.io import load_table
+from workspace_qdrant_mcp_spark.operators import ann
+from tests.conftest import SF_SMOKE
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.bruteforce_topk(emb, q, k=5).collect()
+    }
+    cents = ann.train_ivf_centroids(emb, n_cells=8)
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_topk(emb, q, cents, k=5, n_probe=3).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.6  # approximate by design; n_probe=3/8 cells
+
+
+def test_trained_centroids_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = ann.train_ivf_centroids(emb, n_cells=4).collect()
+    b = ann.train_ivf_centroids(emb, n_cells=4).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))

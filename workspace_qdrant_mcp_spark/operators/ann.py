@@ -50,6 +50,35 @@ def bruteforce_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Learn IVF centroids with MLlib KMeans (seeded → deterministic model).
+    Returns (cell_id, embedding ARRAY<DOUBLE>) compatible with ivf_topk.
+    The index build is the batch Spark job the reference's design doc
+    assigns to Spark (BASELINE.json: batch embedding/index build, no online
+    serving)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    spark = emb.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, ["cell_id", vec_col])
+
+
 def assign_ivf_cells(
     emb: DataFrame,
     centroids: DataFrame,

@@ -93,13 +93,17 @@ def sparse_search(
     Returns (id_col, score) sorted by score desc, id asc.
     """
     terms = doc_terms(docs, id_col, text_col)
-    n_docs = docs.count()
+    # N as a lazy 1-row broadcast aggregate — no driver-side count() action;
+    # the whole search is ONE job (at scale, corpus_stats is a maintained
+    # table and this aggregate is a dimension read)
+    nn = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = doc_freq(terms, id_col)
     qterms = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], ["term"])
     scored = (
         terms.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .withColumn("w", bm25_weight_expr(F.lit(float(n_docs)), k1=k1))
+        .crossJoin(F.broadcast(nn))
+        .withColumn("w", bm25_weight_expr(F.col("n_docs"), k1=k1))
         .groupBy(id_col)
         .agg(F.sum("w").alias("score"))
         .filter(F.col("score") >= F.lit(threshold))

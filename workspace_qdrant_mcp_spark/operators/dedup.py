@@ -120,35 +120,46 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Affine universal-hash constants for the minhash family:
+#   h_j(s) = (A_j * h32(s) + B_j) mod 2^32,  h32 = md5_hash64(s) & 0xFFFFFFFF
+# A_j odd and < 2^20 keeps A_j * h32 < 2^52 — safe under ANSI int64
+# (no overflow error), and bit-reproducible in the DuckDB oracle.
+MINHASH_MOD = 1 << 32
+
+
+def minhash_a(j: int) -> int:
+    return 97 + 12 * j
+
+
+def minhash_b(j: int) -> int:
+    return 7 + 31 * j
+
+
 def minhash_signatures(
     corpus: DataFrame, n_hashes: int = N_MINHASHES, shingle_k: int = 5
 ) -> DataFrame:
     """(doc_id, v0..v{n-1}) — wide minhash signature over distinct char-k
     shingles.
 
-    Plan (the dedup-before-expensive-work rewrite, same idea as the
-    reference's phrase LRU cache, embedding/phrase_cache.rs:1-197): hash the
-    DISTINCT shingle table once — n_hashes values per unique shingle, as one
-    array column — then join back to (doc, shingle) and take n_hashes
-    column-wise `min` aggregates. No per-(doc,shingle,j) explode: the md5
-    count drops from |doc-shingle pairs|×16 to |unique shingles|×16, and the
-    signature groupBy is map-side combinable."""
+    Plan: ONE md5 per (doc, shingle) row reduced to 32 bits, then the
+    n_hashes family as affine integer hashes computed INSIDE the min
+    aggregates — no per-j explode, no hash-table join, and the signature
+    groupBy is map-side combinable. (First version hashed a distinct-shingle
+    table with 16 md5s and joined back — the integer family is ~2x faster
+    at equal quality and keeps the oracle exact.)"""
     sh = corpus.select(
         "doc_id", F.explode(char_shingles(F.col("text"), shingle_k)).alias("s")
     )
-    uniq = sh.select("s").distinct()
-    harr = F.array(
-        *[
-            md5_hash64(F.concat(F.lit(f"{j}|"), F.col("s")))
-            for j in range(n_hashes)
-        ]
-    )
-    hashed = uniq.select("s", harr.alias("h"))
-    return (
-        sh.join(hashed, "s")
-        .groupBy("doc_id")
-        .agg(*[F.min(F.col("h")[j]).alias(f"v{j}") for j in range(n_hashes)])
-    )
+    h32 = (md5_hash64(F.col("s")) % F.lit(MINHASH_MOD)).alias("h32")
+    hashed = sh.select("doc_id", h32)
+    aggs = [
+        F.min(
+            (F.lit(minhash_a(j)) * F.col("h32") + F.lit(minhash_b(j)))
+            % F.lit(MINHASH_MOD)
+        ).alias(f"v{j}")
+        for j in range(n_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -177,12 +188,17 @@ def minhash_lsh_neardup(
     corpus: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     shingle_k: int = 5,
+    n_hashes: int = N_MINHASHES,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — LSH candidate pairs verified by exact
-    char-shingle Jaccard. The bucket join generates candidates; everything
-    downstream touches only candidate pairs."""
-    sigs = minhash_signatures(corpus, shingle_k=shingle_k)
-    buckets = lsh_band_buckets(sigs)
+    char-shingle Jaccard: band-bucket join generates candidates (complete
+    for J >= ~0.5 by the LSH guarantee), exact verify keeps only true
+    pairs. (A signature-agreement estimate prefilter was tried between the
+    stages and REMOVED: on a low-entropy corpus it filtered nothing while
+    costing ~1% recall on borderline J≈0.5 pairs — the verified funnel is
+    candidates → exact only.)"""
+    sigs = minhash_signatures(corpus, n_hashes=n_hashes, shingle_k=shingle_k)
+    buckets = lsh_band_buckets(sigs, n_hashes=n_hashes)
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
@@ -192,8 +208,17 @@ def minhash_lsh_neardup(
         )
         .distinct()
     )
+    # exact-verify sets as int32 shingle hashes: 4-byte elements instead of
+    # k-char strings — smaller candidate-join shuffle, cheaper intersects;
+    # hash collisions (~1e-5/doc) are identical in the oracle
     sets = corpus.select(
-        "doc_id", char_shingles(F.col("text"), shingle_k).alias("ss")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("text"), shingle_k),
+                lambda s: md5_hash64(s) % F.lit(MINHASH_MOD),
+            )
+        ).alias("ss"),
     )
     return (
         cand.join(

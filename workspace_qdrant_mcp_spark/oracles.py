@@ -376,14 +376,18 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= {thresho
 def minhash_lsh_neardup(
     n_hashes: int = 16, bands: int = 4, shingle_k: int = 5, threshold: float = 0.5
 ) -> str:
+    from .operators.dedup import MINHASH_MOD
+
     sh = duckdb_char_shingles_sql("text", shingle_k)
-    h = duckdb_md5_hash64_sql("CAST(j AS VARCHAR) || '|' || s")
+    h32 = f"({duckdb_md5_hash64_sql('s')} % {MINHASH_MOD})"
     return f"""
 WITH {_NEAR_COPY_CORPUS},
 sh AS (SELECT doc_id, unnest({sh}) AS s FROM corpus),
-mh AS (
-  SELECT doc_id, j, min({h}) AS v
-  FROM sh, LATERAL unnest(generate_series(0, {n_hashes - 1})) AS t(j)
+hh AS (SELECT doc_id, {h32} AS h32 FROM sh),
+mh AS MATERIALIZED (
+  SELECT doc_id, j,
+         min(((97 + 12 * j) * h32 + (7 + 31 * j)) % {MINHASH_MOD}) AS v
+  FROM hh, LATERAL unnest(generate_series(0, {n_hashes - 1})) AS t(j)
   GROUP BY doc_id, j
 ),
 sig AS (
@@ -396,7 +400,12 @@ cand AS (
   FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 ),
-sets AS (SELECT doc_id, {sh} AS ss FROM corpus),
+sets AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform({sh},
+           s -> {duckdb_md5_hash64_sql('s')} % {MINHASH_MOD})) AS ss
+  FROM corpus
+),
 ver AS (
   SELECT id_a, id_b,
          CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)

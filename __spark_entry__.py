@@ -412,6 +412,28 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 image search: cosine top-k over the image collection's feature
+    vectors (the CLIP path with the stubbed decoder's deterministic
+    features; image_search.rs / S5 plumbing)."""
+    from workspace_qdrant_mcp_spark.functions.vectors import cosine
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(
+        mm.build_assets(docs).filter(F.col("modality") == "image")
+    ).select("asset_id", F.col("features").alias("fv"))
+    qv = feats.filter(F.col("asset_id") == 0).select(F.col("fv").alias("qv"))
+    return (
+        feats.crossJoin(F.broadcast(qv))
+        .filter(F.col("asset_id") != 0)
+        .select("asset_id", cosine(F.col("fv"), F.col("qv")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("asset_id"))
+        .limit(10)
+        .select("asset_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 Leiden (CPM, deterministic) — rows-only check (driver-side pure
     function over the adjacency export; fixtures in tests). Runs on the
@@ -466,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_collection_rrf": _q_cross_collection_rrf,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
+        "image_search": _q_image_search,
     }
 
 
@@ -517,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_jaccard": oracles.grouping_jaccard(),
         "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
         "multimodal_features": oracles.multimodal_features(),
+        "image_search": oracles.image_search(),
         # leiden_communities: no oracle (iterative algorithm, rows-only
         # check; exact fixtures in tests/test_multimodal_leiden.py)
     }

@@ -138,6 +138,15 @@ class TestRulesStoreEmbedding:
         info = engine.embedding_info()
         assert info["dim"] == 16 and info["distance"] == "cosine"
 
+    def test_search_event_log_appends(self, spark, engine):
+        ev = spark.createDataFrame(
+            [], "ts STRING, query STRING, mode STRING, n_results INT, latency_ms DOUBLE"
+        )
+        ev = engine.log_search_event(ev, "dup", "hybrid", 10, 42.5, "2026-01-01T00:00:00")
+        ev = engine.log_search_event(ev, "scan", "exact", 3, 7.1, "2026-01-01T00:00:01")
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 2 and rows[0]["query"] == "dup"
+
 
 class TestFallbackExpansionParent:
     def test_fallback_constant_score_and_status(self, engine):

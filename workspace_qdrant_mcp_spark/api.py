@@ -445,6 +445,27 @@ class WqmEngine:
         )
         return rows[0]["tenant_id"] if rows else None
 
+    # -- search-event logging ----------------------------------------------
+    def log_search_event(
+        self,
+        events_df: DataFrame,
+        query: str,
+        mode: str,
+        n_results: int,
+        latency_ms: float,
+        ts: str,
+    ) -> DataFrame:
+        """Fire-and-forget search-event record (search/mod.rs:144-193 —
+        the reference logs around the search call without affecting it).
+        Returns the appended events frame; a deployment writes it
+        append-only (Delta append / parquet partition by date). The caller
+        supplies ts so the table stays deterministic under replay."""
+        row = self.spark.createDataFrame(
+            [(ts, query, mode, n_results, float(latency_ms))],
+            "ts STRING, query STRING, mode STRING, n_results INT, latency_ms DOUBLE",
+        )
+        return events_df.unionByName(row)
+
     # -- embedding ----------------------------------------------------------
     def embedding_info(self) -> dict:
         """Provider report (embedding.rs tool)."""

@@ -82,8 +82,16 @@ def ngram_jaccard_pairs(
     handling plus a frequency cap (drop grams in > X% of docs) are the
     mitigations at 100 TB.
     """
+    # join on the gram's int64 hash, not the ~3-word string — smaller
+    # shuffle keys and cheaper hash-join probes (collisions ~1e-10/pair,
+    # mirrored in the oracle)
     grams = corpus.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_ngrams(F.col("text"), n), lambda g: md5_hash64(g)
+            )
+        ).alias("gram"),
     )
     sizes = corpus.select(
         "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_grams")

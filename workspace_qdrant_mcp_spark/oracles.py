@@ -355,7 +355,10 @@ gs AS (
               ELSE [] END AS grams
   FROM wd
 ),
-g AS (SELECT doc_id, unnest(grams) AS gram FROM gs),
+g AS (SELECT doc_id,
+             unnest(list_transform(grams,
+               x -> {duckdb_md5_hash64_sql('x')})) AS gram
+      FROM gs),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -906,6 +909,34 @@ h AS (SELECT asset_id, modality, n_bytes, md5(modality || '|' || text) AS h FROM
 f AS (SELECT asset_id, modality, n_bytes, {cols} FROM h)
 SELECT asset_id, modality, n_bytes, dim, round(value, 6) AS value
 FROM f, LATERAL (VALUES {vals}) AS t(dim, value)
+"""
+
+
+def image_search(query_asset: int = 0, k: int = 10, feature_dim: int = 8) -> str:
+    """R20: dense cosine search over the image collection's (fake-)CLIP
+    features; query = asset 0's feature vector."""
+    cols = ", ".join(
+        f"CAST(CAST(concat('0x', substr(h, {4 * i + 1}, 4)) AS INT) % 10000 "
+        f"AS DOUBLE) / 10000.0"
+        for i in range(feature_dim)
+    )
+    cos = duckdb_cosine_sql("f.fv", "q.fv")
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text
+  FROM documents WHERE doc_id % 3 = 0
+),
+f AS (
+  SELECT asset_id, [{cols}] AS fv
+  FROM (SELECT asset_id, md5('image' || '|' || text) AS h FROM a)
+),
+q AS (SELECT fv FROM f WHERE asset_id = {query_asset}),
+scored AS (
+  SELECT f.asset_id, {cos} AS score FROM f CROSS JOIN q
+  WHERE f.asset_id <> {query_asset}
+)
+SELECT asset_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, asset_id ASC LIMIT {k}
 """
 
 

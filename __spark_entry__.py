@@ -299,6 +299,38 @@ def _q_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_queue_dequeue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 unified-queue dequeue semantics as a batch query: priority DESC
+    with FIFO tiebreak and age promotion (+1 after 300s, +2 after 900s —
+    queue_operations/dequeue.rs:18-62). Ages computed in integer nanos
+    against the snapshot's newest event for exact cross-engine parity."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+    )
+    max_ns = F.max("ts_ns").over(Window.partitionBy())
+    age_ns = max_ns - F.col("ts_ns")
+    eff = prio + (
+        F.when(age_ns > 900 * 10**9, 2)
+        .when(age_ns > 300 * 10**9, 1)
+        .otherwise(0)
+    )
+    return (
+        ev.select(
+            "event_id", "event_type", prio.alias("priority"),
+            eff.alias("effective"), "ts_ns",
+        )
+        .orderBy(F.desc("effective"), F.asc("ts_ns"), F.asc("event_id"))
+        .limit(100)
+        .drop("ts_ns")
+    )
+
+
 def _q_mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embedder (R1 embedding stage, seeded projection)
     in long format (doc_id, dim, value)."""
@@ -478,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_graph_betweenness,
         "events_debounce_last": _q_events_debounce,
         "queue_stats": _q_queue_stats,
+        "queue_dequeue_order": _q_queue_dequeue_order,
         "mock_embeddings": _q_mock_embeddings,
         "tfidf_keywords": _q_tfidf_keywords,
         "label_centroids": _q_label_centroids,
@@ -531,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check + exact fixtures in tests/test_graph.py)
         "events_debounce_last": oracles.events_debounce_last(),
         "queue_stats": oracles.queue_stats(),
+        "queue_dequeue_order": oracles.queue_dequeue_order(),
         "mock_embeddings": oracles.mock_embeddings(),
         "tfidf_keywords": oracles.tfidf_keywords(),
         "label_centroids": oracles.label_centroids(),

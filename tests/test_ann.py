@@ -27,6 +27,25 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6  # approximate by design; n_probe=3/8 cells
 
 
+def test_random_projection_lsh_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.bruteforce_topk(emb, q, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.lsh_topk(emb, q, k=5).collect()
+    }
+    # bucket-based candidate generation is approximate by design; recall
+    # rises with numHashTables (8 tables → >=80% here)
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.8
+
+
 def test_trained_centroids_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = ann.train_ivf_centroids(emb, n_cells=4).collect()

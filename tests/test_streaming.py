@@ -85,6 +85,22 @@ def test_ingest_update_delete_dedup(spark, dirs):
     assert before == again
 
 
+def test_watcher_path_filters(spark):
+    from workspace_qdrant_mcp_spark.streaming.ingest import filter_watched_paths
+
+    batch = spark.createDataFrame(
+        [("src/a.py", "create"), ("target/b.o", "create"),
+         ("docs/c.md", "create"), ("src/d.rs", "create")],
+        ["path", "event_type"],
+    )
+    kept = filter_watched_paths(
+        batch, ignore_globs=["target/**"], allow_globs=["src/**", "docs/**"]
+    )
+    assert {r["path"] for r in kept.collect()} == {
+        "src/a.py", "docs/c.md", "src/d.rs"
+    }
+
+
 def test_reconciliation_diff(spark, dirs):
     d = dirs
     _write_events(d["events"], "b1.json", [

@@ -50,6 +50,54 @@ def bruteforce_topk(
     )
 
 
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via MLlib BucketedRandomProjectionLSH — the other
+    scale path SURVEY R2 names. Euclidean-bucket candidates, re-scored by
+    exact cosine, per-query top-k. Same output schema as bruteforce_topk /
+    ivf_topk. Seeded → deterministic buckets."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    to_vec = lambda c: array_to_vector(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double"))
+    )
+    base = emb.select(F.col(id_col), F.col(vec_col), to_vec(vec_col).alias("features"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"), to_vec(vec_col).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    ).fit(base)
+    # candidates = pairs sharing >= 1 hash bucket (the join is bucket-based
+    # even with an unbounded radius — recall is tuned by numHashTables /
+    # bucketLength), then exact cosine re-scoring
+    cand = lsh.approxSimilarityJoin(base, q, float("inf"), distCol="__d")
+    scored = cand.select(
+        F.col(f"datasetB.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetA.{id_col}").alias(id_col),
+        cosine(
+            F.col(f"datasetA.{vec_col}"), F.col("datasetB.__qv")
+        ).alias("score"),
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int = 10,

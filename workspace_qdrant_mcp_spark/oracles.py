@@ -818,6 +818,32 @@ JOIN sizes sb ON sb.sk = id_b
 """
 
 
+def queue_dequeue_order(limit: int = 100) -> str:
+    """S2 parity: priority-DESC dequeue with FIFO tiebreak and age
+    promotion (+1 after 300s, +2 after 900s of queue age —
+    dequeue.rs:18-62). Priority derives from event_type; age is measured
+    against the newest event (the 'now' of the snapshot)."""
+    return f"""
+WITH pe AS (
+  SELECT event_id, event_type, epoch_ns(ts) AS ts_ns,
+         CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2
+              WHEN 'signup' THEN 1 ELSE 0 END AS priority,
+         (SELECT max(epoch_ns(ts)) FROM events) - epoch_ns(ts) AS age_ns
+  FROM events
+),
+eff AS (
+  SELECT event_id, event_type, priority,
+         priority + (CASE WHEN age_ns > 900000000000 THEN 2
+                          WHEN age_ns > 300000000000 THEN 1 ELSE 0 END)
+           AS effective,
+         ts_ns
+  FROM pe
+)
+SELECT event_id, event_type, priority, effective
+FROM eff ORDER BY effective DESC, ts_ns ASC, event_id ASC LIMIT {limit}
+"""
+
+
 def events_debounce_last() -> str:
     return """
 WITH r AS (

@@ -38,6 +38,27 @@ EVENT_SCHEMA = (
 )
 
 
+def filter_watched_paths(
+    batch: DataFrame,
+    ignore_globs: list[str] | None = None,
+    allow_globs: list[str] | None = None,
+) -> DataFrame:
+    """S1 watcher filtering: drop ignored paths (gitignore analog), keep
+    only allowlisted ones when an allowlist is set
+    (file_watcher_ops.rs:44-80 pattern filters)."""
+    from ..functions.filters import glob_to_regex
+
+    out = batch
+    for g in ignore_globs or []:
+        out = out.filter(~F.col("path").rlike(glob_to_regex(g)))
+    if allow_globs:
+        cond = F.lit(False)
+        for g in allow_globs:
+            cond = cond | F.col("path").rlike(glob_to_regex(g))
+        out = out.filter(cond)
+    return out
+
+
 def debounce_batch(batch: DataFrame) -> DataFrame:
     """Per-path last-event-wins (max ts, deterministic tiebreak on
     event_type so reruns are stable)."""
@@ -93,10 +114,13 @@ def process_batch(
     batch: DataFrame,
     store_path: str,
     dlq_path: str,
+    ignore_globs: list[str] | None = None,
+    allow_globs: list[str] | None = None,
 ) -> None:
-    """One micro-batch: debounce → split deletes/upserts → content-hash
-    dedup → chunk+embed → idempotent upsert; failures → DLQ."""
+    """One micro-batch: path filters → debounce → split deletes/upserts →
+    content-hash dedup → chunk+embed → idempotent upsert; failures → DLQ."""
     try:
+        batch = filter_watched_paths(batch, ignore_globs, allow_globs)
         b = debounce_batch(batch).localCheckpoint()
         deletes = b.filter(F.col("event_type") == "remove").select("path")
         upserts = b.filter(F.col("event_type") != "remove").withColumn(
@@ -135,6 +159,8 @@ def run_ingestion_stream(
     store_path: str,
     dlq_path: str,
     checkpoint_dir: str,
+    ignore_globs: list[str] | None = None,
+    allow_globs: list[str] | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
@@ -146,7 +172,9 @@ def run_ingestion_stream(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _id: process_batch(spark, b, store_path, dlq_path)
+            lambda b, _id: process_batch(
+                spark, b, store_path, dlq_path, ignore_globs, allow_globs
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -265,7 +265,7 @@ def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the reference's first-k source sampling with n/k scaling
     (betweenness.rs:49-184, Bader et al. approximation) so the cost is
     k BFS traversals, not one per node."""
-    bc = graph.betweenness(_edges(spark, sf_dir), sample_k=64)
+    bc = graph.betweenness(_edges(spark, sf_dir), sample_k=32)
     return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
 
 

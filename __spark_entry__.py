@@ -335,8 +335,9 @@ def _q_mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mock embedder (R1 embedding stage, seeded projection)
     in long format (doc_id, dim, value)."""
     from workspace_qdrant_mcp_spark.functions.embedder import mock_embed
+    from workspace_qdrant_mcp_spark.io import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.posexplode(mock_embed(F.col("text"))).alias("dim", "value")
     ).select("doc_id", "dim", F.round("value", 6).alias("value"))
@@ -385,6 +386,27 @@ def _q_taxonomy_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_keyword_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.keyword_baskets(load_table(spark, sf_dir, "documents"))
+
+
+def _q_tag_expansion_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 tag-basket query expansion: query 'spark' (idf 0 — exercises the
+    idf floor) expanded with the src0 keyword basket at weight 0.5,
+    original-weight-wins, cap 10 (expansion.rs:24-66; merge
+    flow.rs:265-300; constants options.rs:30-34). The basket lookup is a
+    dimension read (tiny collect), mirroring the reference's SQLite
+    tags/keyword_baskets lookup before the search."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        keywords.keyword_baskets(docs)
+        .filter(F.col("source") == "src0")
+        .collect()
+    )
+    basket = rows[0]["keywords"].split("|") if rows and rows[0]["keywords"] else []
+    merged = {"spark": 1.0}
+    for t in basket[:10]:
+        merged.setdefault(t, 0.5)
+    leg = bm25.sparse_search_weighted(spark, docs, merged, k=20, threshold=0.075)
+    return leg.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _q_grouping_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_rerank": _q_centroid_rerank,
         "taxonomy_tags": _q_taxonomy_tags,
         "keyword_baskets": _q_keyword_baskets,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
         "grouping_jaccard": _q_grouping_jaccard,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "multimodal_features": _q_multimodal_features,
@@ -571,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_rerank": oracles.centroid_rerank(),
         "taxonomy_tags": oracles.taxonomy_tags(),
         "keyword_baskets": oracles.keyword_baskets(),
+        "tag_expansion_sparse": oracles.tag_expansion_sparse(),
         "grouping_jaccard": oracles.grouping_jaccard(),
         "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
         "multimodal_features": oracles.multimodal_features(),

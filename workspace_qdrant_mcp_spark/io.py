@@ -39,6 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the cluster has cores. Small benchmark parquet files (single row group)
+    arrive as 1-3 input splits, which serializes every CPU-heavy explode /
+    hash / self-join downstream; at real scale (thousands of file splits)
+    the partition count already exceeds parallelism and this is a no-op —
+    no shuffle is ever added to a well-partitioned 100 TB scan."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_bm25
+from ..io import fan_out
 
 K1_DEFAULT = 1.2
 
@@ -36,7 +37,8 @@ def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     at 100 TB this is the classic word-count shape and scales linearly.
     """
     return (
-        docs.select(F.col(id_col), F.explode(tokenize_bm25(F.col(text_col))).alias("term"))
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(tokenize_bm25(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -111,3 +113,40 @@ def sparse_search(
         .limit(k)
     )
     return scored
+
+
+def sparse_search_weighted(
+    spark: SparkSession,
+    docs: DataFrame,
+    term_weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    threshold: float = 0.0,
+    k1: float = K1_DEFAULT,
+) -> DataFrame:
+    """Weighted sparse leg: Σ query_weight · document BM25 weight — the
+    sparse dot product the reference computes after merging tag-expansion
+    keywords into the query vector at weight 0.5 with original-weight-wins
+    (client/src/search/flow.rs:265-300; constants options.rs:30-34).
+
+    Same plan shape as sparse_search; the query side is a 2-column
+    broadcast dim carrying the per-term weight.
+    """
+    terms = doc_terms(docs, id_col, text_col)
+    nn = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = doc_freq(terms, id_col)
+    qterms = spark.createDataFrame(
+        sorted((t, float(w)) for t, w in term_weights.items()), ["term", "qw"]
+    )
+    return (
+        terms.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("w", bm25_weight_expr(F.col("n_docs"), k1=k1))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+        .filter(F.col("score") >= F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

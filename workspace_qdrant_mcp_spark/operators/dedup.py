@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
 from ..functions.text import char_shingles, tokenize_bm25
+from ..io import fan_out
 
 N_MINHASHES = 16
 MINHASH_BANDS = 4
@@ -85,7 +86,7 @@ def ngram_jaccard_pairs(
     # join on the gram's int64 hash, not the ~3-word string — smaller
     # shuffle keys and cheaper hash-join probes (collisions ~1e-10/pair,
     # mirrored in the oracle)
-    grams = corpus.select(
+    grams = fan_out(corpus).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -93,7 +94,7 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     )
-    sizes = corpus.select(
+    sizes = fan_out(corpus).select(
         "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_grams")
     )
     pairs = (
@@ -155,7 +156,7 @@ def minhash_signatures(
     groupBy is map-side combinable. (First version hashed a distinct-shingle
     table with 16 md5s and joined back — the integer family is ~2x faster
     at equal quality and keeps the oracle exact.)"""
-    sh = corpus.select(
+    sh = fan_out(corpus).select(
         "doc_id", F.explode(char_shingles(F.col("text"), shingle_k)).alias("s")
     )
     h32 = (md5_hash64(F.col("s")) % F.lit(MINHASH_MOD)).alias("h32")
@@ -205,7 +206,13 @@ def minhash_lsh_neardup(
     stages and REMOVED: on a low-entropy corpus it filtered nothing while
     costing ~1% recall on borderline J≈0.5 pairs — the verified funnel is
     candidates → exact only.)"""
-    sigs = minhash_signatures(corpus, n_hashes=n_hashes, shingle_k=shingle_k)
+    # The signature table is tiny (one row per doc) but expensive to derive
+    # (one md5 per distinct shingle); every downstream stage — both sides of
+    # the band self-join and the candidate generator — re-reads it, so
+    # materialize it once. Same for the verify shingle-set table below.
+    sigs = minhash_signatures(
+        corpus, n_hashes=n_hashes, shingle_k=shingle_k
+    ).localCheckpoint()
     buckets = lsh_band_buckets(sigs, n_hashes=n_hashes)
     cand = (
         buckets.alias("a")
@@ -219,22 +226,41 @@ def minhash_lsh_neardup(
     # exact-verify sets as int32 shingle hashes: 4-byte elements instead of
     # k-char strings — smaller candidate-join shuffle, cheaper intersects;
     # hash collisions (~1e-5/doc) are identical in the oracle
-    sets = corpus.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                char_shingles(F.col("text"), shingle_k),
-                lambda s: md5_hash64(s) % F.lit(MINHASH_MOD),
-            )
-        ).alias("ss"),
+    # Verify sets only for docs that survived candidate generation — LSH
+    # candidates are a vanishing fraction of the corpus at scale, so the
+    # semi-join prune keeps the broadcast side bounded by |candidates|,
+    # not |corpus|.
+    cand = cand.localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        fan_out(corpus)
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    char_shingles(F.col("text"), shingle_k),
+                    lambda s: md5_hash64(s) % F.lit(MINHASH_MOD),
+                )
+            ).alias("ss"),
+        )
+        .localCheckpoint()
     )
     return (
         cand.join(
-            sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("sa")),
+            F.broadcast(
+                sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("sa"))
+            ),
             "id_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("sb")),
+            F.broadcast(
+                sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("sb"))
+            ),
             "id_b",
         )
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
@@ -255,7 +281,7 @@ def minhash_lsh_neardup(
 def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — tf-weighted Charikar fingerprint over BM25 tokens.
     Integer-exact (tf sums), so bit-identical across engines and reruns."""
-    toks = corpus.select(
+    toks = fan_out(corpus).select(
         "doc_id", F.explode(tokenize_bm25(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

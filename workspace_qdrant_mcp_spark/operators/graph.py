@@ -36,12 +36,17 @@ imperative per-partition logic is genuinely needed).
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import fan_out
+
 PAGERANK_DAMPING = 0.85
+# Below this node count the per-iteration rank/label table is broadcast
+# into the edge join (map-side, no edge shuffle per iteration); above it
+# the join falls back to shuffle — the only plan that works for graphs
+# whose state exceeds executor memory.
+BROADCAST_STATE_MAX_NODES = 2_000_000
 LPA_MAX_ITERS = 50
 LPA_MIN_COMMUNITY_SIZE = 2
 
@@ -53,14 +58,24 @@ LPA_MIN_COMMUNITY_SIZE = 2
 def cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
     """(src, dst, weight) — parts co-ordered in the same order; src < dst;
     weight = number of distinct co-orders. Self-join on l_orderkey shuffles
-    on the order key; per-order part lists are tiny so no skew."""
-    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    on the order key; per-order part lists are tiny so no skew.
+
+    (ok, part) is deduplicated BEFORE the self-join: the join input shrinks,
+    each surviving pair is exactly one distinct co-order, and the final
+    aggregate becomes a plain count — cheaper than count_distinct, which
+    internally expands to a second aggregation over (src, dst, ok)."""
+    li = (
+        fan_out(lineitem)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .dropDuplicates(["ok", "pk"])
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
     return (
         a.join(b, "ok")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count_distinct("ok").alias("weight"))
+        .agg(F.count(F.lit(1)).alias("weight"))
     )
 
 
@@ -176,14 +191,20 @@ def pagerank(
     )
     n = ranks.count()
     ranks = ranks.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    # Small-state graphs: broadcast the rank vector into the edge join so
+    # each iteration is map-side over the (checkpointed, never reshuffled)
+    # edge table + ONE shuffle for the dst aggregation. Huge graphs fall
+    # back to the shuffle join automatically.
+    bcast = n <= BROADCAST_STATE_MAX_NODES
     for _ in range(n_iters):
         # dangling mass as a lazy 1-row aggregate cross-joined into the
         # update — one Spark job per iteration (the checkpoint), not two
         dang = ranks.filter(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
+        state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
         contrib = (
-            e.join(ranks.select(F.col("node_id").alias("src"), "rank", "out_deg"), "src")
+            e.join(F.broadcast(state) if bcast else state, "src")
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
         )
@@ -216,10 +237,12 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
     UNDIRECTED edge set after n_iters rounds of min-label propagation.
     Deterministic by construction (min is order-free). n_iters must be >=
     graph diameter; each round is one join + one min-groupBy."""
+    # No distinct on the symmetrized union: min-label propagation is
+    # duplicate-insensitive (min over a multiset), so the dedup shuffle
+    # would buy nothing.
     und = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .localCheckpoint()
     )
     labels = (
@@ -227,10 +250,12 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
         .select("node_id", F.col("node_id").alias("component"))
         .localCheckpoint()
     )
+    bcast = labels.count() <= BROADCAST_STATE_MAX_NODES
     prev_sum = None
     for _ in range(n_iters):
+        state = labels.select(F.col("node_id").alias("src"), "component")
         nbr_min = (
-            und.join(labels.select(F.col("node_id").alias("src"), "component"), "src")
+            und.join(F.broadcast(state) if bcast else state, "src")
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("component").alias("nbr"))
         )
@@ -258,25 +283,46 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
 # Label propagation (G6 — reference-deterministic variant)
 # ---------------------------------------------------------------------------
 
+def _collect_adjacency_csr(edges: DataFrame):
+    """Collect the DIRECTED edge list once (Arrow columnar transfer — half
+    the rows of a pre-symmetrized union, and no distinct shuffle) and
+    symmetrize + dedup + CSR-index in numpy on the driver. Returns
+    (node_ids int64 array sorted asc, indptr, indices) with per-node
+    neighbor indices sorted asc (the BTreeSet discipline) and self-loops
+    dropped."""
+    import numpy as np
+
+    pdf = edges.select("src", "dst").toPandas()
+    s = pdf["src"].to_numpy(dtype=np.int64)
+    d = pdf["dst"].to_numpy(dtype=np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    u = np.concatenate([s, d])
+    v = np.concatenate([d, s])
+    node_ids = np.unique(u)
+    m = len(node_ids)
+    if m == 0:
+        return node_ids, np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    iu = np.searchsorted(node_ids, u)
+    iv = np.searchsorted(node_ids, v)
+    key = np.unique(iu * m + iv)  # dedup multi-edges; sorted by (iu, iv)
+    indptr = np.searchsorted(key // m, np.arange(m + 1))
+    return node_ids, indptr, key % m
+
+
 def export_adjacency(edges: DataFrame) -> tuple[list[int], dict[int, list[int]]]:
     """G9 AdjacencyExport: sorted node ids + undirected neighbor lists
     (sorted — the BTreeSet discipline, community.rs:100-110). The snapshot
     is collected once; every driver-side algorithm is a pure function over
     it (LOCK-SCOPE, graph/algorithms/mod.rs:1-9)."""
-    und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    pdf = und.toPandas()  # Arrow batches, not Row objects
-    adj: dict[int, list[int]] = defaultdict(list)
-    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        if s != d:
-            adj[int(s)].append(int(d))
-    node_ids = sorted(adj.keys())
-    for k in adj:
-        adj[k] = sorted(set(adj[k]))
-    return node_ids, dict(adj)
+    node_ids, indptr, indices = _collect_adjacency_csr(edges)
+    ids = node_ids.tolist()
+    lst = indices.tolist()
+    adj = {
+        ids[i]: [ids[j] for j in lst[indptr[i] : indptr[i + 1]]]
+        for i in range(len(ids))
+    }
+    return ids, adj
 
 
 def label_propagation(
@@ -345,29 +391,21 @@ def betweenness(
     first-k source sampling scaled by n/k (betweenness.rs:49-184 — Bader
     approximation, sources in sorted order for determinism)."""
     spark = edges.sparkSession
-    und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    # Arrow transfer, not Row collect: the adjacency snapshot of a dense
-    # co-occurrence graph is millions of edges — toPandas moves it as
-    # columnar batches (~10x faster than collect() of Row objects)
-    pdf = und.toPandas()
-    adj: dict[int, list[int]] = defaultdict(list)
-    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        adj[int(s)].append(int(d))
-    node_ids = sorted(adj.keys())
+    # Arrow transfer of the directed edge list + numpy symmetrize/dedup/CSR
+    # (no union-distinct shuffle, no Python edge loop — both measured
+    # multi-second at 1M+ edges)
+    np_ids, indptr, indices = _collect_adjacency_csr(edges)
+    node_ids = np_ids.tolist()
     n = len(node_ids)
     if n < 3:
         return spark.createDataFrame(
             [(v, 0.0) for v in node_ids], ["node_id", "centrality"]
         )
-    # index-based CSR-style adjacency: the BFS inner loop runs over int
-    # lists, not dict lookups — ~3x faster in CPython for dense graphs
-    idx = {v: i for i, v in enumerate(node_ids)}
+    # index-based adjacency as plain int lists: the BFS inner loop iterates
+    # lists ~2x faster than numpy slices in CPython
+    lst = indices.tolist()
     nbrs: list[list[int]] = [
-        sorted(idx[u] for u in adj[v]) for v in node_ids
+        lst[indptr[i] : indptr[i + 1]] for i in range(n)
     ]
     src_idx = list(range(n)) if sample_k is None else list(range(min(sample_k, n)))
     scale = 1.0 if sample_k is None else n / float(len(src_idx))

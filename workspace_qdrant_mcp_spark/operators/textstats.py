@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import LANG_MARKERS, quality_features
+from ..io import fan_out
 
 
 def _ws_tokens(text: Column) -> Column:
@@ -37,7 +38,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for lang in langs[1:]:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, scores[lang])
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+    return fan_out(docs).select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def quality_score(
@@ -49,7 +50,7 @@ def quality_score(
     feats = quality_features(F.col(text_col))
     base = 0.5 * feats["stopword_ratio"] + 0.5 * (1.0 - feats["punct_ratio"])
     quality = F.when(feats["n_tokens"] < 20, base * 0.5).otherwise(base)
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         feats["n_tokens"].alias("n_tokens"),
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
@@ -67,7 +68,7 @@ def fingerprint(
     analog of the reference's content-hash dedup key (file_hash,
     chunk_embed/payload.rs)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col),
         F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fp"),
     )

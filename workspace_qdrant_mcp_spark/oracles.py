@@ -801,6 +801,56 @@ SELECT source, len(ks) AS n_keywords, array_to_string(ks, '|') AS keywords FROM 
 """
 
 
+def tag_expansion_sparse(
+    query_term: str = "spark",
+    source: str = "src0",
+    expansion_weight: float = 0.5,
+    top_n: int = 5,
+    max_keywords: int = 10,
+    threshold: float = 0.075,
+    k: int = 20,
+) -> str:
+    """R7 tag-basket expansion: the query term joined by the source's
+    keyword basket at weight 0.5 (original-weight-wins), scored as the
+    weighted sparse dot product (expansion.rs:24-66, flow.rs:265-300)."""
+    return f"""
+WITH {_tf_df_ctes()},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+           AS rnk
+  FROM scored
+),
+kws AS (SELECT doc_id, term FROM r WHERE rnk <= {top_n} AND tfidf > 0),
+bask AS (
+  SELECT DISTINCT k.term FROM kws k JOIN documents d USING (doc_id)
+  WHERE d.source = '{source}' ORDER BY term LIMIT {max_keywords}
+),
+qw AS (
+  SELECT '{query_term}' AS term, CAST(1.0 AS DOUBLE) AS qw
+  UNION ALL
+  SELECT term, CAST({expansion_weight} AS DOUBLE) FROM bask
+  WHERE term <> '{query_term}'
+),
+wsc AS (
+  SELECT tf.doc_id,
+         sum(qw.qw * greatest(0.0, ln((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+             * ({K1} * tf.tf) / (tf.tf + {K1})) AS score
+  FROM tf JOIN qw USING (term) JOIN dfreq USING (term) CROSS JOIN nn
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM wsc
+WHERE score >= CAST({threshold} AS DOUBLE)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def grouping_jaccard() -> str:
     return """
 WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),

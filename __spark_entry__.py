@@ -413,6 +413,85 @@ def _q_grouping_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.grouping_jaccard(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_graph_expansion_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 graph-expansion fusion (graph_fusion.rs:165-244) on the lineitem
+    co-occurrence graph relabeled with the reference's node-id scheme
+    sha256(tenant|file|symbol|type)[:16] (graph/mod.rs:808-827). Seeds =
+    top-10 parts by total co-occurrence weight (score = weight/max); the
+    directed src<dst orientation makes the graph acyclic, so the reference's
+    sequential per-seed caps are order-insensitive and the whole fusion is
+    SQL-checkable. Exercises: α=0.7 scaling, proximity 0.8/0.5 by depth,
+    convergence bonus +0.1 before scaling, ≤5 nodes/seed by (depth,
+    symbol_name), first-candidate-wins expansion dedup."""
+    from workspace_qdrant_mcp_spark.operators import graph_fusion as gf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li)
+
+    def nid(c):
+        return F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit("g0"), F.lit("f"), c.cast("string"), F.lit("function")
+                ),
+                256,
+            ),
+            1,
+            16,
+        )
+
+    e = edges.select(
+        F.lit("g0").alias("tenant_id"),
+        nid(F.col("src")).alias("source_node_id"),
+        nid(F.col("dst")).alias("target_node_id"),
+        F.lit("CALLS").alias("edge_type"),
+    )
+    pks = (
+        edges.select(F.col("src").alias("pk"))
+        .unionByName(edges.select(F.col("dst").alias("pk")))
+        .distinct()
+    )
+    nodes_df = pks.select(
+        nid(F.col("pk")).alias("node_id"),
+        F.col("pk").cast("string").alias("symbol_name"),
+        F.lit("function").alias("symbol_type"),
+        F.lit("f").alias("file_path"),
+    )
+    deg = (
+        edges.select(F.col("src").alias("pk"), "weight")
+        .unionByName(edges.select(F.col("dst").alias("pk"), "weight"))
+        .groupBy("pk")
+        .agg(F.sum("weight").alias("w"))
+    )
+    top = deg.orderBy(F.desc("w"), F.asc("pk")).limit(10).collect()
+    mx = float(top[0]["w"])
+    results = [
+        {
+            "id": gf.compute_node_id("g0", "f", str(r["pk"]), "function"),
+            "score": float(r["w"]) / mx,
+            "collection": "projects",
+            "search_type": "hybrid",
+            "payload": {
+                "tenant_id": "g0",
+                "chunk_symbol_name": str(r["pk"]),
+                "chunk_chunk_type": "function",
+                "relative_path": "f",
+            },
+        }
+        for r in top
+    ]
+    seeds = [("g0", r["id"]) for r in results]
+    related = gf.spark_query_related(e, seeds, nodes_df)
+    fused = gf.expand_and_fuse(
+        results, lambda _t, n: related.get(n, []), collection="projects"
+    )
+    out = spark.createDataFrame(
+        [(r["id"], float(r["score"]), r.get("search_type", "hybrid")) for r in fused],
+        "id string, score double, search_type string",
+    )
+    return out.select("id", F.round("score", 6).alias("score"), "search_type")
+
+
 def _q_cross_collection_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R19 cross-collection search: per-collection sparse legs, per-leg
     0-based ranks, RRF k=60 (cross_collection_search.rs:1-50)."""
@@ -542,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_expansion_sparse": _q_tag_expansion_sparse,
         "grouping_jaccard": _q_grouping_jaccard,
         "cross_collection_rrf": _q_cross_collection_rrf,
+        "graph_expansion_fusion": _q_graph_expansion_fusion,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
         "image_search": _q_image_search,
@@ -597,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "tag_expansion_sparse": oracles.tag_expansion_sparse(),
         "grouping_jaccard": oracles.grouping_jaccard(),
         "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
+        "graph_expansion_fusion": oracles.graph_expansion_fusion(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),
         # leiden_communities: no oracle (iterative algorithm, rows-only

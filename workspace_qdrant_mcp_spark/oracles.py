@@ -851,6 +851,77 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def graph_expansion_fusion(n_seeds: int = 10, per_seed: int = 5) -> str:
+    """R11 fusion algebra (graph_fusion.rs:165-244) over the acyclic
+    co-occurrence graph: originals α·(score + 0.1·bonus_count), expanded
+    (1−α)·proximity with first-candidate-wins dedup, ≤5/seed by (depth,
+    symbol_name)."""
+    return f"""
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS weight
+  FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk GROUP BY a.pk, b.pk
+),
+deg AS (
+  SELECT pk, sum(w) AS w FROM (
+    SELECT src AS pk, weight AS w FROM e
+    UNION ALL SELECT dst AS pk, weight AS w FROM e
+  ) GROUP BY pk
+),
+mx AS (SELECT CAST(max(w) AS DOUBLE) AS mw FROM deg),
+seeds AS MATERIALIZED (
+  SELECT pk, CAST(w AS DOUBLE) AS w,
+         row_number() OVER (ORDER BY w DESC, pk ASC) AS cidx
+  FROM deg ORDER BY w DESC, pk ASC LIMIT {n_seeds}
+),
+h1 AS (SELECT s.pk AS seed, e.dst AS node, 1 AS depth FROM seeds s JOIN e ON e.src = s.pk),
+h2 AS (SELECT h1.seed, e.dst AS node, 2 AS depth FROM h1 JOIN e ON e.src = h1.node),
+reach AS (
+  SELECT seed, node, min(depth) AS depth
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY seed, node
+),
+f5 AS MATERIALIZED (
+  SELECT r.seed, r.node, r.depth, s.cidx
+  FROM (
+    SELECT seed, node, depth,
+           row_number() OVER (
+             PARTITION BY seed ORDER BY depth ASC, CAST(node AS VARCHAR) ASC
+           ) AS rn
+    FROM reach
+  ) r JOIN seeds s ON s.pk = r.seed
+  WHERE r.rn <= {per_seed}
+),
+bonus AS (
+  SELECT node AS pk, count(*) AS nb FROM f5
+  WHERE node IN (SELECT pk FROM seeds) GROUP BY node
+),
+originals AS (
+  SELECT s.pk,
+         CAST(0.7 AS DOUBLE)
+           * (s.w / mx.mw + CAST(0.1 AS DOUBLE) * coalesce(b.nb, 0)) AS score,
+         'hybrid' AS search_type
+  FROM seeds s CROSS JOIN mx LEFT JOIN bonus b ON b.pk = s.pk
+),
+expanded AS (
+  SELECT pk, score, 'graph' AS search_type FROM (
+    SELECT node AS pk,
+           (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+             * (CASE WHEN depth = 1 THEN CAST(0.8 AS DOUBLE)
+                     ELSE CAST(0.5 AS DOUBLE) END) AS score,
+           row_number() OVER (PARTITION BY node ORDER BY cidx ASC) AS pick
+    FROM f5 WHERE node NOT IN (SELECT pk FROM seeds)
+  ) WHERE pick = 1
+),
+allr AS (
+  SELECT pk, score, search_type FROM originals
+  UNION ALL SELECT pk, score, search_type FROM expanded
+)
+SELECT substr(sha256('g0|f|' || CAST(pk AS VARCHAR) || '|function'), 1, 16) AS id,
+       round(score, 6) AS score, search_type
+FROM allr
+"""
+
+
 def grouping_jaccard() -> str:
     return """
 WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),

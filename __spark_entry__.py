@@ -492,6 +492,60 @@ def _q_graph_expansion_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"), "search_type")
 
 
+def _q_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 fallback search (flow_fallback.rs:42-205): scroll the first
+    3·limit rows by id, case-insensitive substring match on content, fixed
+    score 0.5, status 'uncertain', slice to limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    scroll = docs.orderBy(F.asc("doc_id")).limit(3 * 10)
+    return (
+        scroll.filter(F.instr(F.lower(F.col("text")), GREP_PATTERN) > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.lit(0.5).alias("score"),
+            F.lit("fallback").alias("search_type"),
+            F.lit("uncertain").alias("status"),
+        )
+    )
+
+
+def _q_rules_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21 rules-add exact-content idempotency gate
+    (rules/mutations.rs:1-80): incoming rules (source src1) whose trimmed
+    content already exists among stored rules (source src0) are flagged
+    duplicate; scan capped at 1000 stored rules by id."""
+    docs = load_table(spark, sf_dir, "documents")
+    stored = (
+        docs.orderBy(F.asc("doc_id"))
+        .limit(1000)
+        .select(F.trim(F.col("text")).alias("t"))
+        .distinct()
+    )
+    # Incoming batch: every 7th≡3 doc re-submitted verbatim (must be caught
+    # by the gate) plus every 7th≡5 doc with edited content (must pass).
+    incoming = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", F.trim(F.col("text")).alias("t"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.trim(F.concat(F.lit("v2 "), F.col("text"))).alias("t"),
+            )
+        )
+    )
+    return (
+        incoming.join(F.broadcast(stored.withColumn("dup", F.lit(1))), "t", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup").isNotNull(), F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_duplicate"),
+        )
+    )
+
+
 def _q_cross_collection_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R19 cross-collection search: per-collection sparse legs, per-leg
     0-based ranks, RRF k=60 (cross_collection_search.rs:1-50)."""
@@ -622,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_jaccard": _q_grouping_jaccard,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "graph_expansion_fusion": _q_graph_expansion_fusion,
+        "fallback_search": _q_fallback_search,
+        "rules_dedup_gate": _q_rules_dedup_gate,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
         "image_search": _q_image_search,
@@ -678,6 +734,8 @@ def oracle_sql() -> dict[str, str]:
         "grouping_jaccard": oracles.grouping_jaccard(),
         "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
         "graph_expansion_fusion": oracles.graph_expansion_fusion(),
+        "fallback_search": oracles.fallback_search(GREP_PATTERN),
+        "rules_dedup_gate": oracles.rules_dedup_gate(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),
         # leiden_communities: no oracle (iterative algorithm, rows-only

@@ -851,6 +851,38 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def fallback_search(pattern: str = "dup", limit: int = 10) -> str:
+    """R16: 3·limit scroll by id → substring match → fixed 0.5 score."""
+    return f"""
+WITH scroll AS (SELECT * FROM documents ORDER BY doc_id ASC LIMIT {3 * limit})
+SELECT doc_id, CAST(0.5 AS DOUBLE) AS score,
+       'fallback' AS search_type, 'uncertain' AS status
+FROM scroll WHERE instr(lower(text), '{pattern}') > 0
+ORDER BY doc_id ASC LIMIT {limit}
+"""
+
+
+def rules_dedup_gate() -> str:
+    """R21: incoming rules flagged duplicate when trimmed content exists
+    among the first 1000 stored rules; the incoming batch mixes verbatim
+    re-submissions (caught) with edited content (passes)."""
+    return """
+WITH stored AS (
+  SELECT DISTINCT trim(text) AS t FROM (
+    SELECT text FROM documents ORDER BY doc_id ASC LIMIT 1000
+  )
+),
+incoming AS (
+  SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, trim('v2 ' || text) AS t
+  FROM documents WHERE doc_id % 7 = 5
+)
+SELECT d.doc_id, (s.t IS NOT NULL) AS is_duplicate
+FROM incoming d LEFT JOIN stored s USING (t)
+"""
+
+
 def graph_expansion_fusion(n_seeds: int = 10, per_seed: int = 5) -> str:
     """R11 fusion algebra (graph_fusion.rs:165-244) over the acyclic
     co-occurrence graph: originals α·(score + 0.1·bonus_count), expanded

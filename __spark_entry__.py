@@ -227,8 +227,21 @@ GRAPH_SEED = 1
 GRAPH_SEED_IMPACT = 199
 
 
+# The reference persists graph_edges at ingest (graph.db; SURVEY §1.1) and
+# every traversal/analytics query reads that store — it never re-derives the
+# graph per query. Mirror that: derive the co-occurrence edge table once per
+# (session, sf_dir) and localCheckpoint it (the materialized-store analog);
+# all seven graph queries read the snapshot.
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str):
-    return graph.cooccurrence_edges(load_table(spark, sf_dir, "lineitem"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGES_CACHE:
+        _EDGES_CACHE[key] = graph.cooccurrence_edges(
+            load_table(spark, sf_dir, "lineitem")
+        ).localCheckpoint()
+    return _EDGES_CACHE[key]
 
 
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,8 +438,7 @@ def _q_graph_expansion_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol_name), first-candidate-wins expansion dedup."""
     from workspace_qdrant_mcp_spark.operators import graph_fusion as gf
 
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph.cooccurrence_edges(li)
+    edges = _edges(spark, sf_dir)
 
     def nid(c):
         return F.substring(
@@ -490,6 +502,35 @@ def _q_graph_expansion_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, score double, search_type string",
     )
     return out.select("id", F.round("score", 6).alias("score"), "search_type")
+
+
+def _q_mmr_tag_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 greedy MMR tag selection (tag_selector.rs:80-160, formula :121)
+    over the first 30 embedding vectors; relevance = cosine to vec 0. The
+    selection loop is the reference's sequential greedy (driver-side over
+    the small candidate set, exactly like the reference); the oracle is
+    the same greedy unrolled to 8 SQL rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 30).orderBy(F.asc("vec_id")).collect()
+    )
+    qv = next(list(r["embedding"]) for r in rows if r["vec_id"] == 0)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    cands = [
+        (f"v{r['vec_id']}", cos(list(r["embedding"]), qv), list(r["embedding"]))
+        for r in rows
+    ]
+    sel = keywords.mmr_select(cands)
+    return spark.createDataFrame(
+        [(i + 1, t, round(s, 6)) for i, (t, s) in enumerate(sel)],
+        "pick int, tag string, mmr double",
+    )
 
 
 def _q_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_collection_rrf": _q_cross_collection_rrf,
         "graph_expansion_fusion": _q_graph_expansion_fusion,
         "fallback_search": _q_fallback_search,
+        "mmr_tag_selection": _q_mmr_tag_selection,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
@@ -735,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_collection_rrf": oracles.cross_collection_rrf(QUERY_TERMS),
         "graph_expansion_fusion": oracles.graph_expansion_fusion(),
         "fallback_search": oracles.fallback_search(GREP_PATTERN),
+        "mmr_tag_selection": oracles.mmr_tag_selection(),
         "rules_dedup_gate": oracles.rules_dedup_gate(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),

@@ -851,6 +851,58 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def mmr_tag_selection(
+    n_cand: int = 30, query_vec_id: int = 0, max_tags: int = 8
+) -> str:
+    """A9 greedy MMR (tag_selector.rs:98-133) unrolled to max_tags rounds:
+    each round picks argmax of λ·rel − (1−λ)·max_sim_to_selected with the
+    ≤0.80 inter-sim gate; ties resolve to the lowest candidate id (the
+    reference scans candidates in order with strict >). (1−λ) is written
+    as 1.0 − 0.7 so both engines carry the identical binary double."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    oml = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    cutoff = "CAST(0.80 AS DOUBLE)"
+    cos_cs = duckdb_cosine_sql("c.emb", "s.emb")
+    rel_cos = duckdb_cosine_sql("e.embedding", "q.qe")
+    parts = [
+        f"""cand AS MATERIALIZED (
+  SELECT e.vec_id AS idx, 'v' || CAST(e.vec_id AS VARCHAR) AS tag,
+         {rel_cos} AS rel, e.embedding AS emb
+  FROM embeddings e CROSS JOIN
+       (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}) q
+  WHERE e.vec_id < {n_cand}
+)""",
+        f"""p1 AS MATERIALIZED (
+  SELECT idx, tag, {lam} * rel AS mmr, emb FROM cand
+  ORDER BY mmr DESC, idx ASC LIMIT 1
+)""",
+    ]
+    sel_un = "SELECT idx, emb FROM p1"
+    for i in range(2, max_tags + 1):
+        parts.append(f"s{i - 1} AS MATERIALIZED ({sel_un})")
+        parts.append(
+            f"""m{i} AS (
+  SELECT c.idx, c.tag, c.rel, c.emb, max({cos_cs}) AS ms
+  FROM cand c CROSS JOIN s{i - 1} s
+  WHERE c.idx NOT IN (SELECT idx FROM s{i - 1})
+  GROUP BY c.idx, c.tag, c.rel, c.emb
+)"""
+        )
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT idx, tag, {lam} * rel - {oml} * ms AS mmr, emb FROM m{i}
+  WHERE ms <= {cutoff}
+  ORDER BY mmr DESC, idx ASC LIMIT 1
+)"""
+        )
+        sel_un += f" UNION ALL SELECT idx, emb FROM p{i}"
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i} AS pick, tag, round(mmr, 6) AS mmr FROM p{i}"
+        for i in range(1, max_tags + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
 def fallback_search(pattern: str = "dup", limit: int = 10) -> str:
     """R16: 3·limit scroll by id → substring match → fixed 0.5 score."""
     return f"""

@@ -504,6 +504,235 @@ def _q_graph_expansion_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"), "search_type")
 
 
+def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic code corpus for the graph-extraction family:
+    each document becomes one file defining fn(doc_id%40) and calling
+    fn((doc_id+20)%40) — the call target shares the caller's tenant
+    residue (source = doc_id%20), so CALLS edges resolve within-tenant.
+    Content is fully derived from doc_id so the DuckDB oracle rebuilds
+    the identical corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("file_path"),
+        F.concat(
+            F.lit("def fn"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("(): fn"),
+            ((F.col("doc_id") + 20) % 40).cast("string"),
+            F.lit("()"),
+        ).alias("content"),
+    )
+
+
+def _q_graph_extract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 symbol extraction (graph/extractor/mod.rs; id scheme
+    graph/mod.rs:808-827): def-regex symbols, CONTAINS-free CALLS edges
+    with the sha256(tenant|src|dst|type)[:16] edge-id scheme over the
+    synthetic code corpus."""
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
+    return edges.select(
+        "edge_id", "tenant_id", "source_node_id", "target_node_id",
+        "edge_type", "source_file", "weight",
+    )
+
+
+def _q_narrative_explains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 narrative layer (narrative/sections.rs): markdown '#' sections →
+    document_section nodes; EXPLAINS edges only to UNAMBIGUOUS symbol
+    mentions (exactly one definition per tenant). Code corpus: each doc
+    defines the globally-unique u<doc_id> plus the tenant-ambiguous
+    'shared' (mentioned by every doc's second section — must yield NO
+    edge). Narrative doc d mentions u<(d+100)%N>, which shares d's tenant
+    residue."""
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    code = docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("file_path"),
+        F.concat(
+            F.lit("def u"), F.col("doc_id").cast("string"),
+            F.lit("(): pass\ndef shared(): pass"),
+        ).alias("content"),
+    )
+    nodes, _ = gx.extract_symbols(code)
+    ndocs = docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("file_path"),
+        F.concat(
+            F.lit("# overview\nsee u"),
+            ((F.col("doc_id") + 100) % n_docs).cast("string"),
+            F.lit("\n# detail\nshared helpers"),
+        ).alias("content"),
+    )
+    _, explains = gx.narrative_sections(ndocs, nodes)
+    return explains.select(
+        "tenant_id", "source_node_id", "target_node_id",
+        "edge_type", "source_file", "weight",
+    )
+
+
+def _q_stub_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 stub-edge resolution (graph/mod.rs:748-786). Per doc d (tenant =
+    source, file f<d>): real defs r<d> (unique in tenant) and 'common'
+    (defined in every tenant file); three CALLS edges target stubs of
+    r<(d+100)%N> (resolves via unique-in-tenant), 'common' (resolves via
+    same-file preference to f<d>'s own def), and missing<d> (unresolvable —
+    edge keeps the stub target)."""
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    t = F.col("source").alias("tenant_id")
+    fid = F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+    rname = F.concat(F.lit("r"), F.col("doc_id").cast("string"))
+    mname = F.concat(F.lit("r"), ((F.col("doc_id") + 100) % n).cast("string"))
+    miss = F.concat(F.lit("missing"), F.col("doc_id").cast("string"))
+
+    def nid(tenant, file_path, name):
+        return gx._node_id(tenant, file_path, name, F.lit("function"))
+
+    real = docs.select(t, fid.alias("file_path"), rname.alias("symbol_name")).unionByName(
+        docs.select(t, fid.alias("file_path"), F.lit("common").alias("symbol_name"))
+    )
+    real_nodes = real.select(
+        nid(F.col("tenant_id"), F.col("file_path"), F.col("symbol_name")).alias("node_id"),
+        "tenant_id", "symbol_name",
+        F.lit("function").alias("symbol_type"), "file_path",
+    )
+    stub_names = (
+        docs.select(t, mname.alias("symbol_name"))
+        .unionByName(docs.select(t, F.lit("common").alias("symbol_name")))
+        .unionByName(docs.select(t, miss.alias("symbol_name")))
+        .distinct()
+    )
+    stub_nodes = stub_names.select(
+        nid(F.col("tenant_id"), F.lit(""), F.col("symbol_name")).alias("node_id"),
+        "tenant_id", "symbol_name",
+        F.lit("function").alias("symbol_type"), F.lit("").alias("file_path"),
+    )
+    nodes = real_nodes.unionByName(stub_nodes)
+
+    def mk_edges(target_name):
+        return docs.select(
+            t, fid.alias("source_file"),
+            nid(F.col("tenant_id"), fid, rname).alias("source_node_id"),
+            nid(F.col("tenant_id"), F.lit(""), target_name).alias("target_node_id"),
+            F.lit("CALLS").alias("edge_type"), F.lit(1.0).alias("weight"),
+        )
+
+    edges = (
+        mk_edges(mname).unionByName(mk_edges(F.lit("common"))).unionByName(mk_edges(miss))
+    ).withColumn(
+        "edge_id",
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "|", F.col("tenant_id"), F.col("source_node_id"),
+                    F.col("target_node_id"), F.col("edge_type"),
+                ), 256,
+            ), 1, 16,
+        ),
+    )
+    _, resolved = gx.resolve_stub_edges(nodes, edges)
+    return resolved.select(
+        "edge_id", "tenant_id", "source_node_id", "target_node_id",
+        "edge_type", "source_file", "weight",
+    )
+
+
+def _q_cross_boundary_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 cross-boundary traversal (sqlite_store.rs:805-830,
+    cross_boundary.rs): node n<d> tenant cycles src0/__global__/libx/src1
+    (src1 OUTSIDE the relaxation set); edge n<d> → n<(3d+1)%N> with type
+    cycling EXPLAINS/COVERS_TOPIC/IMPLEMENTS_CONCEPT/CALLS (base conf
+    0.6/0.6/0.7/1.0) and weight 0.5+(d%5)/10. Bidirectional 2-hop from n0,
+    per-hop confidence = weight×base, MAX conf + MIN depth per node."""
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    tenant = (
+        F.when(d % 4 == 0, "src0")
+        .when(d % 4 == 1, "__global__")
+        .when(d % 4 == 2, "libx")
+        .otherwise("src1")
+    )
+    nodes = docs.select(
+        F.concat(F.lit("n"), d.cast("string")).alias("node_id"),
+        tenant.alias("tenant_id"),
+    )
+    etype = (
+        F.when(d % 4 == 0, "EXPLAINS")
+        .when(d % 4 == 1, "COVERS_TOPIC")
+        .when(d % 4 == 2, "IMPLEMENTS_CONCEPT")
+        .otherwise("CALLS")
+    )
+    edges = docs.select(
+        F.concat(F.lit("n"), d.cast("string")).alias("source_node_id"),
+        F.concat(F.lit("n"), ((d * 3 + 1) % n).cast("string")).alias(
+            "target_node_id"
+        ),
+        etype.alias("edge_type"),
+        (F.lit(0.5) + (d % 5).cast("double") / F.lit(10.0)).alias("weight"),
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("n"), d.cast("string")).alias("source_node_id"),
+            F.concat(F.lit("n"), ((d * 7 + 3) % n).cast("string")).alias(
+                "target_node_id"
+            ),
+            F.lit("CALLS").alias("edge_type"),
+            (F.lit(0.4) + (d % 3).cast("double") / F.lit(10.0)).alias("weight"),
+        )
+    )
+    out = gx.cross_boundary(
+        nodes, edges, seed="n0", source_tenant="src0",
+        library_tenants=["libx"], max_hops=2,
+    )
+    return out.select(
+        "node_id", F.round("confidence", 6).alias("confidence"), "depth"
+    )
+
+
+def _q_parent_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 parent-context expansion (flow_collect.rs:300-362): non-first
+    chunks carry parent_unit_id = chunk 0 of their document; the left-join
+    attaches {unit_text, unit_type}. Runs over the real chunk store (api
+    facade) restricted to multi-chunk documents."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    api = WqmEngine(spark, sf_dir)
+    results = api.chunks.filter(F.col("chunk_index") > 0).select("point_id")
+    out = api.attach_parent_context(results)
+    return out.select(
+        "point_id", "parent_unit_id",
+        F.col("parent_unit_text").alias("unit_text"),
+        F.col("parent_unit_type").alias("unit_type"),
+    )
+
+
+def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 per-result graph context (graph_context.rs:1-207): 1-hop
+    caller/callee name lists (sorted, deduped) attached to each src0 node
+    of the synthetic code graph; post-slice, non-score-changing."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
+    results = nodes.filter(F.col("tenant_id") == "src0").select(
+        "node_id", "symbol_name"
+    )
+    # attach_graph_context is stateless over its arguments (engine facade
+    # method; no store access) — call unbound to skip the chunk-store build
+    out = WqmEngine.attach_graph_context(None, results, nodes, edges)
+    return out.select("node_id", "symbol_name", "callers", "callees")
+
+
 def _q_mmr_tag_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 greedy MMR tag selection (tag_selector.rs:80-160, formula :121)
     over the first 30 embedding vectors; relevance = cosine to vec 0. The
@@ -719,6 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_expansion_fusion": _q_graph_expansion_fusion,
         "fallback_search": _q_fallback_search,
         "mmr_tag_selection": _q_mmr_tag_selection,
+        "graph_extract_calls": _q_graph_extract_calls,
+        "narrative_explains": _q_narrative_explains,
+        "stub_resolution": _q_stub_resolution,
+        "cross_boundary_2hop": _q_cross_boundary_2hop,
+        "parent_context": _q_parent_context,
+        "graph_context": _q_graph_context,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
@@ -778,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_expansion_fusion": oracles.graph_expansion_fusion(),
         "fallback_search": oracles.fallback_search(GREP_PATTERN),
         "mmr_tag_selection": oracles.mmr_tag_selection(),
+        "graph_extract_calls": oracles.graph_extract_calls(),
+        "narrative_explains": oracles.narrative_explains(),
+        "stub_resolution": oracles.stub_resolution(),
+        "cross_boundary_2hop": oracles.cross_boundary_2hop(),
+        "parent_context": oracles.parent_context(),
+        "graph_context": oracles.graph_context(),
         "rules_dedup_gate": oracles.rules_dedup_gate(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),

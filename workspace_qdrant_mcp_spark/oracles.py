@@ -851,6 +851,262 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+_CODE_DOCS_CTE = """
+cdocs AS MATERIALIZED (
+  SELECT source AS tenant_id, 'f' || CAST(doc_id AS VARCHAR) AS file_path,
+         'def fn' || CAST(doc_id % 40 AS VARCHAR) || '(): fn'
+           || CAST((doc_id + 20) % 40 AS VARCHAR) || '()' AS content
+  FROM documents
+),
+syms AS MATERIALIZED (
+  SELECT tenant_id, file_path,
+         unnest(list_distinct(
+           regexp_extract_all(content,
+             '(?:def|fn|class|struct|trait)\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+         )) AS symbol_name,
+         content
+  FROM cdocs
+),
+gnodes AS MATERIALIZED (
+  SELECT DISTINCT
+    substr(sha256(tenant_id || '|' || file_path || '|' || symbol_name
+                  || '|function'), 1, 16) AS node_id,
+    tenant_id, symbol_name, file_path
+  FROM syms
+)
+"""
+
+
+def graph_extract_calls() -> str:
+    """G11: CALLS edges over the synthetic code corpus with the reference's
+    sha-based node/edge id schemes."""
+    return f"""
+WITH {_CODE_DOCS_CTE},
+calls AS (
+  SELECT DISTINCT c.tenant_id,
+    substr(sha256(c.tenant_id || '|' || c.file_path || '|' || c.symbol_name
+                  || '|function'), 1, 16) AS source_node_id,
+    n.node_id AS target_node_id,
+    'CALLS' AS edge_type, c.file_path AS source_file,
+    CAST(1.0 AS DOUBLE) AS weight
+  FROM syms c JOIN gnodes n USING (tenant_id)
+  WHERE c.symbol_name <> n.symbol_name
+    AND contains(c.content, n.symbol_name || '(')
+)
+SELECT substr(sha256(tenant_id || '|' || source_node_id || '|'
+                     || target_node_id || '|' || edge_type), 1, 16) AS edge_id,
+       tenant_id, source_node_id, target_node_id, edge_type, source_file, weight
+FROM calls
+"""
+
+
+def narrative_explains() -> str:
+    """G12: section nodes + EXPLAINS to unambiguous mentions; the
+    tenant-ambiguous 'shared' symbol must produce no edge. chr(10) builds
+    real newlines (SQL '\\n' is two chars, unlike Python)."""
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+cnodes AS (
+  SELECT source AS tenant_id, 'c' || CAST(doc_id AS VARCHAR) AS file_path,
+         'u' || CAST(doc_id AS VARCHAR) AS symbol_name
+  FROM documents
+  UNION ALL
+  SELECT source, 'c' || CAST(doc_id AS VARCHAR), 'shared' FROM documents
+),
+uniq AS MATERIALIZED (
+  SELECT tenant_id, symbol_name AS mention, min(nid) AS target_node_id
+  FROM (
+    SELECT tenant_id, symbol_name,
+           substr(sha256(tenant_id || '|' || file_path || '|' || symbol_name
+                         || '|function'), 1, 16) AS nid
+    FROM cnodes
+  )
+  GROUP BY tenant_id, symbol_name HAVING count(*) = 1
+),
+ndocs AS (
+  SELECT source AS tenant_id, 'd' || CAST(doc_id AS VARCHAR) AS file_path,
+         '# overview' || chr(10) || 'see u'
+           || CAST((doc_id + 100) % nn.n AS VARCHAR) || chr(10)
+           || '# detail' || chr(10) || 'shared helpers' AS content
+  FROM documents CROSS JOIN nn
+),
+secs AS MATERIALIZED (
+  SELECT tenant_id, file_path, i - 1 AS section_idx, parts[i] AS section_text
+  FROM (
+    SELECT tenant_id, file_path,
+           regexp_split_to_array(content, '(?m)^#+\\s*') AS parts
+    FROM ndocs
+  ), LATERAL unnest(generate_series(1, len(parts))) AS t(i)
+  WHERE length(trim(parts[i])) > 0
+)
+SELECT s.tenant_id,
+       substr(sha256(s.tenant_id || '|' || s.file_path || '|'
+                     || CAST(s.section_idx AS VARCHAR)
+                     || '|document_section'), 1, 16) AS source_node_id,
+       u.target_node_id, 'EXPLAINS' AS edge_type,
+       s.file_path AS source_file, CAST(1.0 AS DOUBLE) AS weight
+FROM secs s JOIN uniq u USING (tenant_id)
+WHERE contains(s.section_text, u.mention)
+"""
+
+
+def _nid_sql(tenant: str, file_path: str, name: str) -> str:
+    return (
+        f"substr(sha256({tenant} || '|' || {file_path} || '|' || {name}"
+        f" || '|function'), 1, 16)"
+    )
+
+
+def stub_resolution() -> str:
+    """G10: expected post-resolution edge set, derived analytically —
+    unique-in-tenant stubs repoint to the single real def, 'common' stubs
+    repoint to the source file's own def (same-file preference), missing
+    stubs stay. edge_id keeps the ORIGINAL (stub) target hash."""
+    mk = _nid_sql
+    m = "CAST((d + 100) % nn.n AS VARCHAR)"
+    d = "CAST(d AS VARCHAR)"
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT source AS t, doc_id AS d, 'f' || CAST(doc_id AS VARCHAR) AS f
+  FROM documents
+),
+e AS (
+  SELECT t, f, {mk("t", "f", f"'r' || {d}")} AS src,
+         {mk("t", "''", f"'r' || {m}")} AS dst_stub,
+         {mk("t", f"'f' || {m}", f"'r' || {m}")} AS dst_final
+  FROM base CROSS JOIN nn
+  UNION ALL
+  SELECT t, f, {mk("t", "f", f"'r' || {d}")},
+         {mk("t", "''", "'common'")},
+         {mk("t", "f", "'common'")}
+  FROM base
+  UNION ALL
+  SELECT t, f, {mk("t", "f", f"'r' || {d}")},
+         {mk("t", "''", f"'missing' || {d}")},
+         {mk("t", "''", f"'missing' || {d}")}
+  FROM base
+)
+SELECT substr(sha256(t || '|' || src || '|' || dst_stub || '|CALLS'), 1, 16)
+         AS edge_id,
+       t AS tenant_id, src AS source_node_id, dst_final AS target_node_id,
+       'CALLS' AS edge_type, f AS source_file, CAST(1.0 AS DOUBLE) AS weight
+FROM e
+"""
+
+
+def cross_boundary_2hop() -> str:
+    """G4: bidirectional 2-hop frontier from n0 with destination-side tenant
+    relaxation {src0, __global__, libx}; per-hop conf = weight × base-type
+    confidence; MAX conf + MIN depth per reached node; seed excluded."""
+    base = (
+        "CASE et WHEN 'EXPLAINS' THEN CAST(0.6 AS DOUBLE)"
+        " WHEN 'COVERS_TOPIC' THEN CAST(0.6 AS DOUBLE)"
+        " WHEN 'IMPLEMENTS_CONCEPT' THEN CAST(0.7 AS DOUBLE)"
+        " ELSE CAST(1.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+vx AS MATERIALIZED (
+  SELECT doc_id AS d, 'n' || CAST(doc_id AS VARCHAR) AS id,
+         CASE doc_id % 4 WHEN 0 THEN 'src0' WHEN 1 THEN '__global__'
+              WHEN 2 THEN 'libx' ELSE 'src1' END AS tenant
+  FROM documents
+),
+ed AS MATERIALIZED (
+  SELECT v.id AS s, 'n' || CAST((v.d * 3 + 1) % nn.n AS VARCHAR) AS t2,
+         CASE v.d % 4 WHEN 0 THEN 'EXPLAINS' WHEN 1 THEN 'COVERS_TOPIC'
+              WHEN 2 THEN 'IMPLEMENTS_CONCEPT' ELSE 'CALLS' END AS et,
+         CAST(0.5 AS DOUBLE) + (v.d % 5) / CAST(10 AS DOUBLE) AS w
+  FROM vx v CROSS JOIN nn
+  UNION ALL
+  SELECT v.id AS s, 'n' || CAST((v.d * 7 + 3) % nn.n AS VARCHAR) AS t2,
+         'CALLS' AS et,
+         CAST(0.4 AS DOUBLE) + (v.d % 3) / CAST(10 AS DOUBLE) AS w
+  FROM vx v CROSS JOIN nn
+),
+allowed AS (SELECT id FROM vx WHERE tenant IN ('src0', '__global__', 'libx')),
+und AS MATERIALIZED (
+  SELECT u, v, hc FROM (
+    SELECT s AS u, t2 AS v, w * {base} AS hc FROM ed
+    UNION ALL
+    SELECT t2 AS u, s AS v, w * {base} AS hc FROM ed
+  ) x JOIN allowed a ON x.v = a.id
+),
+f1 AS MATERIALIZED (
+  SELECT v AS node, max(hc) AS conf FROM und WHERE u = 'n0' GROUP BY v
+),
+f2 AS (
+  SELECT und.v AS node, max(hc) AS conf FROM und JOIN f1 ON und.u = f1.node
+  GROUP BY und.v
+)
+SELECT node AS node_id, round(max(conf), 6) AS confidence, min(depth) AS depth
+FROM (
+  SELECT node, conf, 1 AS depth FROM f1
+  UNION ALL SELECT node, conf, 2 AS depth FROM f2
+)
+WHERE node <> 'n0'
+GROUP BY node
+"""
+
+
+def parent_context() -> str:
+    """R14: chunk-store point-id scheme md5(tenant|relpath|chunk_index);
+    non-first chunks join their document's chunk 0 as parent unit."""
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+c2 AS (
+  SELECT c.doc_id, c.chunk_index, c.content, d.source AS tenant,
+         'src/' || d.source || '/doc_' || CAST(c.doc_id AS VARCHAR) || '.txt'
+           AS rel
+  FROM chunks c JOIN documents d USING (doc_id)
+),
+pts AS MATERIALIZED (
+  SELECT md5(tenant || '|' || rel || '|' || CAST(chunk_index AS VARCHAR))
+           AS point_id,
+         md5(tenant || '|' || rel || '|0') AS parent_unit_id,
+         doc_id, chunk_index, content
+  FROM c2
+)
+SELECT a.point_id, a.parent_unit_id, b.content AS unit_text,
+       'chunk' AS unit_type
+FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.chunk_index = 0
+WHERE a.chunk_index > 0
+"""
+
+
+def graph_context() -> str:
+    """R15: sorted deduped 1-hop caller/callee name lists per src0 node."""
+    return f"""
+WITH {_CODE_DOCS_CTE},
+calls AS (
+  SELECT DISTINCT c.tenant_id,
+    substr(sha256(c.tenant_id || '|' || c.file_path || '|' || c.symbol_name
+                  || '|function'), 1, 16) AS src_id,
+    c.symbol_name AS caller_name,
+    n.node_id AS dst_id, n.symbol_name AS callee_name
+  FROM syms c JOIN gnodes n USING (tenant_id)
+  WHERE c.symbol_name <> n.symbol_name
+    AND contains(c.content, n.symbol_name || '(')
+),
+callees AS (
+  SELECT src_id AS node_id,
+         list_sort(list_distinct(list(callee_name))) AS callees
+  FROM calls GROUP BY src_id
+),
+callers AS (
+  SELECT dst_id AS node_id,
+         list_sort(list_distinct(list(caller_name))) AS callers
+  FROM calls GROUP BY dst_id
+)
+SELECT g.node_id, g.symbol_name, callers.callers, callees.callees
+FROM gnodes g
+LEFT JOIN callees USING (node_id)
+LEFT JOIN callers USING (node_id)
+WHERE g.tenant_id = 'src0'
+"""
+
+
 def mmr_tag_selection(
     n_cand: int = 30, query_vec_id: int = 0, max_tags: int = 8
 ) -> str:

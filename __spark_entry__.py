@@ -733,6 +733,34 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", "symbol_name", "callers", "callees")
 
 
+def _q_scope_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 scope resolution (search/mod.rs:213-296): longest watch-folder
+    prefix of cwd wins; nested folders shadow their parents; no match →
+    NULL (the fail-closed F-001 refusal). Watch folders derived from the
+    corpus sources; four probes cover sub-path, nested-shadow, exact-match
+    and no-match."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    wf = srcs.select(
+        F.concat(F.lit("/ws/"), F.col("source")).alias("folder"),
+        F.col("source").alias("tenant_id"),
+    ).unionByName(
+        srcs.select(
+            F.concat(F.lit("/ws/"), F.col("source"), F.lit("/nested")).alias(
+                "folder"
+            ),
+            F.concat(F.col("source"), F.lit(".nested")).alias("tenant_id"),
+        )
+    ).localCheckpoint()
+    probes = ["/ws/src0/sub/a", "/ws/src0/nested/x", "/ws/src1", "/no/match"]
+    # resolve_scope is stateless over its arguments — drive the real code
+    # path per probe (a dimension lookup, exactly the reference's shape)
+    out = [(c, WqmEngine.resolve_scope(None, wf, c)) for c in probes]
+    return spark.createDataFrame(out, "cwd string, tenant_id string")
+
+
 def _q_mmr_tag_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 greedy MMR tag selection (tag_selector.rs:80-160, formula :121)
     over the first 30 embedding vectors; relevance = cosine to vec 0. The
@@ -954,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_boundary_2hop": _q_cross_boundary_2hop,
         "parent_context": _q_parent_context,
         "graph_context": _q_graph_context,
+        "scope_resolution": _q_scope_resolution,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "multimodal_features": _q_multimodal_features,
         "leiden_communities": _q_leiden_communities,
@@ -1019,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_boundary_2hop": oracles.cross_boundary_2hop(),
         "parent_context": oracles.parent_context(),
         "graph_context": oracles.graph_context(),
+        "scope_resolution": oracles.scope_resolution(),
         "rules_dedup_gate": oracles.rules_dedup_gate(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),

@@ -1107,6 +1107,33 @@ WHERE g.tenant_id = 'src0'
 """
 
 
+def scope_resolution() -> str:
+    """R18: longest-prefix watch-folder lookup; NULL for no match."""
+    return """
+WITH srcs AS (SELECT DISTINCT source FROM documents),
+wf AS (
+  SELECT '/ws/' || source AS folder, source AS tenant_id FROM srcs
+  UNION ALL
+  SELECT '/ws/' || source || '/nested', source || '.nested' FROM srcs
+),
+probes AS (
+  SELECT unnest(['/ws/src0/sub/a', '/ws/src0/nested/x', '/ws/src1',
+                 '/no/match']) AS cwd
+),
+m AS (
+  SELECT p.cwd, w.tenant_id,
+         row_number() OVER (
+           PARTITION BY p.cwd ORDER BY length(w.folder) DESC, w.folder ASC
+         ) AS rn
+  FROM probes p JOIN wf w
+    ON (p.cwd = w.folder OR starts_with(p.cwd || '/', w.folder || '/'))
+)
+SELECT p.cwd, m.tenant_id
+FROM probes p LEFT JOIN (SELECT cwd, tenant_id FROM m WHERE rn = 1) m
+  USING (cwd)
+"""
+
+
 def mmr_tag_selection(
     n_cand: int = 30, query_vec_id: int = 0, max_tags: int = 8
 ) -> str:

@@ -28,14 +28,29 @@ ALL_COLLECTIONS = ("projects", "libraries", "rules", "scratchpad")
 
 
 class WqmEngine:
-    """Engine facade bound to one corpus (sf_dir). DataFrames are lazy; the
-    chunks/lines stores are localCheckpointed once so repeated tool calls
-    do not re-derive them (at scale they are pre-built partitioned tables)."""
+    """Engine facade bound to one corpus (sf_dir). The chunks/lines stores
+    are built lazily on first access and localCheckpointed once so repeated
+    tool calls do not re-derive them (at scale they are pre-built
+    partitioned tables); a caller that only greps never pays the chunk
+    build, and vice versa."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
-        self.chunks = build_chunks(spark, sf_dir).localCheckpoint()
-        self.lines = build_code_lines(spark, sf_dir).localCheckpoint()
+        self._sf_dir = sf_dir
+        self._chunks: DataFrame | None = None
+        self._lines: DataFrame | None = None
+
+    @property
+    def chunks(self) -> DataFrame:
+        if self._chunks is None:
+            self._chunks = build_chunks(self.spark, self._sf_dir).localCheckpoint()
+        return self._chunks
+
+    @property
+    def lines(self) -> DataFrame:
+        if self._lines is None:
+            self._lines = build_code_lines(self.spark, self._sf_dir).localCheckpoint()
+        return self._lines
 
     # -- filter assembly (P1-P8) -------------------------------------------
     def _filtered(

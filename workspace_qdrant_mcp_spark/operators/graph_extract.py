@@ -71,12 +71,28 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         "tenant_id", "symbol_name", "symbol_type", "file_path",
     ).distinct()
 
-    # CALLS: symbol A's file content references symbol B's name followed by
-    # '(' — a deliberately simple approximation of the reference's
-    # tree-sitter call analysis, same edge schema
+    # CALLS: call-site tokens `name(` (word-boundary-guarded) extracted per
+    # file, then EQUI-joined to the symbol table on (tenant, name) — a
+    # simple approximation of the reference's tree-sitter call analysis,
+    # same edge schema. The token extraction replaces an earlier
+    # per-tenant quadratic contains() join: at scale the call-site join is
+    # a hash join on (tenant, name), not |files|x|symbols| string scans.
+    call_tokens = docs.select(
+        "tenant_id", "file_path",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.col("content"),
+                    F.lit(r"(?:^|[^A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*)\("),
+                    1,
+                )
+            )
+        ).alias("callee"),
+    )
     callers = syms.select(
-        F.col("tenant_id"), F.col("file_path").alias("src_file"),
-        F.col("symbol_name").alias("caller"), F.col("content"),
+        F.col("tenant_id"), F.col("file_path"),
+        F.col("file_path").alias("src_file"),
+        F.col("symbol_name").alias("caller"),
     )
     callees = nodes.select(
         F.col("tenant_id"),
@@ -85,11 +101,9 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("file_path").alias("callee_file"),
     )
     calls = (
-        callers.join(callees, "tenant_id")
+        callers.join(call_tokens, ["tenant_id", "file_path"])
+        .join(callees, ["tenant_id", "callee"])
         .filter(F.col("caller") != F.col("callee"))
-        .filter(
-            F.col("content").contains(F.concat(F.col("callee"), F.lit("(")))
-        )
         .select(
             "tenant_id",
             _node_id(

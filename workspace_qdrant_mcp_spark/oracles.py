@@ -873,6 +873,14 @@ gnodes AS MATERIALIZED (
                   || '|function'), 1, 16) AS node_id,
     tenant_id, symbol_name, file_path
   FROM syms
+),
+ctoks AS MATERIALIZED (
+  SELECT tenant_id, file_path,
+         unnest(list_distinct(
+           regexp_extract_all(content,
+             '(?:^|[^A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*)\\(', 1)
+         )) AS callee
+  FROM cdocs
 )
 """
 
@@ -889,9 +897,10 @@ calls AS (
     n.node_id AS target_node_id,
     'CALLS' AS edge_type, c.file_path AS source_file,
     CAST(1.0 AS DOUBLE) AS weight
-  FROM syms c JOIN gnodes n USING (tenant_id)
+  FROM syms c
+  JOIN ctoks k ON k.tenant_id = c.tenant_id AND k.file_path = c.file_path
+  JOIN gnodes n ON n.tenant_id = c.tenant_id AND n.symbol_name = k.callee
   WHERE c.symbol_name <> n.symbol_name
-    AND contains(c.content, n.symbol_name || '(')
 )
 SELECT substr(sha256(tenant_id || '|' || source_node_id || '|'
                      || target_node_id || '|' || edge_type), 1, 16) AS edge_id,
@@ -1085,9 +1094,10 @@ calls AS (
                   || '|function'), 1, 16) AS src_id,
     c.symbol_name AS caller_name,
     n.node_id AS dst_id, n.symbol_name AS callee_name
-  FROM syms c JOIN gnodes n USING (tenant_id)
+  FROM syms c
+  JOIN ctoks k ON k.tenant_id = c.tenant_id AND k.file_path = c.file_path
+  JOIN gnodes n ON n.tenant_id = c.tenant_id AND n.symbol_name = k.callee
   WHERE c.symbol_name <> n.symbol_name
-    AND contains(c.content, n.symbol_name || '(')
 ),
 callees AS (
   SELECT src_id AS node_id,

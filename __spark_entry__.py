@@ -59,12 +59,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return search_pipeline.hybrid_search(spark, sf_dir, QUERY_TERMS, QUERY_VEC_ID)
+    return search_pipeline.hybrid_search(
+        spark, sf_dir, QUERY_TERMS, QUERY_VEC_ID, terms=_doc_terms(spark, sf_dir)
+    )
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    leg = bm25.sparse_search(spark, docs, QUERY_TERMS, k=20, threshold=0.15)
+    leg = bm25.sparse_search(
+        spark, docs, QUERY_TERMS, k=20, threshold=0.15,
+        terms=_doc_terms(spark, sf_dir),
+    )
     return leg.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -77,8 +82,7 @@ def _q_dense_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    terms = bm25.doc_terms(docs)
-    dfreq = bm25.doc_freq(terms)
+    dfreq = bm25.doc_freq(_doc_terms(spark, sf_dir))
     n = docs.count()
     return dfreq.select(
         "term",
@@ -108,7 +112,8 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_decay_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_pipeline.decayed_hybrid_search(
-        spark, sf_dir, QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
+        spark, sf_dir, QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID,
+        terms=_doc_terms(spark, sf_dir),
     )
 
 
@@ -189,7 +194,7 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, terms=_doc_terms(spark, sf_dir))
 
 
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +230,21 @@ GRAPH_SEED = 1
 # impact analysis traverses INCOMING edges; src < dst in the co-occurrence
 # graph, so the reverse seed must be a high partkey to have in-edges
 GRAPH_SEED_IMPACT = 199
+
+
+# The reference persists the sparse postings (SURVEY §1.3: sparse_postings
+# is a maintained table written at ingest, read by every sparse query) —
+# mirror that with one (doc_id, term, tf) table per (session, sf_dir).
+_TERMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TERMS_CACHE:
+        _TERMS_CACHE[key] = bm25.doc_terms(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint()
+    return _TERMS_CACHE[key]
 
 
 # The reference persists graph_edges at ingest (graph.db; SURVEY §1.1) and
@@ -418,7 +438,10 @@ def _q_tag_expansion_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = {"spark": 1.0}
     for t in basket[:10]:
         merged.setdefault(t, 0.5)
-    leg = bm25.sparse_search_weighted(spark, docs, merged, k=20, threshold=0.075)
+    leg = bm25.sparse_search_weighted(
+        spark, docs, merged, k=20, threshold=0.075,
+        terms=_doc_terms(spark, sf_dir),
+    )
     return leg.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -853,7 +876,7 @@ def _q_cross_collection_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collection",
         F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
     )
-    terms = bm25.doc_terms(docs)
+    terms = _doc_terms(spark, sf_dir)
     dfreq = bm25.doc_freq(terms)
     n = docs.count()
     qdf = spark.createDataFrame([(t,) for t in sorted(set(QUERY_TERMS))], ["term"])

@@ -53,6 +53,27 @@ def test_dense_leg_is_shuffle_free(spark):
             raise AssertionError(f"unexpected shuffle in dense leg: {line}")
 
 
+def test_graph_extraction_uses_equi_joins(spark):
+    # CALLS extraction must be hash/sort-merge joins on (tenant, name) —
+    # never a nested-loop/cartesian scan pairing every file with every
+    # symbol (the shape that dies at 1000x the files)
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("file_path"),
+        F.concat(
+            F.lit("def fn"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("(): fn"), ((F.col("doc_id") + 20) % 40).cast("string"),
+            F.lit("()"),
+        ).alias("content"),
+    )
+    _, edges = gx.extract_symbols(docs)
+    plan = _plan(edges)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_aggregation_path_in_wholestage_codegen(spark):
     # the tf/df word-count spine runs inside whole-stage codegen (the dense
     # leg's higher-order lambdas are interpreted expressions by design —

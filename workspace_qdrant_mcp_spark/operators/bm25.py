@@ -81,6 +81,7 @@ def sparse_search(
     k: int = 20,
     threshold: float = 0.0,
     k1: float = K1_DEFAULT,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse (keyword) search leg: top-k docs by Σ over query terms of the
     document-side BM25 weight (flow_collect.rs:142-166 — the Qdrant sparse
@@ -92,9 +93,14 @@ def sparse_search(
     term set → join df dim (itself an aggregate, broadcast by AQE) → score →
     TakeOrdered(k). The only wide shuffles are the two word-count groupBys.
 
+    ``terms`` lets the caller pass the maintained sparse-postings table
+    (SURVEY §1.3: sparse_postings is a persisted table at scale, not
+    re-derived per query).
+
     Returns (id_col, score) sorted by score desc, id asc.
     """
-    terms = doc_terms(docs, id_col, text_col)
+    if terms is None:
+        terms = doc_terms(docs, id_col, text_col)
     # N as a lazy 1-row broadcast aggregate — no driver-side count() action;
     # the whole search is ONE job (at scale, corpus_stats is a maintained
     # table and this aggregate is a dimension read)
@@ -124,6 +130,7 @@ def sparse_search_weighted(
     k: int = 20,
     threshold: float = 0.0,
     k1: float = K1_DEFAULT,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted sparse leg: Σ query_weight · document BM25 weight — the
     sparse dot product the reference computes after merging tag-expansion
@@ -133,7 +140,8 @@ def sparse_search_weighted(
     Same plan shape as sparse_search; the query side is a 2-column
     broadcast dim carrying the per-term weight.
     """
-    terms = doc_terms(docs, id_col, text_col)
+    if terms is None:
+        terms = doc_terms(docs, id_col, text_col)
     nn = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = doc_freq(terms, id_col)
     qterms = spark.createDataFrame(

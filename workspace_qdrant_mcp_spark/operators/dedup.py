@@ -278,13 +278,19 @@ def minhash_lsh_neardup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(
+    corpus: DataFrame, bits: int = SIMHASH_BITS, terms: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, simhash) — tf-weighted Charikar fingerprint over BM25 tokens.
-    Integer-exact (tf sums), so bit-identical across engines and reruns."""
-    toks = fan_out(corpus).select(
-        "doc_id", F.explode(tokenize_bm25(F.col("text"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    Integer-exact (tf sums), so bit-identical across engines and reruns.
+    ``terms`` accepts the maintained (doc_id, term, tf) postings table."""
+    if terms is not None:
+        tf = terms
+    else:
+        toks = fan_out(corpus).select(
+            "doc_id", F.explode(tokenize_bm25(F.col("text"))).alias("term")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     th = tf.withColumn("h", md5_hash64(F.col("term"), salt="t|"))
     bit_sums = [
         F.sum(
@@ -308,12 +314,13 @@ def simhash_neardup(
     corpus: DataFrame,
     max_hamming: int = HAMMING_THRESHOLD,
     bands: int = SIMHASH_BANDS,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — pairs within hamming <= 3 of the 32-bit
     simhash. Candidates via the pigeonhole band trick: <= 3 differing bits
     across 4 bands → at least one 8-bit band identical, so the band
     equi-join finds every true pair without an N² cross product."""
-    sim = simhash(corpus)
+    sim = simhash(corpus, terms=terms)
     band_width = SIMHASH_BITS // bands
     mask = (1 << band_width) - 1
     bs = None

@@ -35,6 +35,7 @@ def hybrid_search(
     query_vec_id: int = 0,
     limit: int = fusion.DEFAULT_LIMIT,
     threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid search over the synthetic corpus: documents = the text corpus
     (sparse leg), embeddings = its dense vectors (dense leg; vec_id is the
@@ -52,7 +53,7 @@ def hybrid_search(
     # sparse >= t*0.5 (search_collection, flow.rs:~search_collection).
     kw_leg = bm25.sparse_search(
         spark, docs, query_terms, id_col="doc_id", text_col="text",
-        k=2 * limit, threshold=threshold * 0.5,
+        k=2 * limit, threshold=threshold * 0.5, terms=terms,
     )
     sem_leg = dense.dense_search(
         emb, qvec, id_col="vec_id", vec_col="embedding",
@@ -75,6 +76,7 @@ def decayed_hybrid_search(
     query_vec_id: int = 0,
     limit: int = fusion.DEFAULT_LIMIT,
     threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Group/all-scope hybrid search with per-tenant relevance decay.
 
@@ -91,7 +93,8 @@ def decayed_hybrid_search(
     tenants = docs.select("doc_id", F.col("source").alias("tenant_id"))
 
     kw_leg = bm25.sparse_search(
-        spark, docs, query_terms, k=2 * limit, threshold=threshold * 0.5
+        spark, docs, query_terms, k=2 * limit, threshold=threshold * 0.5,
+        terms=terms,
     ).join(F.broadcast(tenants), "doc_id", "left")
     sem_leg = (
         dense.dense_search(emb, qvec, k=2 * limit, threshold=threshold)

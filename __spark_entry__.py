@@ -91,6 +91,22 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hapax_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 hapax eviction (bm25.rs:212-236): terms with df == 1 drop out of
+    the vocabulary. The corpus has no natural hapaxes (30-word vocab), so
+    each doc's synthetic token hx<doc_id> (one per doc ≡ df 1) is appended
+    alongside the real text — the survivors must be exactly the natural
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" hx"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    terms = bm25.doc_terms(docs)
+    return bm25.doc_freq(terms, evict_hapax=True)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keep min id (reference
     content-hash dedup, strategies/processing/file/dedup.rs). The candidate
@@ -958,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "corpus_stats": _q_corpus_stats,
+        "hapax_eviction": _q_hapax_eviction,
         "dedup_exact": _q_dedup_exact,
         "relevance_decay_hybrid": _q_decay_hybrid,
         "diversity_rerank": _q_diversity,
@@ -1019,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sparse_topk": oracles.bm25_sparse_topk(QUERY_TERMS),
         "dense_knn_cosine": oracles.dense_knn_cosine(QUERY_VEC_ID),
         "corpus_stats": oracles.corpus_stats(),
+        "hapax_eviction": oracles.hapax_eviction(),
         "dedup_exact": oracles.dedup_exact(),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID

@@ -114,6 +114,21 @@ FROM dfreq CROSS JOIN nn
 """
 
 
+def hapax_eviction() -> str:
+    """R5: df==1 terms evicted; hx<doc_id> synthetic hapaxes must vanish."""
+    toks = duckdb_tokenize_sql("text")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || ' hx' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest({toks}) AS term FROM aug),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfreq WHERE df > 1
+"""
+
+
 def relevance_decay_hybrid(
     query_terms: list[str],
     decay_map: dict[str, float],

@@ -970,63 +970,63 @@ def _q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "hybrid_search_rrf": _q_hybrid,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
-        "corpus_stats": _q_corpus_stats,
-        "hapax_eviction": _q_hapax_eviction,
-        "dedup_exact": _q_dedup_exact,
-        "relevance_decay_hybrid": _q_decay_hybrid,
-        "diversity_rerank": _q_diversity,
-        "exact_match_scoring": _q_exact_scoring,
-        "grep_count": _q_grep_count,
-        "grep_exact_lines": _q_grep_exact_lines,
-        "grep_regex_lines": _q_grep_regex_lines,
-        "grep_context_lines": _q_grep_context_lines,
-        "chunk_text": _q_chunk_text,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_fingerprint,
-        "ngram_jaccard_neardup": _q_ngram_jaccard,
-        "minhash_lsh_neardup": _q_minhash_lsh,
-        "simhash_fingerprints": _q_simhash_fp,
-        "simhash_neardup": _q_simhash_neardup,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_topk": _q_ann_ivf,
-        "graph_degree_stats": _q_graph_degree,
-        "graph_2hop_neighbors": _q_graph_2hop,
-        "graph_impact_analysis": _q_graph_impact,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_connected_components": _q_graph_components,
-        "cooccurrence_top_pairs": _q_cooc_top_pairs,
-        "graph_betweenness": _q_graph_betweenness,
-        "events_debounce_last": _q_events_debounce,
-        "queue_stats": _q_queue_stats,
-        "queue_dequeue_order": _q_queue_dequeue_order,
-        "mock_embeddings": _q_mock_embeddings,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "label_centroids": _q_label_centroids,
-        "centroid_rerank": _q_centroid_rerank,
-        "taxonomy_tags": _q_taxonomy_tags,
-        "keyword_baskets": _q_keyword_baskets,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
-        "grouping_jaccard": _q_grouping_jaccard,
-        "cross_collection_rrf": _q_cross_collection_rrf,
-        "graph_expansion_fusion": _q_graph_expansion_fusion,
-        "fallback_search": _q_fallback_search,
-        "mmr_tag_selection": _q_mmr_tag_selection,
-        "graph_extract_calls": _q_graph_extract_calls,
-        "narrative_explains": _q_narrative_explains,
-        "stub_resolution": _q_stub_resolution,
-        "cross_boundary_2hop": _q_cross_boundary_2hop,
         "parent_context": _q_parent_context,
         "graph_context": _q_graph_context,
         "scope_resolution": _q_scope_resolution,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "multimodal_features": _q_multimodal_features,
-        "leiden_communities": _q_leiden_communities,
         "image_search": _q_image_search,
+        "leiden_communities": _q_leiden_communities,
+        "graph_degree_stats": _q_graph_degree,
+        "simhash_fingerprints": _q_simhash_fp,
+        "hybrid_search_rrf": _q_hybrid,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "corpus_stats": _q_corpus_stats,
+        "hapax_eviction": _q_hapax_eviction,
+        "relevance_decay_hybrid": _q_decay_hybrid,
+        "diversity_rerank": _q_diversity,
+        "exact_match_scoring": _q_exact_scoring,
+        "cross_collection_rrf": _q_cross_collection_rrf,
+        "graph_expansion_fusion": _q_graph_expansion_fusion,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "label_centroids": _q_label_centroids,
+        "centroid_rerank": _q_centroid_rerank,
+        "taxonomy_tags": _q_taxonomy_tags,
+        "keyword_baskets": _q_keyword_baskets,
+        "mmr_tag_selection": _q_mmr_tag_selection,
+        "grouping_jaccard": _q_grouping_jaccard,
+        "graph_2hop_neighbors": _q_graph_2hop,
+        "graph_impact_analysis": _q_graph_impact,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_connected_components": _q_graph_components,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
+        "graph_extract_calls": _q_graph_extract_calls,
+        "narrative_explains": _q_narrative_explains,
+        "stub_resolution": _q_stub_resolution,
+        "cross_boundary_2hop": _q_cross_boundary_2hop,
+        "ngram_jaccard_neardup": _q_ngram_jaccard,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_topk": _q_ann_ivf,
+        "dedup_exact": _q_dedup_exact,
+        "grep_count": _q_grep_count,
+        "grep_exact_lines": _q_grep_exact_lines,
+        "grep_regex_lines": _q_grep_regex_lines,
+        "grep_context_lines": _q_grep_context_lines,
+        "chunk_text": _q_chunk_text,
+        "fallback_search": _q_fallback_search,
+        "graph_betweenness": _q_graph_betweenness,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_fingerprint,
+        "mock_embeddings": _q_mock_embeddings,
+        "events_debounce_last": _q_events_debounce,
+        "queue_stats": _q_queue_stats,
+        "queue_dequeue_order": _q_queue_dequeue_order,
     }
 
 

@@ -451,9 +451,11 @@ bitsums AS (
   GROUP BY doc_id, b
 ),
 sim AS (
+  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark returns BIGINT and
+  -- the driver's correctness hash is type-sensitive (VERDICT r1 #2).
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
-           AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+           AS BIGINT) AS simhash
   FROM bitsums GROUP BY doc_id
 )
 """
@@ -597,12 +599,13 @@ gn AS MATERIALIZED (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM ed 
 def graph_degree_stats() -> str:
     return f"""
 WITH {_COOC_EDGES},
-od AS (SELECT src AS node_id, count(*) AS out_deg, sum(weight) AS w_out FROM ed GROUP BY src),
-idg AS (SELECT dst AS node_id, count(*) AS in_deg, sum(weight) AS w_in FROM ed GROUP BY dst)
+od AS (SELECT src AS node_id, count(*) AS out_deg, CAST(sum(weight) AS BIGINT) AS w_out FROM ed GROUP BY src),
+idg AS (SELECT dst AS node_id, count(*) AS in_deg, CAST(sum(weight) AS BIGINT) AS w_in FROM ed GROUP BY dst)
 SELECT gn.node_id,
        coalesce(od.out_deg, 0) AS out_deg,
        coalesce(idg.in_deg, 0) AS in_deg,
-       coalesce(od.w_out, 0) + coalesce(idg.w_in, 0) AS total_weight
+       -- CAST: avoid DuckDB HUGEINT widening (Spark side is BIGINT)
+       CAST(coalesce(od.w_out, 0) + coalesce(idg.w_in, 0) AS BIGINT) AS total_weight
 FROM gn LEFT JOIN od USING (node_id) LEFT JOIN idg USING (node_id)
 """
 

@@ -21,11 +21,30 @@ def hybrid_fuse(sem_leg: DataFrame, kw_leg: DataFrame, id_cols: list[str]) -> Da
     (fusion.rs:170-171). The emptiness probe is a head(1) on an
     already-top-k leg — a few-row action, same cost class as the
     reference's in-memory check."""
+    # Materialize each bounded top-k leg once (localCheckpoint, eager) so
+    # the emptiness probes and the downstream fusion share one scan — the
+    # lazy legs would otherwise re-run their full corpus scan+top-k for the
+    # probe AND again for the fusion (VERDICT r1 #4).
+    sem_leg = sem_leg.localCheckpoint()
+    kw_leg = kw_leg.localCheckpoint()
     sem_empty = len(sem_leg.take(1)) == 0
     kw_empty = len(kw_leg.take(1)) == 0
     if sem_empty or kw_empty:
         return sem_leg.unionByName(kw_leg)
     return fusion.rrf_fuse({"semantic": sem_leg, "keyword": kw_leg}, id_cols)
+
+
+def enrich_with_tenants(leg: DataFrame, tenants: DataFrame) -> DataFrame:
+    """Attach tenant_id to a bounded (<=2*limit) result leg.
+
+    The tenant map is corpus-sized (one row per document) — NEVER broadcast
+    it whole (at 100 TB that's billions of rows; VERDICT r1 #3). Prune it to
+    the leg's ids first with a broadcast LEFT SEMI join (the small leg is
+    the only broadcast side), then broadcast the pruned map into the
+    enrichment join. Same pattern as dedup's candidate-pruned verify join.
+    """
+    pruned = tenants.join(F.broadcast(leg.select("doc_id")), "doc_id", "left_semi")
+    return leg.join(F.broadcast(pruned), "doc_id", "left")
 
 
 def hybrid_search(
@@ -92,18 +111,22 @@ def decayed_hybrid_search(
     qvec = emb.filter(F.col("vec_id") == query_vec_id).select("embedding")
     tenants = docs.select("doc_id", F.col("source").alias("tenant_id"))
 
-    kw_leg = bm25.sparse_search(
+    kw_raw = bm25.sparse_search(
         spark, docs, query_terms, k=2 * limit, threshold=threshold * 0.5,
         terms=terms,
-    ).join(F.broadcast(tenants), "doc_id", "left")
-    sem_leg = (
+    ).localCheckpoint()
+    sem_raw = (
         dense.dense_search(emb, qvec, k=2 * limit, threshold=threshold)
         .withColumnRenamed("vec_id", "doc_id")
-        .join(F.broadcast(tenants), "doc_id", "left")
+        .localCheckpoint()
     )
 
-    kw_leg = fusion.apply_decay(kw_leg, decay_map).select("doc_id", "score")
-    sem_leg = fusion.apply_decay(sem_leg, decay_map).select("doc_id", "score")
+    kw_leg = fusion.apply_decay(
+        enrich_with_tenants(kw_raw, tenants), decay_map
+    ).select("doc_id", "score")
+    sem_leg = fusion.apply_decay(
+        enrich_with_tenants(sem_raw, tenants), decay_map
+    ).select("doc_id", "score")
 
     fused = hybrid_fuse(sem_leg, kw_leg, ["doc_id"])
     return (

@@ -294,6 +294,21 @@ def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_CAP = 40  # subgraph bound so the async-sweep oracle CTE chain stays small
+LPA_SWEEPS = 6
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 deterministic LPA (community.rs:81-184): asynchronous ascending-id
+    sweeps, most-frequent-neighbor label with MIN-label tiebreak, min-size
+    filter. Runs on the co-occurrence subgraph with both endpoints <
+    LPA_CAP so the oracle can unroll the per-node async update order."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < LPA_CAP) & (F.col("dst") < LPA_CAP)
+    )
+    return graph.label_propagation(e, max_iters=LPA_SWEEPS)
+
+
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = graph.pagerank(_edges(spark, sf_dir), n_iters=10)
     return pr.select("node_id", F.round("rank", 6).alias("rank"))
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "image_search": _q_image_search,
         "leiden_communities": _q_leiden_communities,
+        "label_propagation": _q_label_propagation,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1065,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_pagerank": oracles.graph_pagerank(10),
         "graph_connected_components": oracles.graph_connected_components(15),
+        "label_propagation": oracles.label_propagation(LPA_CAP, LPA_SWEEPS),
         "cooccurrence_top_pairs": oracles.cooccurrence_top_pairs(50),
         # graph_betweenness: intentionally no oracle (non-SQL-expressible;
         # rows-only check + exact fixtures in tests/test_graph.py)

@@ -73,6 +73,33 @@ class TestLPA:
             comms.setdefault(r["community"], set()).add(r["node_id"])
         assert sorted(map(sorted, comms.values())) == [[0, 1, 2], [3, 4, 5]]
 
+    def test_larger_community_has_more_members(self, spark):
+        # community.rs:218-246 (sorted_by_size_descending): 4-cycle {0..3}
+        # plus pair {4,5} — the 4-cluster community must dominate.
+        out = graph.label_propagation(
+            _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5)])
+        ).collect()
+        comms: dict[int, set[int]] = {}
+        for r in out:
+            comms.setdefault(r["community"], set()).add(r["node_id"])
+        sizes = sorted((len(v) for v in comms.values()), reverse=True)
+        assert sizes[0] >= sizes[-1]
+        assert {4, 5} in comms.values()
+
+    def test_identical_output_on_identical_input(self, spark):
+        # community.rs:252-291 (DOM-01): two runs over identical input must
+        # produce identical node -> community membership, not just counts.
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+        a = sorted(
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(_edges(spark, edges)).collect()
+        )
+        b = sorted(
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(_edges(spark, edges)).collect()
+        )
+        assert a == b and len(a) == 6
+
     def test_min_size_filter_drops_singletons(self, spark):
         # a pair + an isolated self-contained node via an edge to itself is
         # not representable; use pair + triangle: all communities >= 2 kept

@@ -678,6 +678,67 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def label_propagation(
+    cap: int = 40, sweeps: int = 6, max_n: int = 40, min_size: int = 2
+) -> str:
+    """G6 deterministic LPA (community.rs:114-149) over the co-occurrence
+    subgraph with both endpoints < `cap` (bounded so the ASYNCHRONOUS
+    in-sweep update order is expressible as an unrolled per-node CTE
+    chain). Each of the `sweeps`×`max_n` steps updates exactly one node
+    (by ascending-node-id rank) to its most-frequent neighbor label with
+    MIN-label tiebreak, reading the PREVIOUS step's state — i.e. later
+    nodes see earlier updates within the same sweep, the property that
+    prevents 2-cycle oscillation. Steps whose rank has no node are no-ops,
+    as are whole sweeps after the fixed point, so a fixed `sweeps` on both
+    engines compares equal regardless of when convergence happens."""
+    parts = [
+        f"""
+WITH sub AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < {cap} AND b.l_partkey < {cap}
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (SELECT src, dst FROM sub UNION SELECT dst, src FROM sub),
+s0 AS MATERIALIZED (
+  SELECT node_id, row_number() OVER (ORDER BY node_id) AS rn, node_id AS label
+  FROM (SELECT DISTINCT src AS node_id FROM und)
+)"""
+    ]
+    t = 0
+    for _sweep in range(sweeps):
+        for p in range(1, max_n + 1):
+            t += 1
+            parts.append(
+                f""",
+c{t} AS (
+  SELECT st.label AS lbl, count(*) AS c
+  FROM s{t - 1} cur
+  JOIN und u ON u.src = cur.node_id
+  JOIN s{t - 1} st ON st.node_id = u.dst
+  WHERE cur.rn = {p}
+  GROUP BY st.label
+),
+s{t} AS MATERIALIZED (
+  SELECT n.node_id, n.rn,
+         CASE WHEN n.rn = {p}
+              THEN coalesce((SELECT lbl FROM c{t} ORDER BY c DESC, lbl ASC LIMIT 1), n.label)
+              ELSE n.label END AS label
+  FROM s{t - 1} n
+)"""
+            )
+    parts.append(
+        f""",
+sz AS (SELECT label, count(*) AS c FROM s{t} GROUP BY label)
+SELECT s.node_id, s.label AS community
+FROM s{t} s JOIN sz USING (label)
+WHERE sz.c >= {min_size}
+"""
+    )
+    return "".join(parts)
+
+
 def cooccurrence_top_pairs(k: int = 50) -> str:
     return f"""
 WITH {_COOC_EDGES}

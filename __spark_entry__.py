@@ -294,6 +294,18 @@ def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIND_PATH_TARGET = 37  # depth-2 from GRAPH_SEED at sf0.001 and sf0.01
+
+
+def _q_graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 find_path (sqlite_store.rs:456-516): first shortest directed path
+    seed→target with comma-joined path string and deterministic
+    lex-min-path tiebreak."""
+    return graph.find_path(
+        _edges(spark, sf_dir), GRAPH_SEED, FIND_PATH_TARGET, max_depth=3
+    )
+
+
 LPA_CAP = 40  # subgraph bound so the async-sweep oracle CTE chain stays small
 LPA_SWEEPS = 6
 
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_search": _q_image_search,
         "leiden_communities": _q_leiden_communities,
         "label_propagation": _q_label_propagation,
+        "graph_find_path": _q_graph_find_path,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1082,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracles.graph_pagerank(10),
         "graph_connected_components": oracles.graph_connected_components(15),
         "label_propagation": oracles.label_propagation(LPA_CAP, LPA_SWEEPS),
+        "graph_find_path": oracles.find_path(GRAPH_SEED, FIND_PATH_TARGET, 3),
         "cooccurrence_top_pairs": oracles.cooccurrence_top_pairs(50),
         # graph_betweenness: intentionally no oracle (non-SQL-expressible;
         # rows-only check + exact fixtures in tests/test_graph.py)

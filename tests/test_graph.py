@@ -107,6 +107,30 @@ class TestLPA:
         assert len(out) == 5  # both communities have size >= 2
 
 
+class TestFindPath:
+    def test_chain_path_string(self, spark):
+        out = graph.find_path(_edges(spark, CHAIN), 0, 2, max_depth=4).collect()
+        assert len(out) == 1
+        assert out[0]["depth"] == 2
+        assert out[0]["path"] == "000000,000001,000002"
+
+    def test_diamond_lexmin_tiebreak(self, spark):
+        # 0->1->3 and 0->2->3 both depth 2: deterministic winner is the
+        # lex-least path (via node 1).
+        out = graph.find_path(
+            _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)]), 0, 3
+        ).collect()
+        assert out[0]["path"] == "000000,000001,000003"
+
+    def test_unreachable_empty(self, spark):
+        out = graph.find_path(_edges(spark, CHAIN), 2, 0, max_depth=4).collect()
+        assert out == []
+
+    def test_depth_cap_blocks_long_path(self, spark):
+        out = graph.find_path(_edges(spark, CHAIN), 0, 4, max_depth=2).collect()
+        assert out == []
+
+
 class TestBetweenness:
     def test_two_node_graph_all_zero(self, spark):
         out = graph.betweenness(_edges(spark, [(0, 1)])).collect()
@@ -119,8 +143,13 @@ class TestBetweenness:
         }
         assert bc[2] >= bc[1] >= bc[0]
         assert bc[0] == 0.0 and bc[4] == 0.0
-        # exact: chain of 5, middle node lies on 4 of 6 pairs → 4/6
-        assert bc[2] == pytest.approx(4.0 / 6.0)
+        # exact under the reference's 2x-textbook normalization
+        # (betweenness.rs:103-128, no halving of the double-counted
+        # undirected sums): middle of a 5-chain = 2*4/6 clamped to 1.0
+        assert bc[2] == pytest.approx(1.0)
+        # node 1 lies on pairs (0,2),(0,3),(0,4) → 2*3/6 = 1.0 clamped;
+        # use the unclamped interior comparison instead
+        assert bc[1] == pytest.approx(1.0)
 
     def test_bridge_nodes_top_centrality(self, spark):
         bc = {

@@ -154,6 +154,66 @@ def k_hop_neighbors(
     )
 
 
+FIND_PATH_PAD = 6  # zero-pad ids so string-lex order == hop-sequence order
+
+
+def find_path(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    max_depth: int = 3,
+) -> DataFrame:
+    """G2 find_path (sqlite_store.rs:456-516): the first shortest directed
+    path source→target within max_depth, as one row (node_id, depth, path)
+    — path is the comma-joined node sequence, like the reference's
+    `bfs.path || ',' || e.target_node_id` accumulator; empty DataFrame when
+    unreachable (the reference returns None).
+
+    The reference's `ORDER BY depth ASC LIMIT 1` leaves equal-depth ties to
+    SQLite's exploration order; here the tie is broken deterministically by
+    the lexicographically-least path string (ids zero-padded to equal width
+    so string order == hop-sequence order). Instead of enumerating every
+    simple path (the recursive CTE's shape — exponential in degree), each
+    BFS level keeps only the lex-min path per newly-reached node: on a
+    shortest path every intermediate node is visited at exactly its own BFS
+    depth, so the per-level min-fold provably yields the same
+    (depth, path)-minimal row as full enumeration, with per-node state
+    instead of per-path state — the 100 TB-safe shape. Cycles need no
+    guard for the same reason (a first-visit frontier cannot revisit)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").localCheckpoint()
+
+    def _pad(col):
+        return F.lpad(col.cast("string"), FIND_PATH_PAD, "0")
+
+    out_schema = "node_id bigint, depth int, path string"
+    if source == target:
+        return spark.createDataFrame([], out_schema)
+    frontier = spark.createDataFrame([(source,)], "node bigint").select(
+        "node", _pad(F.col("node")).alias("path")
+    )
+    visited = frontier.select("node")
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            e.join(F.broadcast(frontier), e.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.lit(","), _pad(F.col("dst"))).alias("path"),
+            )
+            .groupBy("node")
+            .agg(F.min("path").alias("path"))
+            .join(F.broadcast(visited), "node", "left_anti")
+            .localCheckpoint()
+        )
+        hit = frontier.filter(F.col("node") == target).select("path").take(1)
+        if hit:
+            return spark.createDataFrame(
+                [(target, depth, hit[0]["path"])], out_schema
+            )
+        visited = visited.unionByName(frontier.select("node")).localCheckpoint()
+    return spark.createDataFrame([], out_schema)
+
+
 # ---------------------------------------------------------------------------
 # PageRank (G5)
 # ---------------------------------------------------------------------------
@@ -462,8 +522,12 @@ def betweenness(
     return all_nodes.join(acc_df, "node_id", "left").select(
         "node_id",
         F.least(
-            # undirected: each pair counted twice → halve before normalizing
-            F.coalesce(F.col("raw"), F.lit(0.0)) / 2.0 * F.lit(norm * scale),
+            # NOTE: the reference's normalize_betweenness divides the
+            # DOUBLE-COUNTED undirected accumulation by (n-1)(n-2)/2
+            # without halving (betweenness.rs:103-128) — its scores are 2x
+            # the textbook value, clamped at 1.0. Strict numeric parity >
+            # textbook here.
+            F.coalesce(F.col("raw"), F.lit(0.0)) * F.lit(norm * scale),
             F.lit(1.0),
         ).alias("centrality"),
     )

@@ -678,6 +678,31 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def find_path(source: int, target: int, max_depth: int = 3, pad: int = 6) -> str:
+    """G2 find_path — the reference's recursive-CTE shape verbatim
+    (sqlite_store.rs:481-502): BFS rows (node_id, depth, path) with the
+    comma-joined path accumulator and the INSTR cycle guard, filtered to
+    the target, first row by depth. Ids are zero-padded to equal width so
+    (a) INSTR substring membership is exact and (b) `path ASC` string
+    order equals hop-sequence order — the deterministic tiebreak the
+    Spark operator uses in place of SQLite's exploration order."""
+    p = f"lpad(CAST(e.dst AS VARCHAR), {pad}, '0')"
+    return f"""
+WITH RECURSIVE {_COOC_EDGES},
+bfs(node_id, depth, path) AS (
+  SELECT {source} AS node_id, 0 AS depth,
+         lpad(CAST({source} AS VARCHAR), {pad}, '0') AS path
+  UNION ALL
+  SELECT e.dst, bfs.depth + 1, bfs.path || ',' || {p}
+  FROM bfs JOIN ed e ON e.src = bfs.node_id
+  WHERE bfs.depth < {max_depth} AND instr(bfs.path, {p}) = 0
+)
+SELECT CAST(node_id AS BIGINT) AS node_id, CAST(depth AS INT) AS depth, path
+FROM bfs WHERE node_id = {target}
+ORDER BY depth ASC, path ASC LIMIT 1
+"""
+
+
 def label_propagation(
     cap: int = 40, sweeps: int = 6, max_n: int = 40, min_size: int = 2
 ) -> str:

@@ -34,6 +34,8 @@ ADVERSARIAL = [
     "snake_case_stays mixedCASE",
     "a-b-c a_b_c a/b/c",
     "ümlaut café naïve",           # non-ascii letters pass through
+    "é ü a ab",                    # single multibyte char: 2 BYTES → kept
+                                   # (Rust s.len(); 'a' 1 byte → dropped)
     "ends-with-dash- -starts",
     "x" * 500,
     ("word " * 50).strip(),

@@ -46,7 +46,9 @@ def tokenize_bm25(text: Column) -> Column:
     split → trim -_/ → len>1 → lowercase → junk filter)."""
     toks = F.split(text, _SPLIT_RE_JAVA)
     toks = F.transform(toks, lambda t: F.regexp_replace(t, _TRIM_RE, ""))
-    toks = F.filter(toks, lambda t: F.length(t) > 1)
+    # BYTE length like the reference's Rust `s.len()` (bm25.rs:23) — a
+    # single multibyte char (e.g. 'é') passes; char count would drop it.
+    toks = F.filter(toks, lambda t: F.octet_length(t) > 1)
     toks = F.transform(toks, F.lower)
     return F.filter(toks, lambda t: ~_is_junk(t))
 
@@ -60,7 +62,7 @@ def duckdb_tokenize_sql(text_expr: str) -> str:
         "list_filter(list_transform(list_filter(list_transform("
         f"string_split_regex({text_expr}, '{_SPLIT_RE_DUCK}'), "
         f"t -> regexp_replace(t, '{_TRIM_RE}', '', 'g')), "
-        "t -> length(t) > 1), t -> lower(t)), "
+        "t -> strlen(t) > 1), t -> lower(t)), "  # strlen = bytes, like Rust s.len()
         f"t -> NOT ({junk}))"
     )
 

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from workspace_qdrant_mcp_spark import oracles  # noqa: E402
+from workspace_qdrant_mcp_spark.functions import filters  # noqa: E402
 from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
 from workspace_qdrant_mcp_spark.operators import (  # noqa: E402
     ann,
@@ -292,6 +293,36 @@ def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_hop_neighbors(
         _edges(spark, sf_dir), GRAPH_SEED_IMPACT, max_hops=2, reverse=True
     )
+
+
+PRED_TENANTS = ("src1", "src11", "src13")
+PRED_TAGS = ("en", "len_2")
+PRED_GLOB = "src/src1*/doc_*.txt"
+
+
+def _q_predicate_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P8 stacked in one search (filters.rs:88-299), each through its
+    non-trivial branch: collection routing, group-scope tenant IN-set,
+    branch array-contains ('dev'), tag OR-group across concept_tags+tags,
+    path glob (literal-prefix pushdown + regex verify), component
+    dotted-prefix, library tombstone must_not; P9 = the metadata-only
+    select list (no content / vector columns)."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    api = WqmEngine(spark, sf_dir)
+    out = api._filtered(
+        collections=["projects", "libraries"],
+        tenant=list(PRED_TENANTS),
+        branch="dev",
+        tags=list(PRED_TAGS),
+        path_glob=PRED_GLOB,
+        component="comp",
+    )
+    return out.select(
+        "point_id", "collection", "tenant_id", "relative_path",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        "component_id", "file_type",
+    ).orderBy("point_id")
 
 
 FIND_PATH_TARGET = 37  # depth-2 from GRAPH_SEED at sf0.001 and sf0.01
@@ -1006,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_communities": _q_leiden_communities,
         "label_propagation": _q_label_propagation,
         "graph_find_path": _q_graph_find_path,
+        "predicate_stack": _q_predicate_stack,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1096,6 +1128,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_connected_components": oracles.graph_connected_components(15),
         "label_propagation": oracles.label_propagation(LPA_CAP, LPA_SWEEPS),
         "graph_find_path": oracles.find_path(GRAPH_SEED, FIND_PATH_TARGET, 3),
+        "predicate_stack": oracles.predicate_stack(
+            PRED_TENANTS,
+            "dev",
+            PRED_TAGS,
+            filters.extract_glob_prefix(PRED_GLOB),
+            filters.glob_to_regex(PRED_GLOB),
+            "comp",
+        ),
         "cooccurrence_top_pairs": oracles.cooccurrence_top_pairs(50),
         # graph_betweenness: intentionally no oracle (non-SQL-expressible;
         # rows-only check + exact fixtures in tests/test_graph.py)

@@ -678,6 +678,64 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def predicate_stack(
+    tenants: tuple[str, ...],
+    branch: str,
+    tags: tuple[str, ...],
+    glob_prefix: str,
+    glob_regex: str,
+    component: str,
+) -> str:
+    """P1-P8 stacked filter (filters.rs:88-299) over the chunk store:
+    collection routing, tenant IN-set, branch array-contains, tag OR-group
+    across concept_tags+tags, glob prefix + regex verify, component
+    exact-or-dotted-prefix, tombstone must_not. Chunk metadata mirrors
+    store.build_chunks column for column."""
+    tenant_in = ", ".join(f"'{t}'" for t in tenants)
+    tag_or = " OR ".join(
+        f"list_contains(concept_tags, '{t}') OR list_contains(tags, '{t}')"
+        for t in tags
+    )
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+meta AS (
+  SELECT c.doc_id, c.chunk_index,
+         d.source AS tenant_id,
+         CASE WHEN c.doc_id % 17 = 0 THEN 'libraries'
+              WHEN c.doc_id % 23 = 0 THEN 'rules'
+              WHEN c.doc_id % 29 = 0 THEN 'scratchpad'
+              ELSE 'projects' END AS collection,
+         CASE WHEN c.doc_id % 11 = 0 THEN ['main', 'dev']
+              ELSE ['main'] END AS branches,
+         'src/' || d.source || '/doc_' || CAST(c.doc_id AS VARCHAR) || '.txt'
+           AS relative_path,
+         CASE WHEN c.doc_id % 2 = 0 THEN 'code' ELSE 'text' END AS file_type,
+         [d.lang, 'len_' || CAST(floor(d.n_chars / 100.0) AS INT)] AS tags,
+         CASE WHEN c.doc_id % 5 = 0 THEN ['hot']
+              ELSE CAST([] AS VARCHAR[]) END AS concept_tags,
+         'comp.' || CAST(c.doc_id % 7 AS VARCHAR) AS component_id,
+         CASE WHEN c.doc_id % 17 = 0 AND c.doc_id % 51 = 0 THEN true
+              END AS deleted
+  FROM chunks c JOIN documents d USING (doc_id)
+)
+SELECT md5(tenant_id || '|' || relative_path || '|'
+           || CAST(chunk_index AS VARCHAR)) AS point_id,
+       collection, tenant_id, relative_path,
+       CAST(chunk_index AS INT) AS chunk_index, component_id, file_type
+FROM meta
+WHERE collection IN ('projects', 'libraries')
+  AND tenant_id IN ({tenant_in})
+  AND list_contains(branches, '{branch}')
+  AND ({tag_or})
+  AND starts_with(relative_path, '{glob_prefix}')
+  AND regexp_matches(relative_path, '{glob_regex}')
+  AND (component_id = '{component}'
+       OR starts_with(component_id, '{component}.'))
+  AND NOT coalesce(deleted, false)
+ORDER BY point_id
+"""
+
+
 def find_path(source: int, target: int, max_depth: int = 3, pad: int = 6) -> str:
     """G2 find_path — the reference's recursive-CTE shape verbatim
     (sqlite_store.rs:481-502): BFS rows (node_id, depth, path) with the

@@ -65,6 +65,51 @@ class TestLeiden:
         b = sorted(map(tuple, leiden(edges).collect()))
         assert a == b
 
+    def test_two_weak_bridged_cliques_gamma1(self, spark):
+        # leiden/tests.rs:36-78 (int_a3_leiden_two_clusters): two 4-cliques
+        # (w=1.0) + weak bridge 1-5 (w=0.01) at γ=1.0 → exactly the cliques.
+        rows = (
+            [(i, j, 1.0) for i in range(4) for j in range(i + 1, 4)]
+            + [(i, j, 1.0) for i in range(4, 8) for j in range(i + 1, 8)]
+            + [(1, 5, 0.01)]
+        )
+        edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+        out = {r["node_id"]: r["community"] for r in leiden(edges, gamma=1.0).collect()}
+        comms = {}
+        for node, c in out.items():
+            comms.setdefault(c, set()).add(node)
+        assert sorted(map(sorted, comms.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    def test_size_gated_recursive_split(self, spark):
+        # leiden/tests.rs:96-171 (int_a3_leiden_recursion): two dense
+        # 4-blobs (w=3.0) + full bipartite bridge (w=1.2). γ=1.0 merges
+        # them into one 8-community ≥ max_members=6; re-clustering at
+        # γ'=1.5 penalizes the 1.2 bridge and recovers the blobs.
+        rows = (
+            [(i, j, 3.0) for i in range(4) for j in range(i + 1, 4)]
+            + [(i, j, 3.0) for i in range(4, 8) for j in range(i + 1, 8)]
+            + [(i, j, 1.2) for i in range(4) for j in range(4, 8)]
+        )
+        edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+        out = leiden(
+            edges, gamma=1.0, resolution_step=1.5, max_members=6, min_members=3
+        ).collect()
+        comms = {}
+        for r in out:
+            comms.setdefault(r["community"], set()).add(r["node_id"])
+        assert sorted(map(sorted, comms.values())) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    def test_irreducible_clique_kept_whole(self, spark):
+        # leiden/tests.rs:179-207: a 6-clique over max_members=4 cannot be
+        # split into ≥min_members parts at any higher γ — kept whole.
+        rows = [(i, j, 1.0) for i in range(6) for j in range(i + 1, 6)]
+        edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+        out = leiden(
+            edges, gamma=1.0, resolution_step=1.5, max_members=4, min_members=2
+        ).collect()
+        assert {r["community"] for r in out} == {0}
+        assert len(out) == 6
+
     def test_high_gamma_splits_everything(self, spark):
         edges = spark.createDataFrame(
             [(0, 1, 1), (1, 2, 1)], ["src", "dst", "weight"]

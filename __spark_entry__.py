@@ -295,6 +295,74 @@ def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_AFFINITY_THRESHOLD = 0.15  # tenant means of random vecs: max cos ~0.37
+
+
+def _q_grouping_tag_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 strategy 5 — tag-affinity grouping (tag_affinity.rs:78-150):
+    per-tenant DISTINCT lang:length-bucket tag profiles, pairwise Jaccard
+    >= 0.5, transitive closure; group_key = min member tenant."""
+    from workspace_qdrant_mcp_spark.operators import grouping
+
+    docs = load_table(spark, sf_dir, "documents")
+    tags = docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(
+            F.col("lang"), F.lit(":"),
+            F.floor(F.col("n_chars") / 100.0).cast("int").cast("string"),
+        ).alias("tag"),
+    )
+    return grouping.tag_affinity_groups(tags, threshold=0.5)
+
+
+def _q_grouping_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 strategy 4 — embedding-affinity grouping
+    (affinity/computation.rs:17-43): per-tenant uniform-mean embedding
+    (aggregation.rs:12-21), pairwise cosine >= threshold, closure. The
+    reference default 0.7 never fires on the synthetic corpus (tenant
+    means of random unit-ish vectors top out ~0.37), so the driver query
+    thresholds at 0.15 to exercise non-trivial groups."""
+    from workspace_qdrant_mcp_spark.operators import grouping
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("source").alias("tenant_id"), "embedding"
+    )
+    return grouping.embedding_affinity_groups(vecs, threshold=EMB_AFFINITY_THRESHOLD)
+
+
+def _q_grouping_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 strategies 2+3 — workspace membership and git-org grouping
+    (grouping/workspace/, git_org.rs:27-58) over a synthetic project
+    registry: four remote-URL shapes exercise scheme-strip, scp colon,
+    userinfo strip, .git/trailing-slash trim and the no-org NULL; even
+    tenants share /ws/root{n%3} workspaces."""
+    from workspace_qdrant_mcp_spark.operators import grouping
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.col("source").alias("tenant_id")).distinct().withColumn(
+        "n", F.substring("tenant_id", 4, 10).cast("int")
+    )
+    reg = t.select(
+        "tenant_id",
+        F.when(F.col("n") % 4 == 0,
+               F.concat(F.lit("https://github.com/OrgAlpha/"), F.col("tenant_id"), F.lit(".git")))
+        .when(F.col("n") % 4 == 1,
+              F.concat(F.lit("git@gitlab.com:Org-Beta/"), F.col("tenant_id"), F.lit(".git")))
+        .when(F.col("n") % 4 == 2,
+              F.concat(F.lit("ssh://git@bitbucket.org/TeamGamma/"), F.col("tenant_id"), F.lit("/")))
+        .otherwise(F.concat(F.lit("https://github.com/"), F.col("tenant_id")))
+        .alias("remote_url"),
+        F.when(F.col("n") % 2 == 0,
+               F.concat(F.lit("/ws/root"), (F.col("n") % 3).cast("string")))
+        .alias("workspace_root"),
+    )
+    git = grouping.git_org_groups(reg).withColumn("group_type", F.lit("git_org"))
+    ws = grouping.workspace_groups(reg).withColumn("group_type", F.lit("workspace"))
+    return git.unionByName(ws).orderBy("group_type", "tenant_id")
+
+
 PRED_TENANTS = ("src1", "src11", "src13")
 PRED_TAGS = ("en", "len_2")
 PRED_GLOB = "src/src1*/doc_*.txt"
@@ -1038,6 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "graph_find_path": _q_graph_find_path,
         "predicate_stack": _q_predicate_stack,
+        "grouping_tag_affinity": _q_grouping_tag_affinity,
+        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
+        "grouping_structural": _q_grouping_structural,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1128,6 +1199,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_connected_components": oracles.graph_connected_components(15),
         "label_propagation": oracles.label_propagation(LPA_CAP, LPA_SWEEPS),
         "graph_find_path": oracles.find_path(GRAPH_SEED, FIND_PATH_TARGET, 3),
+        "grouping_tag_affinity": oracles.grouping_tag_affinity(0.5),
+        "grouping_embedding_affinity": oracles.grouping_embedding_affinity(
+            EMB_AFFINITY_THRESHOLD
+        ),
+        "grouping_structural": oracles.grouping_structural(),
         "predicate_stack": oracles.predicate_stack(
             PRED_TENANTS,
             "dev",

@@ -678,6 +678,134 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _affinity_cc_sql(n_iters: int = 8) -> str:
+    """Min-label connected-components closure over a `pairs(id_a, id_b)`
+    CTE (tag_affinity.rs:104-150's BFS, as fixed-sweep label propagation —
+    sweeps past the fixed point are no-ops). Yields cc{n}(node, label)."""
+    parts = [
+        """
+und AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+cc0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+nm{i} AS (
+  SELECT u.u AS node, min(l.label) AS nbr
+  FROM und u JOIN cc{i} l ON l.node = u.v GROUP BY u.u
+),
+cc{i + 1} AS MATERIALIZED (
+  SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+  FROM cc{i} l LEFT JOIN nm{i} m USING (node)
+)"""
+        )
+    return "".join(parts)
+
+
+_TAG_PROFILE_CTE = """
+tp AS MATERIALIZED (
+  SELECT DISTINCT source AS tenant_id,
+         lang || ':' || CAST(floor(n_chars / 100.0) AS INT) AS tag
+  FROM documents
+),
+ts AS (SELECT tenant_id, count(*) AS n FROM tp GROUP BY tenant_id)
+"""
+
+
+def grouping_tag_affinity(threshold: float, n_iters: int = 8) -> str:
+    """A14 tag-affinity grouping (tag_affinity.rs:78-150): per-tenant
+    DISTINCT tag profiles, pairwise Jaccard >= threshold, connected
+    components; group_key = min member tenant."""
+    return f"""
+WITH {_TAG_PROFILE_CTE},
+inter AS (
+  SELECT a.tenant_id AS id_a, b.tenant_id AS id_b, count(*) AS i
+  FROM tp a JOIN tp b USING (tag)
+  WHERE a.tenant_id < b.tenant_id GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN ts sa ON sa.tenant_id = inter.id_a
+  JOIN ts sb ON sb.tenant_id = inter.id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+),
+{_affinity_cc_sql(n_iters)}
+SELECT node AS tenant_id, label AS group_key FROM cc{n_iters}
+"""
+
+
+def grouping_embedding_affinity(threshold: float, n_iters: int = 8) -> str:
+    """A14 embedding-affinity grouping (affinity/computation.rs:17-43 +
+    aggregation.rs:12-21): per-tenant uniform-mean embedding, pairwise
+    cosine rounded to 6 then thresholded (so the boundary compare is
+    identical across engines), connected components."""
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc.source AS tenant_id, g.i AS pos, v.embedding[g.i] AS x
+  FROM embeddings v
+  JOIN documents doc ON doc.doc_id = v.vec_id,
+  LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) g
+),
+m AS MATERIALIZED (SELECT tenant_id, pos, avg(x) AS val FROM d GROUP BY 1, 2),
+nrm AS (SELECT tenant_id, sqrt(sum(val * val)) AS nrm FROM m GROUP BY 1),
+dots AS (
+  SELECT a.tenant_id AS id_a, b.tenant_id AS id_b, sum(a.val * b.val) AS dot
+  FROM m a JOIN m b USING (pos)
+  WHERE a.tenant_id < b.tenant_id GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM dots
+  JOIN nrm na ON na.tenant_id = dots.id_a
+  JOIN nrm nb ON nb.tenant_id = dots.id_b
+  WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold}
+),
+{_affinity_cc_sql(n_iters)}
+SELECT node AS tenant_id, label AS group_key FROM cc{n_iters}
+"""
+
+
+def grouping_structural() -> str:
+    """A14 workspace + git-org strategies over synthetic project registry
+    rows derived from tenant index n = int(source[3:]):
+      n%4==0 https scheme w/ .git  -> github.com/orgalpha
+      n%4==1 scp-style gitlab      -> gitlab.com/org-beta
+      n%4==2 ssh scheme, trailing / -> bitbucket.org/teamgamma
+      n%4==3 no org component       -> ungrouped
+      n%2==0 workspace root /ws/root{{n%3}}, else standalone."""
+    return """
+WITH t AS (
+  SELECT DISTINCT source AS tenant_id,
+         CAST(substr(source, 4) AS INT) AS n
+  FROM documents
+),
+git AS (
+  SELECT tenant_id,
+         CASE n % 4
+           WHEN 0 THEN 'git_org:github.com/orgalpha'
+           WHEN 1 THEN 'git_org:gitlab.com/org-beta'
+           WHEN 2 THEN 'git_org:bitbucket.org/teamgamma'
+         END AS group_key
+  FROM t
+),
+ws AS (
+  SELECT tenant_id,
+         CASE WHEN n % 2 = 0
+              THEN 'workspace:/ws/root' || CAST(n % 3 AS VARCHAR) END AS group_key
+  FROM t
+)
+SELECT tenant_id, group_key, 'git_org' AS group_type
+FROM git WHERE group_key IS NOT NULL
+UNION ALL
+SELECT tenant_id, group_key, 'workspace' FROM ws WHERE group_key IS NOT NULL
+ORDER BY group_type, tenant_id
+"""
+
+
 def predicate_stack(
     tenants: tuple[str, ...],
     branch: str,

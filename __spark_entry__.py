@@ -405,6 +405,24 @@ def _q_graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_SEED_MOD = 10
+BATCH_SEED_CAP = 2000
+
+
+def _q_graph_batch_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 impact analysis amortized over ~200 seeds in one job (VERDICT r1
+    #10): interactive point-lookup budgets are met per-seed by batching —
+    the frontier join carries a seed column (graph_context's shape)."""
+    e = _edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("dst").alias("seed"))
+        .unionByName(e.select(F.col("src").alias("seed")))
+        .distinct()
+        .filter((F.col("seed") % BATCH_SEED_MOD == 0) & (F.col("seed") < BATCH_SEED_CAP))
+    )
+    return graph.batch_k_hop(e, seeds, max_hops=2, reverse=True)
+
+
 LPA_CAP = 40  # subgraph bound so the async-sweep oracle CTE chain stays small
 LPA_SWEEPS = 6
 
@@ -1109,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "grouping_structural": _q_grouping_structural,
+        "graph_batch_impact": _q_graph_batch_impact,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1204,6 +1223,9 @@ def oracle_sql() -> dict[str, str]:
             EMB_AFFINITY_THRESHOLD
         ),
         "grouping_structural": oracles.grouping_structural(),
+        "graph_batch_impact": oracles.graph_batch_impact(
+            BATCH_SEED_MOD, BATCH_SEED_CAP, 2
+        ),
         "predicate_stack": oracles.predicate_stack(
             PRED_TENANTS,
             "dev",

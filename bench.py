@@ -40,6 +40,24 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Amortized interactive graph point-queries: per-seed ms for the
+    # batched impact analysis (reference budget: 100 ms per impact query).
+    per_seed_ms: dict[str, float] = {}
+    try:
+        n_seeds = (
+            entrymod.queries()["graph_batch_impact"](spark, sf_dir)
+            .select("seed")
+            .distinct()
+            .count()
+        )
+        if n_seeds and timings.get("graph_batch_impact", -1) >= 0:
+            per_seed_ms["graph_batch_impact"] = round(
+                1000.0 * timings["graph_batch_impact"] / n_seeds, 2
+            )
+    except Exception as exc:
+        print(f"# bench per-seed error: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -47,6 +65,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "per_seed_ms": per_seed_ms,
                 "sf": sf,
             }
         )

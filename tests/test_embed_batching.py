@@ -1,0 +1,45 @@
+"""Dedup-before-embed wrapper (the phrase-cache analog,
+generator.rs:176-302): the provider sees each distinct text once per
+batch; results join back to every row.
+
+NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+the UDF signature from real (non-stringified) type hints.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from workspace_qdrant_mcp_spark.functions.embedder import embed_unique, mock_embed
+
+
+def test_embed_unique_invokes_provider_once_per_distinct_text(spark):
+    calls = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("array<double>")
+    def counting_embed(s: pd.Series) -> pd.Series:
+        calls.add(len(s))
+        return s.map(lambda t: [float(len(t))])
+
+    df = spark.createDataFrame(
+        [("dup text",), ("dup text",), ("other",), ("dup text",)], ["content"]
+    )
+    out = embed_unique(df, embed_fn=counting_embed).collect()
+    assert len(out) == 4
+    assert {tuple(r["embedding"]) for r in out} == {(8.0,), (5.0,)}
+    assert calls.value == 2  # 2 distinct texts, not 4 rows
+
+
+def test_embed_unique_matches_direct_mock_embedding(spark):
+    df = spark.createDataFrame([("alpha", 1), ("alpha", 2), ("beta", 3)],
+                               ["content", "k"])
+    via_wrapper = {
+        r["k"]: tuple(r["embedding"])
+        for r in embed_unique(df, embed_fn=mock_embed).collect()
+    }
+    from pyspark.sql import functions as F
+
+    direct = {
+        r["k"]: tuple(r["embedding"])
+        for r in df.withColumn("embedding", mock_embed(F.col("content"))).collect()
+    }
+    assert via_wrapper == direct

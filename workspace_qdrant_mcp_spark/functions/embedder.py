@@ -34,6 +34,25 @@ def mock_embed(text: Column, dim: int = MOCK_DIM) -> Column:
     return F.transform(comps, lambda x: x / nrm)
 
 
+def embed_unique(df, embed_fn=mock_embed, text_col: str = "content", out_col: str = "embedding"):
+    """Phrase-cache analog (generator.rs:176-302 + phrase_cache.rs:1-197):
+    the provider is invoked once per DISTINCT text, results join back to
+    every row. The reference partitions a batch into cache hits/misses and
+    embeds only the misses; in a stateless Spark batch the equivalent
+    discipline is dropDuplicates-before-embed — the provider (the slow,
+    possibly remote path) never sees the same phrase twice per batch.
+
+    `embed_fn` is any Column→Column embedding (the built-in mock or a real
+    Pandas-UDF provider). Join-back is on the text itself; Spark hashes the
+    key for the shuffle, so at 100 TB this is the standard repeated-phrase
+    dedup join, not a driver-side cache."""
+    from pyspark.sql import functions as _F
+
+    uniq = df.select(text_col).distinct()
+    emb = uniq.withColumn(out_col, embed_fn(_F.col(text_col)))
+    return df.join(emb, text_col, "left")
+
+
 def splade_sparse_stub(texts, vocab_size: int = 30522):
     """R6 SPLADE++ neural sparse encoder slot (generator.rs:337-388,
     BERT vocab 30522). The model is not available in this environment; a

@@ -154,6 +154,39 @@ def k_hop_neighbors(
     )
 
 
+def batch_k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    reverse: bool = False,
+) -> DataFrame:
+    """(seed, node_id, depth) — k_hop_neighbors for EVERY seed in ONE job.
+
+    The reference's 1-hop/2-hop/impact latencies are SQLite point-lookup
+    budgets (1/10/100 ms); Spark's per-job floor is ~1 s, so interactive
+    parity comes from amortization: all seeds ride the same frontier join
+    (the frontier carries a seed column), and per-seed cost drops to
+    job_time / |seeds| — the `graph_context` pattern. Broadcast stays
+    bounded: the frontier is ≤ |seeds| × frontier-width rows."""
+    src, dst = ("dst", "src") if reverse else ("src", "dst")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("u")).distinct()
+    out = None
+    for depth in range(1, max_hops + 1):
+        frontier = (
+            e.join(F.broadcast(frontier), "u")
+            .select("seed", F.col("v").alias("u"))
+            .distinct()
+        )
+        step = frontier.withColumn("depth", F.lit(depth))
+        out = step if out is None else out.unionByName(step)
+    return (
+        out.groupBy("seed", F.col("u").alias("node_id"))
+        .agg(F.min("depth").alias("depth"))
+        .filter(F.col("node_id") != F.col("seed"))
+    )
+
+
 FIND_PATH_PAD = 6  # zero-pad ids so string-lex order == hop-sequence order
 
 

@@ -626,6 +626,26 @@ FROM reach WHERE node <> {seed} GROUP BY node
 """
 
 
+def graph_batch_impact(seed_mod: int = 10, seed_cap: int = 2000, max_hops: int = 2) -> str:
+    """G3 impact analysis batched over every seed ≡0 (mod seed_mod) below
+    seed_cap — one frontier expansion carries all seeds (per-seed
+    amortization of the Spark job floor)."""
+    return f"""
+WITH RECURSIVE {_COOC_EDGES},
+seeds AS (SELECT node_id AS seed FROM gn
+          WHERE node_id % {seed_mod} = 0 AND node_id < {seed_cap}),
+reach(seed, node, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, e.src, r.depth + 1
+  FROM reach r JOIN ed e ON e.dst = r.node
+  WHERE r.depth < {max_hops}
+)
+SELECT seed, node AS node_id, min(depth) AS depth
+FROM reach WHERE node <> seed GROUP BY seed, node
+"""
+
+
 def graph_pagerank(n_iters: int = 10, damping: float = 0.85) -> str:
     parts = [
         f"WITH {_COOC_EDGES},",

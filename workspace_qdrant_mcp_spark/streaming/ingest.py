@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.embedder import mock_embed
+from ..functions.embedder import embed_unique, mock_embed
 from ..sources.documents import chunk_text
 
 EVENT_SCHEMA = (
@@ -135,12 +135,14 @@ def process_batch(
             "path", "file_hash"
         ).distinct()
         changed = upserts.join(existing, ["path", "file_hash"], "left_anti")
-        chunks = (
-            chunk_text(changed, id_col="path", text_col="content")
-            .join(changed.select("path", "file_hash"), "path")
-            .withColumn("embedding", mock_embed(F.col("content")))
-            .select("path", "file_hash", "chunk_index", "content", "embedding")
-        )
+        # dedup-before-embed (phrase-cache analog, generator.rs:176-302):
+        # the embed provider sees each distinct chunk text once per batch
+        chunks = embed_unique(
+            chunk_text(changed, id_col="path", text_col="content").join(
+                changed.select("path", "file_hash"), "path"
+            ),
+            embed_fn=mock_embed,
+        ).select("path", "file_hash", "chunk_index", "content", "embedding")
         if len(chunks.take(1)) > 0:
             upsert_chunks(spark, store_path, chunks)
         if len(deletes.take(1)) > 0:

@@ -405,6 +405,95 @@ def _q_graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 extraction breadth (document_processor/extraction/, ocr.rs):
+    magic-number format dispatch (pdf / epub-zip / plain text) + per-format
+    extraction over Arrow batches; pdf/epub parsing is a declared
+    digest-fake stub, text decodes for real. Binaries synthesized from
+    documents so the oracle rebuilds them byte-for-byte."""
+    from workspace_qdrant_mcp_spark.sources import extraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("%PDF-1.4\n"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("PK"), F.col("text")))
+        .otherwise(F.col("text"))
+        .cast("binary")
+    )
+    files = docs.select("doc_id", media.alias("media"))
+    return extraction.extract_text(files)
+
+
+SPLADE_QUERY = ["dup", "scan", "vector"]
+
+
+def _q_splade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 sparse search over the SPLADE contract (generator.rs:337-388):
+    the deterministic expansion encoder produces (term_id ∈ BERT-vocab,
+    weight) postings for docs and query; scoring is the sparse dot
+    product as a posting equi-join (R3's scale shape — no dense
+    materialization)."""
+    from workspace_qdrant_mcp_spark.functions.embedder import splade_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    dpost = splade_postings(docs, text_col="text")
+    q = spark.createDataFrame([(0, " ".join(SPLADE_QUERY))], ["doc_id", "text"])
+    qpost = splade_postings(q, text_col="text").select(
+        "term_id", F.col("weight").alias("qw")
+    )
+    return (
+        dpost.join(F.broadcast(qpost), "term_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SEMCHUNK_MAX_CHARS = 120  # small cap so oversized-unit fragmentation fires
+SEMCHUNK_OVERLAP = 20
+
+
+def _sem_files(docs: DataFrame) -> DataFrame:
+    """Synthetic multi-unit python files: module preamble + def alpha +
+    (even docs) class Beta + def gamma, bodies sliced from the document
+    text — fully doc_id-derived so the oracle rebuilds them."""
+    nl = F.lit("\n")
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("m"), d, F.lit(".py")).alias("file_path"),
+        F.concat(
+            F.lit("# module doc "), d, nl,
+            F.lit("def alpha"), d, F.lit("():"), nl,
+            F.lit("    "), F.substring(F.col("text"), 1, 150), nl,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("class Beta"), d, F.lit(":"), nl,
+                    F.lit("    "), F.substring(F.col("text"), 151, 150), nl,
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("def gamma"), d, F.lit("():"), nl,
+            F.lit("    "), F.substring(F.col("text"), 301, 100),
+        ).alias("content"),
+    )
+
+
+def _q_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 semantic code chunking (tree_sitter/chunker: unit-per-definition
+    + oversized fragmentation + module preamble), line-anchored Spark
+    analog. The small max_chars forces the fragment-split path on every
+    function body."""
+    from workspace_qdrant_mcp_spark.sources import code_chunker
+
+    docs = load_table(spark, sf_dir, "documents")
+    return code_chunker.semantic_chunk(
+        _sem_files(docs), "python",
+        max_chars=SEMCHUNK_MAX_CHARS, overlap=SEMCHUNK_OVERLAP,
+    )
+
+
 BATCH_SEED_MOD = 10
 BATCH_SEED_CAP = 2000
 
@@ -1128,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "grouping_structural": _q_grouping_structural,
         "graph_batch_impact": _q_graph_batch_impact,
+        "semantic_chunks": _q_semantic_chunks,
+        "splade_search": _q_splade_search,
+        "doc_extraction": _q_doc_extraction,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         "hybrid_search_rrf": _q_hybrid,
@@ -1226,6 +1318,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_batch_impact": oracles.graph_batch_impact(
             BATCH_SEED_MOD, BATCH_SEED_CAP, 2
         ),
+        "semantic_chunks": oracles.semantic_chunks(
+            SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
+        ),
+        "splade_search": oracles.splade_search(SPLADE_QUERY, 20),
+        "doc_extraction": oracles.doc_extraction(),
         "predicate_stack": oracles.predicate_stack(
             PRED_TENANTS,
             "dev",

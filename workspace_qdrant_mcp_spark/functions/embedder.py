@@ -53,16 +53,122 @@ def embed_unique(df, embed_fn=mock_embed, text_col: str = "content", out_col: st
     return df.join(emb, text_col, "left")
 
 
-def splade_sparse_stub(texts, vocab_size: int = 30522):
-    """R6 SPLADE++ neural sparse encoder slot (generator.rs:337-388,
-    BERT vocab 30522). The model is not available in this environment; a
-    real deployment registers this as an Arrow-batched pandas UDF returning
-    MapType(IntegerType, FloatType) term→weight activations with the same
-    batching/dedup wrapper the mock embedder uses."""
-    raise NotImplementedError(
-        "SPLADE sparse encoding requires a neural model runtime; "
-        "BM25 (operators/bm25.py) is the default sparse path"
+# ---------------------------------------------------------------------------
+# Dense provider registry (the reference's pluggable DenseProvider slot,
+# generator.rs:22-33): any Column→Column expression or Arrow-batched
+# pandas UDF with the (text → array<double>) contract. The mock is the
+# default; a real model registers under its own name and every caller
+# (embed_unique, streaming ingest, dense search) picks it up unchanged.
+# ---------------------------------------------------------------------------
+
+_DENSE_PROVIDERS: dict[str, object] = {"mock": mock_embed}
+
+
+def register_dense_provider(name: str, fn) -> None:
+    _DENSE_PROVIDERS[name] = fn
+
+
+def dense_provider(name: str = "mock"):
+    if name not in _DENSE_PROVIDERS:
+        raise KeyError(
+            f"unknown dense provider {name!r}; registered: "
+            f"{sorted(_DENSE_PROVIDERS)}"
+        )
+    return _DENSE_PROVIDERS[name]
+
+
+SPLADE_VOCAB = 30522  # BERT vocab size (generator.rs:386)
+SPLADE_EXPANSIONS = 2  # pseudo-expansion ids per surface term
+SPLADE_DECAY = 0.3  # expansion weight decay per hop
+
+
+def splade_postings(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = SPLADE_VOCAB,
+    n_expansions: int = SPLADE_EXPANSIONS,
+    decay: float = SPLADE_DECAY,
+):
+    """R6 sparse-expansion encoder (generator.rs:337-388 contract):
+    (id_col, term_id, weight) posting rows with term_id ∈ [0, vocab) and
+    positive saturated weights — the exact output shape of SPLADE++
+    (indices into the BERT vocab + activation values), produced by a
+    deterministic lexical approximation:
+
+      surface term  → id = h(term) % vocab,  w = ln(1 + tf)
+      expansion k   → id = h(term, salt k) % vocab, w = ln(1 + tf)·decay^k
+
+    i.e. each term activates itself plus n_expansions hash-derived
+    pseudo-related vocab slots, mirroring SPLADE's learned term expansion
+    with an oracle-expressible stand-in. Colliding ids sum. A real
+    SPLADE++ model drops in as an Arrow-batched pandas UDF with the same
+    (text → postings) contract behind `use_real_model=True` in
+    splade_encode; all downstream search plumbing is shared."""
+    from .text import tokenize_bm25
+
+    toks = df.select(F.col(id_col), F.explode(tokenize_bm25(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    w0 = F.log(F.lit(1.0) + F.col("tf"))
+    legs = []
+    for k in range(n_expansions + 1):
+        legs.append(
+            tf.select(
+                F.col(id_col),
+                (md5_hash64(F.col("term"), salt=f"splade{k}|") % vocab_size).alias(
+                    "term_id"
+                ),
+                (w0 * F.lit(decay**k)).alias("w"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy(id_col, "term_id").agg(
+        F.round(F.sum("w"), 6).alias("weight")
     )
+
+
+def duckdb_splade_postings_sql(
+    src_cte: str = "tf",
+    prefix: str = "splade",
+    vocab_size: int = SPLADE_VOCAB,
+    n_expansions: int = SPLADE_EXPANSIONS,
+    decay: float = SPLADE_DECAY,
+) -> str:
+    """Oracle fragment over a `{src_cte}(doc_id, term, tf)` CTE → CTE
+    `{prefix}_post(doc_id, term_id, weight)` identical to
+    :func:`splade_postings`."""
+    legs = []
+    for k in range(n_expansions + 1):
+        h = duckdb_md5_hash64_sql("term", salt=f"splade{k}|")
+        legs.append(
+            f"SELECT doc_id, ({h}) % {vocab_size} AS term_id,"
+            f" ln(1.0 + tf) * {decay**k!r} AS w FROM {src_cte}"
+        )
+    union = "\n  UNION ALL\n  ".join(legs)
+    return f"""
+{prefix}_legs AS (
+  {union}
+),
+{prefix}_post AS (
+  SELECT doc_id, term_id, round(sum(w), 6) AS weight
+  FROM {prefix}_legs GROUP BY doc_id, term_id
+)
+"""
+
+
+def splade_encode(df, text_col: str = "text", id_col: str = "doc_id",
+                  use_real_model: bool = False):
+    """R6 entry point: postings for the deterministic expansion encoder, or
+    the real SPLADE++ pandas-UDF provider when explicitly requested (not
+    available in this environment — declared slot)."""
+    if use_real_model:
+        raise NotImplementedError(
+            "SPLADE++ requires a neural model runtime; register an "
+            "Arrow-batched pandas UDF with the splade_postings contract"
+        )
+    return splade_postings(df, text_col=text_col, id_col=id_col)
 
 
 def duckdb_mock_embed_sql(text_expr: str, dim: int = MOCK_DIM) -> str:

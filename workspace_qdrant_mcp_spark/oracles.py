@@ -698,6 +698,69 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def doc_extraction() -> str:
+    """S3 extraction: format dispatch + digest-fake pdf/epub extraction,
+    plain text passthrough (sources/extraction.py)."""
+    return """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'epub'
+            ELSE 'text' END AS format,
+       CASE doc_id % 3
+         WHEN 0 THEN 'pdf:' || md5('%PDF-1.4' || chr(10) || text)
+         WHEN 1 THEN 'epub:' || md5('PK' || chr(3) || chr(4) || text)
+         ELSE text END AS text,
+       CAST(length(CASE doc_id % 3
+         WHEN 0 THEN 'pdf:' || md5('%PDF-1.4' || chr(10) || text)
+         WHEN 1 THEN 'epub:' || md5('PK' || chr(3) || chr(4) || text)
+         ELSE text END) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def splade_search(query_terms: list[str], k: int = 20) -> str:
+    """R6 SPLADE-contract sparse search: expansion postings for docs and
+    query (identical encoder), dot product via posting equi-join, top-k."""
+    from .functions.embedder import duckdb_splade_postings_sql
+
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH {_tf_df_ctes()},
+{duckdb_splade_postings_sql("tf", "dsp")},
+qtok AS (SELECT unnest([{terms}]) AS term),
+qtf AS (SELECT 0 AS doc_id, term, count(*) AS tf FROM qtok GROUP BY term),
+{duckdb_splade_postings_sql("qtf", "qsp")}
+SELECT d.doc_id, round(sum(d.weight * q.weight), 6) AS score
+FROM dsp_post d JOIN qsp_post q USING (term_id)
+GROUP BY d.doc_id
+ORDER BY score DESC, d.doc_id ASC LIMIT {k}
+"""
+
+
+def semantic_chunks(max_chars: int, overlap: int) -> str:
+    """S3 semantic chunking over the synthetic multi-unit python corpus
+    (module preamble + def alpha + even-doc class Beta + def gamma)."""
+    from .sources.code_chunker import duckdb_semantic_chunk_sql
+
+    return f"""
+WITH scf AS (
+  SELECT source AS tenant_id,
+         'm' || CAST(doc_id AS VARCHAR) || '.py' AS file_path,
+         '# module doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'def alpha' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+         || '    ' || substr(text, 1, 150) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'class Beta' || CAST(doc_id AS VARCHAR) || ':' || chr(10)
+                      || '    ' || substr(text, 151, 150) || chr(10)
+                 ELSE '' END
+         || 'def gamma' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+         || '    ' || substr(text, 301, 100) AS content
+  FROM documents
+),
+{duckdb_semantic_chunk_sql("scf", "python", max_chars, overlap)}
+SELECT * FROM sem_chunks
+"""
+
+
 def _affinity_cc_sql(n_iters: int = 8) -> str:
     """Min-label connected-components closure over a `pairs(id_a, id_b)`
     CTE (tag_affinity.rs:104-150's BFS, as fixed-sweep label propagation —

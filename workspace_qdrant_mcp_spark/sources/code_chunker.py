@@ -1,0 +1,205 @@
+"""Semantic code chunking (S3 code path) — the Spark-first analog of the
+reference's tree-sitter chunker (tree_sitter/chunker/mod.rs:27-60,
+strategy.rs:19-56, splitting.rs:28-120).
+
+The reference parses each file with a language grammar, emits one chunk
+per semantic unit (function/class per YAML patterns), splits oversized
+units into overlapping fragments, and falls back to text chunking for
+unsupported languages. Without a native parser runtime, the semantic
+boundary here is a LINE-ANCHORED definition pattern per language — the
+same unit granularity for the common top-level-definition case, fully
+declarative:
+
+  lines → boundary flag (rlike) → unit id (running sum window) →
+  group-concat per unit → oversized units fragment with overlap
+  (exact formula of sources.documents.chunk_text) → global chunk index.
+
+Every step is a JVM column expression or window — a narrow map + one
+partial shuffle per file key, no Python in the path; at 100 TB this is
+scan-shaped. Nested definitions chunk under their top-level parent (a
+documented approximation: tree-sitter would emit them separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# tokens→chars approximation is 4x (splitting.rs:54); the reference's
+# default 8000-token cap is 32000 chars. Overlap mirrors FRAGMENT_OVERLAP.
+MAX_UNIT_CHARS = 32000
+FRAGMENT_OVERLAP = 500
+
+# Top-level definition anchors per language (language_registry YAML
+# analog). Capture group 1 = symbol name.
+BOUNDARY_PATTERNS: dict[str, str] = {
+    "python": r"^(?:async def |def |class )([A-Za-z_][A-Za-z0-9_]*)",
+    "rust": r"^(?:pub(?:\([a-z]+\))? )?(?:fn |struct |enum |trait |impl )([A-Za-z_][A-Za-z0-9_]*)",
+    "javascript": r"^(?:export )?(?:async )?(?:function\*? |class )([A-Za-z_$][A-Za-z0-9_$]*)",
+    "go": r"^(?:func(?: \([^)]*\))? |type )([A-Za-z_][A-Za-z0-9_]*)",
+}
+
+CLASS_KEYWORDS = ("class ", "struct ", "enum ", "trait ", "impl ", "type ")
+
+
+def semantic_chunk(
+    files: DataFrame,
+    language: str = "python",
+    max_chars: int = MAX_UNIT_CHARS,
+    overlap: int = FRAGMENT_OVERLAP,
+    id_cols: tuple[str, ...] = ("tenant_id", "file_path"),
+    text_col: str = "content",
+) -> DataFrame:
+    """(id_cols..., chunk_index, unit_index, fragment_index, symbol,
+    unit_type, content, start_line, end_line) — one row per chunk.
+
+    unit 0 with no boundary line is the module preamble (unit_type
+    'module', empty symbol); boundary units are 'class' for
+    class/struct/enum/trait/impl/type anchors, else 'function'. Files
+    with no boundaries degrade to one module unit = text-chunk fallback
+    (mod.rs text_chunk_fallback stance)."""
+    pattern = BOUNDARY_PATTERNS[language]
+    ids = [F.col(c) for c in id_cols]
+    lines = files.select(
+        *ids, F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    )
+    w = Window.partitionBy(*id_cols).orderBy("idx")
+    lines = lines.withColumn(
+        "unit_index",
+        F.sum(F.when(F.col("line").rlike(pattern), 1).otherwise(0)).over(w),
+    )
+    units = (
+        lines.groupBy(*id_cols, "unit_index")
+        .agg(
+            F.min("idx").alias("start_line"),
+            F.max("idx").alias("end_line"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("unit_text"),
+            F.min_by("line", "idx").alias("first_line"),
+        )
+        .withColumn("symbol", F.regexp_extract(F.col("first_line"), pattern, 1))
+        .withColumn(
+            "unit_type",
+            F.when(F.col("symbol") == "", F.lit("module")).otherwise(
+                F.when(
+                    F.col("first_line").rlike(
+                        "^(?:pub(?:\\([a-z]+\\))? |export )?(?:"
+                        + "|".join(k.strip() for k in CLASS_KEYWORDS)
+                        + ")\\b"
+                    ),
+                    F.lit("class"),
+                ).otherwise(F.lit("function"))
+            ),
+        )
+    )
+    # oversized-unit fragmentation: exact chunk_text formula
+    stride = max_chars - overlap
+    n = F.length("unit_text")
+    n_frags = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    frags = units.select(
+        *ids,
+        "unit_index",
+        "symbol",
+        "unit_type",
+        "start_line",
+        "end_line",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frags - 1),
+                lambda i: F.substring(F.col("unit_text"), i * stride + 1, max_chars),
+            )
+        ).alias("fragment_index", "content"),
+    )
+    wo = Window.partitionBy(*id_cols).orderBy("unit_index", "fragment_index")
+    return frags.withColumn(
+        "chunk_index", (F.row_number().over(wo) - 1).cast("int")
+    ).select(
+        *id_cols,
+        "chunk_index",
+        F.col("unit_index").cast("int").alias("unit_index"),
+        F.col("fragment_index").cast("int").alias("fragment_index"),
+        "symbol",
+        "unit_type",
+        "content",
+        F.col("start_line").cast("int").alias("start_line"),
+        F.col("end_line").cast("int").alias("end_line"),
+    )
+
+
+def duckdb_semantic_chunk_sql(
+    files_cte: str,
+    language: str = "python",
+    max_chars: int = MAX_UNIT_CHARS,
+    overlap: int = FRAGMENT_OVERLAP,
+) -> str:
+    """Oracle CTE chain over a `{files_cte}`(tenant_id, file_path, content)
+    CTE, producing the identical chunk table as :func:`semantic_chunk`
+    (CTE name: sem_chunks)."""
+    pattern = BOUNDARY_PATTERNS[language].replace("'", "''")
+    class_re = (
+        "^(?:pub(?:\\([a-z]+\\))? |export )?(?:"
+        + "|".join(k.strip() for k in CLASS_KEYWORDS)
+        + ")\\b"
+    ).replace("'", "''")
+    stride = max_chars - overlap
+    return f"""
+sc_lines AS (
+  SELECT tenant_id, file_path, g.i - 1 AS idx, ls[g.i] AS line
+  FROM (SELECT tenant_id, file_path,
+               string_split(content, chr(10)) AS ls FROM {files_cte}) f,
+       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+),
+sc_units AS (
+  SELECT tenant_id, file_path,
+         sum(CASE WHEN regexp_matches(line, '{pattern}') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY tenant_id, file_path ORDER BY idx) AS unit_index,
+         idx, line
+  FROM sc_lines
+),
+sc_grouped AS (
+  SELECT tenant_id, file_path, unit_index,
+         min(idx) AS start_line, max(idx) AS end_line,
+         string_agg(line, chr(10) ORDER BY idx) AS unit_text,
+         arg_min(line, idx) AS first_line
+  FROM sc_units GROUP BY 1, 2, 3
+),
+sc_typed AS (
+  SELECT *,
+         coalesce(regexp_extract(first_line, '{pattern}', 1), '') AS symbol,
+         CASE WHEN coalesce(regexp_extract(first_line, '{pattern}', 1), '') = ''
+              THEN 'module'
+              WHEN regexp_matches(first_line, '{class_re}') THEN 'class'
+              ELSE 'function' END AS unit_type
+  FROM sc_grouped
+),
+sc_frags AS (
+  SELECT tenant_id, file_path, unit_index, symbol, unit_type,
+         start_line, end_line, t.i AS fragment_index,
+         substr(unit_text, t.i * {stride} + 1, {max_chars}) AS content
+  FROM sc_typed,
+       LATERAL unnest(generate_series(0,
+         greatest(1, CAST(ceil((length(unit_text) - {overlap}) / {stride}.0) AS INT)) - 1
+       )) AS t(i)
+),
+sem_chunks AS (
+  SELECT tenant_id, file_path,
+         CAST(row_number() OVER (PARTITION BY tenant_id, file_path
+                                 ORDER BY unit_index, fragment_index) - 1
+              AS INT) AS chunk_index,
+         CAST(unit_index AS INT) AS unit_index,
+         CAST(fragment_index AS INT) AS fragment_index,
+         symbol, unit_type, content,
+         CAST(start_line AS INT) AS start_line,
+         CAST(end_line AS INT) AS end_line
+  FROM sc_frags
+)
+"""

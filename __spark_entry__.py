@@ -405,6 +405,84 @@ def _q_graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCROLL_TENANTS = ("src1", "src2", "src3")
+ORPHAN_MIN_WEIGHT = 2
+ADJ_CAP = 500
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data pipeline): whitespace count + BPE-ish
+    regex count, both single codegen'd regexp passes."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _q_scroll_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 scroll/retrieve (retrieve.rs): filtered scan + deterministic
+    (point_id, collection) paging with offset/limit + metadata
+    projection, through the api facade."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    api = WqmEngine(spark, sf_dir)
+    page = api.retrieve(limit=25, offset=10, tenant=list(SCROLL_TENANTS), branch="main")
+    return page.select(
+        "point_id", "collection", "tenant_id", "relative_path",
+        F.col("chunk_index").cast("int").alias("chunk_index"), "doc_id",
+    )
+
+
+def _q_orphan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 orphan nodes (metrics.rs:342-356): part universe with no
+    incident edge in the weight-thresholded co-occurrence graph."""
+    e = _edges(spark, sf_dir).filter(F.col("weight") >= ORPHAN_MIN_WEIGHT)
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id")
+    )
+    return graph.orphan_nodes(parts, e)
+
+
+def _q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 search-quality metrics over synthetic per-tenant gold sets:
+    results = first 10 docs per tenant by id, gold = docs ≡0 (mod 4)."""
+    from pyspark.sql import Window
+    from workspace_qdrant_mcp_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    results = (
+        docs.select(
+            F.col("source").alias("query_id"),
+            F.row_number().over(w).alias("rank"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("file"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    gold = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("source").alias("query_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("file"),
+    )
+    return quality.evaluate(results, gold)
+
+
+def _q_adjacency_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 adjacency export (graph/mod.rs AdjacencyExport): sorted deduped
+    undirected neighbor lists — the distributed build of the snapshot the
+    driver-side algorithms consume; pipe-joined for hash stability."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < ADJ_CAP) & (F.col("dst") < ADJ_CAP)
+    )
+    und = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    return und.groupBy(F.col("u").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_neighbors"),
+        F.array_join(F.sort_array(F.collect_set("v")), "|").alias("neighbors"),
+    )
+
+
 def _q_doc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 extraction breadth (document_processor/extraction/, ocr.rs):
     magic-number format dispatch (pdf / epub-zip / plain text) + per-format
@@ -1202,7 +1280,14 @@ def _q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records correctness rows for the FIRST 50
+    # entries only. Queries that have never had a green row (new this
+    # round, or unrecorded/hash-failed last round) come first; then the
+    # headline search/graph/dedup families; queries with a green
+    # CORRECTNESS_r01 row rotate to the tail (>50) and cycle back into
+    # the window in later rounds.
     return {
+        # -- never green / new this round ---------------------------------
         "parent_context": _q_parent_context,
         "graph_context": _q_graph_context,
         "scope_resolution": _q_scope_resolution,
@@ -1220,31 +1305,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_chunks": _q_semantic_chunks,
         "splade_search": _q_splade_search,
         "doc_extraction": _q_doc_extraction,
+        "token_count": _q_token_count,
+        "scroll_retrieve": _q_scroll_retrieve,
+        "orphan_nodes": _q_orphan_nodes,
+        "quality_metrics": _q_quality_metrics,
+        "adjacency_export": _q_adjacency_export,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
+        # -- headline families (keep recorded) ----------------------------
         "hybrid_search_rrf": _q_hybrid,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "corpus_stats": _q_corpus_stats,
         "hapax_eviction": _q_hapax_eviction,
         "relevance_decay_hybrid": _q_decay_hybrid,
-        "diversity_rerank": _q_diversity,
-        "exact_match_scoring": _q_exact_scoring,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "graph_expansion_fusion": _q_graph_expansion_fusion,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "label_centroids": _q_label_centroids,
-        "centroid_rerank": _q_centroid_rerank,
-        "taxonomy_tags": _q_taxonomy_tags,
-        "keyword_baskets": _q_keyword_baskets,
-        "mmr_tag_selection": _q_mmr_tag_selection,
         "grouping_jaccard": _q_grouping_jaccard,
         "graph_2hop_neighbors": _q_graph_2hop,
         "graph_impact_analysis": _q_graph_impact,
         "graph_pagerank": _q_graph_pagerank,
         "graph_connected_components": _q_graph_components,
-        "cooccurrence_top_pairs": _q_cooc_top_pairs,
         "graph_extract_calls": _q_graph_extract_calls,
         "narrative_explains": _q_narrative_explains,
         "stub_resolution": _q_stub_resolution,
@@ -1256,6 +1337,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_exact": _q_dedup_exact,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        # -- green in r1; rotated past the 50-row window this round -------
+        "doc_fingerprint": _q_fingerprint,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "label_centroids": _q_label_centroids,
+        "centroid_rerank": _q_centroid_rerank,
+        "taxonomy_tags": _q_taxonomy_tags,
+        "keyword_baskets": _q_keyword_baskets,
+        "mmr_tag_selection": _q_mmr_tag_selection,
+        "diversity_rerank": _q_diversity,
+        "exact_match_scoring": _q_exact_scoring,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
         "grep_count": _q_grep_count,
         "grep_exact_lines": _q_grep_exact_lines,
         "grep_regex_lines": _q_grep_regex_lines,
@@ -1263,9 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": _q_chunk_text,
         "fallback_search": _q_fallback_search,
         "graph_betweenness": _q_graph_betweenness,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_fingerprint,
         "mock_embeddings": _q_mock_embeddings,
         "events_debounce_last": _q_events_debounce,
         "queue_stats": _q_queue_stats,
@@ -1323,6 +1415,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "splade_search": oracles.splade_search(SPLADE_QUERY, 20),
         "doc_extraction": oracles.doc_extraction(),
+        "token_count": oracles.token_count(),
+        "scroll_retrieve": oracles.scroll_retrieve(SCROLL_TENANTS, 25, 10),
+        "orphan_nodes": oracles.orphan_nodes(ORPHAN_MIN_WEIGHT),
+        "quality_metrics": oracles.quality_metrics(),
+        "adjacency_export": oracles.adjacency_export(ADJ_CAP),
         "predicate_stack": oracles.predicate_stack(
             PRED_TENANTS,
             "dev",

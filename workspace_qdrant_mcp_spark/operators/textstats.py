@@ -18,6 +18,36 @@ def _ws_tokens(text: Column) -> Column:
     return F.filter(toks, lambda t: F.length(t) > 0)
 
 
+# GPT-2-ish pre-tokenizer classes: letter runs, single digits, single
+# punctuation marks (whitespace is never a token). Same RE2/Java-regex
+# semantics in both engines.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace split count plus the
+    BPE-ish regex count (letter runs / digits / punctuation marks). Both
+    are single regexp passes inside whole-stage codegen."""
+    t = F.col(text_col)
+    return fan_out(docs).select(
+        F.col(id_col),
+        F.size(_ws_tokens(t)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("int").alias("bpe_tokens"),
+    )
+
+
+def duckdb_token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-word hit count per language (n-gram heuristic's word level)."""
     toks = _ws_tokens(text)

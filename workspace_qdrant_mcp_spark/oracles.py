@@ -698,6 +698,13 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def token_count() -> str:
+    """Token counting: whitespace + BPE-ish regex passes."""
+    from .operators.textstats import duckdb_token_counts_sql
+
+    return duckdb_token_counts_sql()
+
+
 def doc_extraction() -> str:
     """S3 extraction: format dispatch + digest-fake pdf/epub extraction,
     plain text passthrough (sources/extraction.py)."""
@@ -889,26 +896,9 @@ ORDER BY group_type, tenant_id
 """
 
 
-def predicate_stack(
-    tenants: tuple[str, ...],
-    branch: str,
-    tags: tuple[str, ...],
-    glob_prefix: str,
-    glob_regex: str,
-    component: str,
-) -> str:
-    """P1-P8 stacked filter (filters.rs:88-299) over the chunk store:
-    collection routing, tenant IN-set, branch array-contains, tag OR-group
-    across concept_tags+tags, glob prefix + regex verify, component
-    exact-or-dotted-prefix, tombstone must_not. Chunk metadata mirrors
-    store.build_chunks column for column."""
-    tenant_in = ", ".join(f"'{t}'" for t in tenants)
-    tag_or = " OR ".join(
-        f"list_contains(concept_tags, '{t}') OR list_contains(tags, '{t}')"
-        for t in tags
-    )
-    return f"""
-WITH {duckdb_chunk_text_sql()},
+# store.build_chunks metadata derivation, column for column (shared by
+# the predicate-stack and scroll/retrieve oracles)
+CHUNK_META_SQL = """
 meta AS (
   SELECT c.doc_id, c.chunk_index,
          d.source AS tenant_id,
@@ -929,6 +919,137 @@ meta AS (
               END AS deleted
   FROM chunks c JOIN documents d USING (doc_id)
 )
+"""
+
+
+def scroll_retrieve(tenants: tuple[str, ...], limit: int, offset: int) -> str:
+    """S9 scroll/retrieve (retrieve.rs): filtered scan, deterministic
+    (point_id, collection) order, offset/limit page, metadata projection."""
+    tenant_in = ", ".join(f"'{t}'" for t in tenants)
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+{CHUNK_META_SQL},
+pts AS (
+  SELECT md5(tenant_id || '|' || relative_path || '|'
+             || CAST(chunk_index AS VARCHAR)) AS point_id,
+         collection, tenant_id, relative_path,
+         CAST(chunk_index AS INT) AS chunk_index, doc_id
+  FROM meta
+  WHERE tenant_id IN ({tenant_in})
+    AND list_contains(branches, 'main')
+    AND NOT coalesce(deleted, false)
+),
+paged AS (
+  SELECT *, row_number() OVER (ORDER BY point_id, collection) AS rn FROM pts
+)
+SELECT point_id, collection, tenant_id, relative_path, chunk_index, doc_id
+FROM paged WHERE rn > {offset} AND rn <= {offset + limit}
+"""
+
+
+def orphan_nodes(min_weight: int = 2) -> str:
+    """A2 orphan nodes (metrics.rs:342-356): part universe anti-joined
+    against the endpoints of the weight-thresholded co-occurrence graph."""
+    return f"""
+WITH {_COOC_EDGES},
+e2 AS (SELECT src, dst FROM ed WHERE weight >= {min_weight}),
+ep AS (SELECT src AS node_id FROM e2 UNION SELECT dst FROM e2)
+SELECT p.p_partkey AS node_id
+FROM part p LEFT JOIN ep ON ep.node_id = p.p_partkey
+WHERE ep.node_id IS NULL
+"""
+
+
+def quality_metrics(top_k: int = 10, gold_mod: int = 4) -> str:
+    """A16 search-quality metrics (semantic-search-benchmarking.md:33-46):
+    top1/top3/top10, recall@10, precision@10, MRR, duplicate rate over the
+    synthetic per-tenant gold sets."""
+    return f"""
+WITH results AS (
+  SELECT source AS query_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank,
+         'doc_' || CAST(doc_id AS VARCHAR) AS file
+  FROM documents QUALIFY rank <= {top_k}
+),
+gold AS (
+  SELECT source AS query_id, 'doc_' || CAST(doc_id AS VARCHAR) AS file
+  FROM documents WHERE doc_id % {gold_mod} = 0
+),
+hits AS (
+  SELECT r.query_id, r.rank FROM results r JOIN gold g
+  ON g.query_id = r.query_id AND g.file = r.file
+),
+per_q_hit AS (
+  SELECT query_id, min(rank) AS first_hit, count(*) AS n_hits
+  FROM hits GROUP BY query_id
+),
+gold_sizes AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id),
+res_stats AS (
+  SELECT query_id, count(*) AS n_results, count(DISTINCT file) AS n_distinct
+  FROM results GROUP BY query_id
+),
+per_q AS (
+  SELECT g.query_id,
+         coalesce(h.first_hit, 1000000000) AS first_hit,
+         coalesce(h.n_hits, 0) AS n_hits,
+         g.n_gold,
+         coalesce(r.n_results, 0) AS n_results,
+         coalesce(r.n_distinct, 0) AS n_distinct
+  FROM gold_sizes g
+  LEFT JOIN per_q_hit h USING (query_id)
+  LEFT JOIN res_stats r USING (query_id)
+)
+SELECT round(avg(CASE WHEN first_hit <= 1 THEN 1.0 ELSE 0.0 END), 6) AS top1,
+       round(avg(CASE WHEN first_hit <= 3 THEN 1.0 ELSE 0.0 END), 6) AS top3,
+       round(avg(CASE WHEN first_hit <= 10 THEN 1.0 ELSE 0.0 END), 6) AS top10,
+       round(avg(n_hits * 1.0 / n_gold), 6) AS recall_at_10,
+       round(avg(CASE WHEN n_results > 0 THEN n_hits * 1.0 / n_results
+                      ELSE 0.0 END), 6) AS precision_at_10,
+       round(avg(CASE WHEN first_hit <= 10 THEN 1.0 / first_hit
+                      ELSE 0.0 END), 6) AS mrr,
+       round(avg(CASE WHEN n_results > 0
+                      THEN 1.0 - n_distinct * 1.0 / n_results
+                      ELSE 0.0 END), 6) AS duplicate_rate
+FROM per_q
+"""
+
+
+def adjacency_export(cap: int = 500) -> str:
+    """G9 adjacency export: sorted deduped undirected neighbor list per
+    node of the capped co-occurrence subgraph, pipe-joined for a
+    hash-stable string column."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+und AS (SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub)
+SELECT u AS node_id,
+       CAST(count(*) AS INT) AS n_neighbors,
+       array_to_string(list_sort(list(DISTINCT v)), '|') AS neighbors
+FROM und GROUP BY u
+"""
+
+
+def predicate_stack(
+    tenants: tuple[str, ...],
+    branch: str,
+    tags: tuple[str, ...],
+    glob_prefix: str,
+    glob_regex: str,
+    component: str,
+) -> str:
+    """P1-P8 stacked filter (filters.rs:88-299) over the chunk store:
+    collection routing, tenant IN-set, branch array-contains, tag OR-group
+    across concept_tags+tags, glob prefix + regex verify, component
+    exact-or-dotted-prefix, tombstone must_not. Chunk metadata mirrors
+    store.build_chunks column for column."""
+    tenant_in = ", ".join(f"'{t}'" for t in tenants)
+    tag_or = " OR ".join(
+        f"list_contains(concept_tags, '{t}') OR list_contains(tags, '{t}')"
+        for t in tags
+    )
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+{CHUNK_META_SQL}
 SELECT md5(tenant_id || '|' || relative_path || '|'
            || CAST(chunk_index AS VARCHAR)) AS point_id,
        collection, tenant_id, relative_path,

@@ -232,6 +232,18 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bruteforce_topk(emb, q)
 
 
+def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via deterministic SRP-LSH (operators/ann.srp_topk): banded
+    sign-projection buckets generate candidates, exact cosine verifies.
+    The md5-derived plane matrix is shared with the oracle, so the
+    approximate result set is exactly reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.srp_topk(emb, q)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_nodes": _q_orphan_nodes,
         "quality_metrics": _q_quality_metrics,
         "adjacency_export": _q_adjacency_export,
+        "ann_srp_topk": _q_ann_srp,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         # -- headline families (keep recorded) ----------------------------
@@ -1393,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.embedding_neardup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
+        "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),
         "graph_degree_stats": oracles.graph_degree_stats(),
         "graph_2hop_neighbors": oracles.graph_k_hop(GRAPH_SEED, 2),
         "graph_impact_analysis": oracles.graph_k_hop(

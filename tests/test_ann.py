@@ -46,6 +46,25 @@ def test_random_projection_lsh_recall(spark):
     assert recall >= 0.8
 
 
+def test_srp_lsh_deterministic_and_subset_of_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ann.srp_topk(emb, q, k=5).collect()
+    b = ann.srp_topk(emb, q, k=5).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))  # no RNG anywhere
+    # every returned pair must be a banded-bucket candidate scored by the
+    # same exact cosine as brute force → its score equals the brute-force
+    # score for that pair
+    bf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in ann.bruteforce_topk(emb, q, k=500).collect()
+    }
+    for r in a:
+        assert bf[(r["query_id"], r["vec_id"])] == r["score"]
+
+
 def test_trained_centroids_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = ann.train_ivf_centroids(emb, n_cells=4).collect()

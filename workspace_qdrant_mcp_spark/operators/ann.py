@@ -98,6 +98,105 @@ def lsh_topk(
     )
 
 
+def srp_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes for signed-random-projection
+    LSH: sign(p, d) = ±1 from md5("srp|p|d"). No RNG state — the same
+    literal matrix is inlined into the Spark plan and the DuckDB oracle,
+    so buckets (and therefore the approximate result set) are
+    bit-identical across engines and runs."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"srp|{p}|{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_band_keys(
+    vec_col, planes: list[list[float]], bits_per_band: int = 4
+):
+    """ARRAY<STRUCT<band INT, key INT>> — one bucket key per band, where
+    each key packs `bits_per_band` sign bits of the plane projections.
+    Pure column expressions (zip_with + ordered aggregate fold)."""
+    bits = []
+    for row in planes:
+        s = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with(vec_col, s, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    n_bands = len(planes) // bits_per_band
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(bits_per_band):
+            key = key + bits[b * bits_per_band + i] * F.lit(1 << i)
+        keys.append(
+            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+        )
+    return F.array(*keys)
+
+
+def srp_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via deterministic SRP-LSH: banded sign
+    signatures generate candidates (the ONLY pair source — never N²),
+    exact cosine re-scores them, window top-k per query.
+
+    100 TB shape: the bands table is narrow (id, band, key) — the vector
+    never rides through the explode — and the candidate id set (bounded
+    by n_queries × bucket occupancy) is broadcast back against the corpus
+    for the verify join, the same prune-then-broadcast discipline as
+    dedup.minhash_lsh_neardup."""
+    planes = srp_planes(n_planes, dim)
+    bands = emb.select(
+        F.col(id_col),
+        F.explode(srp_band_keys(F.col(vec_col), planes, bits_per_band)).alias("kb"),
+    ).select(id_col, F.col("kb.band").alias("band"), F.col("kb.key").alias("key"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    qbands = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            srp_band_keys(F.col(vec_col), planes, bits_per_band)
+        ).alias("kb"),
+    ).select(query_id_col, F.col("kb.band").alias("band"), F.col("kb.key").alias("key"))
+    cand = (
+        bands.join(F.broadcast(qbands), ["band", "key"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        emb.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int = 10,

@@ -583,6 +583,69 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def ann_srp_topk(
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    dim: int = 64,
+) -> str:
+    """Deterministic SRP-LSH (operators/ann.srp_topk): the SAME md5-derived
+    Rademacher plane matrix is inlined as literals here, so bucket keys —
+    and therefore the approximate candidate set — are identical to Spark's."""
+    from .operators.ann import srp_planes
+
+    planes = srp_planes(n_planes, dim)
+    bit_cols = []
+    for p, row in enumerate(planes):
+        lits = ", ".join(str(v) for v in row)
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+        bit_cols.append(f"CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END AS b{p}")
+    n_bands = n_planes // bits_per_band
+    band_selects = []
+    for b in range(n_bands):
+        key = " + ".join(
+            f"b{b * bits_per_band + i} * {1 << i}" for i in range(bits_per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({key} AS INT) AS key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, {", ".join(bit_cols)} FROM embeddings
+),
+bands AS MATERIALIZED (
+  {bands_sql}
+),
+qb AS (SELECT vec_id AS query_id, band, key FROM bands WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id
+  FROM bands b JOIN qb ON b.band = qb.band AND b.key = qb.key
+  WHERE b.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {cos} AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 _COOC_EDGES = """
 ed AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst,

@@ -495,6 +495,73 @@ def _q_adjacency_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ingest_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + W1 + W5 as one oracle-backed batch query (process_batch
+    semantics without the sink, ingest.rs:86-106): file events derived
+    deterministically from the events stream (path = doc_<event_id*7919
+    mod 600>, purchase → remove, else upsert; content is a pure function
+    of path so the merge is tie-immune under timestamp collisions),
+    debounced last-event-wins on raw nanos, applied to the documents
+    corpus as the base store. Statuses: kept (no event / W5 hash-equal
+    skip), updated, inserted; removed paths are absent."""
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    fe = (
+        ev.select(
+            F.pmod(F.col("event_id") * 7919, F.lit(600)).alias("pid"),
+            F.when(F.col("event_type") == "purchase", "remove")
+            .otherwise("upsert")
+            .alias("event_type"),
+            F.col("ts_ns").alias("ts"),
+        )
+        .withColumn("path", F.concat(F.lit("doc_"), F.col("pid").cast("string")))
+        .join(
+            base.select("path", F.col("content").alias("__bc")), "path", "left"
+        )
+        .select(
+            "path",
+            "event_type",
+            "ts",
+            F.when(
+                F.col("pid") % 5 == 0,
+                F.coalesce(
+                    F.col("__bc"),
+                    F.concat(F.lit("new_"), F.col("pid").cast("string")),
+                ),
+            )
+            .otherwise(F.concat(F.lit("new_"), F.col("pid").cast("string")))
+            .alias("content"),
+        )
+    )
+    return ingest.apply_events(base, fe)
+
+
+def _q_tier1_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 tier-1 static rule tags (tag assignment at ingest,
+    memory/types.rs tag tiers): the store's deterministic per-chunk tag
+    derivation — lang + length-bucket tags, hot concept tags, component
+    and library assignment — projected straight off build_chunks."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    c = WqmEngine(spark, sf_dir).chunks
+    return c.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        "file_type",
+        F.array_join("tags", "|").alias("tags"),
+        F.array_join("concept_tags", "|").alias("concept_tags"),
+        "component_id",
+        "library_name",
+        "library_path",
+    )
+
+
 def _q_doc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 extraction breadth (document_processor/extraction/, ocr.rs):
     magic-number format dispatch (pdf / epub-zip / plain text) + per-format
@@ -1323,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": _q_quality_metrics,
         "adjacency_export": _q_adjacency_export,
         "ann_srp_topk": _q_ann_srp,
+        "ingest_apply_events": _q_ingest_apply_events,
+        "tier1_tags": _q_tier1_tags,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         # -- headline families (keep recorded) ----------------------------
@@ -1407,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),
+        "ingest_apply_events": oracles.ingest_apply_events(),
+        "tier1_tags": oracles.tier1_tags(),
         "graph_degree_stats": oracles.graph_degree_stats(),
         "graph_2hop_neighbors": oracles.graph_k_hop(GRAPH_SEED, 2),
         "graph_impact_analysis": oracles.graph_k_hop(

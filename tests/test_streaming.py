@@ -85,6 +85,28 @@ def test_ingest_update_delete_dedup(spark, dirs):
     assert before == again
 
 
+def test_apply_events_statuses(spark):
+    """Batch S10/W1/W5: every status branch of apply_events, including the
+    debounce (later event wins) and the hash-equal W5 skip."""
+    base = spark.createDataFrame(
+        [("a", "old"), ("b", "same"), ("c", "gone"), ("d", "untouched")],
+        ["path", "content"],
+    )
+    events = spark.createDataFrame(
+        [
+            ("a", "upsert", "v1", 1),   # superseded by ts=2
+            ("a", "upsert", "v2", 2),   # wins → updated
+            ("b", "upsert", "same", 1), # hash-equal → kept (W5 skip)
+            ("c", "remove", None, 1),   # → absent
+            ("e", "upsert", "new", 1),  # → inserted
+            ("f", "remove", None, 1),   # remove of absent path → no-op
+        ],
+        "path STRING, event_type STRING, content STRING, ts LONG",
+    )
+    out = {r["path"]: r["status"] for r in ingest.apply_events(base, events).collect()}
+    assert out == {"a": "updated", "b": "kept", "d": "kept", "e": "inserted"}
+
+
 def test_watcher_path_filters(spark):
     from workspace_qdrant_mcp_spark.streaming.ingest import filter_watched_paths
 

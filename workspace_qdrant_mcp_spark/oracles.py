@@ -1092,6 +1092,72 @@ FROM und GROUP BY u
 """
 
 
+def ingest_apply_events() -> str:
+    """S10+W1+W5 batch apply (streaming/ingest.apply_events): debounce on
+    raw nanos, remove/upsert split, content-hash-gated merge. Content is a
+    pure function of path, so the result is invariant to timestamp ties."""
+    return """
+WITH base AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path, text AS content
+  FROM documents
+),
+fe AS (
+  SELECT (event_id * 7919) % 600 AS pid,
+         CASE WHEN event_type = 'purchase' THEN 'remove' ELSE 'upsert' END
+           AS event_type,
+         epoch_ns(ts) AS tsn
+  FROM events
+),
+fe2 AS (
+  SELECT 'doc_' || CAST(f.pid AS VARCHAR) AS path, f.event_type, f.tsn,
+         CASE WHEN f.pid % 5 = 0
+              THEN coalesce(b.content, 'new_' || CAST(f.pid AS VARCHAR))
+              ELSE 'new_' || CAST(f.pid AS VARCHAR) END AS content
+  FROM fe f
+  LEFT JOIN base b ON b.path = 'doc_' || CAST(f.pid AS VARCHAR)
+),
+last AS MATERIALIZED (
+  SELECT path, event_type, content FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY path ORDER BY tsn DESC, event_type DESC) AS rn
+    FROM fe2
+  ) WHERE rn = 1
+),
+removes AS (SELECT path FROM last WHERE event_type = 'remove'),
+ups AS (SELECT path, md5(content) AS new_hash FROM last
+        WHERE event_type = 'upsert'),
+b2 AS (SELECT path, md5(content) AS old_hash FROM base),
+m AS (
+  SELECT coalesce(b2.path, u.path) AS path, u.new_hash, b2.old_hash
+  FROM b2 FULL OUTER JOIN ups u ON b2.path = u.path
+)
+SELECT m.path,
+       coalesce(m.new_hash, m.old_hash) AS file_hash,
+       CASE WHEN m.old_hash IS NULL THEN 'inserted'
+            WHEN m.new_hash IS NULL OR m.new_hash = m.old_hash THEN 'kept'
+            ELSE 'updated' END AS status
+FROM m LEFT JOIN removes r ON r.path = m.path
+WHERE r.path IS NULL
+"""
+
+
+def tier1_tags() -> str:
+    """A11 tier-1 static rule tags off the chunk store derivation."""
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+{CHUNK_META_SQL}
+SELECT doc_id, chunk_index, file_type,
+       array_to_string(tags, '|') AS tags,
+       coalesce(array_to_string(concept_tags, '|'), '') AS concept_tags,
+       component_id,
+       CASE WHEN collection = 'libraries'
+            THEN 'lib' || CAST(doc_id % 3 AS VARCHAR) END AS library_name,
+       CASE WHEN collection = 'libraries'
+            THEN '/libs/lib' || CAST(doc_id % 3 AS VARCHAR) END AS library_path
+FROM meta
+"""
+
+
 def predicate_stack(
     tenants: tuple[str, ...],
     branch: str,

@@ -155,6 +155,47 @@ def process_batch(
         )
 
 
+def apply_events(base: DataFrame, events: DataFrame) -> DataFrame:
+    """S10/W1/W5 batch semantics of process_batch without the sink: debounce
+    (last event per path wins), split remove/upsert, content-hash-gated
+    merge. Returns the post-merge store state (path, file_hash, status)
+    where status records the W5 decision: 'kept' (no event, a remove of an
+    absent path, or an upsert whose content hash matches the store —
+    the dedup skip of ingest.rs:86-106), 'updated', or 'inserted'.
+
+    100 TB shape: equi-joins on path only, no broadcast assumptions, no
+    Python UDFs; on Delta/Iceberg the final select is the MERGE INTO
+    condition column for column.
+
+    base:   (path, content)
+    events: (path, event_type in {'upsert','remove'}, content, ts)
+    """
+    last = debounce_batch(events)
+    removes = last.filter(F.col("event_type") == "remove").select("path")
+    ups = last.filter(F.col("event_type") == "upsert").select(
+        "path", F.md5(F.col("content").cast("binary")).alias("__new_hash")
+    )
+    b = base.select(
+        "path", F.md5(F.col("content").cast("binary")).alias("__old_hash")
+    )
+    return (
+        b.join(ups, "path", "full_outer")
+        .join(removes, "path", "left_anti")
+        .select(
+            "path",
+            F.coalesce("__new_hash", "__old_hash").alias("file_hash"),
+            F.when(F.col("__old_hash").isNull(), F.lit("inserted"))
+            .when(
+                F.col("__new_hash").isNull()
+                | (F.col("__new_hash") == F.col("__old_hash")),
+                F.lit("kept"),
+            )
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
+    )
+
+
 def run_ingestion_stream(
     spark: SparkSession,
     events_dir: str,

@@ -264,6 +264,22 @@ GRAPH_SEED_IMPACT = 199
 # The reference persists the sparse postings (SURVEY §1.3: sparse_postings
 # is a maintained table written at ingest, read by every sparse query) —
 # mirror that with one (doc_id, term, tf) table per (session, sf_dir).
+# The reference maintains the chunk store persistently (written at ingest,
+# read by every retrieve/filter call) — one lazily-built WqmEngine per
+# (session, sf_dir) mirrors that: the chunks/lines localCheckpoints are
+# shared across driver queries instead of re-derived per call.
+_ENGINE_CACHE: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = WqmEngine(spark, sf_dir)
+    return _ENGINE_CACHE[key]
+
+
 _TERMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -387,9 +403,7 @@ def _q_predicate_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     path glob (literal-prefix pushdown + regex verify), component
     dotted-prefix, library tombstone must_not; P9 = the metadata-only
     select list (no content / vector columns)."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    api = WqmEngine(spark, sf_dir)
+    api = _engine(spark, sf_dir)
     out = api._filtered(
         collections=["projects", "libraries"],
         tenant=list(PRED_TENANTS),
@@ -434,9 +448,7 @@ def _q_scroll_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 scroll/retrieve (retrieve.rs): filtered scan + deterministic
     (point_id, collection) paging with offset/limit + metadata
     projection, through the api facade."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    api = WqmEngine(spark, sf_dir)
+    api = _engine(spark, sf_dir)
     page = api.retrieve(limit=25, offset=10, tenant=list(SCROLL_TENANTS), branch="main")
     return page.select(
         "point_id", "collection", "tenant_id", "relative_path",
@@ -547,9 +559,7 @@ def _q_tier1_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory/types.rs tag tiers): the store's deterministic per-chunk tag
     derivation — lang + length-bucket tags, hot concept tags, component
     and library assignment — projected straight off build_chunks."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    c = WqmEngine(spark, sf_dir).chunks
+    c = _engine(spark, sf_dir).chunks
     return c.select(
         "doc_id",
         F.col("chunk_index").cast("int").alias("chunk_index"),
@@ -1133,9 +1143,7 @@ def _q_parent_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks carry parent_unit_id = chunk 0 of their document; the left-join
     attaches {unit_text, unit_type}. Runs over the real chunk store (api
     facade) restricted to multi-chunk documents."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    api = WqmEngine(spark, sf_dir)
+    api = _engine(spark, sf_dir)
     results = api.chunks.filter(F.col("chunk_index") > 0).select("point_id")
     out = api.attach_parent_context(results)
     return out.select(
@@ -1416,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
+        "graph_betweenness": _q_graph_betweenness,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_exact": _q_dedup_exact,
@@ -1439,7 +1448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_context_lines": _q_grep_context_lines,
         "chunk_text": _q_chunk_text,
         "fallback_search": _q_fallback_search,
-        "graph_betweenness": _q_graph_betweenness,
         "mock_embeddings": _q_mock_embeddings,
         "events_debounce_last": _q_events_debounce,
         "queue_stats": _q_queue_stats,

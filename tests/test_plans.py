@@ -115,3 +115,33 @@ def test_decayed_tenant_map_pruned_before_broadcast(spark):
     plan = _plan(out)
     assert "LeftSemi" in plan, "tenant map must be semi-join-pruned pre-broadcast"
     assert "Scan parquet" in plan  # tenants streams from the file scan
+
+
+def test_srp_lsh_is_bucket_join_not_cartesian(spark):
+    # SRP-LSH candidates must come from the (band, key) equi-join, never a
+    # nested-loop pairing of corpus x queries; the verify join broadcasts
+    # only the bounded candidate id set.
+    from workspace_qdrant_mcp_spark.operators import ann
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ann.srp_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_apply_events_is_all_equi_joins(spark):
+    # The S10 merge is equi-joins on path only: sort-merge/hash joins that
+    # scale with AQE, no broadcast assumption on either corpus-sized side.
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    base = spark.createDataFrame([("a", "x")], ["path", "content"])
+    events = spark.createDataFrame(
+        [("a", "upsert", "y", 1)],
+        "path STRING, event_type STRING, content STRING, ts LONG",
+    )
+    plan = _plan(ingest.apply_events(base, events))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -280,6 +280,22 @@ def _engine(spark: SparkSession, sf_dir: str):
     return _ENGINE_CACHE[key]
 
 
+# The reference's graph sink (S8) is written once at ingest and read by
+# every graph tool call — cache the extracted symbol graph per
+# (session, sf_dir) the same way.
+_SYMBOLS_CACHE: dict = {}
+
+
+def _symbol_graph(spark: SparkSession, sf_dir: str):
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SYMBOLS_CACHE:
+        nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
+        _SYMBOLS_CACHE[key] = (nodes.localCheckpoint(), edges.localCheckpoint())
+    return _SYMBOLS_CACHE[key]
+
+
 _TERMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -969,9 +985,7 @@ def _q_graph_extract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph/mod.rs:808-827): def-regex symbols, CONTAINS-free CALLS edges
     with the sha256(tenant|src|dst|type)[:16] edge-id scheme over the
     synthetic code corpus."""
-    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
-
-    nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
+    nodes, edges = _symbol_graph(spark, sf_dir)
     return edges.select(
         "edge_id", "tenant_id", "source_node_id", "target_node_id",
         "edge_type", "source_file", "weight",
@@ -1158,9 +1172,8 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller/callee name lists (sorted, deduped) attached to each src0 node
     of the synthetic code graph; post-slice, non-score-changing."""
     from workspace_qdrant_mcp_spark.api import WqmEngine
-    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
 
-    nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
+    nodes, edges = _symbol_graph(spark, sf_dir)
     results = nodes.filter(F.col("tenant_id") == "src0").select(
         "node_id", "symbol_name"
     )

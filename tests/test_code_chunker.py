@@ -66,3 +66,77 @@ def test_nested_defs_stay_with_parent(spark):
     assert len(rows) == 1
     assert rows[0]["symbol"] == "outer"
     assert "inner" in rows[0]["content"]
+
+
+LANG_SNIPPETS = {
+    "ada": ("procedure Main is", "Main"),
+    "bash": ("deploy() {", "deploy"),
+    "c": ("static int add(int a, int b) {", "add"),
+    "c-sharp": ("public sealed class Widget", "Widget"),
+    "clojure": ("(defn parse-line [s]", "parse-line"),
+    "cpp": ("class Vec3 {", "Vec3"),
+    "dart": ("class Point {", "Point"),
+    "elixir": ("defmodule MyApp.Worker do", "MyApp.Worker"),
+    "elm": ("type alias Model =", "Model"),
+    "erlang": ("handle_call(Req, From, State) ->", "handle_call"),
+    "fortran": ("subroutine solve(n)", "solve"),
+    "go": ("func main() {", "main"),
+    "haskell": ("data Tree = Leaf | Node Tree Tree", "Tree"),
+    "java": ("public final class Parser {", "Parser"),
+    "javascript": ("export async function load() {", "load"),
+    "julia": ("function step!(state)", "step!"),
+    "kotlin": ("data class User(val id: Int)", "User"),
+    "lisp": ("(defun walk (tree)", "walk"),
+    "lua": ("local function split(s)", "split"),
+    "ocaml": ("let rec fold f acc = function", "fold"),
+    "odin": ("main :: proc() {", "main"),
+    "pascal": ("procedure Swap(var a, b: Integer);", "Swap"),
+    "perl": ("sub slurp {", "slurp"),
+    "php": ("final class Router {", "Router"),
+    "python": ("async def fetch(url):", "fetch"),
+    "r": ("normalize <- function(x) {", "normalize"),
+    "ruby": ("class Invoice", "Invoice"),
+    "rust": ("pub fn run() {}", "run"),
+    "scala": ("case class Point(x: Int)", "Point"),
+    "scheme": ("(define (square x)", "square"),
+    "sql": ("CREATE TABLE users (", "users"),
+    "swift": ("public func render() {", "render"),
+    "tsx": ("export default function App() {", "App"),
+    "typescript": ("export interface Shape {", "Shape"),
+    "vala": ("public class Widget : Object {", "Widget"),
+    "zig": ("pub fn main() !void {", "main"),
+}
+
+
+def test_every_boundary_pattern_extracts_its_symbol():
+    """Pure-regex check over all registry languages: the anchor matches
+    its canonical definition line and captures the symbol (Python re is
+    RE2/Java-compatible for these constructs)."""
+    import re
+
+    from workspace_qdrant_mcp_spark.sources import code_chunker as cc
+
+    assert set(LANG_SNIPPETS) == set(cc.BOUNDARY_PATTERNS)
+    for lang, (line, symbol) in LANG_SNIPPETS.items():
+        m = re.search(cc.BOUNDARY_PATTERNS[lang], line)
+        assert m, f"{lang}: no match on {line!r}"
+        assert m.group(1) == symbol, f"{lang}: got {m.group(1)!r}"
+
+
+def test_extension_routing():
+    from workspace_qdrant_mcp_spark.sources import code_chunker as cc
+
+    assert cc.language_for_path("src/a/b.rs") == "rust"
+    assert cc.language_for_path("x/y.TSX") == "tsx"
+    assert cc.language_for_path("noext") is None
+    assert cc.language_for_path("conf.yaml") is None  # text fallback
+    for lang in cc.EXTENSION_MAP.values():
+        assert lang in cc.BOUNDARY_PATTERNS
+
+
+def test_multilang_semantic_chunk_on_spark(spark):
+    """The Java-regex side agrees for a representative non-default set."""
+    for lang in ("java", "ruby", "typescript", "lua", "sql"):
+        line, symbol = LANG_SNIPPETS[lang]
+        rows = _chunk(spark, line + "\nbody", language=lang)
+        assert rows[0]["symbol"] == symbol, lang

@@ -30,16 +30,102 @@ from pyspark.sql import functions as F
 MAX_UNIT_CHARS = 32000
 FRAGMENT_OVERLAP = 500
 
-# Top-level definition anchors per language (language_registry YAML
-# analog). Capture group 1 = symbol name.
+# Top-level definition anchors per language — the line-anchored analog of
+# the reference's language_registry.yaml semantic_patterns (one entry per
+# registry language; language_registry.yaml lists 45). Capture group 1 =
+# symbol name. RE2-safe (no lookbehind/backrefs) so the same pattern runs
+# in Spark's Java regex and DuckDB.
 BOUNDARY_PATTERNS: dict[str, str] = {
-    "python": r"^(?:async def |def |class )([A-Za-z_][A-Za-z0-9_]*)",
-    "rust": r"^(?:pub(?:\([a-z]+\))? )?(?:fn |struct |enum |trait |impl )([A-Za-z_][A-Za-z0-9_]*)",
-    "javascript": r"^(?:export )?(?:async )?(?:function\*? |class )([A-Za-z_$][A-Za-z0-9_$]*)",
+    "ada": r"(?i)^(?:procedure|function|package(?: body)?) +([A-Za-z_][A-Za-z0-9_.]*)",
+    "bash": r"^(?:function +)?([A-Za-z_][A-Za-z0-9_]*) *\(\) *\{",
+    "c": r"^(?:typedef struct |struct |enum |union |(?:static |inline |extern )*[A-Za-z_][A-Za-z0-9_ *]* \**)([A-Za-z_][A-Za-z0-9_]*) *[({]",
+    "c-sharp": r"^(?:(?:public|private|protected|internal|static|sealed|abstract|partial) )*(?:class|struct|interface|enum|namespace|record) +([A-Za-z_][A-Za-z0-9_.]*)",
+    "clojure": r"^\(def[a-z-]* +\^?([A-Za-z_*+!?<>=/.-][A-Za-z0-9_*+!?<>=/.-]*)",
+    "cpp": r"^(?:template<[^>]*> *)?(?:class |struct |enum(?: class)? |namespace |(?:static |inline |extern |constexpr |virtual )*[A-Za-z_][A-Za-z0-9_:<>, *&]* \**)([A-Za-z_][A-Za-z0-9_:]*) *[({:]",
+    "dart": r"^(?:abstract )?(?:class|enum|mixin|extension) +([A-Za-z_][A-Za-z0-9_]*)",
+    "elixir": r"^defmodule +([A-Za-z_][A-Za-z0-9_.]*)",
+    "elm": r"^(?:type(?: alias)? +|port +|module +)([A-Za-z_][A-Za-z0-9_.]*)",
+    "erlang": r"^([a-z][A-Za-z0-9_]*)\([^)]*\) *->",
+    "fortran": r"(?i)^ *(?:subroutine|module|program|(?:[a-z(),*0-9 ]+ )?function) +([A-Za-z_][A-Za-z0-9_]*)",
     "go": r"^(?:func(?: \([^)]*\))? |type )([A-Za-z_][A-Za-z0-9_]*)",
+    "haskell": r"^(?:data |newtype |class |instance |module |type )([A-Za-z_'][A-Za-z0-9_'.]*)",
+    "java": r"^(?:(?:public|private|protected|static|final|abstract|sealed) )*(?:class|interface|enum|record) +([A-Za-z_][A-Za-z0-9_]*)",
+    "javascript": r"^(?:export )?(?:default )?(?:async )?(?:function\*? |class )([A-Za-z_$][A-Za-z0-9_$]*)",
+    "julia": r"^(?:function|macro|(?:mutable )?struct|module|abstract type) +([A-Za-z_!][A-Za-z0-9_!]*)",
+    "kotlin": r"^(?:(?:data|sealed|enum|open|abstract|annotation|inner) )*(?:class|fun|object|interface) +([A-Za-z_][A-Za-z0-9_]*)",
+    "lisp": r"^\(def[a-z-]* +\(? *([A-Za-z_*+!?<>=/.-][A-Za-z0-9_*+!?<>=/.-]*)",
+    "lua": r"^(?:local )?function +([A-Za-z_][A-Za-z0-9_.:]*)",
+    "ocaml": r"^(?:let(?: rec)? |module |type )([A-Za-z_][A-Za-z0-9_']*)",
+    "odin": r"^([A-Za-z_][A-Za-z0-9_]*) *:: *(?:proc|struct|enum|union)",
+    "pascal": r"(?i)^(?:procedure|function|unit|program|constructor|destructor) +([A-Za-z_][A-Za-z0-9_.]*)",
+    "perl": r"^(?:sub|package) +([A-Za-z_][A-Za-z0-9_:]*)",
+    "php": r"^(?:(?:abstract|final) )?(?:class|interface|trait|function) +([A-Za-z_][A-Za-z0-9_]*)",
+    "python": r"^(?:async def |def |class )([A-Za-z_][A-Za-z0-9_]*)",
+    "r": r"^([A-Za-z_.][A-Za-z0-9_.]*) *(?:<-|=) *function",
+    "ruby": r"^(?:def |class |module )(?:self\.)?([A-Za-z_][A-Za-z0-9_.?!]*)",
+    "rust": r"^(?:pub(?:\([a-z]+\))? )?(?:fn |struct |enum |trait |impl(?:<[^>]*>)? |mod |macro_rules! )([A-Za-z_][A-Za-z0-9_]*)",
+    "scala": r"^(?:(?:final|abstract|case|sealed|implicit) )*(?:class|object|trait|def) +([A-Za-z_][A-Za-z0-9_]*)",
+    "scheme": r"^\(define[a-z-]* +\(? *([A-Za-z_*+!?<>=/.-][A-Za-z0-9_*+!?<>=/.-]*)",
+    "sql": r"(?i)^create +(?:or replace +)?(?:table|view|function|procedure|index|schema) +(?:if not exists +)?([A-Za-z_][A-Za-z0-9_.\"]*)",
+    "swift": r"^(?:(?:public|private|internal|open|final|static) )*(?:func|class|struct|enum|protocol|extension) +([A-Za-z_][A-Za-z0-9_]*)",
+    "tsx": r"^(?:export )?(?:default )?(?:async )?(?:function\*? |class |interface |enum |type |const )([A-Za-z_$][A-Za-z0-9_$]*)",
+    "typescript": r"^(?:export )?(?:default )?(?:async )?(?:function\*? |class |interface |enum |type |namespace )([A-Za-z_$][A-Za-z0-9_$]*)",
+    "vala": r"^(?:(?:public|private) )*(?:class|interface|struct|enum|namespace) +([A-Za-z_][A-Za-z0-9_.]*)",
+    "zig": r"^(?:pub )?(?:export )?(?:fn|const) +([A-Za-z_][A-Za-z0-9_]*)",
 }
 
-CLASS_KEYWORDS = ("class ", "struct ", "enum ", "trait ", "impl ", "type ")
+# Registry languages with no line-anchored definition concept — data /
+# markup formats degrade to text chunking (mod.rs text_chunk_fallback),
+# matching semantic_chunk's no-boundary module-unit path.
+TEXT_FALLBACK_LANGUAGES = frozenset(
+    {"css", "html", "json", "latex", "markdown", "nix", "toml", "vue", "yaml"}
+)
+
+# language_extensions.yaml analog: file extension → registry language for
+# the languages with boundary patterns.
+EXTENSION_MAP: dict[str, str] = {
+    ".adb": "ada", ".ads": "ada", ".sh": "bash", ".bash": "bash",
+    ".c": "c", ".h": "c", ".cs": "c-sharp", ".clj": "clojure",
+    ".cc": "cpp", ".cpp": "cpp", ".cxx": "cpp", ".hpp": "cpp",
+    ".dart": "dart", ".ex": "elixir", ".exs": "elixir", ".elm": "elm",
+    ".erl": "erlang", ".f90": "fortran", ".f95": "fortran", ".go": "go",
+    ".hs": "haskell", ".java": "java", ".js": "javascript",
+    ".mjs": "javascript", ".jl": "julia", ".kt": "kotlin", ".lisp": "lisp",
+    ".el": "lisp", ".lua": "lua", ".ml": "ocaml", ".mli": "ocaml",
+    ".odin": "odin", ".pas": "pascal", ".pl": "perl", ".pm": "perl",
+    ".php": "php", ".py": "python", ".pyi": "python", ".r": "r",
+    ".rb": "ruby", ".rs": "rust", ".scala": "scala", ".scm": "scheme",
+    ".sql": "sql", ".swift": "swift", ".tsx": "tsx", ".ts": "typescript",
+    ".vala": "vala", ".zig": "zig",
+}
+
+
+def language_for_path(path: str) -> str | None:
+    """Registry language for a file path, None for unknown/fallback
+    extensions (caller routes those to text chunking)."""
+    dot = path.rfind(".")
+    if dot < 0:
+        return None
+    return EXTENSION_MAP.get(path[dot:].lower())
+
+
+CLASS_KEYWORDS = (
+    "class ", "struct ", "enum ", "trait ", "impl ", "type ", "interface ",
+    "module ", "object ", "record ", "protocol ", "namespace ", "mixin ",
+    "union ", "defmodule ", "package ",
+)
+# modifier prefixes that may precede a class-ish keyword on the def line
+_CLASS_PREFIX = (
+    r"(?:(?:pub(?:\([a-z]+\))?|export|public|private|protected|internal|"
+    r"static|final|abstract|sealed|open|case|data|mutable|partial|"
+    r"annotation|inner|implicit|typedef|local|abstract) )*"
+)
+
+
+def class_line_re() -> str:
+    """Regex deciding unit_type 'class' from a boundary line — shared by
+    the Spark expression and the DuckDB oracle."""
+    return "^" + _CLASS_PREFIX + "(?:" + "|".join(k.strip() for k in CLASS_KEYWORDS) + r")\b"
 
 
 def semantic_chunk(
@@ -89,11 +175,7 @@ def semantic_chunk(
             "unit_type",
             F.when(F.col("symbol") == "", F.lit("module")).otherwise(
                 F.when(
-                    F.col("first_line").rlike(
-                        "^(?:pub(?:\\([a-z]+\\))? |export )?(?:"
-                        + "|".join(k.strip() for k in CLASS_KEYWORDS)
-                        + ")\\b"
-                    ),
+                    F.col("first_line").rlike(class_line_re()),
                     F.lit("class"),
                 ).otherwise(F.lit("function"))
             ),
@@ -145,11 +227,7 @@ def duckdb_semantic_chunk_sql(
     CTE, producing the identical chunk table as :func:`semantic_chunk`
     (CTE name: sem_chunks)."""
     pattern = BOUNDARY_PATTERNS[language].replace("'", "''")
-    class_re = (
-        "^(?:pub(?:\\([a-z]+\\))? |export )?(?:"
-        + "|".join(k.strip() for k in CLASS_KEYWORDS)
-        + ")\\b"
-    ).replace("'", "''")
+    class_re = class_line_re().replace("'", "''")
     stride = max_chars - overlap
     return f"""
 sc_lines AS (

@@ -145,3 +145,71 @@ def test_reconciliation_diff(spark, dirs):
         "y.txt": "stale_in_store",
         "z.txt": "missing_in_store",
     }
+
+
+def test_watchdog_escalation_and_oneshot_diagnostic():
+    wd = ingest.EmbeddingWatchdog(max_attempts=3)
+    assert wd.available and wd.next_retry_delay() == 600  # healthy backstop
+    delays = [wd.record_failure() for _ in range(7)]
+    assert delays == [30, 60, 120, 300, 600, 600, 600]  # holds at backstop
+    assert not wd.available
+    d = wd.take_diagnostic()
+    assert d is not None and d["consecutive_failures"] == 7
+    assert wd.take_diagnostic() is None  # one-shot
+    wd.record_success()
+    assert wd.available and wd.consecutive_failures == 0
+    assert wd.take_diagnostic() is None
+
+
+def test_provider_down_parks_embeds_but_applies_deletes(spark, dirs):
+    park = dirs["dlq"] + "_park"
+    # seed the store with one path so the delete has a target
+    seed = spark.createDataFrame(
+        [("a", "h", 0, "x", [0.0])],
+        "path STRING, file_hash STRING, chunk_index INT, content STRING, embedding ARRAY<DOUBLE>",
+    )
+    seed.write.mode("overwrite").parquet(dirs["store"])
+    wd = ingest.EmbeddingWatchdog()
+    wd.record_failure()  # provider already known-down
+    batch = spark.createDataFrame(
+        [("b", "create", "new content", "2024-01-01T00:00:00"),
+         ("a", "remove", None, "2024-01-01T00:00:01")],
+        "path STRING, event_type STRING, content STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ingest.process_batch(
+        spark, batch, dirs["store"], dirs["dlq"], watchdog=wd, park_path=park
+    )
+    store = {r["path"] for r in _store(spark, dirs).collect()}
+    assert "a" not in store            # delete applied while degraded
+    assert "b" not in store            # embed work did NOT reach the store
+    parked = ingest.read_parked(spark, park)
+    assert [r["path"] for r in parked.collect()] == ["b"]
+
+
+def test_embed_failure_flips_flag_parks_then_recovers(spark, dirs):
+    park = dirs["dlq"] + "_park"
+
+    def broken_embed(col):
+        raise RuntimeError("provider down")
+
+    wd = ingest.EmbeddingWatchdog()
+    batch = spark.createDataFrame(
+        [("p", "create", "some text", "2024-01-01T00:00:00")],
+        "path STRING, event_type STRING, content STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ingest.process_batch(
+        spark, batch, dirs["store"], dirs["dlq"],
+        watchdog=wd, park_path=park, embed_fn=broken_embed,
+    )
+    assert not wd.available and wd.consecutive_failures == 1
+    import os
+    assert not os.path.exists(dirs["store"])  # nothing upserted
+    assert not os.path.exists(dirs["dlq"])    # outage is NOT dead-lettered
+    # recovery: reprocess the parked events with a healthy provider
+    wd.record_success()
+    ingest.process_batch(
+        spark, ingest.read_parked(spark, park), dirs["store"], dirs["dlq"],
+        watchdog=wd, park_path=park,
+    )
+    assert wd.available
+    assert {r["path"] for r in _store(spark, dirs).collect()} == {"p"}

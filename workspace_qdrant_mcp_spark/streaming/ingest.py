@@ -109,6 +109,74 @@ def delete_paths(spark: SparkSession, store_path: str, paths: DataFrame) -> None
     out.write.mode("overwrite").parquet(store_path)
 
 
+# W8 provider watchdog (embedding/watchdog.rs): escalating re-init
+# schedule capped at the 600 s backstop, availability flag read by the
+# batch processor to park embedding work, one-shot diagnostic after
+# max_attempts. A provider outage DEGRADES the pipeline (embeds park,
+# deletes/search keep serving) — it never kills it.
+DEFAULT_RETRY_INTERVALS_SECS = (30, 60, 120, 300, 600)
+DEFAULT_MAX_ATTEMPTS = 10
+
+
+class EmbeddingWatchdog:
+    """Deterministic state machine mirroring watchdog.rs:31-40 semantics:
+    consecutive failures step through `retry_intervals` and hold at the
+    last value (also the healthy backstop); `max_attempts` consecutive
+    failures emit a one-shot diagnostic dict; any success resets."""
+
+    def __init__(
+        self,
+        retry_intervals: tuple[int, ...] = DEFAULT_RETRY_INTERVALS_SECS,
+        max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+    ):
+        self.retry_intervals = retry_intervals or (600,)
+        self.max_attempts = max_attempts
+        self.consecutive_failures = 0
+        self.available = True
+        self._diagnostic_written = False
+
+    def next_retry_delay(self) -> int:
+        if self.consecutive_failures == 0:
+            return self.retry_intervals[-1]  # healthy backstop
+        idx = min(self.consecutive_failures - 1, len(self.retry_intervals) - 1)
+        return self.retry_intervals[idx]
+
+    def record_success(self) -> None:
+        self.consecutive_failures = 0
+        self.available = True
+        self._diagnostic_written = False
+
+    def record_failure(self) -> int:
+        self.consecutive_failures += 1
+        self.available = False
+        return self.next_retry_delay()
+
+    def take_diagnostic(self) -> dict | None:
+        """One-shot: non-None exactly once per outage, after max_attempts
+        consecutive failures (watchdog.rs DEFAULT_MAX_ATTEMPTS)."""
+        if (
+            self.consecutive_failures >= self.max_attempts
+            and not self._diagnostic_written
+        ):
+            self._diagnostic_written = True
+            return {
+                "consecutive_failures": self.consecutive_failures,
+                "retry_delay_secs": self.next_retry_delay(),
+                "available": self.available,
+            }
+        return None
+
+
+def park_events(batch: DataFrame, park_path: str) -> None:
+    """Re-lease analog: embedding work waits in the park table while the
+    provider is down; deletes and reads are unaffected."""
+    batch.write.mode("append").parquet(park_path)
+
+
+def read_parked(spark: SparkSession, park_path: str) -> DataFrame:
+    return _read_store(spark, park_path, EVENT_SCHEMA)
+
+
 def process_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -116,9 +184,15 @@ def process_batch(
     dlq_path: str,
     ignore_globs: list[str] | None = None,
     allow_globs: list[str] | None = None,
+    watchdog: EmbeddingWatchdog | None = None,
+    park_path: str | None = None,
+    embed_fn=None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
-    content-hash dedup → chunk+embed → idempotent upsert; failures → DLQ."""
+    content-hash dedup → chunk+embed → idempotent upsert; failures → DLQ.
+    With a watchdog: while the provider is unavailable, embedding work
+    parks (W8 re-lease) and deletes still apply; an embed failure flips
+    the flag and parks the current upserts instead of dead-lettering."""
     try:
         batch = filter_watched_paths(batch, ignore_globs, allow_globs)
         b = debounce_batch(batch).localCheckpoint()
@@ -126,6 +200,13 @@ def process_batch(
         upserts = b.filter(F.col("event_type") != "remove").withColumn(
             "file_hash", F.md5(F.col("content").cast("binary"))
         )
+        if watchdog is not None and park_path is not None and not watchdog.available:
+            park_events(
+                upserts.select("path", "event_type", "content", "ts"), park_path
+            )
+            if len(deletes.take(1)) > 0:
+                delete_paths(spark, store_path, deletes)
+            return
         # W5: skip paths whose (path, file_hash) already in the store
         schema = (
             "path STRING, file_hash STRING, chunk_index INT, content STRING, "
@@ -137,14 +218,28 @@ def process_batch(
         changed = upserts.join(existing, ["path", "file_hash"], "left_anti")
         # dedup-before-embed (phrase-cache analog, generator.rs:176-302):
         # the embed provider sees each distinct chunk text once per batch
-        chunks = embed_unique(
-            chunk_text(changed, id_col="path", text_col="content").join(
-                changed.select("path", "file_hash"), "path"
-            ),
-            embed_fn=mock_embed,
-        ).select("path", "file_hash", "chunk_index", "content", "embedding")
-        if len(chunks.take(1)) > 0:
-            upsert_chunks(spark, store_path, chunks)
+        try:
+            chunks = embed_unique(
+                chunk_text(changed, id_col="path", text_col="content").join(
+                    changed.select("path", "file_hash"), "path"
+                ),
+                embed_fn=embed_fn or mock_embed,
+            ).select("path", "file_hash", "chunk_index", "content", "embedding")
+            if len(chunks.take(1)) > 0:
+                upsert_chunks(spark, store_path, chunks)
+            if watchdog is not None:
+                watchdog.record_success()
+        except Exception:
+            # provider outage ≠ poison batch: flip the flag and park the
+            # embedding work for re-lease; do NOT dead-letter it
+            if watchdog is not None and park_path is not None:
+                watchdog.record_failure()
+                park_events(
+                    upserts.select("path", "event_type", "content", "ts"),
+                    park_path,
+                )
+            else:
+                raise
         if len(deletes.take(1)) > 0:
             delete_paths(spark, store_path, deletes)
     except Exception as exc:  # W3: dead-letter the whole batch with the error

@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — the Spark analog of the reference's
+proptest usage (daemon/core Cargo.toml: proptest). Each property drives a
+batch of generated rows through the real Spark expressions once per
+example, so examples stay cheap; deadlines are off because JVM warmup
+dominates the first example.
+
+Properties:
+  1. Tokenizer parity: tokenize_bm25 (Spark/Java regex) produces the same
+     token stream as duckdb_tokenize_sql (DuckDB/RE2) for arbitrary text —
+     the foundation every sparse-search oracle stands on.
+  2. Chunker reconstruction: chunk_text fragments reassemble the original
+     text exactly (drop each fragment's `overlap` prefix after the first),
+     every fragment fits the window, and indices are dense.
+  3. apply_events model consistency: the DataFrame merge agrees with a
+     20-line dict model on arbitrary event streams (statuses + survivors).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.functions.text import (
+    duckdb_tokenize_sql,
+    tokenize_bm25,
+)
+from workspace_qdrant_mcp_spark.sources.documents import chunk_text
+from workspace_qdrant_mcp_spark.streaming import ingest
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish unicode incl. the punctuation/separator classes the
+# tokenizer treats specially, multibyte chars, and junk-shaped tokens
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ09 .,;:(){}[]\"'`~!@#$%^&*+=|\\-_/\n\t") + ["é", "ß", "中"]
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_tokenizer_parity_spark_vs_duckdb(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", tokenize_bm25(F.col("text")).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+        )
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, {duckdb_tokenize_sql('text')} FROM d"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        min_size=1,
+        max_size=2000,
+    ),
+    window=st.integers(min_value=20, max_value=400),
+)
+@settings(**SETTINGS)
+def test_chunk_text_reconstructs_original(spark, text, window):
+    overlap = window // 10
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_text(df, chunk_chars=window, overlap=overlap).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+    assert all(len(r["content"]) <= window for r in rows)
+    rebuilt = rows[0]["content"] + "".join(
+        r["content"][overlap:] for r in rows[1:]
+    )
+    assert rebuilt == text
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["p0", "p1", "p2", "p3"]),          # path
+        st.sampled_from(["upsert", "remove"]),               # event_type
+        st.sampled_from(["aa", "bb", "old0", "old1"]),       # content
+        st.integers(min_value=0, max_value=50),              # ts
+    ),
+    max_size=12,
+)
+
+
+@given(events=EVENTS)
+@settings(**SETTINGS)
+def test_apply_events_matches_dict_model(spark, events):
+    # one content per (path, ts, event_type): two same-key upserts with
+    # different contents would make the debounce winner ambiguous in BOTH
+    # the model and the window (nondeterministic tie), so dedupe the key
+    events = list({(p, ts, e): (p, e, c, ts) for p, e, c, ts in events}.values())
+    base_rows = [("p0", "old0"), ("p1", "old1")]
+    # model: last event per path by (ts, event_type) — the exact debounce
+    # order; ties on (path, ts) resolved toward 'upsert' (event_type DESC)
+    last: dict = {}
+    for path, etype, content, ts in events:
+        key = (ts, etype)
+        if path not in last or key > (last[path][0], last[path][1]):
+            last[path] = (ts, etype, content)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    expect = {}
+    for path, old in base_rows:
+        ev = last.get(path)
+        if ev and ev[1] == "remove":
+            continue
+        if ev and ev[1] == "upsert":
+            expect[path] = (
+                md5(ev[2]),
+                "kept" if md5(ev[2]) == md5(old) else "updated",
+            )
+        else:
+            expect[path] = (md5(old), "kept")
+    base_paths = {p for p, _ in base_rows}
+    for path, (ts, etype, content) in last.items():
+        if path not in base_paths and etype == "upsert":
+            expect[path] = (md5(content), "inserted")
+
+    base = spark.createDataFrame(base_rows, ["path", "content"])
+    ev_df = spark.createDataFrame(
+        events or [("__none__", "remove", "x", 0)],
+        "path STRING, event_type STRING, content STRING, ts LONG",
+    )
+    got = {
+        r["path"]: (r["file_hash"], r["status"])
+        for r in ingest.apply_events(base, ev_df).collect()
+        if r["path"] != "__none__"
+    }
+    assert got == expect

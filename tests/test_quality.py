@@ -59,3 +59,50 @@ def test_gold_run_exact_mode(spark):
     m = quality.evaluate(ranked, gold).collect()[0]
     assert m["top1"] == 1.0  # the top exact match is a gold doc by construction
     assert m["recall_at_10"] > 0
+
+
+def test_gold_run_hybrid_mode_passes_reference_gates(spark):
+    """The `wqm benchmark search-quality` analog on the live pipeline
+    (semantic-search-benchmarking.md:33-46): known-item queries — each
+    query is a chunk's exact content, so the deterministic embedder puts
+    its source chunk(s) at cosine 1.0 — must clear the reference's verdict
+    gates: top3 >= 80%, recall@10 >= 70%."""
+    from pyspark.sql import Window
+
+    eng = WqmEngine(spark, SF_SMOKE)
+    # 8 deterministic known-items: first chunk of the 8 lowest doc_ids
+    items = (
+        eng.chunks.filter(F.col("chunk_index") == 0)
+        .orderBy("doc_id")
+        .limit(8)
+        .select("doc_id", "content")
+        .collect()
+    )
+    ranked_parts, gold_parts = [], []
+    for it in items:
+        qid = f"q{it['doc_id']}"
+        res = eng.search(it["content"], mode="hybrid", limit=10, diverse=False)
+        ranked_parts.append(
+            res.select(
+                F.lit(qid).alias("query_id"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("score"), F.asc("point_id")))
+                .alias("rank"),
+                F.col("relative_path").alias("file"),
+            ).filter(F.col("rank") <= 10)
+        )
+        gold_parts.append(
+            eng.chunks.filter(F.col("content") == it["content"])
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("relative_path").alias("file"),
+            )
+            .distinct()
+        )
+    from functools import reduce
+
+    ranked = reduce(lambda a, b: a.unionByName(b), ranked_parts)
+    gold = reduce(lambda a, b: a.unionByName(b), gold_parts)
+    m = quality.evaluate(ranked, gold).collect()[0]
+    v = quality.verdict(m)
+    assert v["pass"], v

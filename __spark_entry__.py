@@ -734,6 +734,22 @@ def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
 
 
+BC_CAP = 40
+
+
+def _q_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 Brandes betweenness, ORACLE-BACKED: all-sources exact run on the
+    capped co-occurrence subgraph, checked against a pair-counting SQL
+    twin (sigma products at minimal depths). Upgrades betweenness from a
+    rows-only check to a hard value signal; the sampled full-graph run
+    stays in graph_betweenness."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < BC_CAP) & (F.col("dst") < BC_CAP)
+    )
+    bc = graph.betweenness(e)
+    return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
+
+
 def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 debounce semantics as a batch query: last event per
     (hour window, user, type), deterministic tiebreak (ts desc, id desc)."""
@@ -1437,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
+        "betweenness_exact": _q_betweenness_exact,
         "graph_betweenness": _q_graph_betweenness,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1498,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),
         "ingest_apply_events": oracles.ingest_apply_events(),
+        "betweenness_exact": oracles.betweenness_exact(BC_CAP),
         "tier1_tags": oracles.tier1_tags(),
         "graph_degree_stats": oracles.graph_degree_stats(),
         "graph_2hop_neighbors": oracles.graph_k_hop(GRAPH_SEED, 2),

@@ -1092,6 +1092,72 @@ FROM und GROUP BY u
 """
 
 
+def betweenness_exact(cap: int = 40, max_depth: int = 12) -> str:
+    """G8 exact betweenness on the capped co-occurrence subgraph — the SQL
+    twin of operators/graph.betweenness with sampling off.
+
+    Pair-counting formulation (equivalent to Brandes' accumulation):
+      sigma(s,v)  = #shortest s->v paths = walk count at minimal depth
+                    (a minimal-length walk cannot revisit a vertex)
+      raw(v)      = sum over ordered pairs s!=t, v not in {s,t}, of
+                    sigma(s,v)*sigma(v,t)/sigma(s,t)
+                    where dist(s,v)+dist(v,t)=dist(s,t)
+      centrality  = least(raw * 2/((n-1)(n-2)), 1.0)   -- the reference's
+                    un-halved normalization (betweenness.rs:103-128)
+    Walk counts are unrolled matrix powers w1..w{max_depth}; the parity
+    test fails loudly if the subgraph diameter ever exceeds max_depth."""
+    parts = [
+        f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+),
+nn_bc AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS n FROM und),
+w1 AS MATERIALIZED (SELECT u AS s, v, CAST(1 AS BIGINT) AS c FROM und)"""
+    ]
+    for d in range(1, max_depth):
+        parts.append(
+            f""",
+w{d + 1} AS MATERIALIZED (
+  SELECT w.s, e.v, CAST(sum(w.c) AS BIGINT) AS c
+  FROM w{d} w JOIN und e ON w.v = e.u GROUP BY 1, 2
+)"""
+        )
+    wall = "\n  UNION ALL ".join(
+        f"SELECT s, v, {d} AS d, c FROM w{d}" for d in range(1, max_depth + 1)
+    )
+    parts.append(
+        f""",
+wall AS MATERIALIZED (
+  SELECT * FROM ({wall}) WHERE s <> v
+),
+mind AS (SELECT s, v, min(d) AS d FROM wall GROUP BY 1, 2),
+sp AS MATERIALIZED (
+  SELECT m.s, m.v, m.d, w.c AS sig
+  FROM mind m JOIN wall w ON w.s = m.s AND w.v = m.v AND w.d = m.d
+),
+raw AS (
+  SELECT a.v AS node_id,
+         sum(CAST(a.sig AS DOUBLE) * b.sig / c.sig) AS r
+  FROM sp a
+  JOIN sp b ON b.s = a.v
+  JOIN sp c ON c.s = a.s AND c.v = b.v
+  WHERE a.d + b.d = c.d AND a.s <> b.v AND a.v <> b.v
+  GROUP BY 1
+),
+allnodes AS (SELECT DISTINCT u AS node_id FROM und)
+SELECT an.node_id,
+       round(least(coalesce(r.r, 0.0) * 2.0 / ((nn_bc.n - 1) * (nn_bc.n - 2)),
+                   1.0), 6) AS centrality
+FROM allnodes an
+CROSS JOIN nn_bc
+LEFT JOIN raw r ON r.node_id = an.node_id
+"""
+    )
+    return "".join(parts)
+
+
 def ingest_apply_events() -> str:
     """S10+W1+W5 batch apply (streaming/ingest.apply_events): debounce on
     raw nanos, remove/upsert split, content-hash-gated merge. Content is a

@@ -695,6 +695,20 @@ def _q_graph_batch_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.batch_k_hop(e, seeds, max_hops=2, reverse=True)
 
 
+def _q_graph_batch_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 2-hop neighbors amortized over the same ~200-seed batch as the
+    impact query, forward direction — per-seed cost lands well under the
+    reference's 10 ms 2-hop budget (see bench per_seed_ms)."""
+    e = _edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("dst").alias("seed"))
+        .unionByName(e.select(F.col("src").alias("seed")))
+        .distinct()
+        .filter((F.col("seed") % BATCH_SEED_MOD == 0) & (F.col("seed") < BATCH_SEED_CAP))
+    )
+    return graph.batch_k_hop(e, seeds, max_hops=2, reverse=False)
+
+
 LPA_CAP = 40  # subgraph bound so the async-sweep oracle CTE chain stays small
 LPA_SWEEPS = 6
 
@@ -1418,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "grouping_structural": _q_grouping_structural,
         "graph_batch_impact": _q_graph_batch_impact,
+        "graph_batch_2hop": _q_graph_batch_2hop,
         "semantic_chunks": _q_semantic_chunks,
         "splade_search": _q_splade_search,
         "doc_extraction": _q_doc_extraction,
@@ -1532,6 +1547,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouping_structural": oracles.grouping_structural(),
         "graph_batch_impact": oracles.graph_batch_impact(
+            BATCH_SEED_MOD, BATCH_SEED_CAP, 2
+        ),
+        "graph_batch_2hop": oracles.graph_batch_2hop(
             BATCH_SEED_MOD, BATCH_SEED_CAP, 2
         ),
         "semantic_chunks": oracles.semantic_chunks(

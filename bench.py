@@ -45,19 +45,18 @@ def main() -> None:
     # Amortized interactive graph point-queries: per-seed ms for the
     # batched impact analysis (reference budget: 100 ms per impact query).
     per_seed_ms: dict[str, float] = {}
-    try:
-        n_seeds = (
-            entrymod.queries()["graph_batch_impact"](spark, sf_dir)
-            .select("seed")
-            .distinct()
-            .count()
-        )
-        if n_seeds and timings.get("graph_batch_impact", -1) >= 0:
-            per_seed_ms["graph_batch_impact"] = round(
-                1000.0 * timings["graph_batch_impact"] / n_seeds, 2
+    for q in ("graph_batch_impact", "graph_batch_2hop"):
+        try:
+            n_seeds = (
+                entrymod.queries()[q](spark, sf_dir)
+                .select("seed")
+                .distinct()
+                .count()
             )
-    except Exception as exc:
-        print(f"# bench per-seed error: {exc}", file=sys.stderr)
+            if n_seeds and timings.get(q, -1) >= 0:
+                per_seed_ms[q] = round(1000.0 * timings[q] / n_seeds, 2)
+        except Exception as exc:
+            print(f"# bench per-seed error ({q}): {exc}", file=sys.stderr)
 
     # BASELINE.md-mapped numbers so the per-round bench is directly
     # comparable to the reference's published targets (graph_bench.rs /

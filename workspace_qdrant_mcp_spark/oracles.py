@@ -709,6 +709,26 @@ FROM reach WHERE node <> seed GROUP BY seed, node
 """
 
 
+def graph_batch_2hop(seed_mod: int = 10, seed_cap: int = 2000, max_hops: int = 2) -> str:
+    """G1 forward k-hop batched over the same seed set as the batch impact
+    query — the outgoing-edge twin (per-seed amortization for the 2-hop
+    <10 ms budget)."""
+    return f"""
+WITH RECURSIVE {_COOC_EDGES},
+seeds AS (SELECT node_id AS seed FROM gn
+          WHERE node_id % {seed_mod} = 0 AND node_id < {seed_cap}),
+reach(seed, node, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN ed e ON e.src = r.node
+  WHERE r.depth < {max_hops}
+)
+SELECT seed, node AS node_id, min(depth) AS depth
+FROM reach WHERE node <> seed GROUP BY seed, node
+"""
+
+
 def graph_pagerank(n_iters: int = 10, damping: float = 0.85) -> str:
     parts = [
         f"WITH {_COOC_EDGES},",

@@ -299,10 +299,13 @@ def run_ingestion_stream(
     checkpoint_dir: str,
     ignore_globs: list[str] | None = None,
     allow_globs: list[str] | None = None,
+    watchdog: EmbeddingWatchdog | None = None,
+    park_path: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
-    availableNow so tests drain the backlog and stop."""
+    availableNow so tests drain the backlog and stop. Pass a watchdog +
+    park_path to get W8 degraded-mode behavior per micro-batch."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 16)  # W7 warmup throttling analog
@@ -311,7 +314,8 @@ def run_ingestion_stream(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, _id: process_batch(
-                spark, b, store_path, dlq_path, ignore_globs, allow_globs
+                spark, b, store_path, dlq_path, ignore_globs, allow_globs,
+                watchdog=watchdog, park_path=park_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

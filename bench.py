@@ -78,6 +78,24 @@ def main() -> None:
             baseline_mapped["impact_ms_per_seed"] = per_seed_ms[
                 "graph_batch_impact"
             ]
+        if per_seed_ms.get("graph_batch_2hop"):
+            # the 2-hop per-seed cost is output-volume-bound (hub seeds
+            # return thousands of rows each); report rows/seed alongside
+            # so the ms/seed number reads against the actual result size
+            n_seeds_2h = max(
+                1,
+                round(
+                    1000.0
+                    * timings["graph_batch_2hop"]
+                    / per_seed_ms["graph_batch_2hop"]
+                ),
+            )
+            baseline_mapped["two_hop_ms_per_seed"] = per_seed_ms[
+                "graph_batch_2hop"
+            ]
+            baseline_mapped["two_hop_rows_per_seed"] = round(
+                counts.get("graph_batch_2hop", 0) / n_seeds_2h
+            )
         if timings.get("ingest_apply_events", 0) > 0:
             n_events = (
                 spark.read.parquet(f"{sf_dir}/events.parquet").count()

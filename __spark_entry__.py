@@ -209,6 +209,15 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_neardup(corpus)
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision table: canonical id + survivor flag per document,
+    components of the n-gram-Jaccard near-dup graph (operators/dedup
+    .survivors) — the row a training pipeline filters on before embedding."""
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(corpus)
+    return dedup.survivors(corpus, pairs)
+
+
 def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.simhash(docs, terms=_doc_terms(spark, sf_dir))
@@ -1444,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": _q_ann_srp,
         "ingest_apply_events": _q_ingest_apply_events,
         "tier1_tags": _q_tier1_tags,
+        "dedup_survivors": _q_dedup_survivors,
         "graph_degree_stats": _q_graph_degree,
         "simhash_fingerprints": _q_simhash_fp,
         # -- headline families (keep recorded) ----------------------------
@@ -1464,12 +1474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "narrative_explains": _q_narrative_explains,
         "stub_resolution": _q_stub_resolution,
         "cross_boundary_2hop": _q_cross_boundary_2hop,
+        "betweenness_exact": _q_betweenness_exact,
+        "graph_betweenness": _q_graph_betweenness,
         "ngram_jaccard_neardup": _q_ngram_jaccard,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
-        "betweenness_exact": _q_betweenness_exact,
-        "graph_betweenness": _q_graph_betweenness,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_exact": _q_dedup_exact,
@@ -1532,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_apply_events": oracles.ingest_apply_events(),
         "betweenness_exact": oracles.betweenness_exact(BC_CAP),
         "tier1_tags": oracles.tier1_tags(),
+        "dedup_survivors": oracles.dedup_survivors(),
         "graph_degree_stats": oracles.graph_degree_stats(),
         "graph_2hop_neighbors": oracles.graph_k_hop(GRAPH_SEED, 2),
         "graph_impact_analysis": oracles.graph_k_hop(

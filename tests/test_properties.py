@@ -158,3 +158,19 @@ def test_apply_events_matches_dict_model(spark, events):
         if r["path"] != "__none__"
     }
     assert got == expect
+
+
+def test_dedup_survivors_fixture(spark):
+    """Chain a-b, b-c collapses to one canonical (min id); singletons are
+    their own survivor; exactly one survivor per component."""
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9)], ["id_a", "id_b", "jaccard"]
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_survivor"])
+           for r in dedup.survivors(corpus, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}

@@ -374,6 +374,41 @@ def with_perturbed_vectors(emb: DataFrame, modulo: int = 10) -> DataFrame:
     return orig.unionByName(copies)
 
 
+def survivors(
+    corpus: DataFrame, pairs: DataFrame, n_iters: int = 15
+) -> DataFrame:
+    """(doc_id, canonical_id, is_survivor) — the dedup DECISION table a
+    training pipeline actually materializes: near-dup pairs form an
+    undirected graph, canonical_id = min doc id of each component
+    (min-label propagation, duplicate-insensitive and order-free), and
+    exactly one row per component keeps is_survivor = true. Docs in no
+    pair are their own canonical. n_iters is matched between this and the
+    oracle, so parity holds by construction at any diameter.
+
+    100 TB shape: pair generation is the (already bucketed) near-dup
+    operator; the label rounds are join + min-groupBy on the PAIR graph
+    only (tiny vs the corpus); the final label join is a plain equi-join
+    on doc_id — AQE broadcasts it when the dup set is small, shuffles
+    when it is not (no unbounded-broadcast assumption)."""
+    from .graph import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges, n_iters=n_iters).withColumnRenamed(
+        "node_id", "doc_id"
+    )
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
 def embedding_neardup(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,

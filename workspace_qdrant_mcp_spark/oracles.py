@@ -353,6 +353,81 @@ corpus AS (
 """
 
 
+def _ngram_pair_ctes(n: int = 3, threshold: float = 0.5) -> str:
+    """CTE chain over a `corpus`(doc_id, text) CTE ending in
+    `jpairs`(id_a, id_b, jaccard >= threshold) — shared by the
+    ngram_jaccard and dedup_survivors oracles."""
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+wd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS w
+  FROM corpus
+),
+gs AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}), i -> {gram_i}))
+              ELSE [] END AS grams
+  FROM wd
+),
+g AS (SELECT doc_id,
+             unnest(list_transform(grams,
+               x -> {duckdb_md5_hash64_sql('x')})) AS gram
+      FROM gs),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
+jpairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+  FROM prs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
+        >= {threshold}
+)"""
+
+
+def dedup_survivors(n: int = 3, threshold: float = 0.5, n_iters: int = 15) -> str:
+    """Dedup decision table (operators/dedup.survivors): canonical id per
+    near-dup component via n_iters matched min-label rounds over the
+    n-gram-Jaccard pair graph; docs in no pair are their own canonical."""
+    parts = [
+        f"WITH {_NEAR_COPY_CORPUS},",
+        _ngram_pair_ctes(n, threshold),
+        """,
+und AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs
+),
+l0 AS MATERIALIZED (SELECT doc_id AS node_id, doc_id AS component FROM corpus)""",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT u.dst AS node_id, min(l.component) AS nbr
+  FROM und u JOIN l{i} l ON l.node_id = u.src GROUP BY u.dst
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.node_id, least(l.component, coalesce(m.nbr, l.component)) AS component
+  FROM l{i} l LEFT JOIN m{i} m USING (node_id)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node_id AS doc_id, component AS canonical_id,
+       node_id = component AS is_survivor
+FROM l{n_iters}"""
+    )
+    return "".join(parts)
+
+
 def ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
     gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
     return f"""

@@ -174,3 +174,42 @@ def test_dedup_survivors_fixture(spark):
     out = {r["doc_id"]: (r["canonical_id"], r["is_survivor"])
            for r in dedup.survivors(corpus, pairs).collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=2, max_size=24, unique=True,
+    ),
+    flips=st.lists(
+        st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_simhash_band_join_is_complete_under_pigeonhole(spark, sigs, flips):
+    """Ground-truth completeness of the 4-band pigeonhole trick: EVERY
+    pair within hamming <= 3 must come out of the band equi-join —
+    including planted near-pairs made by flipping <= 3 bits."""
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    base = len(rows)
+    for j, bits in enumerate(flips):  # plant guaranteed near-pairs
+        src = sigs[j % len(sigs)]
+        mutated = src
+        for b in bits:
+            mutated ^= 1 << b
+        rows.append((base + j, mutated))
+    truth = {
+        (a_id, b_id)
+        for i, (a_id, a) in enumerate(rows)
+        for b_id, b in rows[i + 1:]
+        if a_id < b_id and bin(a ^ b).count("1") <= 3
+    }
+    sig_df = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in dedup.simhash_neardup(None, signatures=sig_df).collect()
+    }
+    assert got == truth

@@ -315,12 +315,16 @@ def simhash_neardup(
     max_hamming: int = HAMMING_THRESHOLD,
     bands: int = SIMHASH_BANDS,
     terms: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — pairs within hamming <= 3 of the 32-bit
     simhash. Candidates via the pigeonhole band trick: <= 3 differing bits
     across 4 bands → at least one 8-bit band identical, so the band
-    equi-join finds every true pair without an N² cross product."""
-    sim = simhash(corpus, terms=terms)
+    equi-join finds every true pair without an N² cross product.
+    `signatures` (doc_id, simhash) bypasses the text hashing — used by the
+    completeness property test to check the band trick against ground
+    truth on arbitrary signatures."""
+    sim = simhash(corpus, terms=terms) if signatures is None else signatures
     band_width = SIMHASH_BITS // bands
     mask = (1 << band_width) - 1
     bs = None

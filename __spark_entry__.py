@@ -1219,7 +1219,14 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attach_graph_context is stateless over its arguments (engine facade
     # method; no store access) — call unbound to skip the chunk-store build
     out = WqmEngine.attach_graph_context(None, results, nodes, edges)
-    return out.select("node_id", "symbol_name", "callers", "callees")
+    # Serialize the name lists to pipe-joined strings: the driver's value
+    # canonicalizer sorts rows and cannot hash ARRAY columns, so both sides
+    # emit a scalar (NULL stays NULL on both engines).
+    return out.select(
+        "node_id", "symbol_name",
+        F.array_join("callers", "|").alias("callers"),
+        F.array_join("callees", "|").alias("callees"),
+    )
 
 
 def _q_scope_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1885,12 +1885,14 @@ calls AS (
 ),
 callees AS (
   SELECT src_id AS node_id,
-         list_sort(list_distinct(list(callee_name))) AS callees
+         array_to_string(list_sort(list_distinct(list(callee_name))), '|')
+           AS callees
   FROM calls GROUP BY src_id
 ),
 callers AS (
   SELECT dst_id AS node_id,
-         list_sort(list_distinct(list(caller_name))) AS callers
+         array_to_string(list_sort(list_distinct(list(caller_name))), '|')
+           AS callers
   FROM calls GROUP BY dst_id
 )
 SELECT g.node_id, g.symbol_name, callers.callers, callees.callees

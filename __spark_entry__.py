@@ -1425,6 +1425,25 @@ def _q_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leiden(e)
 
 
+LEIDEN_CAP = 500
+
+
+def _q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 Leiden, ORACLE-BACKED: all-phases run (local move + gamma-gated
+    refine + aggregate + recursive split) on the capped co-occurrence
+    subgraph, audited post-hoc. Coverage columns are recomputed by the SQL
+    oracle from the same edges; violation counters assert the stability /
+    connectivity / labeling / CPM properties any correct run satisfies
+    (mod.rs:140-196; refine.rs:29-156). Upgrades G7 from rows-only to a
+    hard value signal; the plain clustering stays in leiden_communities."""
+    from workspace_qdrant_mcp_spark.operators.leiden import leiden_invariants
+
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < LEIDEN_CAP) & (F.col("dst") < LEIDEN_CAP)
+    )
+    return leiden_invariants(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. Queries that have never had a green row (new this
@@ -1437,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-only queries that have never been re-verified by the driver
         # against the current code/fixtures, then headline keepers. New
         # r4 queries are prepended as they land. -------------------------
+        "leiden_invariants": _q_leiden_invariants,  # new r4: G7 hard signal
         "ingest_apply_events": _q_ingest_apply_events,  # red r3: loader fix
         "graph_context": _q_graph_context,  # never green: array_join fix
         "events_debounce_last": _q_events_debounce,  # red r3: loader fix
@@ -1552,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),
         "ingest_apply_events": oracles.ingest_apply_events(),
         "betweenness_exact": oracles.betweenness_exact(BC_CAP),
+        "leiden_invariants": oracles.leiden_invariants(LEIDEN_CAP),
         "tier1_tags": oracles.tier1_tags(),
         "dedup_survivors": oracles.dedup_survivors(),
         "graph_degree_stats": oracles.graph_degree_stats(),

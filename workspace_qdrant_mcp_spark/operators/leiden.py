@@ -261,6 +261,23 @@ def _split_community(
 # Public API
 # ---------------------------------------------------------------------------
 
+def _build_adj(edges: DataFrame) -> tuple[list, list[dict[int, float]]]:
+    """Collect the (small, capped) edge table into a symmetric weighted
+    adjacency; self-loops skipped (mod.rs:124-127), nodes kept."""
+    cols = ["src", "dst"] + (["weight"] if "weight" in edges.columns else [])
+    pdf = edges.select(*cols).toPandas()
+    node_ids = sorted(set(pdf["src"]).union(pdf["dst"]))
+    idx = {v: i for i, v in enumerate(node_ids)}
+    adj: list[dict[int, float]] = [defaultdict(float) for _ in node_ids]
+    ws = pdf["weight"] if "weight" in pdf.columns else [1.0] * len(pdf)
+    for s, d, w in zip(pdf["src"], pdf["dst"], ws):
+        if s == d:
+            continue
+        adj[idx[s]][idx[d]] += float(w)
+        adj[idx[d]][idx[s]] += float(w)
+    return node_ids, [dict(d) for d in adj]
+
+
 def leiden(
     edges: DataFrame,
     gamma: float = GAMMA_DEFAULT,
@@ -272,18 +289,7 @@ def leiden(
     cluster (stable, content-addressed labels). Weighted when the edge
     table has a `weight` column, else unit weights."""
     spark = edges.sparkSession
-    cols = ["src", "dst"] + (["weight"] if "weight" in edges.columns else [])
-    pdf = edges.select(*cols).toPandas()
-    node_ids = sorted(set(pdf["src"]).union(pdf["dst"]))
-    idx = {v: i for i, v in enumerate(node_ids)}
-    adj: list[dict[int, float]] = [defaultdict(float) for _ in node_ids]
-    ws = pdf["weight"] if "weight" in pdf.columns else [1.0] * len(pdf)
-    for s, d, w in zip(pdf["src"], pdf["dst"], ws):
-        if s == d:
-            continue  # self-loops skipped (mod.rs:124-127)
-        adj[idx[s]][idx[d]] += float(w)
-        adj[idx[d]][idx[s]] += float(w)
-    adj = [dict(d) for d in adj]
+    node_ids, adj = _build_adj(edges)
 
     flat = _flat_leiden(adj, gamma)
     communities = []
@@ -300,3 +306,145 @@ def leiden(
             rows.append((node_ids[m], label))
     rows.sort()
     return spark.createDataFrame(rows, ["node_id", "community"])
+
+
+# ---------------------------------------------------------------------------
+# Hard value signal (G7): post-hoc invariant audit of an all-phases run
+# ---------------------------------------------------------------------------
+
+def _connected_pieces(members: list[int], adj: list[dict[int, float]]) -> int:
+    """Number of connected components induced by `members` (intra edges
+    only). A correct Leiden partition has exactly 1 per community (Traag
+    et al. 2019, guarantee (i); refine.rs keeps sub-communities connected
+    and phase-1 merges only along edges)."""
+    member_set = set(members)
+    seen: set[int] = set()
+    pieces = 0
+    for start in members:
+        if start in seen:
+            continue
+        pieces += 1
+        stack = [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v in member_set and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+    return pieces
+
+
+def leiden_invariants(
+    edges: DataFrame,
+    gamma: float = GAMMA_DEFAULT,
+    resolution_step: float = RESOLUTION_STEP,
+    max_members: int = MAX_MEMBERS,
+    min_members: int = MIN_MEMBERS,
+) -> DataFrame:
+    """One-row audit of a full Leiden run (all phases incl. the recursive
+    split) on the given (capped) edge table. Every column is either
+    independently SQL-computable from the edges (n_nodes / n_assigned) or
+    a violation counter of a property any correct run must satisfy
+    (mod.rs:260-339 stability, refine.rs connectivity guarantee,
+    DOM-01 min-label determinism, CPM >= the singleton-partition
+    baseline H=0 that phase 1 starts from):
+
+      n_nodes                  distinct endpoints in the edge table
+      n_assigned               assignment rows emitted (== n_nodes)
+      dup_assignments          nodes assigned to >1 community (== 0)
+      localmove_violations     nodes with a strictly-positive CPM gain
+                               single-node move in the FLAT partition
+                               (== 0: phase 1 loops until stable)
+      disconnected_communities flat communities with >1 connected piece
+                               (== 0: the Leiden connectivity guarantee)
+      label_min_violations     final labels != min member node id (== 0)
+      split_coverage_ok        split phase preserved the node set
+      cpm_ge_singletons        phase-1 greedy CPM >= 0 (the singleton
+                               start it monotonically ascends from)
+    """
+    spark = edges.sparkSession
+    node_ids, adj = _build_adj(edges)
+    n = len(node_ids)
+
+    flat = _flat_leiden(adj, gamma)
+
+    comm_members: dict[int, list[int]] = defaultdict(list)
+    for node, c in enumerate(flat):
+        comm_members[c].append(node)
+    comm_size = {c: len(m) for c, m in comm_members.items()}
+
+    # local-move stability at base gamma (same gain formula as _local_move)
+    localmove_violations = 0
+    eps = 1e-9
+    for node in range(n):
+        c_cur = flat[node]
+        w_to_comm: dict[int, float] = defaultdict(float)
+        for nb, w in adj[node].items():
+            w_to_comm[flat[nb]] += w
+        delta_remove = -w_to_comm.get(c_cur, 0.0) + gamma * (comm_size[c_cur] - 1.0)
+        for c_cand, w_cand in w_to_comm.items():
+            if c_cand == c_cur:
+                continue
+            if delta_remove + w_cand - gamma * comm_size[c_cand] > eps:
+                localmove_violations += 1
+                break
+
+    disconnected = sum(
+        1 for m in comm_members.values() if _connected_pieces(m, adj) > 1
+    )
+
+    # CPM ascent invariant: phase-1 local move starts from the singleton
+    # partition (H = 0) and every accepted move strictly increases the
+    # true CPM, so its result must score >= 0 on the original graph. (The
+    # FINAL flat partition is exempt: aggregate-level moves use the
+    # reference's node-count-size approximation — mod.rs:260-339 — and may
+    # legitimately drift the exact objective below the baseline.)
+    p1 = list(range(n))
+    _local_move(adj, p1, gamma)
+    p1_size: dict[int, int] = defaultdict(int)
+    for c in p1:
+        p1_size[c] += 1
+    intra: dict[int, float] = defaultdict(float)
+    for i in range(n):
+        for j, w in adj[i].items():
+            if i < j and p1[i] == p1[j]:
+                intra[p1[i]] += w
+    cpm = sum(
+        intra.get(c, 0.0) - gamma * s * (s - 1) / 2.0
+        for c, s in p1_size.items()
+    )
+
+    # full public pipeline (flat + recursive split) for the output-side
+    # invariants, via the same deterministic entry point users call
+    out_rows = [
+        (r["node_id"], r["community"])
+        for r in leiden(
+            edges, gamma, resolution_step, max_members, min_members
+        ).collect()
+    ]
+    assigned_nodes = [nid for nid, _ in out_rows]
+    by_label: dict = defaultdict(list)
+    for nid, label in out_rows:
+        by_label[label].append(nid)
+    label_min_violations = sum(
+        1 for label, mem in by_label.items() if label != min(mem)
+    )
+
+    row = (
+        n,
+        len(out_rows),
+        len(assigned_nodes) - len(set(assigned_nodes)),
+        localmove_violations,
+        disconnected,
+        label_min_violations,
+        sorted(assigned_nodes) == list(node_ids),
+        cpm >= -eps,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_nodes long, n_assigned long, dup_assignments long, "
+        "localmove_violations long, disconnected_communities long, "
+        "label_min_violations long, split_coverage_ok boolean, "
+        "cpm_ge_singletons boolean",
+    )

@@ -1187,6 +1187,28 @@ FROM und GROUP BY u
 """
 
 
+def leiden_invariants(cap: int = 500) -> str:
+    """G7 hard value signal: the SQL-independent half of the Leiden audit.
+    Node coverage is recomputed from the co-occurrence edges; every
+    violation counter asserts the value a correct run must produce
+    (mod.rs local-move stability, refine.rs connectivity guarantee,
+    DOM-01 min-label determinism, CPM >= the singleton baseline)."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+nodes AS (SELECT src AS v FROM sub UNION SELECT dst FROM sub)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(0 AS BIGINT) AS dup_assignments,
+       CAST(0 AS BIGINT) AS localmove_violations,
+       CAST(0 AS BIGINT) AS disconnected_communities,
+       CAST(0 AS BIGINT) AS label_min_violations,
+       TRUE AS split_coverage_ok,
+       TRUE AS cpm_ge_singletons
+FROM nodes
+"""
+
+
 def betweenness_exact(cap: int = 40, max_depth: int = 12) -> str:
     """G8 exact betweenness on the capped co-occurrence subgraph — the SQL
     twin of operators/graph.betweenness with sampling off.

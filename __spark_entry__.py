@@ -532,17 +532,11 @@ def _q_adjacency_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ingest_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 + W1 + W5 as one oracle-backed batch query (process_batch
-    semantics without the sink, ingest.rs:86-106): file events derived
-    deterministically from the events stream (path = doc_<event_id*7919
-    mod 600>, purchase → remove, else upsert; content is a pure function
-    of path so the merge is tie-immune under timestamp collisions),
-    debounced last-event-wins on raw nanos, applied to the documents
-    corpus as the base store. Statuses: kept (no event / W5 hash-equal
-    skip), updated, inserted; removed paths are absent."""
-    from workspace_qdrant_mcp_spark.streaming import ingest
-
+def _file_events(spark: SparkSession, sf_dir: str):
+    """(base store, derived file events) shared by the S10/W2/W3/W6
+    queries: path = doc_<event_id*7919 mod 600>, purchase → remove, else
+    upsert; content is a pure function of path so every merge is
+    tie-immune under timestamp collisions."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
@@ -576,7 +570,85 @@ def _q_ingest_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content"),
         )
     )
+    return base, fe
+
+
+def _q_ingest_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + W1 + W5 as one oracle-backed batch query (process_batch
+    semantics without the sink, ingest.rs:86-106): derived file events,
+    debounced last-event-wins on raw nanos, applied to the documents
+    corpus as the base store. Statuses: kept (no event / W5 hash-equal
+    skip), updated, inserted; removed paths are absent."""
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    base, fe = _file_events(spark, sf_dir)
     return ingest.apply_events(base, fe)
+
+
+def _q_ingest_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 idempotency as an oracle-backed row: apply the SAME debounced
+    event batch twice (unified_queue_schema/sql.rs:28-30 idempotency_key
+    UNIQUE — replays converge). The second application runs over the
+    store state the first emitted; a correct merge returns the identical
+    (path, file_hash) set with every row 'kept'. The oracle computes the
+    single-application result in SQL and asserts exactly that."""
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    base, fe = _file_events(spark, sf_dir)
+    first = ingest.apply_events(base, fe)
+    return ingest.apply_events(
+        first.select("path", "file_hash"), fe, base_hashed=True
+    )
+
+
+def _q_dlq_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 dead-letter decision table (sql.rs:32-45): inject deterministic
+    poison (upserts of paths with pid % 97 == 0 get NULL content — the
+    un-chunkable row class) and emit what dead_letter_split routes to the
+    DLQ, with the recorded reason. The oracle replicates the
+    classification in SQL."""
+    from workspace_qdrant_mcp_spark.streaming.ingest import dead_letter_split
+
+    _base, fe = _file_events(spark, sf_dir)
+    pid = F.split(F.col("path"), "_").getItem(1).cast("long")
+    poisoned = fe.withColumn(
+        "content",
+        F.when(
+            (pid % 97 == 0) & (F.col("event_type") == "upsert"),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("content")),
+    )
+    dlq, _ok = dead_letter_split(poisoned)
+    return dlq.select("path", "event_type", "reason").distinct()
+
+
+def _q_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 startup reconciliation (startup/reconciliation/mod.rs): diff the
+    post-events filesystem snapshot against the pre-events store via the
+    full-outer hash join — inserted paths surface as missing_in_store,
+    removed paths as stale_in_store, content changes as hash_mismatch;
+    in-sync paths are filtered. Independent of apply_events' status
+    column: reconcile_frames recomputes the diff from content hashes."""
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    base, fe = _file_events(spark, sf_dir)
+    last = ingest.debounce_batch(fe)
+    removes = last.filter(F.col("event_type") == "remove").select("path")
+    ups = last.filter(F.col("event_type") == "upsert").select(
+        "path", F.col("content").alias("__new_content")
+    )
+    fs = (
+        base.join(ups, "path", "full_outer")
+        .join(removes, "path", "left_anti")
+        .select(
+            "path",
+            F.coalesce("__new_content", "content").alias("content"),
+        )
+    )
+    store = base.select(
+        "path", F.md5(F.col("content").cast("binary")).alias("store_hash")
+    )
+    return ingest.reconcile_frames(fs, store)
 
 
 def _q_tier1_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,6 +1529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the current code/fixtures, then headline keepers. New
         # r4 queries are prepended as they land. -------------------------
         "leiden_invariants": _q_leiden_invariants,  # new r4: G7 hard signal
+        "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
+        "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
+        "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
         "ingest_apply_events": _q_ingest_apply_events,  # red r3: loader fix
         "graph_context": _q_graph_context,  # never green: array_join fix
         "events_debounce_last": _q_events_debounce,  # red r3: loader fix
@@ -1573,6 +1648,9 @@ def oracle_sql() -> dict[str, str]:
         "ingest_apply_events": oracles.ingest_apply_events(),
         "betweenness_exact": oracles.betweenness_exact(BC_CAP),
         "leiden_invariants": oracles.leiden_invariants(LEIDEN_CAP),
+        "ingest_idempotency": oracles.ingest_idempotency(),
+        "dlq_decisions": oracles.dlq_decisions(),
+        "reconcile_diff": oracles.reconcile_diff(),
         "tier1_tags": oracles.tier1_tags(),
         "dedup_survivors": oracles.dedup_survivors(),
         "graph_degree_stats": oracles.graph_degree_stats(),

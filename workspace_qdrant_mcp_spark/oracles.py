@@ -1275,12 +1275,11 @@ LEFT JOIN raw r ON r.node_id = an.node_id
     return "".join(parts)
 
 
-def ingest_apply_events() -> str:
-    """S10+W1+W5 batch apply (streaming/ingest.apply_events): debounce on
-    raw nanos, remove/upsert split, content-hash-gated merge. Content is a
-    pure function of path, so the result is invariant to timestamp ties."""
-    return """
-WITH base AS (
+# Shared CTEs for the derived-file-event family (S10/W2/W3/W6): base store
+# from documents, deterministic file events from the events stream,
+# last-event-wins debounce on raw nanos.
+_FILE_EVENTS_CTES = """
+base AS (
   SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path, text AS content
   FROM documents
 ),
@@ -1305,7 +1304,10 @@ last AS MATERIALIZED (
       PARTITION BY path ORDER BY tsn DESC, event_type DESC) AS rn
     FROM fe2
   ) WHERE rn = 1
-),
+)"""
+
+_FILE_EVENTS_MERGE = f"""
+WITH {_FILE_EVENTS_CTES},
 removes AS (SELECT path FROM last WHERE event_type = 'remove'),
 ups AS (SELECT path, md5(content) AS new_hash FROM last
         WHERE event_type = 'upsert'),
@@ -1316,11 +1318,75 @@ m AS (
 )
 SELECT m.path,
        coalesce(m.new_hash, m.old_hash) AS file_hash,
-       CASE WHEN m.old_hash IS NULL THEN 'inserted'
-            WHEN m.new_hash IS NULL OR m.new_hash = m.old_hash THEN 'kept'
-            ELSE 'updated' END AS status
+       {{status_expr}} AS status
 FROM m LEFT JOIN removes r ON r.path = m.path
 WHERE r.path IS NULL
+"""
+
+
+def ingest_apply_events() -> str:
+    """S10+W1+W5 batch apply (streaming/ingest.apply_events): debounce on
+    raw nanos, remove/upsert split, content-hash-gated merge. Content is a
+    pure function of path, so the result is invariant to timestamp ties."""
+    return _FILE_EVENTS_MERGE.format(
+        status_expr="""CASE WHEN m.old_hash IS NULL THEN 'inserted'
+            WHEN m.new_hash IS NULL OR m.new_hash = m.old_hash THEN 'kept'
+            ELSE 'updated' END"""
+    )
+
+
+def ingest_idempotency() -> str:
+    """W2: applying the same debounced batch twice must converge — the
+    second application returns the first's (path, file_hash) set with
+    every row 'kept' (idempotency_key UNIQUE, sql.rs:28-30). The oracle
+    computes the single application and asserts exactly that state."""
+    return _FILE_EVENTS_MERGE.format(status_expr="'kept'")
+
+
+def dlq_decisions() -> str:
+    """W3 dead-letter decision table: upserts of pid % 97 == 0 paths carry
+    NULL content in the probe and must be routed to the DLQ with reason
+    'null_content' (sql.rs:32-45); removes and well-formed upserts are
+    never dead-lettered."""
+    return """
+WITH fe AS (
+  SELECT (event_id * 7919) % 600 AS pid,
+         CASE WHEN event_type = 'purchase' THEN 'remove' ELSE 'upsert' END
+           AS event_type
+  FROM events
+)
+SELECT DISTINCT 'doc_' || CAST(pid AS VARCHAR) AS path, event_type,
+       'null_content' AS reason
+FROM fe
+WHERE pid % 97 = 0 AND event_type = 'upsert'
+"""
+
+
+def reconcile_diff() -> str:
+    """W6 startup reconciliation: full-outer hash diff of the post-events
+    filesystem snapshot vs the pre-events store; in-sync paths excluded."""
+    return f"""
+WITH {_FILE_EVENTS_CTES},
+removes AS (SELECT path FROM last WHERE event_type = 'remove'),
+upsC AS (SELECT path, content FROM last WHERE event_type = 'upsert'),
+fs AS (
+  SELECT coalesce(b.path, u.path) AS path,
+         coalesce(u.content, b.content) AS content
+  FROM base b FULL OUTER JOIN upsC u ON b.path = u.path
+  LEFT JOIN removes r ON r.path = coalesce(b.path, u.path)
+  WHERE r.path IS NULL
+),
+store AS (SELECT path, md5(content) AS store_hash FROM base)
+SELECT coalesce(f.path, s.path) AS path,
+       CASE WHEN s.path IS NULL THEN 'missing_in_store'
+            WHEN f.path IS NULL THEN 'stale_in_store'
+            WHEN md5(f.content) <> s.store_hash THEN 'hash_mismatch'
+            ELSE 'ok' END AS status
+FROM fs f FULL OUTER JOIN store s ON f.path = s.path
+WHERE CASE WHEN s.path IS NULL THEN 'missing_in_store'
+           WHEN f.path IS NULL THEN 'stale_in_store'
+           WHEN md5(f.content) <> s.store_hash THEN 'hash_mismatch'
+           ELSE 'ok' END <> 'ok'
 """
 
 

@@ -196,6 +196,17 @@ def process_batch(
     try:
         batch = filter_watched_paths(batch, ignore_globs, allow_globs)
         b = debounce_batch(batch).localCheckpoint()
+        # W3 row-level DLQ: poison rows (un-chunkable upserts) dead-letter
+        # individually instead of failing the whole batch; the catch-all
+        # below remains the backstop for infrastructure errors.
+        poison, b = dead_letter_split(b)
+        if len(poison.take(1)) > 0:
+            (
+                poison.withColumn("error", F.col("reason"))
+                .drop("reason")
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
         deletes = b.filter(F.col("event_type") == "remove").select("path")
         upserts = b.filter(F.col("event_type") != "remove").withColumn(
             "file_hash", F.md5(F.col("content").cast("binary"))
@@ -250,7 +261,27 @@ def process_batch(
         )
 
 
-def apply_events(base: DataFrame, events: DataFrame) -> DataFrame:
+def dead_letter_split(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """W3 row-level DLQ classification (unified_queue_schema/sql.rs:32-45):
+    an upsert with NULL or empty content is poison — it cannot be chunked
+    or embedded and would otherwise fail the whole batch. Returns
+    (dead_lettered rows with a `reason` column, processable rows). Pure
+    column predicates; at scale this is a single pass with no shuffle."""
+    poison = (F.col("event_type") != "remove") & (
+        F.col("content").isNull() | (F.length("content") == 0)
+    )
+    dlq = events.filter(poison).withColumn(
+        "reason",
+        F.when(F.col("content").isNull(), "null_content").otherwise(
+            "empty_content"
+        ),
+    )
+    return dlq, events.filter(~poison)
+
+
+def apply_events(
+    base: DataFrame, events: DataFrame, base_hashed: bool = False
+) -> DataFrame:
     """S10/W1/W5 batch semantics of process_batch without the sink: debounce
     (last event per path wins), split remove/upsert, content-hash-gated
     merge. Returns the post-merge store state (path, file_hash, status)
@@ -262,7 +293,9 @@ def apply_events(base: DataFrame, events: DataFrame) -> DataFrame:
     Python UDFs; on Delta/Iceberg the final select is the MERGE INTO
     condition column for column.
 
-    base:   (path, content)
+    base:   (path, content), or (path, file_hash) with base_hashed=True —
+            the store-state shape apply_events itself emits, so a second
+            application (the W2 idempotency probe) composes directly.
     events: (path, event_type in {'upsert','remove'}, content, ts)
     """
     last = debounce_batch(events)
@@ -270,9 +303,12 @@ def apply_events(base: DataFrame, events: DataFrame) -> DataFrame:
     ups = last.filter(F.col("event_type") == "upsert").select(
         "path", F.md5(F.col("content").cast("binary")).alias("__new_hash")
     )
-    b = base.select(
-        "path", F.md5(F.col("content").cast("binary")).alias("__old_hash")
-    )
+    if base_hashed:
+        b = base.select("path", F.col("file_hash").alias("__old_hash"))
+    else:
+        b = base.select(
+            "path", F.md5(F.col("content").cast("binary")).alias("__old_hash")
+        )
     return (
         b.join(ups, "path", "full_outer")
         .join(removes, "path", "left_anti")
@@ -325,21 +361,12 @@ def run_ingestion_stream(
     q.awaitTermination()
 
 
-def reconcile(
-    spark: SparkSession, fs_snapshot: DataFrame, store_path: str
-) -> DataFrame:
-    """W6: (path, status) diff of filesystem vs store — 'missing_in_store'
+def reconcile_frames(fs_snapshot: DataFrame, store: DataFrame) -> DataFrame:
+    """W6 core: (path, status) diff of a filesystem snapshot (path,
+    content) against store hashes (path, store_hash) — 'missing_in_store'
     (needs ingest), 'stale_in_store' (needs delete), 'hash_mismatch'
-    (needs re-ingest)."""
-    schema = (
-        "path STRING, file_hash STRING, chunk_index INT, content STRING, "
-        "embedding ARRAY<DOUBLE>"
-    )
-    store = (
-        _read_store(spark, store_path, schema)
-        .select("path", F.col("file_hash").alias("store_hash"))
-        .distinct()
-    )
+    (needs re-ingest). One full-outer equi-join on path; no skew risk
+    (paths are unique on both sides)."""
     fs = fs_snapshot.select(
         "path", F.md5(F.col("content").cast("binary")).alias("fs_hash")
     )
@@ -352,3 +379,19 @@ def reconcile(
         .otherwise("ok")
         .alias("status"),
     ).filter(F.col("status") != "ok")
+
+
+def reconcile(
+    spark: SparkSession, fs_snapshot: DataFrame, store_path: str
+) -> DataFrame:
+    """W6 over the parquet chunk store (startup/reconciliation/mod.rs)."""
+    schema = (
+        "path STRING, file_hash STRING, chunk_index INT, content STRING, "
+        "embedding ARRAY<DOUBLE>"
+    )
+    store = (
+        _read_store(spark, store_path, schema)
+        .select("path", F.col("file_hash").alias("store_hash"))
+        .distinct()
+    )
+    return reconcile_frames(fs_snapshot, store)

@@ -1516,6 +1516,31 @@ def _q_leiden_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leiden_invariants(e)
 
 
+TWO_HOP_CHAIN_FILES = 500  # graph_bench.rs:181 largest size: 500 files
+TWO_HOP_CHAIN_FUNCS = 20  # x 20 funcs = 10k nodes, 19-edge chain per file
+
+
+def _q_two_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 2-hop at the REFERENCE BENCH's cardinality (graph_bench.rs:
+    209-230): the published <10 ms gate queries a linear 20-func call
+    chain per file, so each seed reaches exactly 2 nodes — three orders
+    of magnitude fewer rows than the co-occurrence hub seeds in
+    graph_batch_2hop. This query rebuilds that exact graph shape (500
+    files x 20 funcs, deterministic integer ids) and batch-traverses all
+    500 file-head seeds in one job; bench.py reports its amortized
+    per-seed ms as the like-for-like number against the gate. Oracle is
+    the closed form: depth-d neighbor of seed s is s+d."""
+    funcs = TWO_HOP_CHAIN_FUNCS
+    ids = spark.range(TWO_HOP_CHAIN_FILES * funcs)
+    edges = ids.filter(F.col("id") % funcs != funcs - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    seeds = spark.range(TWO_HOP_CHAIN_FILES).select(
+        (F.col("id") * funcs).alias("seed")
+    )
+    return graph.batch_k_hop(edges, seeds, max_hops=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. Queries that have never had a green row (new this
@@ -1529,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the current code/fixtures, then headline keepers. New
         # r4 queries are prepended as they land. -------------------------
         "leiden_invariants": _q_leiden_invariants,  # new r4: G7 hard signal
+        "two_hop_chain": _q_two_hop_chain,  # new r4: gate-comparable 2-hop
         "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
         "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
         "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
@@ -1648,6 +1674,9 @@ def oracle_sql() -> dict[str, str]:
         "ingest_apply_events": oracles.ingest_apply_events(),
         "betweenness_exact": oracles.betweenness_exact(BC_CAP),
         "leiden_invariants": oracles.leiden_invariants(LEIDEN_CAP),
+        "two_hop_chain": oracles.two_hop_chain(
+            TWO_HOP_CHAIN_FILES, TWO_HOP_CHAIN_FUNCS
+        ),
         "ingest_idempotency": oracles.ingest_idempotency(),
         "dlq_decisions": oracles.dlq_decisions(),
         "reconcile_diff": oracles.reconcile_diff(),

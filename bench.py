@@ -80,7 +80,7 @@ def main() -> None:
     # batched impact analysis (reference budget: 100 ms per impact query).
     per_seed_ms: dict[str, float] = {}
     n_seeds_by_q: dict[str, int] = {}
-    for q in ("graph_batch_impact", "graph_batch_2hop"):
+    for q in ("graph_batch_impact", "graph_batch_2hop", "two_hop_chain"):
         try:
             n_seeds = (
                 queries[q](spark, sf_dir).select("seed").distinct().count()
@@ -122,6 +122,14 @@ def main() -> None:
                 counts.get("graph_batch_2hop", 0)
                 / max(1, n_seeds_by_q.get("graph_batch_2hop", 1))
             )
+        if per_seed_ms.get("two_hop_chain"):
+            # like-for-like against the reference's <10 ms 2-hop gate:
+            # same graph shape (20-func call chains) and the same 2-rows-
+            # per-seed result cardinality as graph_bench.rs:209-230, batch-
+            # amortized (500 seeds, one job)
+            baseline_mapped["two_hop_refshape_ms_per_seed"] = per_seed_ms[
+                "two_hop_chain"
+            ]
         if timings.get("ingest_apply_events", 0) > 0:
             n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
             baseline_mapped["queue_events_per_min"] = round(

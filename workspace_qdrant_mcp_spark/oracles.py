@@ -1209,6 +1209,19 @@ FROM nodes
 """
 
 
+def two_hop_chain(n_files: int = 500, funcs: int = 20) -> str:
+    """G1 2-hop at the reference bench's chain-graph cardinality
+    (graph_bench.rs:209-230). Closed form: on a per-file linear chain the
+    depth-d neighbor of a file-head seed s is s+d (chain length 20 > 2,
+    so no truncation and no cross-file reach)."""
+    return f"""
+SELECT CAST(s.i * {funcs} AS BIGINT) AS seed,
+       CAST(s.i * {funcs} + d.d AS BIGINT) AS node_id,
+       CAST(d.d AS INTEGER) AS depth
+FROM generate_series(0, {n_files - 1}) s(i), (VALUES (1), (2)) d(d)
+"""
+
+
 def betweenness_exact(cap: int = 40, max_depth: int = 12) -> str:
     """G8 exact betweenness on the capped co-occurrence subgraph — the SQL
     twin of operators/graph.betweenness with sampling off.

@@ -29,9 +29,75 @@ def test_format_dispatch_and_extraction(spark):
     assert all(r["n_chars"] == len(r["text"]) for r in out.values())
 
 
-def test_real_extractors_are_declared_stubs():
-    with pytest.raises(NotImplementedError):
-        extraction._extract_bytes(b"%PDF", "pdf", use_real=True)
+def _fixture_pdf(text: str, compress: bool) -> bytes:
+    """A minimal valid one-page PDF whose content stream shows `text`
+    via Tj (optionally FlateDecode-compressed), built from the public
+    PDF spec — the real-extractor end-to-end fixture."""
+    import zlib
+
+    esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode()
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d%s >> stream\n%s\nendstream endobj"
+        % (len(content), filt, content),
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def _fixture_epub(chapters: dict[str, str]) -> bytes:
+    """A minimal EPUB (zip of XHTML chapters + mimetype), public OCF."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        for name, body in chapters.items():
+            z.writestr(
+                f"OEBPS/{name}",
+                f"<html><head><style>p {{}}</style></head>"
+                f"<body><p>{body}</p></body></html>",
+            )
+    return buf.getvalue()
+
+
+def test_real_pdf_extraction_end_to_end(spark):
+    """S3 real path: a genuine PDF (uncompressed and FlateDecode) flows
+    through detect_format + extract_text(use_real=True) and yields the
+    embedded text, not a digest."""
+    plain = _fixture_pdf("Hello Spark PDF", compress=False)
+    flate = _fixture_pdf("Compressed (nested) \\ text", compress=True)
+    files = spark.createDataFrame(
+        [(0, plain), (1, flate)], "doc_id long, media binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extraction.extract_text(files, use_real=True).collect()
+    }
+    assert out[0]["format"] == "pdf"
+    assert out[0]["text"] == "Hello Spark PDF"
+    assert out[1]["text"] == "Compressed (nested) \\ text"
+
+
+def test_real_epub_extraction_end_to_end(spark):
+    payload = _fixture_epub(
+        {"ch1.xhtml": "First chapter text", "ch2.xhtml": "Second chapter"}
+    )
+    files = spark.createDataFrame([(0, payload)], "doc_id long, media binary")
+    row = extraction.extract_text(files, use_real=True).collect()[0]
+    assert row["format"] == "epub"
+    assert row["text"] == "First chapter text\nSecond chapter"
+
+
+def test_remaining_real_stub_is_ocr_only():
     with pytest.raises(NotImplementedError):
         extraction.ocr_extract(b"img", use_real=True)
     # text path is real regardless

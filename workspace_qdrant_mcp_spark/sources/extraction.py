@@ -41,16 +41,180 @@ def detect_format(media: Column) -> Column:
     )
 
 
+def _pdf_literal_strings(content: bytes) -> list[str]:
+    """Decode the literal strings shown by Tj / ' / TJ operators inside a
+    decoded content stream, in stream order. Paren-matching scanner per
+    the PDF spec (ISO 32000 §7.3.4.2): nested balanced parens are legal
+    inside literals; escapes \\( \\) \\\\ \\n \\r \\t \\b \\f and octal
+    \\ooo are handled; hex strings <...> are skipped (font-dependent)."""
+    out: list[str] = []
+    i, n = 0, len(content)
+    esc_map = {
+        ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+        ord("b"): "\b", ord("f"): "\f",
+        ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+    }
+    while i < n:
+        if content[i] != 0x28:  # '('
+            i += 1
+            continue
+        i += 1
+        depth, buf = 1, []
+        while i < n and depth:
+            c = content[i]
+            if c == 0x5C and i + 1 < n:  # backslash escape
+                nxt = content[i + 1]
+                if nxt in esc_map:
+                    buf.append(esc_map[nxt])
+                    i += 2
+                elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                    j = i + 1
+                    oct_digits = []
+                    while j < n and len(oct_digits) < 3 and 0x30 <= content[j] <= 0x37:
+                        oct_digits.append(chr(content[j]))
+                        j += 1
+                    buf.append(chr(int("".join(oct_digits), 8) & 0xFF))
+                    i = j
+                else:  # line continuation / unknown escape: drop backslash
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                buf.append("(")
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth:
+                    buf.append(")")
+                i += 1
+            else:
+                buf.append(chr(c))
+                i += 1
+        # keep only strings actually shown by a text operator: scan ahead
+        # past the TJ-array glue for Tj / TJ / ' tokens
+        tail = content[i : i + 24].lstrip(b" \r\n\t")
+        in_tj_array = tail[:1] in (b"]", b"-", b"0", b"1", b"2", b"3", b"4",
+                                   b"5", b"6", b"7", b"8", b"9", b"(")
+        shows = (
+            tail[:2] == b"Tj"
+            or tail[:1] == b"'"
+            or tail[:1] == b'"'
+            or in_tj_array
+        )
+        if shows and buf:
+            out.append("".join(buf))
+    return out
+
+
+def _extract_pdf_minimal(payload: bytes) -> str:
+    """Dependency-free PDF text extraction (public PDF spec): walk every
+    stream object, inflate FlateDecode bodies with zlib, and decode the
+    literal strings of text-showing operators inside BT/ET blocks. Covers
+    standard-encoded text PDFs (incl. the uncompressed and Flate fixtures
+    in tests); font-subset CID PDFs need a full parser (pypdf path)."""
+    import re
+    import zlib
+
+    pieces: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", payload, re.DOTALL):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data.strip(b"\r\n"))
+        except zlib.error:
+            pass
+        if b"BT" not in data:
+            continue
+        for bt in re.finditer(rb"BT(.*?)ET", data, re.DOTALL):
+            strings = _pdf_literal_strings(bt.group(1))
+            if strings:
+                pieces.append("".join(strings))
+    return "\n".join(pieces)
+
+
+def _extract_pdf_real(payload: bytes) -> str:
+    """pypdf when importable (full parser: CID fonts, xref, encryption),
+    else the minimal spec-level extractor above."""
+    try:
+        from io import BytesIO
+
+        from pypdf import PdfReader  # optional; not in the base container
+
+        reader = PdfReader(BytesIO(payload))
+        return "\n".join(page.extract_text() or "" for page in reader.pages)
+    except ImportError:
+        return _extract_pdf_minimal(payload)
+
+
+class _HtmlText:
+    """Minimal HTML-to-text: collect character data outside script/style."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.skip = 0
+
+            def handle_starttag(self, tag: str, attrs) -> None:
+                if tag in ("script", "style"):
+                    self.skip += 1
+
+            def handle_endtag(self, tag: str) -> None:
+                if tag in ("script", "style") and self.skip:
+                    self.skip -= 1
+
+            def handle_data(self, data: str) -> None:
+                if not self.skip and data.strip():
+                    outer.parts.append(data.strip())
+
+        self.parts: list[str] = []
+        self._parser = _P()
+
+    def feed(self, html: str) -> None:
+        self._parser.feed(html)
+
+    def text(self) -> str:
+        return " ".join(self.parts)
+
+
+def _extract_epub_real(payload: bytes) -> str:
+    """EPUB is a zip of XHTML (public EPUB OCF/OPS spec) — stdlib zipfile
+    + HTMLParser make this extractor fully real with no dependencies.
+    Documents are concatenated in name-sorted order (a deterministic
+    approximation of OPF spine order; swap in an OPF reader for exact
+    reading order)."""
+    import io
+    import zipfile
+
+    pieces: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        names = sorted(
+            n for n in z.namelist()
+            if n.lower().endswith((".xhtml", ".html", ".htm"))
+        )
+        for name in names:
+            h = _HtmlText()
+            h.feed(z.read(name).decode("utf-8", errors="replace"))
+            if h.text():
+                pieces.append(h.text())
+    return "\n".join(pieces)
+
+
 def _extract_bytes(payload: bytes, fmt: str, use_real: bool = False) -> str:
-    """Per-format extractor. Plain text decodes for real; pdf/epub are
-    deterministic digest fakes unless `use_real` (declared stub)."""
+    """Per-format extractor. Plain text decodes always. With use_real,
+    pdf/epub parse for real (document_processor/extraction/ parity);
+    the default stays the deterministic digest fake so oracle-backed
+    queries remain byte-reproducible in SQL."""
     if fmt == "text":
         return payload.decode("utf-8", errors="replace")
     if use_real:
-        raise NotImplementedError(
-            f"real {fmt} extraction requires a parser library "
-            "(pypdf / ebooklib); deterministic fake is the default"
-        )
+        if fmt == "pdf":
+            return _extract_pdf_real(payload)
+        if fmt == "epub":
+            return _extract_epub_real(payload)
+        raise NotImplementedError(f"no real extractor for format {fmt!r}")
     return f"{fmt}:{hashlib.md5(payload).hexdigest()}"
 
 

@@ -140,3 +140,63 @@ def test_multilang_semantic_chunk_on_spark(spark):
         line, symbol = LANG_SNIPPETS[lang]
         rows = _chunk(spark, line + "\nbody", language=lang)
         assert rows[0]["symbol"] == symbol, lang
+
+
+NESTED_SRC = """import os
+
+class A:
+    x = 1
+    def m1(self):
+        pass
+    class Inner:
+        def deep(self):
+            return 1
+def top():
+    return 2
+"""
+
+
+def test_nested_definitions_become_child_chunks(spark):
+    """tree_sitter/chunker/strategy.rs:19-56 parity: with nested=True,
+    indented def/class lines open their own units, and parent_unit_id
+    points at the nearest enclosing (shallower-indent) unit."""
+    rows = _chunk(spark, NESTED_SRC, nested=True)
+    got = [
+        (r["unit_type"], r["symbol"], r["parent_unit_id"]) for r in rows
+    ]
+    assert got == [
+        ("module", "", None),        # import preamble
+        ("class", "A", None),        # top level: no parent
+        ("function", "m1", 1),       # nested in A (unit 1)
+        ("class", "Inner", 1),       # nested in A
+        ("function", "deep", 3),     # nested in Inner (unit 3)
+        ("function", "top", None),   # back to top level
+    ]
+    # unit boundaries: each definition line starts its unit
+    by_symbol = {r["symbol"]: r for r in rows}
+    assert by_symbol["m1"]["start_line"] == 4
+    assert by_symbol["Inner"]["start_line"] == 6
+    assert by_symbol["deep"]["start_line"] == 7
+    assert by_symbol["top"]["start_line"] == 9
+
+
+def test_nested_flag_off_is_byte_identical_to_flat(spark):
+    """semantic_chunks (the oracle-backed driver query) must stay green:
+    the default path ignores indented definitions entirely."""
+    flat = _chunk(spark, NESTED_SRC)
+    assert [(r["unit_type"], r["symbol"]) for r in flat] == [
+        ("module", ""), ("class", "A"), ("function", "top"),
+    ]
+    assert "parent_unit_id" not in flat[0].asDict()
+
+
+def test_nested_same_indent_siblings_resolve_to_own_parents(spark):
+    src = (
+        "class A:\n"
+        "    def a1(self): pass\n"
+        "class B:\n"
+        "    def b1(self): pass\n"
+    )
+    rows = _chunk(spark, src, nested=True)
+    got = {r["symbol"]: r["parent_unit_id"] for r in rows}
+    assert got == {"A": None, "a1": 1, "B": None, "b1": 3}

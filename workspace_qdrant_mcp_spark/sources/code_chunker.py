@@ -135,24 +135,39 @@ def semantic_chunk(
     overlap: int = FRAGMENT_OVERLAP,
     id_cols: tuple[str, ...] = ("tenant_id", "file_path"),
     text_col: str = "content",
+    nested: bool = False,
 ) -> DataFrame:
     """(id_cols..., chunk_index, unit_index, fragment_index, symbol,
-    unit_type, content, start_line, end_line) — one row per chunk.
+    unit_type, content, start_line, end_line[, parent_unit_id]) — one row
+    per chunk.
 
     unit 0 with no boundary line is the module preamble (unit_type
     'module', empty symbol); boundary units are 'class' for
     class/struct/enum/trait/impl/type anchors, else 'function'. Files
     with no boundaries degrade to one module unit = text-chunk fallback
-    (mod.rs text_chunk_fallback stance)."""
+    (mod.rs text_chunk_fallback stance).
+
+    With nested=True (indent-structured languages), INDENTED definition
+    lines also open units — the tree-sitter behavior of emitting nested
+    definitions as separate chunks (tree_sitter/chunker/strategy.rs:
+    19-56) — and each boundary unit carries parent_unit_id: the nearest
+    earlier unit at strictly shallower indentation (NULL for top level).
+    The parent resolution is a per-file self-join over the (tiny) unit
+    table — max earlier unit_index among shallower units — which is the
+    relational form of the enclosing-scope stack; the default output is
+    byte-identical to nested=False."""
     pattern = BOUNDARY_PATTERNS[language]
     ids = [F.col(c) for c in id_cols]
     lines = files.select(
         *ids, F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
     )
+    boundary_src = (
+        F.ltrim(F.col("line")) if nested else F.col("line")
+    )
     w = Window.partitionBy(*id_cols).orderBy("idx")
     lines = lines.withColumn(
         "unit_index",
-        F.sum(F.when(F.col("line").rlike(pattern), 1).otherwise(0)).over(w),
+        F.sum(F.when(boundary_src.rlike(pattern), 1).otherwise(0)).over(w),
     )
     units = (
         lines.groupBy(*id_cols, "unit_index")
@@ -170,23 +185,65 @@ def semantic_chunk(
             ).alias("unit_text"),
             F.min_by("line", "idx").alias("first_line"),
         )
-        .withColumn("symbol", F.regexp_extract(F.col("first_line"), pattern, 1))
-        .withColumn(
-            "unit_type",
-            F.when(F.col("symbol") == "", F.lit("module")).otherwise(
-                F.when(
-                    F.col("first_line").rlike(class_line_re()),
-                    F.lit("class"),
-                ).otherwise(F.lit("function"))
+    )
+    fl = F.ltrim(F.col("first_line")) if nested else F.col("first_line")
+    units = units.withColumn(
+        "symbol", F.regexp_extract(fl, pattern, 1)
+    ).withColumn(
+        "unit_type",
+        F.when(F.col("symbol") == "", F.lit("module")).otherwise(
+            F.when(fl.rlike(class_line_re()), F.lit("class")).otherwise(
+                F.lit("function")
+            )
+        ),
+    )
+    if nested:
+        units = units.withColumn(
+            "unit_indent",
+            F.when(
+                F.col("unit_type") == "module", F.lit(-1)
+            ).otherwise(
+                F.length(F.regexp_extract(F.col("first_line"), "^ *", 0))
             ),
         )
-    )
+        cu = units.alias("cu")
+        bp = (
+            units.filter(F.col("unit_type") != "module")
+            .select(
+                *ids,
+                F.col("unit_index").alias("p_index"),
+                F.col("unit_indent").alias("p_indent"),
+            )
+            .alias("bp")
+        )
+        on = (F.col("bp.p_index") < F.col("cu.unit_index")) & (
+            F.col("bp.p_indent") < F.col("cu.unit_indent")
+        )
+        for c in id_cols:
+            on = on & (F.col(f"bp.{c}") == F.col(f"cu.{c}"))
+        keep = [
+            *(F.col(f"cu.{c}") for c in id_cols),
+            F.col("cu.unit_index").alias("unit_index"),
+            F.col("cu.start_line").alias("start_line"),
+            F.col("cu.end_line").alias("end_line"),
+            F.col("cu.unit_text").alias("unit_text"),
+            F.col("cu.first_line").alias("first_line"),
+            F.col("cu.symbol").alias("symbol"),
+            F.col("cu.unit_type").alias("unit_type"),
+            F.col("cu.unit_indent").alias("unit_indent"),
+        ]
+        units = (
+            cu.join(bp, on, "left")
+            .groupBy(*keep)
+            .agg(F.max("bp.p_index").cast("int").alias("parent_unit_id"))
+        )
     # oversized-unit fragmentation: exact chunk_text formula
     stride = max_chars - overlap
     n = F.length("unit_text")
     n_frags = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
     )
+    extra = ["parent_unit_id"] if nested else []
     frags = units.select(
         *ids,
         "unit_index",
@@ -194,6 +251,7 @@ def semantic_chunk(
         "unit_type",
         "start_line",
         "end_line",
+        *extra,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_frags - 1),
@@ -214,6 +272,7 @@ def semantic_chunk(
         "content",
         F.col("start_line").cast("int").alias("start_line"),
         F.col("end_line").cast("int").alias("end_line"),
+        *extra,
     )
 
 

@@ -758,6 +758,44 @@ def _q_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nested_files(docs: DataFrame) -> DataFrame:
+    """Synthetic nested-definition python files (class with a method and
+    an inner class with its own method, then a top-level def) — fully
+    doc_id-derived so the oracle rebuilds them byte-for-byte."""
+    nl = F.lit("\n")
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        F.col("source").alias("tenant_id"),
+        F.concat(F.lit("n"), d, F.lit(".py")).alias("file_path"),
+        F.concat(
+            F.lit("# module doc "), d, nl,
+            F.lit("class Outer"), d, F.lit(":"), nl,
+            F.lit("    def m"), d, F.lit("(self):"), nl,
+            F.lit("        "), F.substring(F.col("text"), 1, 120), nl,
+            F.lit("    class Inner"), d, F.lit(":"), nl,
+            F.lit("        def deep"), d, F.lit("(self):"), nl,
+            F.lit("            "), F.substring(F.col("text"), 121, 120), nl,
+            F.lit("def top"), d, F.lit("():"), nl,
+            F.lit("    "), F.substring(F.col("text"), 241, 100),
+        ).alias("content"),
+    )
+
+
+def _q_nested_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 nested-definition chunking (tree_sitter/chunker/strategy.rs:
+    19-56): indented def/class lines open child units carrying
+    parent_unit_id = nearest enclosing shallower-indent unit. Same
+    fragmentation math as semantic_chunks."""
+    from workspace_qdrant_mcp_spark.sources import code_chunker
+
+    docs = load_table(spark, sf_dir, "documents")
+    return code_chunker.semantic_chunk(
+        _nested_files(docs), "python",
+        max_chars=SEMCHUNK_MAX_CHARS, overlap=SEMCHUNK_OVERLAP,
+        nested=True,
+    )
+
+
 BATCH_SEED_MOD = 10
 BATCH_SEED_CAP = 2000
 
@@ -1555,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 queries are prepended as they land. -------------------------
         "leiden_invariants": _q_leiden_invariants,  # new r4: G7 hard signal
         "two_hop_chain": _q_two_hop_chain,  # new r4: gate-comparable 2-hop
+        "nested_chunks": _q_nested_chunks,  # new r4: S3 nested definitions
         "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
         "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
         "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
@@ -1678,6 +1717,9 @@ def oracle_sql() -> dict[str, str]:
             TWO_HOP_CHAIN_FILES, TWO_HOP_CHAIN_FUNCS
         ),
         "ingest_idempotency": oracles.ingest_idempotency(),
+        "nested_chunks": oracles.nested_chunks(
+            SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
+        ),
         "dlq_decisions": oracles.dlq_decisions(),
         "reconcile_diff": oracles.reconcile_diff(),
         "tier1_tags": oracles.tier1_tags(),

@@ -926,6 +926,31 @@ SELECT * FROM sem_chunks
 """
 
 
+def nested_chunks(max_chars: int, overlap: int) -> str:
+    """S3 nested chunking over the synthetic nested-definition corpus
+    (Outer class > method + Inner class > method, then a top-level def)."""
+    from .sources.code_chunker import duckdb_semantic_chunk_sql
+
+    return f"""
+WITH ncf AS (
+  SELECT source AS tenant_id,
+         'n' || CAST(doc_id AS VARCHAR) || '.py' AS file_path,
+         '# module doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'class Outer' || CAST(doc_id AS VARCHAR) || ':' || chr(10)
+         || '    def m' || CAST(doc_id AS VARCHAR) || '(self):' || chr(10)
+         || '        ' || substr(text, 1, 120) || chr(10)
+         || '    class Inner' || CAST(doc_id AS VARCHAR) || ':' || chr(10)
+         || '        def deep' || CAST(doc_id AS VARCHAR) || '(self):' || chr(10)
+         || '            ' || substr(text, 121, 120) || chr(10)
+         || 'def top' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+         || '    ' || substr(text, 241, 100) AS content
+  FROM documents
+),
+{duckdb_semantic_chunk_sql("ncf", "python", max_chars, overlap, nested=True)}
+SELECT * FROM sem_chunks
+"""
+
+
 def _affinity_cc_sql(n_iters: int = 8) -> str:
     """Min-label connected-components closure over a `pairs(id_a, id_b)`
     CTE (tag_affinity.rs:104-150's BFS, as fixed-sweep label propagation —

@@ -281,13 +281,43 @@ def duckdb_semantic_chunk_sql(
     language: str = "python",
     max_chars: int = MAX_UNIT_CHARS,
     overlap: int = FRAGMENT_OVERLAP,
+    nested: bool = False,
 ) -> str:
     """Oracle CTE chain over a `{files_cte}`(tenant_id, file_path, content)
     CTE, producing the identical chunk table as :func:`semantic_chunk`
-    (CTE name: sem_chunks)."""
+    (CTE name: sem_chunks). nested=True mirrors the indented-definition
+    mode: boundaries/symbols match on the ltrimmed line, and
+    parent_unit_id = max earlier boundary unit at shallower indent."""
     pattern = BOUNDARY_PATTERNS[language].replace("'", "''")
     class_re = class_line_re().replace("'", "''")
     stride = max_chars - overlap
+    probe = "ltrim(line)" if nested else "line"
+    fprobe = "ltrim(first_line)" if nested else "first_line"
+    typed_extra = ""
+    parent_ctes = ""
+    typed_src = "sc_grouped"
+    frag_extra = ""
+    out_extra = ""
+    if nested:
+        typed_extra = """,
+         CASE WHEN coalesce(regexp_extract(ltrim(first_line), '{p}', 1), '') = ''
+              THEN -1
+              ELSE length(regexp_extract(first_line, '^ *', 0)) END
+           AS unit_indent""".format(p=pattern)
+        parent_ctes = """,
+sc_parented AS (
+  SELECT u.*, CAST(max(p.unit_index) AS INT) AS parent_unit_id
+  FROM sc_typed0 u
+  LEFT JOIN sc_typed0 p
+    ON p.tenant_id = u.tenant_id AND p.file_path = u.file_path
+   AND p.unit_index < u.unit_index AND p.unit_indent < u.unit_indent
+   AND p.unit_type <> 'module'
+  GROUP BY ALL
+)"""
+        typed_src = "sc_parented"
+        frag_extra = ", parent_unit_id"
+        out_extra = ", parent_unit_id"
+    typed_name = "sc_typed0" if nested else "sc_typed"
     return f"""
 sc_lines AS (
   SELECT tenant_id, file_path, g.i - 1 AS idx, ls[g.i] AS line
@@ -297,7 +327,7 @@ sc_lines AS (
 ),
 sc_units AS (
   SELECT tenant_id, file_path,
-         sum(CASE WHEN regexp_matches(line, '{pattern}') THEN 1 ELSE 0 END)
+         sum(CASE WHEN regexp_matches({probe}, '{pattern}') THEN 1 ELSE 0 END)
            OVER (PARTITION BY tenant_id, file_path ORDER BY idx) AS unit_index,
          idx, line
   FROM sc_lines
@@ -309,20 +339,20 @@ sc_grouped AS (
          arg_min(line, idx) AS first_line
   FROM sc_units GROUP BY 1, 2, 3
 ),
-sc_typed AS (
+{typed_name} AS (
   SELECT *,
-         coalesce(regexp_extract(first_line, '{pattern}', 1), '') AS symbol,
-         CASE WHEN coalesce(regexp_extract(first_line, '{pattern}', 1), '') = ''
+         coalesce(regexp_extract({fprobe}, '{pattern}', 1), '') AS symbol,
+         CASE WHEN coalesce(regexp_extract({fprobe}, '{pattern}', 1), '') = ''
               THEN 'module'
-              WHEN regexp_matches(first_line, '{class_re}') THEN 'class'
-              ELSE 'function' END AS unit_type
+              WHEN regexp_matches({fprobe}, '{class_re}') THEN 'class'
+              ELSE 'function' END AS unit_type{typed_extra}
   FROM sc_grouped
-),
+){parent_ctes},
 sc_frags AS (
   SELECT tenant_id, file_path, unit_index, symbol, unit_type,
-         start_line, end_line, t.i AS fragment_index,
+         start_line, end_line{frag_extra}, t.i AS fragment_index,
          substr(unit_text, t.i * {stride} + 1, {max_chars}) AS content
-  FROM sc_typed,
+  FROM {typed_src},
        LATERAL unnest(generate_series(0,
          greatest(1, CAST(ceil((length(unit_text) - {overlap}) / {stride}.0) AS INT)) - 1
        )) AS t(i)
@@ -336,7 +366,7 @@ sem_chunks AS (
          CAST(fragment_index AS INT) AS fragment_index,
          symbol, unit_type, content,
          CAST(start_line AS INT) AS start_line,
-         CAST(end_line AS INT) AS end_line
+         CAST(end_line AS INT) AS end_line{out_extra}
   FROM sc_frags
 )
 """

@@ -295,7 +295,7 @@ def duckdb_semantic_chunk_sql(
     fprobe = "ltrim(first_line)" if nested else "first_line"
     typed_extra = ""
     parent_ctes = ""
-    typed_src = "sc_grouped"
+    typed_src = "sc_typed"
     frag_extra = ""
     out_extra = ""
     if nested:

@@ -145,3 +145,28 @@ def test_apply_events_is_all_equi_joins(spark):
     plan = _plan(ingest.apply_events(base, events))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4_queries_avoid_cartesian_joins(spark):
+    """The r4 additions must keep equi-join shapes: the nested-chunk
+    parent resolution joins on (tenant_id, file_path) with the indent
+    inequality as a residual, and the double-apply idempotency merge
+    stays keyed on path — no nested-loop pairing that dies at scale."""
+    import __spark_entry__ as entrymod
+
+    for name in ("nested_chunks", "ingest_idempotency", "reconcile_diff",
+                 "two_hop_chain", "dlq_decisions"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_nested_parent_join_is_broadcast_equi(spark):
+    """The per-file unit table is tiny; Spark should broadcast one side
+    of the parent join rather than shuffling both."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["nested_chunks"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan

@@ -1339,6 +1339,20 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsp_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 LSP enrichment payload (lsp_payload.rs:1-120): per-symbol
+    references (call-site files, capped 20 with uncapped count),
+    definition file, type signature/kind, status — derived from the
+    extracted symbol graph (the static subset of what a live LSP
+    answers). src0 tenant, like graph_context."""
+    from workspace_qdrant_mcp_spark.operators import lsp_enrich
+
+    nodes, edges = _symbol_graph(spark, sf_dir)
+    return lsp_enrich.enrich_nodes(
+        nodes.filter(F.col("tenant_id") == "src0"), edges
+    )
+
+
 def _q_scope_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18 scope resolution (search/mod.rs:213-296): longest watch-folder
     prefix of cwd wins; nested folders shadow their parents; no match →
@@ -1594,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_invariants": _q_leiden_invariants,  # new r4: G7 hard signal
         "two_hop_chain": _q_two_hop_chain,  # new r4: gate-comparable 2-hop
         "nested_chunks": _q_nested_chunks,  # new r4: S3 nested definitions
+        "lsp_enrichment": _q_lsp_enrichment,  # new r4: §2.9 payload fields
         "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
         "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
         "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
@@ -1721,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
             SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
         ),
         "dlq_decisions": oracles.dlq_decisions(),
+        "lsp_enrichment": oracles.lsp_enrichment(),
         "reconcile_diff": oracles.reconcile_diff(),
         "tier1_tags": oracles.tier1_tags(),
         "dedup_survivors": oracles.dedup_survivors(),

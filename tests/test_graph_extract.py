@@ -169,3 +169,52 @@ class TestGraphContextAndScope:
         assert eng.resolve_scope(wf, "/home/u/proj/sub/src") == "p2"
         assert eng.resolve_scope(wf, "/home/u/proj/docs") == "p1"
         assert eng.resolve_scope(wf, "/nowhere") is None  # fail-closed (F-001)
+
+
+def test_lsp_imports_resolution(spark):
+    """lsp_payload.rs add_imports parity: stdlib flag from the frozen
+    module list, resolution against the corpus's own file stems."""
+    from workspace_qdrant_mcp_spark.operators import lsp_enrich
+
+    docs = spark.createDataFrame(
+        [
+            ("t0", "app/main.py", "import os\nimport util\nfrom vendor.x import y\nbody()"),
+            ("t0", "app/util.py", "import json\ndef helper(): pass"),
+        ],
+        ["tenant_id", "file_path", "content"],
+    )
+    rows = {
+        (r["file_path"], r["import_name"]): r
+        for r in lsp_enrich.extract_imports(docs).collect()
+    }
+    os_row = rows[("app/main.py", "os")]
+    assert os_row["is_stdlib"] and os_row["resolved"]
+    assert os_row["target_file"] is None
+    util_row = rows[("app/main.py", "util")]
+    assert not util_row["is_stdlib"] and util_row["resolved"]
+    assert util_row["target_file"] == "app/util.py"
+    vendor_row = rows[("app/main.py", "vendor.x")]
+    assert not vendor_row["is_stdlib"] and not vendor_row["resolved"]
+    json_row = rows[("app/util.py", "json")]
+    assert json_row["is_stdlib"] and json_row["resolved"]
+
+
+def test_lsp_enrichment_reference_cap(spark):
+    """references cap at 20 with the uncapped count retained."""
+    from workspace_qdrant_mcp_spark.operators import lsp_enrich
+
+    nodes = spark.createDataFrame(
+        [("n1", "t0", "target_fn", "function", "lib.py")],
+        ["node_id", "tenant_id", "symbol_name", "symbol_type", "file_path"],
+    )
+    edges = spark.createDataFrame(
+        [(f"e{i}", "t0", f"s{i}", "n1", "calls", f"caller_{i:03d}.py", 1.0)
+         for i in range(25)],
+        ["edge_id", "tenant_id", "source_node_id", "target_node_id",
+         "edge_type", "source_file", "weight"],
+    )
+    row = lsp_enrich.enrich_nodes(nodes, edges).collect()[0]
+    assert row["lsp_references_count"] == 25
+    assert len(row["lsp_references"].split("|")) == 20
+    assert row["lsp_references"].startswith("caller_000.py|caller_001.py")
+    assert row["lsp_type_signature"] == "def target_fn()"

@@ -2029,6 +2029,37 @@ WHERE g.tenant_id = 'src0'
 """
 
 
+def lsp_enrichment() -> str:
+    """§2.9 LSP payload fields from the symbol graph (lsp_payload.rs):
+    references = distinct call-site files (caller symbol differs from the
+    target), sorted, capped at 20 with the uncapped count."""
+    return f"""
+WITH {_CODE_DOCS_CTE},
+calls AS (
+  SELECT DISTINCT n.node_id, k.file_path AS ref_file
+  FROM ctoks k
+  JOIN gnodes n ON n.tenant_id = k.tenant_id AND n.symbol_name = k.callee
+  JOIN syms c ON c.tenant_id = k.tenant_id AND c.file_path = k.file_path
+             AND c.symbol_name <> n.symbol_name
+),
+refs AS (
+  SELECT node_id,
+         array_to_string(list_sort(list_distinct(list(ref_file)))[1:20], '|')
+           AS lsp_references,
+         CAST(count(DISTINCT ref_file) AS BIGINT) AS lsp_references_count
+  FROM calls GROUP BY node_id
+)
+SELECT g.node_id, g.tenant_id, g.symbol_name, g.file_path,
+       'success' AS lsp_enrichment_status,
+       g.file_path AS lsp_definition_file,
+       'def ' || g.symbol_name || '()' AS lsp_type_signature,
+       'function' AS lsp_type_kind,
+       refs.lsp_references, refs.lsp_references_count
+FROM gnodes g LEFT JOIN refs USING (node_id)
+WHERE g.tenant_id = 'src0'
+"""
+
+
 def scope_resolution() -> str:
     """R18: longest-prefix watch-folder lookup; NULL for no match."""
     return """

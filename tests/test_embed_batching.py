@@ -43,3 +43,39 @@ def test_embed_unique_matches_direct_mock_embedding(spark):
         for r in df.withColumn("embedding", mock_embed(F.col("content"))).collect()
     }
     assert via_wrapper == direct
+
+
+def test_hash_ngram_provider_is_a_real_vectorizer(spark):
+    """The hash-ngram provider exercises the Arrow pandas-UDF slot with a
+    genuine vectorizer: deterministic, unit-norm, and similarity-bearing
+    (near-duplicate texts score higher cosine than unrelated ones) —
+    properties the mock's salted projection does not give."""
+    import math
+
+    from workspace_qdrant_mcp_spark.functions import embedder
+
+    docs = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog",),
+            ("the quick brown fox jumped over the lazy dog",),
+            ("completely unrelated text about spark shuffles",),
+        ],
+        ["content"],
+    )
+    fn = embedder.dense_provider("hash-ngram")
+    rows = embedder.embed_unique(docs, embed_fn=fn).collect()
+    by_text = {r["content"]: r["embedding"] for r in rows}
+    vecs = list(by_text.values())
+    for v in vecs:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    a = by_text["the quick brown fox jumps over the lazy dog"]
+    b = by_text["the quick brown fox jumped over the lazy dog"]
+    c = by_text["completely unrelated text about spark shuffles"]
+    assert cos(a, b) > 0.8 > cos(a, c)
+    # determinism across invocations
+    rows2 = embedder.embed_unique(docs, embed_fn=fn).collect()
+    assert {r["content"]: r["embedding"] for r in rows2} == by_text

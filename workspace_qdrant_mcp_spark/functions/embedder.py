@@ -63,12 +63,54 @@ def embed_unique(df, embed_fn=mock_embed, text_col: str = "content", out_col: st
 
 _DENSE_PROVIDERS: dict[str, object] = {"mock": mock_embed}
 
+HASH_NGRAM_DIM = 256
+
+
+def hash_ngram_embed_udf(dim: int = HASH_NGRAM_DIM):
+    """A REAL (non-mock) dense provider through the pandas-UDF slot: the
+    signed feature-hashing n-gram vectorizer (the public 'hashing trick',
+    Weinberger et al. 2009; the HashingVectorizer family) over character
+    3-grams + word unigrams, L2-normalized. Unlike the mock (a JVM column
+    expression), this exercises the actual Arrow-batched provider path a
+    neural model would use — same (text -> array<double>) contract, same
+    batching, same dedup-before-embed caller discipline."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _embed(texts):
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            s = (t or "").lower()
+            vec = np.zeros(dim)
+            feats = [s[i : i + 3] for i in range(max(0, len(s) - 2))]
+            feats.extend(s.split())
+            for f in feats:
+                h = int.from_bytes(
+                    hashlib.md5(f.encode("utf-8", "replace")).digest()[:8],
+                    "little",
+                )
+                vec[h % dim] += 1.0 if h & (1 << 63) == 0 else -1.0
+            n = float(np.linalg.norm(vec))
+            out.append((vec / n).tolist() if n else vec.tolist())
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pyspark's signature inference rejects
+    _embed.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_embed, "array<double>")
+
 
 def register_dense_provider(name: str, fn) -> None:
     _DENSE_PROVIDERS[name] = fn
 
 
 def dense_provider(name: str = "mock"):
+    if name == "hash-ngram" and name not in _DENSE_PROVIDERS:
+        _DENSE_PROVIDERS[name] = hash_ngram_embed_udf()
     if name not in _DENSE_PROVIDERS:
         raise KeyError(
             f"unknown dense provider {name!r}; registered: "

@@ -30,9 +30,11 @@ class TestMultimodal:
         assert all(len(v) == mm.FEATURE_DIM for v in f1.values())
         assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
 
-    def test_real_decoder_is_explicitly_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            mm._decode_media(b"bytes", "image", use_real_decoder=True)
+    def test_real_decoder_rejects_unknown_containers(self):
+        # image/audio decode for real now (netpbm/BMP/PNG, WAV PCM); an
+        # unrecognized container must fail loudly, not fake features
+        with pytest.raises(ValueError):
+            mm._decode_media(b"not an image", "image", use_real_decoder=True)
 
     def test_frame_sample_plan(self, spark):
         docs = load_table(spark, SF_SMOKE, "documents")
@@ -117,3 +119,104 @@ class TestLeiden:
         out = leiden(edges, gamma=10.0).collect()
         # γ so high that no merge pays: every node is its own community
         assert len({r["community"] for r in out}) == 3
+
+
+def _fixture_png(w, h, rgb):
+    """Minimal valid non-interlaced 8-bit RGB PNG (public spec) with a
+    solid color — filter byte 0 per scanline, one IDAT."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _fixture_bmp(w, h, rgb):
+    """24-bit uncompressed bottom-up BMP with a solid color."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pixel_bytes = (bytes(rgb[::-1]) * w).ljust(stride, b"\x00") * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes),
+                    2835, 2835, 0, 0)
+    return header + pixel_bytes
+
+
+def _fixture_wav(rate=8000, freq=440.0, seconds=0.25):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_image_decoders_end_to_end(spark):
+    """S5 real path: genuine PNG / BMP / PPM bytes flow through the Arrow
+    mapInPandas stage with use_real_decoder=True and yield true pixel
+    statistics (not digest fakes)."""
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    ppm = b"P6\n4 2\n255\n" + bytes([255, 0, 0]) * 8
+    rows = [
+        (0, "image", _fixture_png(5, 3, (0, 255, 0)), "image/png", 5, 3, None),
+        (1, "image", _fixture_bmp(4, 2, (0, 0, 255)), "image/bmp", 4, 2, None),
+        (2, "image", ppm, "image/x-portable-pixmap", 4, 2, None),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: r["features"]
+           for r in mm.extract_features(assets, use_real_decoder=True).collect()}
+    # solid colors: mean = 1/3, std = sqrt(2)/3 over RGB channels
+    for aid in (0, 1, 2):
+        w_n, h_n, c, mean, std, mn, mx, ok = out[aid]
+        assert c == 3.0 and ok == 1.0
+        assert abs(mean - 1 / 3) < 1e-6
+        assert mn == 0.0 and mx == 1.0
+    assert out[0][0] == 0.005 and out[0][1] == 0.003  # 5x3 PNG dims
+
+
+def test_real_wav_decode_end_to_end(spark):
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    assets = spark.createDataFrame(
+        [(0, "audio", _fixture_wav(), "audio/wav", None, None, 0.25)],
+        mm.ASSET_SCHEMA,
+    )
+    row = mm.extract_features(assets, use_real_decoder=True).collect()[0]
+    dur, rate_n, ch, rms, zcr, mean_abs, peak, ok = row["features"]
+    assert dur == 0.25 and ch == 1.0 and ok == 1.0
+    # a full-scale-ish sine has rms ~ 0.707 * amplitude
+    assert abs(rms - 20000 / 32768 / 2**0.5) < 0.01
+    assert 0 < zcr < 0.25 and peak <= 20000 / 32768 + 1e-6
+
+
+def test_video_decode_remains_declared_stub():
+    import pytest as _pytest
+
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm._decode_media(b"\x00\x00\x00\x18ftypmp42", "video", use_real_decoder=True)

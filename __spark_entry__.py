@@ -998,6 +998,15 @@ def _q_taxonomy_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.taxonomy_tags(emb, _taxonomy(spark, sf_dir))
 
 
+def _q_concept_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 concept layer (graph/mod.rs:68-75,160-165,305-371): surviving
+    tier-2 taxonomy tags materialized as COVERS_TOPIC edges from each
+    embedding owner to global-tenant concept nodes, with cosine
+    confidence and deterministic DepthLevel bands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return keywords.concept_layer(emb, _taxonomy(spark, sf_dir))
+
+
 def _q_keyword_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keywords.keyword_baskets(load_table(spark, sf_dir, "documents"))
 
@@ -1609,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_chain": _q_two_hop_chain,  # new r4: gate-comparable 2-hop
         "nested_chunks": _q_nested_chunks,  # new r4: S3 nested definitions
         "lsp_enrichment": _q_lsp_enrichment,  # new r4: §2.9 payload fields
+        "concept_layer": _q_concept_layer,  # new r4: G13 full
         "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
         "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
         "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
@@ -1737,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dlq_decisions": oracles.dlq_decisions(),
         "lsp_enrichment": oracles.lsp_enrichment(),
+        "concept_layer": oracles.concept_layer(),
         "reconcile_diff": oracles.reconcile_diff(),
         "tier1_tags": oracles.tier1_tags(),
         "dedup_survivors": oracles.dedup_survivors(),

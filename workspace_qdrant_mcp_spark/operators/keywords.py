@@ -157,6 +157,60 @@ def taxonomy_tags(
     )
 
 
+# G13 concept layer: cosine-confidence depth bands mapped onto the
+# reference's DepthLevel enum (graph/mod.rs:305-371 ordinals 0-4).
+DEPTH_BANDS = (
+    (0.80, "reference", 4),
+    (0.65, "rigorous", 3),
+    (0.50, "intermediate", 2),
+    (0.40, "introductory", 1),
+)
+DEPTH_FLOOR = ("qualitative", 0)
+
+
+def concept_layer(
+    emb: DataFrame,
+    taxonomy: DataFrame,
+    threshold: float = TIER2_THRESHOLD,
+    max_tags: int = TIER2_MAX_TAGS,
+    score_gap: float = TIER2_SCORE_GAP,
+) -> DataFrame:
+    """(vec_id, concept_id, term, category, edge_type, confidence, depth,
+    depth_ordinal) — the G13 concept layer as an edge table: each
+    taxonomy tag that survives the tier-2 gates becomes a COVERS_TOPIC
+    edge from the embedding's owner to a global-tenant concept node
+    (concept_node + COVERS_TOPIC, graph/mod.rs:68-75,160-165), with the
+    cosine as edge confidence and a deterministic DepthLevel band
+    (mod.rs:305-371). Concept node ids follow the extractor's scheme:
+    sha256('__global__|taxonomy|term|concept') prefix-16."""
+    tags = taxonomy_tags(emb, taxonomy, threshold, max_tags, score_gap)
+    cats = taxonomy.select("term", "category").distinct()
+    depth = F.lit(DEPTH_FLOOR[0])
+    ordinal = F.lit(DEPTH_FLOOR[1])
+    for cut, name, ordv in reversed(DEPTH_BANDS):
+        depth = F.when(F.col("score") >= cut, name).otherwise(depth)
+        ordinal = F.when(F.col("score") >= cut, ordv).otherwise(ordinal)
+    return tags.join(F.broadcast(cats), "term").select(
+        "vec_id",
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("__global__|taxonomy|"), F.col("term"), F.lit("|concept")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("concept_id"),
+        "term",
+        "category",
+        F.lit("COVERS_TOPIC").alias("edge_type"),
+        F.col("score").alias("confidence"),
+        depth.alias("depth"),
+        ordinal.cast("int").alias("depth_ordinal"),
+    )
+
+
 def keyword_baskets(docs: DataFrame, top_n: int = 5) -> DataFrame:
     """(source, n_keywords, keywords) — per-source basket of distinct
     top-tfidf keywords, sorted and pipe-joined (stable scalar for hashing)."""

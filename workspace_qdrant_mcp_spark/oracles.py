@@ -1634,9 +1634,9 @@ SELECT label, vec_id, round(score, 6) AS score, rnk FROM r WHERE rnk <= {top_k}
 """
 
 
-def taxonomy_tags(
-    threshold: float = 0.35, max_tags: int = 10, score_gap: float = 0.02
-) -> str:
+def _taxonomy_fin_ctes(threshold: float, score_gap: float) -> str:
+    """Shared CTE chain for the tier-2 taxonomy gates, ending in
+    fin(vec_id, term, category, score, rn)."""
     dbl = (
         "list_transform(generate_series(1, len(embedding)), "
         "i -> CAST(embedding[i] AS DOUBLE))"
@@ -1677,13 +1677,57 @@ kept AS (
   WHERE cat_rn = 1 OR cat_best - score > {3 * score_gap}
 ),
 fin AS (
-  SELECT vec_id, term, score,
+  SELECT vec_id, term, category, score,
          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, term ASC)
            AS rn
   FROM kept
-)
+)"""
+
+
+def taxonomy_tags(
+    threshold: float = 0.35, max_tags: int = 10, score_gap: float = 0.02
+) -> str:
+    return (
+        _taxonomy_fin_ctes(threshold, score_gap)
+        + f"""
 SELECT vec_id, term, round(score, 6) AS score FROM fin WHERE rn <= {max_tags}
 """
+    )
+
+
+def concept_layer(
+    threshold: float = 0.35, max_tags: int = 10, score_gap: float = 0.02
+) -> str:
+    """G13: surviving taxonomy tags as COVERS_TOPIC edges to global-tenant
+    concept nodes, with cosine confidence and DepthLevel bands
+    (graph/mod.rs:68-75,160-165,305-371)."""
+    # band on the 6dp-rounded score, matching the Spark side (which bands
+    # the taxonomy_tags output), so borderline raw scores cannot straddle
+    s = "round(score, 6)"
+    depth = f"""CASE WHEN {s} >= 0.80 THEN 'reference'
+            WHEN {s} >= 0.65 THEN 'rigorous'
+            WHEN {s} >= 0.50 THEN 'intermediate'
+            WHEN {s} >= 0.40 THEN 'introductory'
+            ELSE 'qualitative' END"""
+    ordinal = f"""CASE WHEN {s} >= 0.80 THEN 4
+            WHEN {s} >= 0.65 THEN 3
+            WHEN {s} >= 0.50 THEN 2
+            WHEN {s} >= 0.40 THEN 1
+            ELSE 0 END"""
+    return (
+        _taxonomy_fin_ctes(threshold, score_gap)
+        + f"""
+SELECT vec_id,
+       substr(sha256('__global__|taxonomy|' || term || '|concept'), 1, 16)
+         AS concept_id,
+       term, category,
+       'COVERS_TOPIC' AS edge_type,
+       round(score, 6) AS confidence,
+       {depth} AS depth,
+       CAST({ordinal} AS INT) AS depth_ordinal
+FROM fin WHERE rn <= {max_tags}
+"""
+    )
 
 
 def keyword_baskets(top_n: int = 5) -> str:

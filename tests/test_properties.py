@@ -213,3 +213,107 @@ def test_simhash_band_join_is_complete_under_pigeonhole(spark, sigs, flips):
         for r in dedup.simhash_neardup(None, signatures=sig_df).collect()
     }
     assert got == truth
+
+
+# --- round-4 properties ----------------------------------------------------
+
+IDENTS = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+INDENTS = st.sampled_from([0, 4, 8, 12])
+
+
+@given(
+    units=st.lists(
+        st.tuples(INDENTS, IDENTS, st.booleans()), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_nested_parent_matches_stack_model(spark, units):
+    """Property 4: the relational parent resolution (max earlier unit at
+    shallower indent) agrees with the direct enclosing-scope stack walk
+    for arbitrary indent sequences."""
+    from workspace_qdrant_mcp_spark.sources.code_chunker import semantic_chunk
+
+    lines = []
+    for indent, name, is_class in units:
+        kw = "class" if is_class else "def"
+        suffix = ":" if is_class else "():"
+        lines.append(f"{' ' * indent}{kw} {name}{suffix}")
+        lines.append(f"{' ' * (indent + 4)}pass")
+    content = "\n".join(lines)
+
+    # stack model: parent = nearest earlier boundary with smaller indent
+    expected: dict[int, int | None] = {}
+    stack: list[tuple[int, int]] = []  # (indent, unit_index)
+    for i, (indent, _name, _c) in enumerate(units, start=1):
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        expected[i] = stack[-1][1] if stack else None
+        stack.append((indent, i))
+
+    df = spark.createDataFrame(
+        [("t0", "f.py", content)], ["tenant_id", "file_path", "content"]
+    )
+    rows = semantic_chunk(df, "python", nested=True).collect()
+    got = {
+        r["unit_index"]: r["parent_unit_id"]
+        for r in rows
+        if r["unit_type"] != "module"
+    }
+    assert got == expected
+
+
+PDF_TEXTS = st.text(
+    alphabet=st.sampled_from(list("abz XY09()\\%#![]{}")), min_size=1, max_size=40
+)
+
+
+@given(text=PDF_TEXTS, compress=st.booleans())
+@settings(**SETTINGS)
+def test_pdf_extractor_roundtrip(text, compress):
+    """Property 5: arbitrary text (incl. parens and backslashes, which
+    exercise the literal-string escape path) survives a fixture-PDF
+    round-trip through the real extractor."""
+    from tests.test_extraction import _fixture_pdf
+    from workspace_qdrant_mcp_spark.sources.extraction import (
+        _extract_pdf_minimal,
+    )
+
+    assert _extract_pdf_minimal(_fixture_pdf(text, compress)) == text
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["p0", "p1", "p2", "p3"]),
+        st.sampled_from(["upsert", "remove"]),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(events=EVENTS)
+@settings(**SETTINGS)
+def test_apply_events_is_idempotent(spark, events):
+    """Property 6 (W2): applying the same debounced batch twice yields the
+    first result's (path, hash) set with every status 'kept'."""
+    import datetime
+
+    base = spark.createDataFrame(
+        [("p0", "old0"), ("p1", "old1")], ["path", "content"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (p, t, f"c_{p}", datetime.datetime(2026, 1, 1, 0, 0, ts))
+            for p, t, ts in events
+        ],
+        "path STRING, event_type STRING, content STRING, ts TIMESTAMP",
+    )
+    first = ingest.apply_events(base, ev)
+    second = ingest.apply_events(
+        first.select("path", "file_hash"), ev, base_hashed=True
+    )
+    f_rows = {(r["path"], r["file_hash"]) for r in first.collect()}
+    s_rows = second.collect()
+    assert {(r["path"], r["file_hash"]) for r in s_rows} == f_rows
+    assert all(r["status"] == "kept" for r in s_rows)

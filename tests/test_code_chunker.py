@@ -200,3 +200,67 @@ def test_nested_same_indent_siblings_resolve_to_own_parents(spark):
     rows = _chunk(spark, src, nested=True)
     got = {r["symbol"]: r["parent_unit_id"] for r in rows}
     assert got == {"A": None, "a1": 1, "B": None, "b1": 3}
+
+
+def test_brace_mode_nests_unindented_functions(spark):
+    """nest_mode='brace': nesting from the running {}-balance, so even
+    completely unindented (minified-style) brace code resolves parents."""
+    src = (
+        "function outer() {\n"
+        "let x = 1;\n"
+        "function inner() {\n"
+        "function deep() {\n"
+        "return 1;\n"
+        "}\n"
+        "}\n"
+        "}\n"
+        "function next() {\n"
+        "}\n"
+    )
+    df = spark.createDataFrame(
+        [("t0", "a.js", src)], ["tenant_id", "file_path", "content"]
+    )
+    rows = sorted(
+        code_chunker.semantic_chunk(
+            df, "javascript", nested=True, nest_mode="brace"
+        ).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    got = [(r["symbol"], r["parent_unit_id"]) for r in rows]
+    assert got == [
+        ("outer", None),   # depth 0
+        ("inner", 1),      # depth 1, inside outer
+        ("deep", 2),       # depth 2, inside inner
+        ("next", None),    # depth 0 again
+    ]
+
+
+def test_brace_mode_indent_equivalence_on_formatted_code(spark):
+    """On conventionally-formatted code both depth measures give the same
+    parent tree (up to the depth scale)."""
+    src = (
+        "function a() {\n"
+        "    function m1() {\n"
+        "        go();\n"
+        "    }\n"
+        "}\n"
+        "function b() {\n"
+        "    function m2() {\n"
+        "    }\n"
+        "}\n"
+    )
+    df = spark.createDataFrame(
+        [("t0", "a.js", src)], ["tenant_id", "file_path", "content"]
+    )
+    by_mode = {}
+    for mode in ("indent", "brace"):
+        rows = code_chunker.semantic_chunk(
+            df, "javascript", nested=True, nest_mode=mode
+        ).collect()
+        by_mode[mode] = {
+            r["symbol"]: r["parent_unit_id"]
+            for r in rows if r["unit_type"] != "module"
+        }
+    assert by_mode["indent"] == by_mode["brace"] == {
+        "a": None, "m1": 1, "b": None, "m2": 3,
+    }

@@ -136,6 +136,7 @@ def semantic_chunk(
     id_cols: tuple[str, ...] = ("tenant_id", "file_path"),
     text_col: str = "content",
     nested: bool = False,
+    nest_mode: str = "indent",
 ) -> DataFrame:
     """(id_cols..., chunk_index, unit_index, fragment_index, symbol,
     unit_type, content, start_line, end_line[, parent_unit_id]) — one row
@@ -151,11 +152,18 @@ def semantic_chunk(
     lines also open units — the tree-sitter behavior of emitting nested
     definitions as separate chunks (tree_sitter/chunker/strategy.rs:
     19-56) — and each boundary unit carries parent_unit_id: the nearest
-    earlier unit at strictly shallower indentation (NULL for top level).
-    The parent resolution is a per-file self-join over the (tiny) unit
+    earlier unit at strictly shallower depth (NULL for top level). The
+    parent resolution is a per-file self-join over the (tiny) unit
     table — max earlier unit_index among shallower units — which is the
     relational form of the enclosing-scope stack; the default output is
-    byte-identical to nested=False."""
+    byte-identical to nested=False.
+
+    nest_mode picks the depth measure: 'indent' (leading spaces — right
+    for indent languages and conventionally-formatted brace code) or
+    'brace' (running {}-balance at the boundary line's start — right for
+    brace languages regardless of formatting; braces inside string
+    literals are miscounted, a documented approximation tree-sitter
+    would resolve)."""
     pattern = BOUNDARY_PATTERNS[language]
     ids = [F.col(c) for c in id_cols]
     lines = files.select(
@@ -169,23 +177,37 @@ def semantic_chunk(
         "unit_index",
         F.sum(F.when(boundary_src.rlike(pattern), 1).otherwise(0)).over(w),
     )
-    units = (
-        lines.groupBy(*id_cols, "unit_index")
-        .agg(
-            F.min("idx").alias("start_line"),
-            F.max("idx").alias("end_line"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("idx"), F.col("line")))
-                    ),
-                    lambda s: s["line"],
+    if nested:
+        if nest_mode == "brace":
+            net = F.length(
+                F.regexp_replace(F.col("line"), "[^{]", "")
+            ) - F.length(F.regexp_replace(F.col("line"), "[^}]", ""))
+            wprev = (
+                Window.partitionBy(*id_cols)
+                .orderBy("idx")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            depth0 = F.coalesce(F.sum(net).over(wprev), F.lit(0))
+        else:
+            depth0 = F.length(F.regexp_extract(F.col("line"), "^ *", 0))
+        lines = lines.withColumn("depth0", depth0)
+    unit_aggs = [
+        F.min("idx").alias("start_line"),
+        F.max("idx").alias("end_line"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("line")))
                 ),
-                "\n",
-            ).alias("unit_text"),
-            F.min_by("line", "idx").alias("first_line"),
-        )
-    )
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("unit_text"),
+        F.min_by("line", "idx").alias("first_line"),
+    ]
+    if nested:
+        unit_aggs.append(F.min_by("depth0", "idx").alias("unit_depth_raw"))
+    units = lines.groupBy(*id_cols, "unit_index").agg(*unit_aggs)
     fl = F.ltrim(F.col("first_line")) if nested else F.col("first_line")
     units = units.withColumn(
         "symbol", F.regexp_extract(fl, pattern, 1)
@@ -202,10 +224,8 @@ def semantic_chunk(
             "unit_indent",
             F.when(
                 F.col("unit_type") == "module", F.lit(-1)
-            ).otherwise(
-                F.length(F.regexp_extract(F.col("first_line"), "^ *", 0))
-            ),
-        )
+            ).otherwise(F.col("unit_depth_raw")),
+        ).drop("unit_depth_raw")
         cu = units.alias("cu")
         bp = (
             units.filter(F.col("unit_type") != "module")

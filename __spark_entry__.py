@@ -469,6 +469,16 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sequence packing: sequential first-fit of documents
+    into 512-BPE-token bins per source (doc_id order), parallel across
+    sources. The oracle replays the walk as a recursive CTE and checks
+    the packer's running state (bin_fill), not just the labels."""
+    from workspace_qdrant_mcp_spark.operators import packing
+
+    return packing.pack_documents(load_table(spark, sf_dir, "documents"))
+
+
 def _q_scroll_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 scroll/retrieve (retrieve.rs): filtered scan + deterministic
     (point_id, collection) paging with offset/limit + metadata
@@ -1619,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_chunks": _q_nested_chunks,  # new r4: S3 nested definitions
         "lsp_enrichment": _q_lsp_enrichment,  # new r4: §2.9 payload fields
         "concept_layer": _q_concept_layer,  # new r4: G13 full
+        "sequence_packing": _q_sequence_packing,  # new r4: training-data op
         "ingest_idempotency": _q_ingest_idempotency,  # new r4: W2 signal
         "dlq_decisions": _q_dlq_decisions,  # new r4: W3 signal
         "reconcile_diff": _q_reconcile_diff,  # new r4: W6 signal
@@ -1748,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "dlq_decisions": oracles.dlq_decisions(),
         "lsp_enrichment": oracles.lsp_enrichment(),
         "concept_layer": oracles.concept_layer(),
+        "sequence_packing": oracles.sequence_packing(),
         "reconcile_diff": oracles.reconcile_diff(),
         "tier1_tags": oracles.tier1_tags(),
         "dedup_survivors": oracles.dedup_survivors(),

@@ -863,6 +863,36 @@ def token_count() -> str:
     return duckdb_token_counts_sql()
 
 
+def sequence_packing(budget: int = 512) -> str:
+    """Training-data sequence packing: the sequential first-fit walk as a
+    per-source recursive CTE (the SQL twin of operators/packing.py)."""
+    from .operators.textstats import BPE_TOKEN_RE
+
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT)
+           AS tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, rn, tokens, 0 AS bin_id, tokens AS bin_fill
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.rn, t.tokens,
+         CASE WHEN w.bin_fill + t.tokens > {budget}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.bin_fill + t.tokens > {budget}
+              THEN t.tokens ELSE w.bin_fill + t.tokens END
+  FROM walk w JOIN tok t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, doc_id, tokens,
+       CAST(bin_id AS INT) AS bin_id, CAST(bin_fill AS INT) AS bin_fill
+FROM walk
+"""
+
+
 def doc_extraction() -> str:
     """S3 extraction: format dispatch + digest-fake pdf/epub extraction,
     plain text passthrough (sources/extraction.py)."""

@@ -1,15 +1,18 @@
 """Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line as the FINAL stdout line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+  {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+   "n_errors": N, "baseline_mapped": {...}, "env": {...}}.
 
 Contract hardening (the per-round recorder keeps a bounded stdout tail and
-has clipped the front of the JSON line in past rounds):
+has clipped the front of the JSON line in every past round):
   - stdout carries NOTHING but the single JSON line (progress -> stderr);
-  - the line is compact-separated and 2-decimal rounded to stay small;
-  - the full result (plus per-query row counts and an environment pin) is
-    also written to bench_out.json next to this file, so a clipped stdout
-    capture can always be recovered from disk.
+  - the line carries ONLY scalar summary fields (~300 bytes) — the
+    per-query timing map alone is ~2.5 KB and overflows the recorder's
+    tail buffer, so it is EXCLUDED from stdout by design;
+  - the full result (per-query timings, row counts, per-seed ms, env pin)
+    is written to bench_out.json next to this file, so the detailed map is
+    always recoverable from disk.
 
 A warm-up pass (untimed, every query once) runs before the timed pass so
 per-query numbers measure the plan, not JVM/codegen/session-cache
@@ -138,15 +141,26 @@ def main() -> None:
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
 
-    result = {
+    # The recorder keeps a BOUNDED stdout tail: r1-r4 all clipped the front
+    # of the JSON line once the per-query map pushed it past ~2 KB. So the
+    # stdout line carries ONLY the scalar summary (~300 bytes); the
+    # per-query timings/counts/per-seed map live exclusively in
+    # bench_out.json on disk.
+    summary = {
         "metric": "query_suite_total",
         "value": total,
         "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "baseline_mapped": baseline_mapped,
+        "env": {"cpus": cpus, "warmup": warmup, "warmup_sec": warmup_sec},
+    }
+    full = {
+        **summary,
         "queries": timings,
         "per_seed_ms": per_seed_ms,
-        "baseline_mapped": baseline_mapped,
-        "sf": sf,
-        "env": {"cpus": cpus, "warmup": warmup, "warmup_sec": warmup_sec},
+        "counts": counts,
     }
 
     # Full copy (with row counts) to disk first, so a clipped stdout capture
@@ -156,13 +170,15 @@ def main() -> None:
     )
     try:
         with open(out_path, "w") as f:
-            json.dump({**result, "counts": counts}, f, indent=1)
+            json.dump(full, f, indent=1)
             f.write("\n")
     except Exception as exc:
         _log(f"# bench_out.json write error: {exc}")
 
     sys.stdout.flush()
-    print(json.dumps(result, separators=(",", ":")), flush=True)
+    line = json.dumps(summary, separators=(",", ":"))
+    _log(f"# stdout line is {len(line)} bytes")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,90 @@ class TestLPA:
         assert len(out) == 5  # both communities have size >= 2
 
 
+class TestLPADistributed:
+    @staticmethod
+    def _partition(rows):
+        comms: dict[int, set[int]] = {}
+        for node, comm in rows:
+            comms.setdefault(comm, set()).add(node)
+        return sorted(map(sorted, comms.values()))
+
+    def test_same_partition_as_driver_path(self, spark):
+        # disjoint 4-cliques + a 6-chain + a pair: consecutive ids keep
+        # every neighborhood collision-free mod n_phases, so the phased
+        # schedule IS the async ascending sweep locally and both paths
+        # settle on the same community PARTITION. (Bridged cliques are
+        # deliberately not compared: the async sweep's within-sweep label
+        # cascade merges across bridges — the documented schedule
+        # divergence.) Labels are compared as partitions because the
+        # distributed path content-addresses communities by min member id
+        # while the async sweep keeps its dynamic label.
+        edges = []
+        for c in range(6):
+            base = c * 4
+            edges.extend(
+                (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+            )
+        edges.extend((24 + i, 24 + i + 1) for i in range(5))  # 6-chain
+        edges.append((30, 31))  # pair
+        drv = [
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, edges), mode="driver"
+            ).collect()
+        ]
+        dst = [
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, edges), mode="distributed"
+            ).collect()
+        ]
+        assert self._partition(drv) == self._partition(dst)
+        # distributed labels are the min member id of each community
+        for node, comm in dst:
+            assert comm == min(
+                m for ms in self._partition(dst) if node in ms for m in ms
+            )
+
+    def test_auto_mode_switches_above_threshold(self, spark):
+        # synthetic graph ABOVE the (overridden) threshold: 300 triangles,
+        # 900 nodes. auto must take the distributed path and produce the
+        # identical partition to the driver path on the same graph.
+        edges = []
+        for t in range(300):
+            b = t * 3
+            edges.extend([(b, b + 1), (b + 1, b + 2), (b, b + 2)])
+        auto = [
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, edges), mode="auto", distributed_threshold=500
+            ).collect()
+        ]
+        drv = [
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, edges), mode="driver"
+            ).collect()
+        ]
+        assert self._partition(auto) == self._partition(drv)
+        assert len(self._partition(auto)) == 300
+        # below the threshold auto keeps the driver path byte-identically
+        small = [(0, 1), (1, 2), (2, 0)]
+        a = sorted(
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, small), mode="auto"
+            ).collect()
+        )
+        d = sorted(
+            (r["node_id"], r["community"])
+            for r in graph.label_propagation(
+                _edges(spark, small), mode="driver"
+            ).collect()
+        )
+        assert a == d
+
+
 class TestFindPath:
     def test_chain_path_string(self, spark):
         out = graph.find_path(_edges(spark, CHAIN), 0, 2, max_depth=4).collect()

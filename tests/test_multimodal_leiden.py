@@ -220,3 +220,22 @@ def test_video_decode_remains_declared_stub():
 
     with _pytest.raises(NotImplementedError):
         mm._decode_media(b"\x00\x00\x00\x18ftypmp42", "video", use_real_decoder=True)
+
+
+def test_netpbm_whitespace_valued_first_sample():
+    """Binary netpbm raster whose FIRST sample bytes are whitespace-valued
+    (0x20/0x09/0x0A): the header scanner must consume exactly the one
+    separator byte after maxval instead of sniffing the first data byte,
+    or every pixel shifts by one."""
+    import numpy as np
+
+    from workspace_qdrant_mcp_spark.sources.multimodal import _decode_netpbm
+
+    raster = bytes([0x20, 0x09, 0x0A, 255, 0, 128])
+    h, w, c, px = _decode_netpbm(b"P5\n# comment\n3 2\n255\n" + raster)
+    assert (h, w, c) == (2, 3, 1)
+    assert (px.ravel() * 255).round().astype(int).tolist() == list(raster)
+    # ascii variant with an interleaved comment still parses
+    h, w, c, px = _decode_netpbm(b"P2\n2 2\n# hey\n15\n0 5 10 15\n")
+    assert (h, w, c) == (2, 2, 1)
+    assert np.allclose(px.ravel(), [0, 5 / 15, 10 / 15, 1.0])

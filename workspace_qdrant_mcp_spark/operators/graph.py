@@ -407,7 +407,10 @@ def export_adjacency(edges: DataFrame) -> tuple[list[int], dict[int, list[int]]]
     """G9 AdjacencyExport: sorted node ids + undirected neighbor lists
     (sorted — the BTreeSet discipline, community.rs:100-110). The snapshot
     is collected once; every driver-side algorithm is a pure function over
-    it (LOCK-SCOPE, graph/algorithms/mod.rs:1-9)."""
+    it (LOCK-SCOPE, graph/algorithms/mod.rs:1-9). Sized for per-tenant
+    code graphs; above LPA_DISTRIBUTED_THRESHOLD nodes, LPA callers
+    should use label_propagation(mode='auto') so the iterative-join
+    fallback runs instead of collecting this snapshot."""
     node_ids, indptr, indices = _collect_adjacency_csr(edges)
     ids = node_ids.tolist()
     lst = indices.tolist()
@@ -418,10 +421,115 @@ def export_adjacency(edges: DataFrame) -> tuple[list[int], dict[int, list[int]]]
     return ids, adj
 
 
+# Above this many nodes the driver-side adjacency export (the reference's
+# own AdjacencyExport architecture — fine for per-tenant code graphs, which
+# are small by contract) would serialize too much state on the driver;
+# label_propagation(mode='auto') switches to the iterative-join fallback.
+LPA_DISTRIBUTED_THRESHOLD = 100_000
+
+
+def label_propagation_distributed(
+    edges: DataFrame,
+    max_iters: int = LPA_MAX_ITERS,
+    min_size: int = LPA_MIN_COMMUNITY_SIZE,
+    n_phases: int = 8,
+) -> DataFrame:
+    """(node_id, community) — the 100 TB-scale LPA fallback: iterative
+    DataFrame joins, nothing ever collected to the driver.
+
+    Same per-node choice rule as the reference (community.rs:129-137):
+    most frequent neighbor label, MIN-label tiebreak. The reference's
+    ASYNCHRONOUS ascending-node-order sweep is inherently sequential, so
+    the distributed variant uses a multi-color Gauss-Seidel schedule:
+    each sweep runs n_phases sub-steps, sub-step p updating only nodes
+    with node_id % n_phases == p against the partially-updated state.
+    Within a neighborhood whose node ids don't collide mod n_phases
+    (e.g. consecutive-id cliques of size <= n_phases) this IS the async
+    sweep; a plain 2-color (red-black) or fully synchronous (Jacobi)
+    schedule oscillates on cliques because same-phase neighbors swap
+    labels simultaneously. Phase collisions between adjacent nodes can
+    still oscillate in principle, so the loop is bounded by max_iters;
+    every stable state of this schedule is also a fixed point of the
+    reference's async sweep (the per-node stability condition is
+    identical). The fixed point reached may label a community by a
+    different member id than the driver-side sweep, so communities are
+    normalized to content-addressed labels: community = min member node
+    id (the leiden/dedup-survivors convention). Use the driver-side path
+    when exact reference label parity matters and the graph fits
+    (mode='auto' on label_propagation picks by node count against
+    LPA_DISTRIBUTED_THRESHOLD).
+
+    Per sweep: n_phases sub-steps x (one equi-join on labels + one
+    groupBy) — shuffle-bounded, AQE-friendly; lineage is truncated per
+    sub-step with localCheckpoint so sweeps don't stack a growing plan."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        before = labels
+        for phase in range(n_phases):
+            nbr_labels = labels.select(
+                F.col("node_id").alias("dst"), F.col("label").alias("nbr_label")
+            )
+            best = (
+                und.filter(F.col("src") % n_phases == phase)
+                .join(nbr_labels, "dst")
+                .groupBy(F.col("src").alias("node_id"), "nbr_label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("node_id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))
+                    ).alias("m")
+                )
+                .select("node_id", (-F.col("m.neg")).alias("best"))
+            )
+            labels = (
+                labels.join(best, "node_id", "left")
+                .select(
+                    "node_id",
+                    F.coalesce("best", "label").alias("label"),
+                )
+                .localCheckpoint()
+            )
+        n_changed = (
+            before.withColumnRenamed("label", "old")
+            .join(labels, "node_id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min("node_id").alias("community"),
+    )
+    return (
+        labels.join(sizes.filter(F.col("sz") >= min_size), "label")
+        .select("node_id", "community")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     max_iters: int = LPA_MAX_ITERS,
     min_size: int = LPA_MIN_COMMUNITY_SIZE,
+    mode: str = "driver",
+    distributed_threshold: int = LPA_DISTRIBUTED_THRESHOLD,
 ) -> DataFrame:
     """(node_id, community) — the reference's deterministic LPA, replicated
     exactly (community.rs:114-149): ASYNCHRONOUS sweeps in ascending
@@ -433,9 +541,24 @@ def label_propagation(
 
     Runs driver-side over the exported adjacency — the reference's own
     architecture (single-threaded pure function over AdjacencyExport);
-    per-tenant code graphs are small by contract (SURVEY §7). A Pregel-style
-    synchronous variant would NOT be parity-faithful (different fixed
-    points), so distribution here would change semantics."""
+    per-tenant code graphs are small by contract (SURVEY §7). A
+    synchronous distributed variant is not exactly parity-faithful
+    (different fixed points are possible), so the driver path is the
+    default — but above LPA_DISTRIBUTED_THRESHOLD nodes the adjacency
+    export itself becomes the bottleneck, and mode='auto' falls back to
+    label_propagation_distributed (red-black iterative joins, min-member
+    community ids). mode='driver'/'distributed' force a path."""
+    if mode == "distributed":
+        return label_propagation_distributed(edges, max_iters, min_size)
+    if mode == "auto":
+        n_nodes = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .distinct()
+            .count()
+        )
+        if n_nodes > distributed_threshold:
+            return label_propagation_distributed(edges, max_iters, min_size)
     spark = edges.sparkSession
     node_ids, adj = export_adjacency(edges)
     idx = {v: i for i, v in enumerate(node_ids)}

@@ -123,10 +123,14 @@ def taxonomy_tags(
     max_tags: int = TIER2_MAX_TAGS,
     score_gap: float = TIER2_SCORE_GAP,
 ) -> DataFrame:
-    """(vec_id, term, score) — zero-shot tags. taxonomy: (term, category,
-    embedding). Semantics replicated from tier2.rs:180-209: threshold
-    filter → per-category: best term always kept, later terms only when
-    best − score > 3·gap → global max_tags cut (score desc, term asc)."""
+    """(vec_id, term, score, category) — zero-shot tags. taxonomy: (term,
+    category, embedding). Semantics replicated from tier2.rs:180-209:
+    threshold filter → per-category: best term always kept, later terms
+    only when best − score > 3·gap → global max_tags cut (score desc,
+    term asc). Category is threaded through from the taxonomy row that
+    produced the match (not re-joined on term afterwards), so a term
+    appearing under multiple categories keeps exactly its matched
+    category and cannot fan out."""
     matches = (
         emb.crossJoin(F.broadcast(taxonomy.select(
             "term", "category", F.col("embedding").alias("tax_emb")
@@ -153,7 +157,9 @@ def taxonomy_tags(
     return (
         kept.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= max_tags)
-        .select("vec_id", "term", F.round("score", 6).alias("score"))
+        .select(
+            "vec_id", "term", F.round("score", 6).alias("score"), "category"
+        )
     )
 
 
@@ -184,13 +190,12 @@ def concept_layer(
     (mod.rs:305-371). Concept node ids follow the extractor's scheme:
     sha256('__global__|taxonomy|term|concept') prefix-16."""
     tags = taxonomy_tags(emb, taxonomy, threshold, max_tags, score_gap)
-    cats = taxonomy.select("term", "category").distinct()
     depth = F.lit(DEPTH_FLOOR[0])
     ordinal = F.lit(DEPTH_FLOOR[1])
     for cut, name, ordv in reversed(DEPTH_BANDS):
         depth = F.when(F.col("score") >= cut, name).otherwise(depth)
         ordinal = F.when(F.col("score") >= cut, ordv).otherwise(ordinal)
-    return tags.join(F.broadcast(cats), "term").select(
+    return tags.select(
         "vec_id",
         F.substring(
             F.sha2(

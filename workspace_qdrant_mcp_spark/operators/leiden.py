@@ -354,8 +354,12 @@ def leiden_invariants(
       n_assigned               assignment rows emitted (== n_nodes)
       dup_assignments          nodes assigned to >1 community (== 0)
       localmove_violations     nodes with a strictly-positive CPM gain
-                               single-node move in the FLAT partition
-                               (== 0: phase 1 loops until stable)
+                               single-node move AFTER a node-level
+                               _local_move re-stabilization pass over the
+                               flat partition (== 0: _local_move must not
+                               return while a positive move remains; the
+                               raw flat partition is only aggregate-level
+                               stable and is not audited directly)
       disconnected_communities flat communities with >1 connected piece
                                (== 0: the Leiden connectivity guarantee)
       label_min_violations     final labels != min member node id (== 0)
@@ -374,25 +378,46 @@ def leiden_invariants(
         comm_members[c].append(node)
     comm_size = {c: len(m) for c, m in comm_members.items()}
 
-    # local-move stability at base gamma (same gain formula as _local_move)
+    # local-move stability at base gamma (same gain formula as _local_move).
+    # Leiden's termination guarantees node-level stability at the AGGREGATE
+    # level of the last iteration, not of the unfolded flat partition — so
+    # the flat partition is first re-stabilized with one node-level
+    # _local_move pass, then audited. Violations therefore mean exactly
+    # "_local_move returned while a strictly-positive single-node move
+    # remained" (a termination bug), never the false positive a correct
+    # run could produce on the raw flat partition (graphs/gammas where an
+    # aggregate-stable partition is not node-stable).
+    stab = list(flat)
+    _local_move(adj, stab, gamma)
+    stab_size: dict[int, int] = defaultdict(int)
+    for c in stab:
+        stab_size[c] += 1
     localmove_violations = 0
     eps = 1e-9
     for node in range(n):
-        c_cur = flat[node]
+        c_cur = stab[node]
         w_to_comm: dict[int, float] = defaultdict(float)
         for nb, w in adj[node].items():
-            w_to_comm[flat[nb]] += w
-        delta_remove = -w_to_comm.get(c_cur, 0.0) + gamma * (comm_size[c_cur] - 1.0)
+            w_to_comm[stab[nb]] += w
+        delta_remove = -w_to_comm.get(c_cur, 0.0) + gamma * (stab_size[c_cur] - 1.0)
         for c_cand, w_cand in w_to_comm.items():
             if c_cand == c_cur:
                 continue
-            if delta_remove + w_cand - gamma * comm_size[c_cand] > eps:
+            if delta_remove + w_cand - gamma * stab_size[c_cand] > eps:
                 localmove_violations += 1
                 break
 
     disconnected = sum(
         1 for m in comm_members.values() if _connected_pieces(m, adj) > 1
     )
+
+    # Cross-verification of the connectivity-audit MACHINERY itself: the
+    # oracle cannot see the Spark partition, so `disconnected == 0` alone
+    # would be self-asserted by this audit code. n_graph_components runs
+    # the SAME _connected_pieces DFS over the whole capped graph — a pure
+    # graph property the SQL oracle recomputes independently (recursive
+    # min-reachable-label CTE); a bug in the DFS shows up as a mismatch.
+    n_graph_components = _connected_pieces(list(range(n)), adj)
 
     # CPM ascent invariant: phase-1 local move starts from the singleton
     # partition (H = 0) and every accepted move strictly increases the
@@ -440,11 +465,12 @@ def leiden_invariants(
         label_min_violations,
         sorted(assigned_nodes) == list(node_ids),
         cpm >= -eps,
+        n_graph_components,
     )
     return spark.createDataFrame(
         [row],
         "n_nodes long, n_assigned long, dup_assignments long, "
         "localmove_violations long, disconnected_communities long, "
         "label_min_violations long, split_coverage_ok boolean, "
-        "cpm_ge_singletons boolean",
+        "cpm_ge_singletons boolean, n_graph_components long",
     )

@@ -16,8 +16,12 @@ declarative:
 
 Every step is a JVM column expression or window — a narrow map + one
 partial shuffle per file key, no Python in the path; at 100 TB this is
-scan-shaped. Nested definitions chunk under their top-level parent (a
-documented approximation: tree-sitter would emit them separately).
+scan-shaped. Nested definitions are emitted as separate child chunks
+when `nest_mode` is set: 'indent' detects child definitions by
+indentation depth (Python-style languages), 'brace' by brace-nesting
+depth (C/Java/JS-style); both mirror tree-sitter's per-unit emission
+(strategy.rs:19-56). nest_mode=None keeps the flat top-level-only
+behavior for callers that want the reference's fallback granularity.
 """
 
 from __future__ import annotations
@@ -302,12 +306,16 @@ def duckdb_semantic_chunk_sql(
     max_chars: int = MAX_UNIT_CHARS,
     overlap: int = FRAGMENT_OVERLAP,
     nested: bool = False,
+    nest_mode: str = "indent",
 ) -> str:
     """Oracle CTE chain over a `{files_cte}`(tenant_id, file_path, content)
     CTE, producing the identical chunk table as :func:`semantic_chunk`
-    (CTE name: sem_chunks). nested=True mirrors the indented-definition
+    (CTE name: sem_chunks). nested=True mirrors the nested-definition
     mode: boundaries/symbols match on the ltrimmed line, and
-    parent_unit_id = max earlier boundary unit at shallower indent."""
+    parent_unit_id = max earlier boundary unit at shallower depth.
+    nest_mode mirrors the Spark side: 'indent' depth = leading spaces of
+    the unit's first line; 'brace' depth = running {{}}-balance over all
+    PRECEDING lines at the unit's first line."""
     pattern = BOUNDARY_PATTERNS[language].replace("'", "''")
     class_re = class_line_re().replace("'", "''")
     stride = max_chars - overlap
@@ -318,12 +326,32 @@ def duckdb_semantic_chunk_sql(
     typed_src = "sc_typed"
     frag_extra = ""
     out_extra = ""
-    if nested:
+    depth_line_sel = ""
+    depth_group_sel = ""
+    if nested and nest_mode == "brace":
+        # net brace balance per line; depth at a line = sum over previous
+        # lines (the Spark side's rowsBetween(unboundedPreceding, -1))
+        net = (
+            "length(replace(line, '}', '')) - length(replace(line, '{', ''))"
+        )
+        depth_line_sel = f""",
+         coalesce(sum({net})
+             OVER (PARTITION BY tenant_id, file_path ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS depth0"""
+        depth_group_sel = ", arg_min(depth0, idx) AS unit_depth_raw"
+        typed_extra = """,
+         CASE WHEN coalesce(regexp_extract(ltrim(first_line), '{p}', 1), '') = ''
+              THEN -1
+              ELSE unit_depth_raw END
+           AS unit_indent""".format(p=pattern)
+    elif nested:
         typed_extra = """,
          CASE WHEN coalesce(regexp_extract(ltrim(first_line), '{p}', 1), '') = ''
               THEN -1
               ELSE length(regexp_extract(first_line, '^ *', 0)) END
            AS unit_indent""".format(p=pattern)
+    if nested:
         parent_ctes = """,
 sc_parented AS (
   SELECT u.*, CAST(max(p.unit_index) AS INT) AS parent_unit_id
@@ -349,14 +377,14 @@ sc_units AS (
   SELECT tenant_id, file_path,
          sum(CASE WHEN regexp_matches({probe}, '{pattern}') THEN 1 ELSE 0 END)
            OVER (PARTITION BY tenant_id, file_path ORDER BY idx) AS unit_index,
-         idx, line
+         idx, line{depth_line_sel}
   FROM sc_lines
 ),
 sc_grouped AS (
   SELECT tenant_id, file_path, unit_index,
          min(idx) AS start_line, max(idx) AS end_line,
          string_agg(line, chr(10) ORDER BY idx) AS unit_text,
-         arg_min(line, idx) AS first_line
+         arg_min(line, idx) AS first_line{depth_group_sel}
   FROM sc_units GROUP BY 1, 2, 3
 ),
 {typed_name} AS (

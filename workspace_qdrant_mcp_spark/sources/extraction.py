@@ -2,12 +2,15 @@
 
 Parity target: the reference's document_processor extraction pipeline
 (document_processor/extraction/, ocr.rs:1-119): bytes → format detection
-(magic numbers) → per-format text extractor → chunking. Here the
-format dispatch, schema, and Arrow batch shape are real; the PDF/EPUB
-parsers and OCR engine are STUBBED with deterministic digest fakes (no
-parser/OCR libraries in this container) behind a `use_real` flag whose
-True branch is a declared NotImplementedError — swapping in pypdf /
-ebooklib / tesseract means replacing one function body each.
+(magic numbers) → per-format text extractor → chunking. Format dispatch,
+schema, and Arrow batch shape are real, and so are the PDF and EPUB
+extractors: `use_real=True` runs a spec-level PDF text extractor
+(ISO 32000 content-stream Tj/TJ scanning, FlateDecode via stdlib zlib,
+pypdf used instead when importable) and a real EPUB extractor (stdlib
+zipfile + HTMLParser over the OPF spine). The default `use_real=False`
+keeps the deterministic digest fake for SQL-reproducible driver oracles.
+OCR is the ONE remaining stub (no tesseract in this container) — a
+declared NotImplementedError behind the same flag.
 
 Scale shape: detection is a pure column expression on the first bytes
 (pushdown-friendly); extraction is `mapInPandas` over Arrow batches, so

@@ -69,28 +69,41 @@ def _decode_netpbm(media: bytes):
     (binary) netpbm images — the public PGM/PPM spec."""
     import numpy as np
 
-    parts = media.split(maxsplit=1)
-    magic = parts[0]
-    # tokenize the header (width height maxval), skipping comments
-    body = parts[1]
+    # Index-based header scan (magic, width, height, maxval): whitespace
+    # separates tokens, '#' comments run to end-of-line. The scanner
+    # tracks its own position, so after the maxval token `i` points AT
+    # the single separator byte the spec mandates before binary samples —
+    # the raster starts at exactly i+1, never guessed by sniffing whether
+    # the first pixel byte "looks like" whitespace (a 0x20/0x09/0x0A
+    # sample value would fool that and shift every pixel).
+    ws = b" \t\r\n\x0b\x0c"
     tokens: list[bytes] = []
-    while len(tokens) < 3:
-        body = body.lstrip()
-        if body.startswith(b"#"):
-            body = body.split(b"\n", 1)[1]
+    i, size = 0, len(media)
+    while len(tokens) < 4 and i < size:
+        c = media[i]
+        if c in ws:
+            i += 1
             continue
-        tok, _, rest = body.partition(b" ") if b" " in body.split(b"\n", 1)[0] else body.partition(b"\n")
-        tokens.append(tok.strip())
-        body = rest
-    w, h, maxval = (int(t) for t in tokens)
+        if c == ord("#"):
+            nl = media.find(b"\n", i)
+            i = size if nl == -1 else nl + 1
+            continue
+        j = i
+        while j < size and media[j] not in ws and media[j] != ord("#"):
+            j += 1
+        tokens.append(media[i:j])
+        i = j
+    magic = tokens[0]
+    w, h, maxval = (int(t) for t in tokens[1:4])
     channels = 3 if magic in (b"P3", b"P6") else 1
     n = w * h * channels
     if magic in (b"P2", b"P3"):
-        vals = np.array(body.split()[:n], dtype=np.int64)
+        vals = np.array(media[i:].split()[:n], dtype=np.int64)
     else:
-        # single whitespace separates header from binary samples
-        vals = np.frombuffer(body[1:1 + n] if body[:1].isspace() else body[:n],
-                             dtype=np.uint8).astype(np.int64)
+        # exactly one whitespace byte after maxval, then the raster
+        vals = np.frombuffer(
+            media, dtype=np.uint8, count=n, offset=i + 1
+        ).astype(np.int64)
     px = (vals / maxval).reshape(h, w, channels)
     return h, w, channels, px
 

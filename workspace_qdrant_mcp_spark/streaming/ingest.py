@@ -193,6 +193,7 @@ def process_batch(
     With a watchdog: while the provider is unavailable, embedding work
     parks (W8 re-lease) and deletes still apply; an embed failure flips
     the flag and parks the current upserts instead of dead-lettering."""
+    processable: DataFrame | None = None
     try:
         batch = filter_watched_paths(batch, ignore_globs, allow_globs)
         b = debounce_batch(batch).localCheckpoint()
@@ -200,6 +201,7 @@ def process_batch(
         # individually instead of failing the whole batch; the catch-all
         # below remains the backstop for infrastructure errors.
         poison, b = dead_letter_split(b)
+        processable = b
         if len(poison.take(1)) > 0:
             (
                 poison.withColumn("error", F.col("reason"))
@@ -253,9 +255,15 @@ def process_batch(
                 raise
         if len(deletes.take(1)) > 0:
             delete_paths(spark, store_path, deletes)
-    except Exception as exc:  # W3: dead-letter the whole batch with the error
+    except Exception as exc:  # W3: dead-letter the failed batch with the error
+        # Poison rows already went to the DLQ with their row-level reason;
+        # dead-lettering the raw batch again would write them twice. Once
+        # the split has happened, only the post-split processable rows are
+        # dead-lettered; before the split (filter/debounce failure) the
+        # raw batch is the right unit.
+        to_dlq = processable if processable is not None else batch
         (
-            batch.withColumn("error", F.lit(str(exc)[:500]))
+            to_dlq.withColumn("error", F.lit(str(exc)[:500]))
             .write.mode("append")
             .parquet(dlq_path)
         )

@@ -265,12 +265,17 @@ def duckdb_splade_postings_sql(
 def splade_encode(df, text_col: str = "text", id_col: str = "doc_id",
                   use_real_model: bool = False):
     """R6 entry point: postings for the deterministic expansion encoder, or
-    the real SPLADE++ pandas-UDF provider when explicitly requested (not
-    available in this environment — declared slot)."""
+    the real SPLADE++ pandas-UDF provider when explicitly requested.
+    Like the dense slot, the real path is probe-and-skip: callers check
+    probe_real_runtime() first; the error message reports what (if
+    anything) is importable so the slot stays honest without a container
+    dependency."""
     if use_real_model:
+        runtime = probe_real_runtime()
         raise NotImplementedError(
-            "SPLADE++ requires a neural model runtime; register an "
-            "Arrow-batched pandas UDF with the splade_postings contract"
+            "SPLADE++ requires a neural model runtime (probe found "
+            f"{runtime!r}); register an Arrow-batched pandas UDF with "
+            "the splade_postings contract"
         )
     return splade_postings(df, text_col=text_col, id_col=id_col)
 

@@ -195,6 +195,42 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-split assignment (curation.split_assign): stable keyed-hash
+    train/val/test buckets, aggregated per (split, source). The assignment
+    is a pure column expression over doc_id — no shuffle, reproducible
+    across engines and runs (GPT-3-style held-out protocol)."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.split_assign(docs)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.decontaminate): training docs
+    (source != 'src1') sharing word 5-grams with the eval slice
+    (source = 'src1'), via a df-capped inverted-index gram join — the
+    GPT-3 appendix-C n-gram collision check, never eval x train
+    all-pairs."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return curation.decontaminate(
+        docs.filter(F.col("source") != "src1"),
+        docs.filter(F.col("source") == "src1"),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
 
@@ -1682,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, then every r3-only row (those in round-4-edited files
         # first), then headline keepers; r4-green rows rotate to the
         # tail and cycle back in later rounds.
+        "dataset_split": _q_dataset_split,
+        "decontamination": _q_decontamination,
         "nested_chunks_brace": _q_nested_chunks_brace,
         "graph_find_path": _q_graph_find_path,
         "taxonomy_tags": _q_taxonomy_tags,
@@ -1813,6 +1851,8 @@ def oracle_sql() -> dict[str, str]:
         "nested_chunks": oracles.nested_chunks(
             SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
         ),
+        "dataset_split": oracles.dataset_split(),
+        "decontamination": oracles.decontamination(),
         "nested_chunks_brace": oracles.nested_chunks_brace(
             SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
         ),

@@ -1,0 +1,90 @@
+"""Training-data curation: stable splits and benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.operators import curation
+
+
+class TestSplitAssign:
+    def test_partition_is_total_and_stable(self, spark):
+        docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+        a = curation.split_assign(docs).select("doc_id", "split").collect()
+        b = curation.split_assign(docs).select("doc_id", "split").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+        assert len(a) == 2000  # every doc assigned exactly once
+        counts: dict[str, int] = {}
+        for r in a:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert set(counts) == {"train", "val", "test"}
+        # ratios hold to within keyed-hash noise on 2000 draws
+        assert abs(counts["train"] / 2000 - 0.8) < 0.05
+        assert abs(counts["val"] / 2000 - 0.1) < 0.03
+        assert abs(counts["test"] / 2000 - 0.1) < 0.03
+
+    def test_salt_draws_independent_assignment(self, spark):
+        docs = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = {
+            r["doc_id"]: r["split"]
+            for r in curation.split_assign(docs).collect()
+        }
+        b = {
+            r["doc_id"]: r["split"]
+            for r in curation.split_assign(docs, salt="other|").collect()
+        }
+        assert a != b  # a different salt reshuffles ...
+        assert set(a) == set(b)  # ... but still covers every doc
+
+    def test_assignment_is_a_property_of_the_id(self, spark):
+        # the same id must land in the same split regardless of which
+        # shard/batch it arrives in (no RNG, no partition dependence)
+        full = {
+            r["doc_id"]: r["split"]
+            for r in curation.split_assign(
+                spark.range(100).select(F.col("id").alias("doc_id"))
+            ).collect()
+        }
+        shard = {
+            r["doc_id"]: r["split"]
+            for r in curation.split_assign(
+                spark.range(50, 100).select(F.col("id").alias("doc_id"))
+                .repartition(7)
+            ).collect()
+        }
+        assert all(full[k] == v for k, v in shard.items())
+
+
+class TestDecontaminate:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_overlap_is_flagged(self, spark):
+        leak = "alpha beta gamma delta epsilon"  # one 5-gram
+        train = self._df(
+            spark,
+            [
+                (1, "clean words only here nothing shared at all"),
+                (2, f"prefix {leak} suffix tokens"),
+                (3, f"{leak} and then more text follows here"),
+            ],
+        )
+        ev = self._df(spark, [(100, f"the benchmark contains {leak} inside")])
+        out = {
+            r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
+            for r in curation.decontaminate(train, ev).collect()
+        }
+        assert set(out) == {2, 3}  # doc 1 is clean
+        assert out[2][1] == 1 and out[3][1] == 1
+        assert out[2][0] >= 1 and out[3][0] >= 1
+
+    def test_df_cap_drops_boilerplate(self, spark):
+        boiler = "this text is auto generated do not edit"
+        train = self._df(
+            spark, [(i, f"{boiler} body {i}") for i in range(20)]
+        )
+        ev = self._df(spark, [(100, f"{boiler} eval body")])
+        # boilerplate appears in 21 docs; df_cap=10 silences it entirely
+        assert curation.decontaminate(train, ev, df_cap=10).count() == 0
+        # with a generous cap every train doc is (correctly) flagged
+        assert curation.decontaminate(train, ev, df_cap=100).count() == 20

@@ -2556,6 +2556,79 @@ FROM scored ORDER BY score DESC, asset_id ASC LIMIT {k}
 """
 
 
+def dataset_split(
+    train: float = 0.8, val: float = 0.1, buckets: int = 1000
+) -> str:
+    """Training-split assignment (curation.split_assign): keyed-hash
+    bucket of doc_id -> train/val/test, aggregated per (split, source).
+    The hash is the shared md5-prefix 60-bit primitive, so the bucket is
+    bit-identical across engines."""
+    h = duckdb_md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt="split|")
+    tcut = int(round(train * buckets))
+    vcut = int(round((train + val) * buckets))
+    return f"""
+WITH s AS (
+  SELECT source, ({h}) % {buckets} AS bucket, n_chars FROM documents
+),
+t AS (
+  SELECT CASE WHEN bucket < {tcut} THEN 'train'
+              WHEN bucket < {vcut} THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_chars
+  FROM s
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY 1, 2
+"""
+
+
+def decontamination(
+    n: int = 5, min_shared: int = 1, df_cap: int = 100
+) -> str:
+    """Benchmark decontamination (curation.decontaminate): training docs
+    (source <> 'src1') sharing >= min_shared distinct word n-grams with
+    the eval set (source = 'src1'); grams with corpus df > df_cap are
+    boilerplate and never join."""
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+WITH wd AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS w
+  FROM documents
+),
+gs AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}), i -> {gram_i}))
+              ELSE [] END AS grams
+  FROM wd
+),
+g AS (SELECT doc_id, source,
+             unnest(list_transform(grams,
+               x -> {duckdb_md5_hash64_sql('x')})) AS gram
+      FROM gs),
+dfq AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+  WHERE df <= {df_cap}
+),
+tg AS (SELECT doc_id, gram FROM g WHERE source <> 'src1'),
+eg AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE source = 'src1'),
+hits AS (
+  SELECT t.doc_id,
+         count(DISTINCT t.gram) AS n_shared_grams,
+         count(DISTINCT e.eval_doc_id) AS n_eval_docs
+  FROM tg t JOIN dfq USING (gram) JOIN eg e USING (gram)
+  GROUP BY 1
+  HAVING count(DISTINCT t.gram) >= {min_shared}
+)
+SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+       CAST(n_eval_docs AS BIGINT) AS n_eval_docs
+FROM hits
+"""
+
+
 def doc_fingerprint() -> str:
     return """
 SELECT doc_id,

@@ -170,3 +170,31 @@ def test_nested_parent_join_is_broadcast_equi(spark):
     df = entrymod.queries()["nested_chunks"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_has_no_cartesian(spark):
+    # the gram join must be an equi-join on the hashed gram (inverted
+    # index) — never an eval x train nested-loop pairing; the df-cap
+    # filter must sit below the join, not above it
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = curation.decontaminate(
+        docs.filter(F.col("source") != "src1"),
+        docs.filter(F.col("source") == "src1"),
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assign_is_exchange_free(spark):
+    # the split is a property of doc_id — a pure column expression whose
+    # plan contains no exchange of any kind
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(curation.split_assign(docs))
+    assert "Exchange" not in plan

@@ -1766,8 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_knn_cosine": _q_dense_knn,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
-        "sequence_packing": _q_sequence_packing,
-        "dedup_exact": _q_dedup_exact,
+        "label_propagation": _q_label_propagation,
+        "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
         "lsp_enrichment": _q_lsp_enrichment,
         # -- r4-green; rotated past the 50-row window this round ---------
@@ -1804,11 +1804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "betweenness_exact": _q_betweenness_exact,
         "graph_pagerank": _q_graph_pagerank,
-        "label_propagation": _q_label_propagation,
+        "sequence_packing": _q_sequence_packing,
         "leiden_communities": _q_leiden_communities,
         "ngram_jaccard_neardup": _q_ngram_jaccard,
         "dedup_survivors": _q_dedup_survivors,
-        "semantic_chunks": _q_semantic_chunks,
+        "dedup_exact": _q_dedup_exact,
     }
 
 

@@ -317,3 +317,46 @@ def test_apply_events_is_idempotent(spark, events):
     s_rows = second.collect()
     assert {(r["path"], r["file_hash"]) for r in s_rows} == f_rows
     assert all(r["status"] == "kept" for r in s_rows)
+
+
+# word sequences over a tiny vocabulary so 5-gram collisions actually occur
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0,
+    max_size=14,
+)
+_CORPUS = st.lists(_WORDS, min_size=2, max_size=8)
+
+
+@given(docs=_CORPUS)
+@settings(**SETTINGS)
+def test_decontaminate_matches_bruteforce_model(spark, docs):
+    """Property 4: decontaminate (df-capped inverted-index gram join)
+    agrees exactly with a brute-force python set model on arbitrary small
+    corpora — doc 0 is the eval set, the rest are training docs."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    texts = [" ".join(ws) for ws in docs]
+    n = 5
+    grams = [
+        {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        for ws in docs
+    ]
+    eval_grams = grams[0]
+    # df over ALL docs (train + eval), cap high enough to keep everything
+    expected = {}
+    for i in range(1, len(docs)):
+        shared = grams[i] & eval_grams
+        if shared:
+            expected[i] = (len(shared), 1)
+
+    train = spark.createDataFrame(
+        [(i, texts[i]) for i in range(1, len(docs))],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
+        for r in curation.decontaminate(train, ev, n=n, df_cap=10_000).collect()
+    }
+    assert got == expected

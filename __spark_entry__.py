@@ -214,6 +214,30 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {"src0": 0.5, "src1": 0.0, "src2": 1.0}
+MIX_DEFAULT_RATE = 0.25
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (curation.stratified_sample): deterministic per-source
+    keep rates (50% / excluded / full / 25% default), aggregated per
+    source — the data-mixture step of a training-corpus build. The keep
+    decision is a pure column filter (keyed hash < rate), so it pushes to
+    the scan and never shuffles."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.stratified_sample(docs, MIX_RATES, MIX_DEFAULT_RATE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (curation.decontaminate): training docs
     (source != 'src1') sharing word 5-grams with the eval slice
@@ -1720,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail and cycle back in later rounds.
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
+        "mixture_sample": _q_mixture_sample,
         "nested_chunks_brace": _q_nested_chunks_brace,
         "graph_find_path": _q_graph_find_path,
         "taxonomy_tags": _q_taxonomy_tags,
@@ -1765,12 +1790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "minhash_lsh_neardup": _q_minhash_lsh,
-        "two_hop_chain": _q_two_hop_chain,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
         "lsp_enrichment": _q_lsp_enrichment,
         # -- r4-green; rotated past the 50-row window this round ---------
+        "two_hop_chain": _q_two_hop_chain,
         "ingest_idempotency": _q_ingest_idempotency,
         "dlq_decisions": _q_dlq_decisions,
         "reconcile_diff": _q_reconcile_diff,
@@ -1853,6 +1878,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dataset_split": oracles.dataset_split(),
         "decontamination": oracles.decontamination(),
+        "mixture_sample": oracles.mixture_sample(
+            MIX_RATES, MIX_DEFAULT_RATE
+        ),
         "nested_chunks_brace": oracles.nested_chunks_brace(
             SEMCHUNK_MAX_CHARS, SEMCHUNK_OVERLAP
         ),

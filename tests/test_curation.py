@@ -88,3 +88,43 @@ class TestDecontaminate:
         assert curation.decontaminate(train, ev, df_cap=10).count() == 0
         # with a generous cap every train doc is (correctly) flagged
         assert curation.decontaminate(train, ev, df_cap=100).count() == 20
+
+
+class TestStratifiedSample:
+    def test_rates_monotone_and_exclusive(self, spark):
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias(
+                "source"
+            ),
+        )
+        zero = curation.stratified_sample(docs, {"s0": 0.0}, default_rate=1.0)
+        assert zero.filter(F.col("source") == "s0").count() == 0
+        assert zero.filter(F.col("source") != "s0").count() == 750
+        lo = {
+            r["doc_id"]
+            for r in curation.stratified_sample(
+                docs, {}, default_rate=0.3
+            ).collect()
+        }
+        hi = {
+            r["doc_id"]
+            for r in curation.stratified_sample(
+                docs, {}, default_rate=0.6
+            ).collect()
+        }
+        assert lo <= hi  # raising the rate only ADDS documents
+        assert abs(len(lo) / 1000 - 0.3) < 0.05
+        assert abs(len(hi) / 1000 - 0.6) < 0.05
+
+    def test_sample_independent_of_split(self, spark):
+        # mixing and splitting use different salts: the sampled subset's
+        # split proportions match the full corpus's (no correlation)
+        docs = spark.range(4000).select(F.col("id").alias("doc_id"))
+        sampled = curation.stratified_sample(
+            docs.withColumn("source", F.lit("s")), {}, default_rate=0.5
+        )
+        splits = curation.split_assign(sampled).groupBy("split").count()
+        counts = {r["split"]: r["count"] for r in splits.collect()}
+        total = sum(counts.values())
+        assert abs(counts["train"] / total - 0.8) < 0.05

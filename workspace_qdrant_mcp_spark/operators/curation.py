@@ -63,6 +63,33 @@ def split_assign(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    salt: str = "mix|",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """docs filtered to a deterministic per-stratum sample — the corpus
+    mixing/upsampling-schedule step of a training build: each stratum
+    (source, language, quality band, ...) keeps its configured fraction.
+
+    Same keyed-hash discipline as split_assign: a doc is kept iff its
+    bucket < rate * buckets, so the sample is reproducible, shard-
+    invariant, monotone in the rate (raising a stratum's rate only ADDS
+    documents — downstream caches stay valid), and independent of the
+    split assignment (different salt). A pure column filter: no exchange,
+    no RNG state, pushes down to the scan."""
+    b = md5_hash64(F.col("doc_id").cast("string"), salt=salt) % buckets
+    cut = F.lit(int(round(default_rate * buckets)))
+    for stratum, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata_col) == stratum, int(round(rate * buckets))
+        ).otherwise(cut)
+    return docs.filter(b < cut)
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,

@@ -2583,6 +2583,28 @@ FROM t GROUP BY 1, 2
 """
 
 
+def mixture_sample(
+    rates: dict[str, float], default_rate: float, buckets: int = 1000
+) -> str:
+    """Stratified corpus sampling (curation.stratified_sample): keyed-hash
+    keep-if-bucket-below-rate per source, aggregated per source."""
+    h = duckdb_md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix|")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * buckets))}"
+        for s, r in sorted(rates.items())
+    )
+    cut = f"CASE source {cases} ELSE {int(round(default_rate * buckets))} END"
+    return f"""
+WITH s AS (
+  SELECT source, n_chars, ({h}) % {buckets} AS bucket FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s WHERE bucket < {cut}
+GROUP BY source
+"""
+
+
 def decontamination(
     n: int = 5, min_shared: int = 1, df_cap: int = 100
 ) -> str:

@@ -1789,12 +1789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
-        "minhash_lsh_neardup": _q_minhash_lsh,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
-        "lsp_enrichment": _q_lsp_enrichment,
         # -- r4-green; rotated past the 50-row window this round ---------
+        "lsp_enrichment": _q_lsp_enrichment,
+        "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
         "ingest_idempotency": _q_ingest_idempotency,
         "dlq_decisions": _q_dlq_decisions,

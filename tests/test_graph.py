@@ -152,6 +152,25 @@ class TestLPADistributed:
                 m for ms in self._partition(dst) if node in ms for m in ms
             )
 
+    def test_negative_ids_are_scheduled(self, spark):
+        # Spark's % keeps the dividend's sign: with a plain modulo a
+        # negative node id matches no phase and never updates (pmod fix)
+        edges = [(-8, -7), (-7, -6), (-6, -8), (1, 2), (2, 3), (3, 1)]
+        out = {
+            r["node_id"]: r["community"]
+            for r in graph.label_propagation_distributed(
+                _edges(spark, edges)
+            ).collect()
+        }
+        assert {out[-8], out[-7], out[-6]} == {-8}
+        assert {out[1], out[2], out[3]} == {1}
+
+    def test_unknown_mode_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown label_propagation"):
+            graph.label_propagation(_edges(spark, [(0, 1)]), mode="Auto")
+
     def test_auto_mode_switches_above_threshold(self, spark):
         # synthetic graph ABOVE the (overridden) threshold: 300 triangles,
         # 900 nodes. auto must take the distributed path and produce the

@@ -149,12 +149,20 @@ def real_model_embed_udf(model_name: str = REAL_MODEL_DEFAULT):
     from pyspark.sql.functions import pandas_udf
 
     def _embed(texts):
-        model = getattr(_embed, "_model", None)
+        # module-level cache, NOT a function attribute: the pickled UDF is
+        # deserialized fresh per task, so an attribute on the closure would
+        # reload the model every task; the worker's module dict persists
+        # for the life of the python worker process
+        import workspace_qdrant_mcp_spark.functions.embedder as _self
+
+        cache = getattr(_self, "_REAL_MODEL_CACHE", None)
+        if cache is None:
+            cache = _self._REAL_MODEL_CACHE = {}
+        model = cache.get(model_name)
         if model is None:
             from sentence_transformers import SentenceTransformer
 
-            model = SentenceTransformer(model_name)
-            _embed._model = model  # executor-local singleton
+            model = cache[model_name] = SentenceTransformer(model_name)
         vecs = model.encode(
             [t or "" for t in texts], normalize_embeddings=True
         )

@@ -486,7 +486,9 @@ def label_propagation_distributed(
                 F.col("node_id").alias("dst"), F.col("label").alias("nbr_label")
             )
             best = (
-                und.filter(F.col("src") % n_phases == phase)
+                # pmod, not %: Spark's % keeps the dividend's sign, so a
+                # negative node id would match NO phase and never update
+                und.filter(F.pmod(F.col("src"), F.lit(n_phases)) == phase)
                 .join(nbr_labels, "dst")
                 .groupBy(F.col("src").alias("node_id"), "nbr_label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -546,8 +548,14 @@ def label_propagation(
     (different fixed points are possible), so the driver path is the
     default — but above LPA_DISTRIBUTED_THRESHOLD nodes the adjacency
     export itself becomes the bottleneck, and mode='auto' falls back to
-    label_propagation_distributed (red-black iterative joins, min-member
-    community ids). mode='driver'/'distributed' force a path."""
+    label_propagation_distributed (multi-color iterative joins,
+    min-member community ids). mode='driver'/'distributed' force a
+    path."""
+    if mode not in ("driver", "auto", "distributed"):
+        raise ValueError(
+            f"unknown label_propagation mode {mode!r}; "
+            "expected 'driver', 'auto', or 'distributed'"
+        )
     if mode == "distributed":
         return label_propagation_distributed(edges, max_iters, min_size)
     if mode == "auto":

@@ -376,7 +376,6 @@ def leiden_invariants(
     comm_members: dict[int, list[int]] = defaultdict(list)
     for node, c in enumerate(flat):
         comm_members[c].append(node)
-    comm_size = {c: len(m) for c, m in comm_members.items()}
 
     # local-move stability at base gamma (same gain formula as _local_move).
     # Leiden's termination guarantees node-level stability at the AGGREGATE

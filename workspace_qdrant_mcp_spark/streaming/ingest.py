@@ -201,7 +201,6 @@ def process_batch(
         # individually instead of failing the whole batch; the catch-all
         # below remains the backstop for infrastructure errors.
         poison, b = dead_letter_split(b)
-        processable = b
         if len(poison.take(1)) > 0:
             (
                 poison.withColumn("error", F.col("reason"))
@@ -209,6 +208,10 @@ def process_batch(
                 .write.mode("append")
                 .parquet(dlq_path)
             )
+        # only once the poison rows are safely in the DLQ does the
+        # catch-all narrow to the processable set — a failure during the
+        # poison write itself still dead-letters the whole batch
+        processable = b
         deletes = b.filter(F.col("event_type") == "remove").select("path")
         upserts = b.filter(F.col("event_type") != "remove").withColumn(
             "file_hash", F.md5(F.col("content").cast("binary"))

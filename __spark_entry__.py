@@ -259,6 +259,34 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 repetition filters (textstats.gopher_repetition): top
+    word-n-gram character fractions (n=2,3,4), simplified duplicate-5-gram
+    fraction, duplicate-word fraction, and the published-threshold pass
+    flag. Explode → map-side-combined gram counts → pivot; one doc-keyed
+    join back."""
+    return textstats.gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 quality rules (textstats.gopher_quality): word-count /
+    mean-word-length / symbol-ratio / alpha-word / stopword gates with
+    per-rule booleans and the conjunction `keep`. Shuffle-free column
+    expressions."""
+    return textstats.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pii_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction fingerprint (operators/pii.py) over the
+    deterministic doc_id-keyed fixture augmentation (the synthetic corpus
+    has no organic PII). RE2-compatible regexes, all JVM-side."""
+    from workspace_qdrant_mcp_spark.operators import pii
+
+    return pii.pii_detect(
+        pii.augment_with_pii(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(corpus)
@@ -1742,6 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, then every r3-only row (those in round-4-edited files
         # first), then headline keepers; r4-green rows rotate to the
         # tail and cycle back in later rounds.
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_quality": _q_gopher_quality,
+        "pii_detection": _q_pii_detection,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1786,13 +1817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_retrieve": _q_scroll_retrieve,
         "simhash_fingerprints": _q_simhash_fp,
         "stub_resolution": _q_stub_resolution,
-        "hybrid_search_rrf": _q_hybrid,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
         # -- r4-green; rotated past the 50-row window this round ---------
+        # (hybrid/bm25/dense moved below to make room for the three new
+        # curation queries — r4-green, their code unchanged this round)
+        "hybrid_search_rrf": _q_hybrid,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1855,6 +1888,9 @@ def oracle_sql() -> dict[str, str]:
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),
+        "gopher_repetition": oracles.gopher_repetition(),
+        "gopher_quality": oracles.gopher_quality(),
+        "pii_detection": oracles.pii_detection(),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

@@ -1,0 +1,172 @@
+"""Unit tests for the Gopher-style repetition/quality filters and the PII
+detector: hand-computed micro-fixtures (values derived independently of
+both engines) plus physical-plan shape checks (the quality/PII maps must
+stay exchange-free)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.operators import pii, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngram_fraction_hand_computed(spark):
+    # "aa aa aa bb" (11 chars): 2-grams = [aa aa, aa aa, aa bb] →
+    # top 2-gram "aa aa" (5 chars) × 2 = 10/11; 3-grams = [aa aa aa,
+    # aa aa bb] → top (count-tie broken lex-asc) "aa aa aa" 8/11;
+    # 4-gram unique → 11/11; dup 5-grams: none.
+    out = textstats.gopher_repetition(_docs(spark, [(1, "aa aa aa bb")]))
+    r = out.collect()[0].asDict()
+    assert r["top2gram_char_frac"] == round(10 / 11, 6)
+    assert r["top3gram_char_frac"] == round(8 / 11, 6)
+    assert r["top4gram_char_frac"] == round(11 / 11, 6)
+    assert r["dup5gram_char_frac"] == 0.0
+    # words: aa×3 bb×1 → 4 words, 2 distinct → dup_word_frac = 0.5
+    assert r["dup_word_frac"] == 0.5
+    assert r["repetition_pass"] is False
+
+
+def test_repetition_short_and_empty_docs(spark):
+    # one word → no n-grams at all; empty text → zero words.
+    out = textstats.gopher_repetition(
+        _docs(spark, [(1, "solo"), (2, "")])
+    ).orderBy("doc_id")
+    rows = [r.asDict() for r in out.collect()]
+    for r in rows:
+        assert r["top2gram_char_frac"] == 0.0
+        assert r["dup5gram_char_frac"] == 0.0
+        assert r["repetition_pass"] is True
+    assert rows[0]["dup_word_frac"] == 0.0
+
+
+def test_dup5gram_char_fraction(spark):
+    # 6 words "x y z w v x y z w v" → wait: use a 10-word doc whose two
+    # 5-grams windows repeat: "a b c d e a b c d e" (19 chars).
+    # 5-grams: [a b c d e, b c d e a, c d e a b, d e a b c, e a b c d,
+    #           a b c d e] → "a b c d e" (9 chars) appears 2× →
+    # dup chars = 2×9 = 18 → 18/19.
+    out = textstats.gopher_repetition(_docs(spark, [(1, "a b c d e a b c d e")]))
+    r = out.collect()[0].asDict()
+    assert r["dup5gram_char_frac"] == round(18 / 19, 6)
+    assert r["repetition_pass"] is False  # 0.947 > 0.15
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rules_hand_computed(spark):
+    text = "the cat and the dog ### sat ..."
+    # words: 8 (incl '###' and '...'); mean len = (3+3+3+3+3+3+3+3)/8 = 3.0
+    out = textstats.gopher_quality(_docs(spark, [(1, text)]))
+    r = out.collect()[0].asDict()
+    assert r["n_words"] == 8
+    assert r["mean_word_len"] == 3.0
+    # symbols: '###' counts 3 '#' matches, '...' one ellipsis match → 4/8
+    assert r["symbol_word_ratio"] == 0.5
+    assert r["pass_symbol_ratio"] is False
+    # alpha words: 6 of 8
+    assert r["frac_alpha_words"] == 0.75
+    # stopwords present: the, and → 2
+    assert r["stopwords_present"] == 2
+    assert r["pass_stopwords"] is True
+    assert r["pass_word_count"] is False  # 8 < 50
+    assert r["keep"] is False
+
+
+def test_quality_keep_true_for_good_doc(spark):
+    text = " ".join(["the cat sat upon the mat and dogs ran with joy under trees"] * 5)
+    out = textstats.gopher_quality(_docs(spark, [(1, text)]))
+    r = out.collect()[0].asDict()
+    assert r["n_words"] == 65
+    assert r["pass_word_count"] and r["pass_alpha_words"] and r["keep"]
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_detect_counts_and_redaction(spark):
+    text = (
+        "mail a@b.io and c.d+x@e-corp.com, host 10.0.0.1, "
+        "call +1 555-0199, id 123-45-6789 end"
+    )
+    out = pii.pii_detect(_docs(spark, [(1, text)]), text_col="text")
+    r = out.collect()[0].asDict()
+    assert r["n_emails"] == 2
+    assert r["n_ipv4s"] == 1
+    assert r["n_phones"] == 1
+    assert r["n_govids"] == 1
+    assert r["pii_total"] == 5
+    # redaction removes every raw occurrence before hashing; recompute the
+    # redacted string independently with Python's re for the assertion
+    import re
+
+    expected = text
+    for name, pat in pii.PII_PATTERNS:
+        token = {"ipv4": "<IP>", "govid": "<ID>"}.get(name, f"<{name.upper()}>")
+        expected = re.sub(pat, token, expected)
+    assert "@" not in expected and "555" not in expected
+    import hashlib
+
+    assert r["redacted_fp"] == hashlib.md5(expected.encode()).hexdigest()[:16]
+
+
+def test_pii_clean_text_is_untouched(spark):
+    text = "no pii here just words 1.2 release v3"
+    out = pii.pii_detect(_docs(spark, [(1, text)]), text_col="text")
+    r = out.collect()[0].asDict()
+    assert r["pii_total"] == 0
+    import hashlib
+
+    assert r["redacted_fp"] == hashlib.md5(text.encode()).hexdigest()[:16]
+
+
+def test_augment_is_deterministic_and_keyed(spark):
+    docs = _docs(spark, [(0, "x"), (1, "x"), (35, "x")])
+    out = {
+        r["doc_id"]: r["pii_text"]
+        for r in pii.augment_with_pii(docs).collect()
+    }
+    assert "user0@example.com" in out[0] and "host 10.0.0.0" in out[0]
+    assert out[1] == "x"
+    # 35 ≡ 0 (mod 5, 7) but not (mod 9, 13)
+    assert "@example.com" in out[35] and "host 10.35.0.35" in out[35]
+    assert "call" not in out[35] and "ref" not in out[35]
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("op", ["quality", "pii"])
+def test_narrow_maps_are_exchange_free(spark, op):
+    import contextlib
+    import io as _io
+
+    docs = _docs(spark, [(1, "a b c")])
+    df = (
+        textstats.gopher_quality(docs)
+        if op == "quality"
+        else pii.pii_detect(pii.augment_with_pii(docs))
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # narrow map over the scan, no shuffle
+    assert "BatchEvalPython" not in plan  # no Python UDFs in the hot path

@@ -90,6 +90,168 @@ def quality_score(
     )
 
 
+# Gopher-style quality-filter constants (Rae et al. 2021, appendix A —
+# public). Thresholds are the published ones; the symbol set is '#' plus
+# ellipsis (ASCII and Unicode).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_SYMBOL_RE = "#|\\.\\.\\.|…"
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_5GRAM_MAX = 0.15
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams; empty when < n words.
+    The sequence bound is guarded because Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], not an empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, A1.2): per document the
+    duplicate-word fraction, the top word-n-gram character fraction for
+    n=2,3,4 (count of the most frequent n-gram × its character length /
+    total characters; ties broken by lexicographically smallest gram), a
+    simplified duplicate-5-gram character fraction (characters of all
+    occurrences of 5-grams appearing ≥2×, overlap-unaware, capped at 1),
+    and the pass flag against the published thresholds.
+
+    Scale shape: n-gram explode → map-side-combined count on
+    (doc_id, n, gram) → per-(doc, n) min-struct top pick → pivot, then one
+    doc-keyed equi-join back to the base stats. No driver collects, no
+    broadcast of anything document-sized; the shuffle key includes the
+    gram so hot documents don't make hot partitions."""
+    t = F.col(text_col)
+    words = _ws_tokens(t)
+    base = fan_out(docs).select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("words"),
+    )
+    def _tag(n: int):
+        # NB: must stay a ONE-argument callable — F.transform treats a
+        # two-arg lambda as (element, index) and would bind n to the index.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_structs = F.concat(
+        *[
+            F.transform(_word_ngrams(F.col("words"), n), _tag(n))
+            for n in (2, 3, 4, 5)
+        ]
+    )
+    exploded = base.select(
+        F.col(id_col), "n_chars", F.explode(gram_structs).alias("g")
+    ).select(F.col(id_col), "n_chars", F.col("g.n").alias("n"), F.col("g.gram"))
+    cnts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n_chars").alias("n_chars")
+    )
+    stats = cnts.groupBy(id_col, "n").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("m"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    fracs = stats.select(
+        F.col(id_col),
+        "n",
+        F.round(
+            (-F.col("m.neg")) * F.length("m.gram") / F.greatest("n_chars", F.lit(1)),
+            6,
+        ).alias("top_frac"),
+        F.round(
+            F.least(
+                F.col("dup_chars") / F.greatest("n_chars", F.lit(1)), F.lit(1.0)
+            ),
+            6,
+        ).alias("dup_frac"),
+    )
+    piv = (
+        fracs.groupBy(id_col)
+        .pivot("n", [2, 3, 4, 5])
+        .agg(F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup"))
+    )
+    out = base.drop("words").join(piv, id_col, "left")
+    top = {n: F.coalesce(F.col(f"{n}_top"), F.lit(0.0)) for n in (2, 3, 4)}
+    dup5 = F.coalesce(F.col("5_dup"), F.lit(0.0))
+    passes = (
+        (top[2] <= GOPHER_TOP_NGRAM_MAX[2])
+        & (top[3] <= GOPHER_TOP_NGRAM_MAX[3])
+        & (top[4] <= GOPHER_TOP_NGRAM_MAX[4])
+        & (dup5 <= GOPHER_DUP_5GRAM_MAX)
+    )
+    return out.select(
+        F.col(id_col),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct"))
+            / F.greatest("n_words", F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        top[2].alias("top2gram_char_frac"),
+        top[3].alias("top3gram_char_frac"),
+        top[4].alias("top4gram_char_frac"),
+        dup5.alias("dup5gram_char_frac"),
+        passes.alias("repetition_pass"),
+    )
+
+
+def gopher_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality filters (Rae et al. 2021, A1.1) as pure column
+    expressions — word-count bounds [50, 100k], mean word length [3, 10],
+    symbol-to-word ratio < 0.1, >80% words containing an alphabetic char,
+    ≥2 distinct required stopwords — plus the per-rule booleans and the
+    conjunction `keep`. Shuffle-free: a narrow map over the scan."""
+    t = F.col(text_col)
+    words = _ws_tokens(t)
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    mwl = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / denom
+    )
+    swr = F.regexp_count(t, F.lit(GOPHER_SYMBOL_RE)).cast("double") / denom
+    faw = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double") / denom
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
+    d = fan_out(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(swr, 6).alias("symbol_word_ratio"),
+        F.round(faw, 6).alias("frac_alpha_words"),
+        n_stop.alias("stopwords_present"),
+    )
+    pass_wc = F.col("n_words").between(50, 100000)
+    pass_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    pass_sym = F.col("symbol_word_ratio") < 0.1
+    pass_alpha = F.col("frac_alpha_words") > 0.8
+    pass_stop = F.col("stopwords_present") >= 2
+    return d.select(
+        "*",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_alpha.alias("pass_alpha_words"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_sym & pass_alpha & pass_stop).alias("keep"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

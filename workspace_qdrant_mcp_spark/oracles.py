@@ -2657,3 +2657,154 @@ SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp
 FROM documents
 """
+
+
+def gopher_repetition() -> str:
+    """Gopher A1.2 repetition stats — mirrors textstats.gopher_repetition:
+    word n-grams (n=2..5) via list_transform, top-gram pick with the
+    (count DESC, gram ASC) tiebreak, simplified overlap-unaware duplicate-
+    5-gram character accounting, pass flag over the ROUNDED fractions."""
+    return """
+WITH tokd AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars, len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct, w
+  FROM tokd
+),
+grams AS (
+  SELECT doc_id, n_chars, n,
+         unnest(CASE WHEN len(w) >= n
+                THEN list_transform(generate_series(1, len(w) - n + 1),
+                     i -> array_to_string(list_slice(w, i, i + n - 1), ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM base, (SELECT unnest([2, 3, 4, 5]) AS n) ns
+),
+cnts AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+  FROM grams GROUP BY ALL
+),
+top AS (
+  SELECT doc_id, n, round(cnt * length(gram) / greatest(n_chars, 1), 6)
+           AS top_frac
+  FROM cnts
+  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                             ORDER BY cnt DESC, gram ASC) = 1
+),
+dup5 AS (
+  SELECT doc_id,
+         round(least(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                         ELSE 0 END) / greatest(any_value(n_chars), 1),
+                     1.0), 6) AS dup_frac
+  FROM cnts WHERE n = 5 GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id,
+         round((b.n_words - b.n_distinct) / greatest(b.n_words, 1), 6)
+           AS dup_word_frac,
+         coalesce(t2.top_frac, 0) AS top2gram_char_frac,
+         coalesce(t3.top_frac, 0) AS top3gram_char_frac,
+         coalesce(t4.top_frac, 0) AS top4gram_char_frac,
+         coalesce(d5.dup_frac, 0) AS dup5gram_char_frac
+  FROM base b
+  LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+  LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+  LEFT JOIN top t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+  LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+)
+SELECT doc_id, dup_word_frac, top2gram_char_frac, top3gram_char_frac,
+       top4gram_char_frac, dup5gram_char_frac,
+       (top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18
+        AND top4gram_char_frac <= 0.16 AND dup5gram_char_frac <= 0.15)
+         AS repetition_pass
+FROM j
+"""
+
+
+def gopher_quality() -> str:
+    """Gopher A1.1 quality rules — mirrors textstats.gopher_quality
+    (same rounding before the threshold comparisons)."""
+    return """
+WITH tokd AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0)
+               AS DOUBLE) / greatest(len(w), 1), 6) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+               AS DOUBLE) / greatest(len(w), 1), 6) AS symbol_word_ratio,
+         round(CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) / greatest(len(w), 1), 6) AS frac_alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(w, s))) AS stopwords_present
+  FROM tokd
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, frac_alpha_words,
+       stopwords_present,
+       (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_word_len,
+       (symbol_word_ratio < 0.1) AS pass_symbol_ratio,
+       (frac_alpha_words > 0.8) AS pass_alpha_words,
+       (stopwords_present >= 2) AS pass_stopwords,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (symbol_word_ratio < 0.1) AND (frac_alpha_words > 0.8)
+        AND (stopwords_present >= 2)) AS keep
+FROM f
+"""
+
+
+def pii_detection() -> str:
+    """PII counts + redacted fingerprint over the deterministic fixture
+    augmentation — byte-identical regexes and concat to operators/pii.py
+    (RE2-compatible patterns, same redaction order)."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    phone = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+    govid = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' contact user' || doc_id || '@example.com for details'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+       THEN ' from host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+       ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+       THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+       THEN ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END AS pii_text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(pii_text, '{email}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(pii_text, '{ipv4}')) AS INT) AS n_ipv4s,
+         CAST(len(regexp_extract_all(pii_text, '{phone}')) AS INT) AS n_phones,
+         CAST(len(regexp_extract_all(pii_text, '{govid}')) AS INT) AS n_govids,
+         substr(md5(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             pii_text, '{email}', '<EMAIL>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g'),
+             '{govid}', '<ID>', 'g')), 1, 16) AS redacted_fp
+  FROM aug
+)
+SELECT doc_id, n_emails, n_ipv4s, n_phones, n_govids,
+       n_emails + n_ipv4s + n_phones + n_govids AS pii_total,
+       redacted_fp
+FROM c
+"""

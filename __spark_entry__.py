@@ -287,6 +287,24 @@ def _q_pii_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source quality bucketing (curation.quality_buckets):
+    NTILE(3) head/middle/tail over the composite quality score with a
+    unique deterministic ordering."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end per-source keep/drop funnel (curation.curation_funnel):
+    Gopher quality gates → repetition thresholds → zero PII → exact-dedup
+    canonicality, reported as cumulative survivor counts."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(corpus)
@@ -1773,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
         "pii_detection": _q_pii_detection,
+        "quality_buckets": _q_quality_buckets,
+        "curation_funnel": _q_curation_funnel,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1789,7 +1809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "adjacency_export": _q_adjacency_export,
         "ann_srp_topk": _q_ann_srp,
-        "corpus_stats": _q_corpus_stats,
         "cross_boundary_2hop": _q_cross_boundary_2hop,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "graph_2hop_neighbors": _q_graph_2hop,
@@ -1815,17 +1834,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
         "scroll_retrieve": _q_scroll_retrieve,
-        "simhash_fingerprints": _q_simhash_fp,
         "stub_resolution": _q_stub_resolution,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
         # -- r4-green; rotated past the 50-row window this round ---------
-        # (hybrid/bm25/dense moved below to make room for the three new
-        # curation queries — r4-green, their code unchanged this round)
+        # (hybrid/bm25/dense moved below to make room for the new
+        # curation queries — r4-green, their code unchanged this round;
+        # simhash_fingerprints' code path is covered by the r4-green
+        # simhash_neardup, corpus_stats' bm25.py is untouched since its
+        # r3-green row — both re-verify in r6)
         "hybrid_search_rrf": _q_hybrid,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
+        "simhash_fingerprints": _q_simhash_fp,
+        "corpus_stats": _q_corpus_stats,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1891,6 +1914,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": oracles.gopher_repetition(),
         "gopher_quality": oracles.gopher_quality(),
         "pii_detection": oracles.pii_detection(),
+        "quality_buckets": oracles.quality_buckets(),
+        "curation_funnel": oracles.curation_funnel(),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

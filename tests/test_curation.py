@@ -128,3 +128,58 @@ class TestStratifiedSample:
         counts = {r["split"]: r["count"] for r in splits.collect()}
         total = sum(counts.values())
         assert abs(counts["train"] / total - 0.8) < 0.05
+
+
+class TestQualityBuckets:
+    def test_tertiles_per_source_ordered_by_quality(self, spark):
+        rows = [
+            (i, " ".join(f"word{j:02d}" for j in range(10 + 5 * i)), "s0")
+            for i in range(6)
+        ] + [(10, "a b", "s1"), (11, "c d", "s1"), (12, "e f", "s1")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = curation.quality_buckets(docs).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["s0"]) == 6 and len(by_src["s1"]) == 3
+        sizes = {}
+        for r in by_src["s0"]:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        assert sizes == {"head": 2, "middle": 2, "tail": 2}
+        head_q = min(r["quality"] for r in by_src["s0"] if r["bucket"] == "head")
+        tail_q = max(r["quality"] for r in by_src["s0"] if r["bucket"] == "tail")
+        assert head_q >= tail_q
+        # each s1 doc in its own tertile
+        assert sorted(r["bucket"] for r in by_src["s1"]) == [
+            "head",
+            "middle",
+            "tail",
+        ]
+
+
+class TestCurationFunnel:
+    def test_funnel_counts_hand_built(self, spark):
+        good = " ".join(f"word{j:02d}" for j in range(60))  # unique grams
+        good2 = " ".join(f"item{j:02d}" for j in range(60))
+        spammy = " ".join(["spam"] * 60)  # q passes, repetition fails
+        rows = [
+            (1, good, "a"),   # survives everything (canonical)
+            (2, good, "a"),   # exact duplicate of 1 → dropped at dedup
+            (3, spammy, "a"),  # dropped at repetition
+            (4, "tiny", "a"),  # dropped at quality (word count)
+            (5, good2, "a"),   # doc_id % 5 == 0 → PII augmentation hits
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        r = curation.curation_funnel(docs).collect()[0].asDict()
+        assert r == {
+            "source": "a",
+            "n_total": 5,
+            "n_quality": 4,
+            "n_repetition": 3,
+            "n_pii_clean": 2,
+            "n_kept": 1,
+        }

@@ -90,6 +90,104 @@ def stratified_sample(
     return docs.filter(b < cut)
 
 
+def quality_buckets(
+    docs: DataFrame, n_buckets: int = 3, strata_col: str = "source"
+) -> DataFrame:
+    """(doc_id, source, quality, bucket) — CCNet-style per-stratum quality
+    bucketing (Wenzek et al. 2020: order each language's documents by a
+    quality score, cut into head/middle/tail). Here the strata are sources
+    and the score is textstats.quality_score's composite; the cut is
+    NTILE(n) over (quality DESC, doc_id ASC) — SQL-standard tile semantics,
+    unique ordering, so the assignment is deterministic and engine-
+    independent. One window per stratum; at 100 TB the per-source
+    partitions are the natural parallel unit (use range partitioning on
+    (source, quality) if a single source outgrows an executor)."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    tile = F.ntile(n_buckets).over(w)
+    return (
+        docs.select("doc_id", strata_col)
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            strata_col,
+            "quality",
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+def curation_funnel(docs: DataFrame, strata_col: str = "source") -> DataFrame:
+    """(source, n_total, n_quality, n_repetition, n_pii_clean, n_kept) —
+    the end-to-end keep/drop funnel a training-data build reports per
+    source: documents surviving, cumulatively, (1) the Gopher quality
+    gates (word count, mean word length, symbol ratio, alpha-word ratio —
+    the stopword gate is excluded: the synthetic corpus has exactly one
+    English stopword, so including it would zero the funnel), (2) the
+    Gopher repetition thresholds, (3) zero PII hits (over the augmented
+    fixture text), (4) exact-dedup canonicality (the minimum doc_id for
+    its normalized-text fingerprint).
+
+    Shape: four doc-keyed narrow aggregates equi-joined on doc_id, then
+    one groupBy(source) — AQE coalesces the join shuffles; nothing is
+    broadcast or collected."""
+    from pyspark.sql import Window
+
+    from . import pii as pii_mod
+    from .textstats import fingerprint, gopher_quality, gopher_repetition
+
+    q = gopher_quality(docs).select(
+        "doc_id",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha_words")
+        ).alias("q_pass"),
+    )
+    rep = gopher_repetition(docs).select("doc_id", "repetition_pass")
+    p = pii_mod.pii_detect(pii_mod.augment_with_pii(docs)).select(
+        "doc_id", "pii_total"
+    )
+    canon = fingerprint(docs).select(
+        "doc_id",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("is_canon"),
+    )
+    j = (
+        docs.select("doc_id", strata_col)
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(p, "doc_id")
+        .join(canon, "doc_id")
+    )
+    s1 = F.col("q_pass")
+    s2 = s1 & F.col("repetition_pass")
+    s3 = s2 & (F.col("pii_total") == 0)
+    s4 = s3 & F.col("is_canon")
+
+    def _n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return j.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        _n(s1, "n_quality"),
+        _n(s2, "n_repetition"),
+        _n(s3, "n_pii_clean"),
+        _n(s4, "n_kept"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,

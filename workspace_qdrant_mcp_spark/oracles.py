@@ -2808,3 +2808,74 @@ SELECT doc_id, n_emails, n_ipv4s, n_phones, n_govids,
        redacted_fp
 FROM c
 """
+
+
+def quality_buckets(n_buckets: int = 3) -> str:
+    """CCNet-style per-source quality tertiles — NTILE over the
+    quality_score oracle's composite with the (quality DESC, doc_id ASC)
+    unique ordering, mirroring curation.quality_buckets."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({quality_score()}) qs
+),
+t AS (
+  SELECT d.doc_id, d.source, q.quality,
+         ntile({n_buckets}) OVER (PARTITION BY d.source
+                                  ORDER BY q.quality DESC, d.doc_id ASC)
+           AS tile
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT doc_id, source, quality,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t
+"""
+
+
+def curation_funnel() -> str:
+    """Per-source keep/drop funnel — composes the gopher_quality,
+    gopher_repetition, and pii_detection oracles as subqueries plus the
+    doc_fingerprint min-doc_id canonicality rule; the quality stage drops
+    the stopword gate (corpus-adapted, same as the Spark side)."""
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+          AND pass_alpha_words) AS q_pass
+  FROM ({gopher_quality()}) gq
+),
+r AS (
+  SELECT doc_id, repetition_pass FROM ({gopher_repetition()}) gr
+),
+p AS (
+  SELECT doc_id, pii_total FROM ({pii_detection()}) pd
+),
+fps AS (
+  SELECT doc_id,
+         substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+           AS fp
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_canon
+  FROM fps
+),
+j AS (
+  SELECT d.source, q.q_pass, r.repetition_pass, p.pii_total, c.is_canon
+  FROM documents d
+  JOIN q USING (doc_id) JOIN r USING (doc_id)
+  JOIN p USING (doc_id) JOIN canon c USING (doc_id)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN q_pass AND repetition_pass THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_repetition,
+  CAST(sum(CASE WHEN q_pass AND repetition_pass AND pii_total = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_clean,
+  CAST(sum(CASE WHEN q_pass AND repetition_pass AND pii_total = 0
+           AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM j
+GROUP BY source
+"""

@@ -287,6 +287,14 @@ def _q_pii_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/The-Stack-style line-level boilerplate detection
+    (dedup.boilerplate_lines): lines recurring across >= 3 distinct
+    documents corpus-wide, by distinct-doc reach."""
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    return dedup.boilerplate_lines(lines)
+
+
 def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-source quality bucketing (curation.quality_buckets):
     NTILE(3) head/middle/tail over the composite quality score with a
@@ -1793,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_detection": _q_pii_detection,
         "quality_buckets": _q_quality_buckets,
         "curation_funnel": _q_curation_funnel,
+        "boilerplate_lines": _q_boilerplate_lines,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1833,7 +1842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_decay_hybrid": _q_decay_hybrid,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
-        "scroll_retrieve": _q_scroll_retrieve,
         "stub_resolution": _q_stub_resolution,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
@@ -1849,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_knn_cosine": _q_dense_knn,
         "simhash_fingerprints": _q_simhash_fp,
         "corpus_stats": _q_corpus_stats,
+        "scroll_retrieve": _q_scroll_retrieve,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1916,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_detection": oracles.pii_detection(),
         "quality_buckets": oracles.quality_buckets(),
         "curation_funnel": oracles.curation_funnel(),
+        "boilerplate_lines": oracles.boilerplate_lines(),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

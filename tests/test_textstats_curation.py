@@ -170,3 +170,34 @@ def test_narrow_maps_are_exchange_free(spark, op):
     plan = buf.getvalue()
     assert "Exchange" not in plan  # narrow map over the scan, no shuffle
     assert "BatchEvalPython" not in plan  # no Python UDFs in the hot path
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_detect_and_strip(spark):
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    rows = [
+        (1, 1, "import os"),
+        (1, 2, "unique alpha"),
+        (2, 1, "import os"),
+        (2, 2, "import os"),  # repeated inside one doc: 2 docs, 3 occs
+        (3, 1, "import os"),
+        (3, 2, "unique beta"),
+        (4, 1, "shared twice"),
+        (5, 1, "shared twice"),  # only 2 distinct docs → below min_docs=3
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id long, line_number int, content string"
+    )
+    boiler = dedup.boilerplate_lines(lines, min_docs=3).collect()
+    assert [(r["content"], r["n_docs"], r["n_occurrences"]) for r in boiler] == [
+        ("import os", 3, 4)
+    ]
+    kept = dedup.strip_boilerplate(lines, min_docs=3)
+    assert kept.columns == ["doc_id", "line_number", "content"]
+    contents = sorted(r["content"] for r in kept.collect())
+    assert contents == ["shared twice", "shared twice", "unique alpha", "unique beta"]

@@ -437,3 +437,44 @@ def embedding_neardup(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def boilerplate_lines(
+    lines: DataFrame, min_docs: int = 3, limit: int = 100
+) -> DataFrame:
+    """(content, n_docs, n_occurrences) — corpus-level line-frequency
+    boilerplate detection (the C4 / The-Stack line-dedup rule: a line
+    recurring across many documents is template/boilerplate, not content).
+    Lines appearing in >= min_docs DISTINCT documents, most widespread
+    first, `content` ASC tiebreak (deterministic; content is unique per
+    group).
+
+    Scale shape: count_distinct plans as two aggregates — the first keyed
+    on (content, doc_id), so a line shared by millions of documents never
+    concentrates on one partition; the final ordered top-`limit` is a
+    TakeOrdered, not a global sort."""
+    agg = fan_out(lines).groupBy("content").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("content"))
+        .limit(limit)
+    )
+
+
+def strip_boilerplate(lines: DataFrame, min_docs: int = 3) -> DataFrame:
+    """The lines table minus every boilerplate line (all occurrences,
+    C4-style removal). Left-anti equi-join on content; the boilerplate
+    aggregate is usually small but can reach millions of lines in a large
+    code corpus, so the broadcast decision is left to AQE rather than
+    forced."""
+    boiler = (
+        fan_out(lines)
+        .groupBy("content")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("content")
+    )
+    return lines.join(boiler, "content", "left_anti").select(*lines.columns)

@@ -2879,3 +2879,22 @@ SELECT source,
 FROM j
 GROUP BY source
 """
+
+
+def boilerplate_lines(min_docs: int = 3, limit: int = 100) -> str:
+    """Corpus-level line-frequency boilerplate — mirrors
+    dedup.boilerplate_lines over the identical code_lines derivation."""
+    return f"""
+WITH {duckdb_code_lines_sql()},
+agg AS (
+  SELECT content,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM lines GROUP BY content
+)
+SELECT content, n_docs, n_occurrences
+FROM agg
+WHERE n_docs >= {min_docs}
+ORDER BY n_docs DESC, content ASC
+LIMIT {limit}
+"""

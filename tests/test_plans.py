@@ -198,3 +198,22 @@ def test_split_assign_is_exchange_free(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = _plan(curation.split_assign(docs))
     assert "Exchange" not in plan
+
+
+def test_round5_curation_queries_avoid_cartesian_joins(spark):
+    """The r5 curation additions keep equi-join shapes: the repetition
+    pivot joins back on doc_id, the funnel joins four doc-keyed
+    aggregates, boilerplate strips by content equi-anti-join."""
+    import __spark_entry__ as entrymod
+
+    for name in (
+        "gopher_repetition",
+        "quality_buckets",
+        "curation_funnel",
+        "boilerplate_lines",
+    ):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # no Python UDFs

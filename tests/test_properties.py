@@ -360,3 +360,72 @@ def test_decontaminate_matches_bruteforce_model(spark, docs):
         for r in curation.decontaminate(train, ev, n=n, df_cap=10_000).collect()
     }
     assert got == expected
+
+
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "ccc", "dd", "e", "ffff", "gg"]),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_gopher_repetition_matches_bruteforce_model(spark, docs):
+    """gopher_repetition (explode → count → pivot → join) agrees with a
+    direct Python model (Counter over word n-grams, same tiebreak and
+    rounding) on arbitrary small word-soup corpora — including docs with
+    fewer words than the gram order and fully-empty docs."""
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators.textstats import (
+        GOPHER_DUP_5GRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+        gopher_repetition,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == set(range(len(docs)))
+    for i, ws in enumerate(docs):
+        text = " ".join(ws)
+        n_chars = max(len(text), 1)
+        expect = {}
+        for n in (2, 3, 4, 5):
+            grams = [
+                " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+            ]
+            c = Counter(grams)
+            if c:
+                cnt, gram = sorted(
+                    ((-v, k) for k, v in c.items())
+                )[0]
+                expect[("top", n)] = round(-cnt * len(gram) / n_chars, 6)
+            else:
+                expect[("top", n)] = 0.0
+            expect[("dup", n)] = round(
+                min(
+                    sum(v * len(k) for k, v in c.items() if v >= 2) / n_chars,
+                    1.0,
+                ),
+                6,
+            )
+        r = out[i]
+        assert r["top2gram_char_frac"] == expect[("top", 2)], (i, ws)
+        assert r["top3gram_char_frac"] == expect[("top", 3)], (i, ws)
+        assert r["top4gram_char_frac"] == expect[("top", 4)], (i, ws)
+        assert r["dup5gram_char_frac"] == expect[("dup", 5)], (i, ws)
+        dw = round((len(ws) - len(set(ws))) / max(len(ws), 1), 6)
+        assert r["dup_word_frac"] == dw, (i, ws)
+        want_pass = (
+            expect[("top", 2)] <= GOPHER_TOP_NGRAM_MAX[2]
+            and expect[("top", 3)] <= GOPHER_TOP_NGRAM_MAX[3]
+            and expect[("top", 4)] <= GOPHER_TOP_NGRAM_MAX[4]
+            and expect[("dup", 5)] <= GOPHER_DUP_5GRAM_MAX
+        )
+        assert r["repetition_pass"] is want_pass, (i, ws)

@@ -287,6 +287,20 @@ def _q_pii_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_TARGETS = {f"src{i}": 1.0 / 20.0 for i in range(20)}
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (curation.mixture_plan): closed-form
+    downsampling-only per-source rates realizing a uniform target token
+    mixture — the step whose output feeds stratified_sample."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.mixture_plan(
+        load_table(spark, sf_dir, "documents"), MIXTURE_TARGETS
+    )
+
+
 def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/The-Stack-style line-level boilerplate detection
     (dedup.boilerplate_lines): lines recurring across >= 3 distinct
@@ -1802,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _q_quality_buckets,
         "curation_funnel": _q_curation_funnel,
         "boilerplate_lines": _q_boilerplate_lines,
+        "mixture_plan": _q_mixture_plan,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1819,7 +1834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_export": _q_adjacency_export,
         "ann_srp_topk": _q_ann_srp,
         "cross_boundary_2hop": _q_cross_boundary_2hop,
-        "cross_collection_rrf": _q_cross_collection_rrf,
         "graph_2hop_neighbors": _q_graph_2hop,
         "graph_batch_2hop": _q_graph_batch_2hop,
         "graph_batch_impact": _q_graph_batch_impact,
@@ -1858,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash_fp,
         "corpus_stats": _q_corpus_stats,
         "scroll_retrieve": _q_scroll_retrieve,
+        "cross_collection_rrf": _q_cross_collection_rrf,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1926,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_buckets": oracles.quality_buckets(),
         "curation_funnel": oracles.curation_funnel(),
         "boilerplate_lines": oracles.boilerplate_lines(),
+        "mixture_plan": oracles.mixture_plan(MIXTURE_TARGETS),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

@@ -183,3 +183,40 @@ class TestCurationFunnel:
             "n_pii_clean": 2,
             "n_kept": 1,
         }
+
+
+class TestMixturePlan:
+    def test_closed_form_rates(self, spark):
+        # source a: 100 tokens, source b: 300 tokens, targets 50/50 →
+        # T = min(100/0.5, 300/0.5) = 200 → rate_a = 1.0,
+        # rate_b = 0.5*200/300 = 1/3 (the scarce source binds).
+        rows = [
+            (1, " ".join(["w"] * 40), "a"),
+            (2, " ".join(["w"] * 60), "a"),
+            (3, " ".join(["w"] * 300), "b"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {
+            r["source"]: r.asDict()
+            for r in curation.mixture_plan(docs, {"a": 0.5, "b": 0.5}).collect()
+        }
+        assert out["a"]["n_tokens"] == 100 and out["b"]["n_tokens"] == 300
+        assert out["a"]["observed_share"] == 0.25
+        assert out["a"]["rate"] == 1.0
+        assert out["b"]["rate"] == round(1 / 3, 6)
+
+    def test_rates_feed_stratified_sample(self, spark):
+        # the planned rates are valid stratified_sample inputs: all in
+        # (0, 1], and the binding source keeps everything
+        docs = spark.createDataFrame(
+            [(i, "x " * (10 + i % 3), f"s{i % 2}") for i in range(200)],
+            "doc_id long, text string, source string",
+        )
+        plan = curation.mixture_plan(docs, {"s0": 0.7, "s1": 0.3})
+        rates = {r["source"]: r["rate"] for r in plan.collect()}
+        assert all(0 < r <= 1.0 for r in rates.values())
+        assert max(rates.values()) == 1.0
+        sampled = curation.stratified_sample(docs, rates)
+        assert 0 < sampled.count() <= 200

@@ -236,3 +236,62 @@ def decontaminate(
         .filter(F.col("n_shared_grams") >= min_shared)
     )
     return hits.select("doc_id", "n_shared_grams", "n_eval_docs")
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, observed_share, target_share, rate) —
+    the data-mixture PLANNING step feeding stratified_sample: given target
+    token shares per source, compute the downsampling-only rates that
+    realize them. Closed form: the achievable corpus size is
+    T = min_s(tokens_s / target_s) (the scarcest source binds), and
+    rate_s = target_s * T / tokens_s — always in (0, 1], deterministic,
+    no iteration.
+
+    Scale shape: one map-side-combined per-source aggregate over the
+    whitespace token counts; the closed form then runs over #sources rows
+    (a bounded dimension), so the unpartitioned window is not a scale
+    concern."""
+    from pyspark.sql import Window
+
+    from .textstats import token_counts
+
+    toks = token_counts(docs).select("doc_id", "ws_tokens")
+    per_src = (
+        docs.select("doc_id", strata_col)
+        .join(toks, "doc_id")
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tgt = F.lit(None).cast("double")
+    for src, share in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == src, F.lit(float(share))).otherwise(
+            tgt
+        )
+    w = Window.partitionBy()
+    planned = per_src.withColumn("target_share", tgt).withColumn(
+        "_t_final",
+        F.min(F.col("n_tokens") / F.col("target_share")).over(w),
+    )
+    return planned.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w), 6
+        ).alias("observed_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.col("target_share") * F.col("_t_final") / F.col("n_tokens"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("rate"),
+    )

@@ -2898,3 +2898,41 @@ WHERE n_docs >= {min_docs}
 ORDER BY n_docs DESC, content ASC
 LIMIT {limit}
 """
+
+
+def mixture_plan(targets: dict[str, float]) -> str:
+    """Data-mixture planning — mirrors curation.mixture_plan: per-source
+    whitespace-token totals, then the closed-form downsampling-only rates
+    rate_s = target_s * T / tokens_s with T = min_s(tokens_s / target_s)."""
+    # CAST each share to DOUBLE: a bare 0.05 literal makes the CASE (and
+    # everything dividing by it) DECIMAL, and Decimal('0.05') != 0.05
+    # under the comparator's float normalization.
+    case = " ".join(
+        f"WHEN '{src}' THEN CAST({float(share)!r} AS DOUBLE)"
+        for src, share in sorted(targets.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> length(t) > 0)) AS ws
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+planned AS (
+  SELECT source, n_docs, n_tokens,
+         CASE source {case} END AS target_share,
+         min(n_tokens / (CASE source {case} END)) OVER () AS t_final,
+         sum(n_tokens) OVER () AS tot
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS observed_share,
+       round(target_share, 6) AS target_share,
+       round(least(target_share * t_final / n_tokens, 1.0), 6) AS rate
+FROM planned
+"""

@@ -213,3 +213,34 @@ def test_embed_failure_flips_flag_parks_then_recovers(spark, dirs):
     )
     assert wd.available
     assert {r["path"] for r in _store(spark, dirs).collect()} == {"p"}
+
+
+def test_quality_gate_routes_low_quality_to_dlq(spark, dirs):
+    good = " ".join(f"word{i:02d}" for i in range(60))  # passes Gopher gates
+    batch = spark.createDataFrame(
+        [
+            ("good", "create", good, "2024-01-01T00:00:00"),
+            ("tiny", "create", "too short", "2024-01-01T00:00:01"),
+        ],
+        "path STRING, event_type STRING, content STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ingest.process_batch(
+        spark, batch, dirs["store"], dirs["dlq"], quality_gate=True
+    )
+    store = {r["path"] for r in _store(spark, dirs).collect()}
+    assert store == {"good"}
+    dlq = spark.read.parquet(dirs["dlq"])
+    rows = {(r["path"], r["error"]) for r in dlq.collect()}
+    assert rows == {("tiny", "quality_gate")}
+
+
+def test_quality_gate_default_off_keeps_everything(spark, dirs):
+    batch = spark.createDataFrame(
+        [("tiny", "create", "too short", "2024-01-01T00:00:00")],
+        "path STRING, event_type STRING, content STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ingest.process_batch(spark, batch, dirs["store"], dirs["dlq"])
+    assert {r["path"] for r in _store(spark, dirs).collect()} == {"tiny"}
+    import os
+
+    assert not os.path.exists(dirs["dlq"])

@@ -252,6 +252,39 @@ def gopher_quality(
     )
 
 
+def gopher_gate_expr(text: Column, require_stopwords: bool = False) -> Column:
+    """One boolean column applying the Gopher quality gates to `text` —
+    the shuffle-free predicate form for use inside streaming micro-batches
+    (ingest.process_batch's opt-in quality gate) or as a pushed filter.
+    Same rules as gopher_quality but compared unrounded (a gate, not a
+    report); the stopword rule is opt-in for synthetic/code corpora."""
+    words = _ws_tokens(text)
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    mwl = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / denom
+    )
+    swr = F.regexp_count(text, F.lit(GOPHER_SYMBOL_RE)).cast("double") / denom
+    faw = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
+        / denom
+    )
+    gate = (
+        n_words.between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & (swr < 0.1)
+        & (faw > 0.8)
+    )
+    if require_stopwords:
+        stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
+        gate = gate & (n_stop >= 2)
+    return gate
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

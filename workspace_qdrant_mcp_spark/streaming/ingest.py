@@ -187,12 +187,19 @@ def process_batch(
     watchdog: EmbeddingWatchdog | None = None,
     park_path: str | None = None,
     embed_fn=None,
+    quality_gate: bool = False,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
-    content-hash dedup → chunk+embed → idempotent upsert; failures → DLQ.
+    content-hash dedup → [optional quality gate] → chunk+embed →
+    idempotent upsert; failures → DLQ.
     With a watchdog: while the provider is unavailable, embedding work
     parks (W8 re-lease) and deletes still apply; an embed failure flips
-    the flag and parks the current upserts instead of dead-lettering."""
+    the flag and parks the current upserts instead of dead-lettering.
+    quality_gate=True applies the shuffle-free Gopher gates
+    (textstats.gopher_gate_expr) to changed content AFTER the hash dedup
+    (unchanged files are never re-judged) and routes rejects to the DLQ
+    with reason 'quality_gate' — curation at ingest time, off by default
+    so existing stores are unaffected."""
     processable: DataFrame | None = None
     try:
         batch = filter_watched_paths(batch, ignore_globs, allow_globs)
@@ -232,6 +239,19 @@ def process_batch(
             "path", "file_hash"
         ).distinct()
         changed = upserts.join(existing, ["path", "file_hash"], "left_anti")
+        if quality_gate:
+            from ..operators.textstats import gopher_gate_expr
+
+            passes = gopher_gate_expr(F.col("content"))
+            rejected = changed.filter(~passes)
+            if len(rejected.take(1)) > 0:
+                (
+                    rejected.drop("file_hash")
+                    .withColumn("error", F.lit("quality_gate"))
+                    .write.mode("append")
+                    .parquet(dlq_path)
+                )
+            changed = changed.filter(passes)
         # dedup-before-embed (phrase-cache analog, generator.rs:176-302):
         # the embed provider sees each distinct chunk text once per batch
         try:

@@ -429,3 +429,34 @@ def test_gopher_repetition_matches_bruteforce_model(spark, docs):
             and expect[("dup", 5)] <= GOPHER_DUP_5GRAM_MAX
         )
         assert r["repetition_pass"] is want_pass, (i, ws)
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=5000), min_size=2, max_size=6),
+    weights=st.lists(st.integers(min_value=1, max_value=9), min_size=2, max_size=6),
+)
+@settings(**SETTINGS)
+def test_mixture_plan_realizes_target_shares(spark, tokens, weights):
+    """For arbitrary per-source token masses and target weights, the
+    planned rates are in (0, 1], the binding source keeps rate 1, and the
+    realized token mixture (rate_s * tokens_s) is exactly proportional to
+    the targets (up to the 6-dp rounding of the published rate)."""
+    from workspace_qdrant_mcp_spark.operators.curation import mixture_plan
+
+    k = min(len(tokens), len(weights))
+    tokens, weights = tokens[:k], weights[:k]
+    targets = {f"s{i}": w / sum(weights) for i, w in enumerate(weights)}
+    rows = [
+        (i, " ".join(["w"] * t), f"s{i}") for i, t in enumerate(tokens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in mixture_plan(docs, targets).collect()}
+    assert set(out) == set(targets)
+    t_final = min(tokens[i] / targets[f"s{i}"] for i in range(k))
+    for i in range(k):
+        r = out[f"s{i}"]
+        assert r["n_tokens"] == tokens[i]
+        exact = targets[f"s{i}"] * t_final / tokens[i]
+        assert 0 < r["rate"] <= 1.0
+        assert abs(r["rate"] - exact) < 5e-7  # 6-dp rounding only
+    assert max(out[s]["rate"] for s in out) == 1.0

@@ -259,6 +259,13 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic unigram-LM perplexity scoring
+    (textstats.unigram_logppl) — the CCNet LM-quality analog with a
+    corpus-trained add-one-smoothed unigram model."""
+    return textstats.unigram_logppl(load_table(spark, sf_dir, "documents"))
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.2 repetition filters (textstats.gopher_repetition): top
     word-n-gram character fractions (n=2,3,4), simplified duplicate-5-gram
@@ -1817,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "boilerplate_lines": _q_boilerplate_lines,
         "mixture_plan": _q_mixture_plan,
+        "unigram_logppl": _q_unigram_logppl,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1852,7 +1860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "predicate_stack": _q_predicate_stack,
-        "quality_metrics": _q_quality_metrics,
         "relevance_decay_hybrid": _q_decay_hybrid,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
@@ -1873,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "scroll_retrieve": _q_scroll_retrieve,
         "cross_collection_rrf": _q_cross_collection_rrf,
+        "quality_metrics": _q_quality_metrics,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1942,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": oracles.curation_funnel(),
         "boilerplate_lines": oracles.boilerplate_lines(),
         "mixture_plan": oracles.mixture_plan(MIXTURE_TARGETS),
+        "unigram_logppl": oracles.unigram_logppl(),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

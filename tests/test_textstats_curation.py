@@ -201,3 +201,27 @@ def test_boilerplate_detect_and_strip(spark):
     assert kept.columns == ["doc_id", "line_number", "content"]
     contents = sorted(r["content"] for r in kept.collect())
     assert contents == ["shared twice", "shared twice", "unique alpha", "unique beta"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logppl_hand_computed(spark):
+    import math
+
+    # corpus: a:2 b:2 c:1 → N=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.unigram_logppl(
+            _docs(spark, [(1, "a a b"), (2, "b c"), (3, "")])
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # the zero-token doc has no perplexity
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logppl"] == round(-math.log(0.375), 6)
+    assert out[2]["logppl"] == round(-(math.log(0.375) + math.log(0.25)) / 2, 6)
+    # the all-common-words doc is MORE typical (lower logppl) than the
+    # doc containing the rare word
+    assert out[1]["logppl"] < out[2]["logppl"]

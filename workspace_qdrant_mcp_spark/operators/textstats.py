@@ -252,6 +252,46 @@ def gopher_quality(
     )
 
 
+def unigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, logppl) — CCNet-style LM quality scoring with a
+    deterministic corpus-trained unigram model (the honest stand-in for
+    the neural-perplexity path, which needs a model runtime this
+    environment lacks): add-one-smoothed p(w) = (c_w + 1)/(N + V) over
+    the whole corpus, logppl = -mean ln p(w) per document. Lower = more
+    typical of the corpus; CCNet keeps the low-perplexity head.
+
+    Scale shape: token explode → map-side-combined unigram counts →
+    probability join back on the word key → per-doc average. The N/V
+    totals come from an unpartitioned window over the UNIGRAM table (the
+    vocabulary, bounded and tiny relative to the corpus), never over the
+    token stream. Docs with zero tokens have no perplexity and are
+    absent from the output (same in the oracle)."""
+    from pyspark.sql import Window
+
+    tok = fan_out(docs).select(
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("w")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()
+    p = uni.select(
+        "w",
+        (
+            (F.col("c") + F.lit(1.0))
+            / (F.sum("c").over(w_all) + F.count(F.lit(1)).over(w_all))
+        ).alias("pw"),
+    )
+    return (
+        tok.join(p, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(-F.avg(F.log("pw")), 6).alias("logppl"),
+        )
+    )
+
+
 def gopher_gate_expr(text: Column, require_stopwords: bool = False) -> Column:
     """One boolean column applying the Gopher quality gates to `text` —
     the shuffle-free predicate form for use inside streaming micro-batches

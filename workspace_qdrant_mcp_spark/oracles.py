@@ -2936,3 +2936,26 @@ SELECT source, n_docs, n_tokens,
        round(least(target_share * t_final / n_tokens, 1.0), 6) AS rate
 FROM planned
 """
+
+
+def unigram_logppl() -> str:
+    """Deterministic unigram-LM perplexity — mirrors
+    textstats.unigram_logppl (add-one smoothing over the corpus vocab,
+    natural log, zero-token docs absent)."""
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS w
+  FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+p AS (SELECT w, (c + 1.0) / (tot.n + tot.v) AS pw FROM uni, tot),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens, -avg(ln(p.pw)) AS lp
+  FROM tok t JOIN p USING (w) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, round(lp, 6) AS logppl
+FROM d
+"""

@@ -376,6 +376,34 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bruteforce_topk(emb, q)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_queries, k, recall) — recall@k of the approximate ANN
+    paths (IVF with n_probe pruning, banded SRP-LSH) against the exact
+    cosine brute force on the same query set: the similarity-search
+    quality report every ANN deployment publishes. A left-semi join of
+    each approximate top-k against the exact top-k; all three legs are
+    the existing bounded-broadcast operators."""
+    k, nq = 5, len(ANN_QUERY_IDS)
+    exact = _q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    legs = []
+    for method, qfn in (("ivf", _q_ann_ivf), ("srp", _q_ann_srp)):
+        hits = (
+            qfn(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        legs.append(
+            hits.select(
+                F.lit(method).alias("method"),
+                F.lit(nq).cast("int").alias("n_queries"),
+                F.lit(k).cast("int").alias("k"),
+                F.round(F.col("n_hits") / F.lit(nq * k), 6).alias("recall"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via deterministic SRP-LSH (operators/ann.srp_topk): banded
     sign-projection buckets generate candidates, exact cosine verifies.
@@ -1825,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "mixture_plan": _q_mixture_plan,
         "unigram_logppl": _q_unigram_logppl,
+        "ann_recall": _q_ann_recall,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1856,7 +1885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_structural": _q_grouping_structural,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "hapax_eviction": _q_hapax_eviction,
-        "narrative_explains": _q_narrative_explains,
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "predicate_stack": _q_predicate_stack,
@@ -1881,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_retrieve": _q_scroll_retrieve,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "quality_metrics": _q_quality_metrics,
+        "narrative_explains": _q_narrative_explains,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1951,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": oracles.boilerplate_lines(),
         "mixture_plan": oracles.mixture_plan(MIXTURE_TARGETS),
         "unigram_logppl": oracles.unigram_logppl(),
+        "ann_recall": oracles.ann_recall(ANN_QUERY_IDS),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

@@ -2959,3 +2959,23 @@ d AS (
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, round(lp, 6) AS logppl
 FROM d
 """
+
+
+def ann_recall(query_ids: list[int], k: int = 5) -> str:
+    """recall@k of the approximate ANN methods vs exact brute force —
+    composes the three ANN oracles as subqueries, one row per method."""
+    nq = len(query_ids)
+    return f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({ann_bruteforce_topk(query_ids, k=k)}) e
+),
+ivf AS (SELECT query_id, vec_id FROM ({ann_ivf_topk(query_ids, k=k)}) v),
+srp AS (SELECT query_id, vec_id FROM ({ann_srp_topk(query_ids, k=k)}) s)
+SELECT 'ivf' AS method, CAST({nq} AS INT) AS n_queries, CAST({k} AS INT) AS k,
+       round((SELECT count(*) FROM ivf JOIN exact USING (query_id, vec_id))
+             / {nq * k}.0, 6) AS recall
+UNION ALL
+SELECT 'srp', CAST({nq} AS INT), CAST({k} AS INT),
+       round((SELECT count(*) FROM srp JOIN exact USING (query_id, vec_id))
+             / {nq * k}.0, 6)
+"""

@@ -259,6 +259,15 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table
+    (sessions.sessionize, 6h gap): lag → gap flag → running-sum session
+    index → per-session aggregate, one shuffle on user_id."""
+    from workspace_qdrant_mcp_spark.operators import sessions
+
+    return sessions.sessionize(load_table(spark, sf_dir, "events"))
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic unigram-LM perplexity scoring
     (textstats.unigram_logppl) — the CCNet LM-quality analog with a
@@ -1854,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "unigram_logppl": _q_unigram_logppl,
         "ann_recall": _q_ann_recall,
+        "sessionize": _q_sessionize,
         "dataset_split": _q_dataset_split,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
@@ -1884,7 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_jaccard": _q_grouping_jaccard,
         "grouping_structural": _q_grouping_structural,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
-        "hapax_eviction": _q_hapax_eviction,
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "predicate_stack": _q_predicate_stack,
@@ -1910,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_collection_rrf": _q_cross_collection_rrf,
         "quality_metrics": _q_quality_metrics,
         "narrative_explains": _q_narrative_explains,
+        "hapax_eviction": _q_hapax_eviction,
         "lsp_enrichment": _q_lsp_enrichment,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
@@ -1981,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": oracles.mixture_plan(MIXTURE_TARGETS),
         "unigram_logppl": oracles.unigram_logppl(),
         "ann_recall": oracles.ann_recall(ANN_QUERY_IDS),
+        "sessionize": oracles.sessionize(),
         "lang_id": oracles.lang_id(),
         "quality_score": oracles.quality_score(),
         "doc_fingerprint": oracles.doc_fingerprint(),

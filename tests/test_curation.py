@@ -220,3 +220,43 @@ class TestMixturePlan:
         assert max(rates.values()) == 1.0
         sampled = curation.stratified_sample(docs, rates)
         assert 0 < sampled.count() <= 200
+
+
+class TestSessionize:
+    def test_gap_splits_sessions_hand_built(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sessions
+
+        rows = [
+            (1, "2024-01-01T00:00:00", 7, 1.5),
+            (2, "2024-01-01T00:10:00", 7, 2.5),   # 10 min gap → same session
+            (3, "2024-01-01T07:00:00", 7, 4.0),   # 6h50m gap → new session
+            (4, "2024-01-01T03:00:00", 8, 1.0),   # other user
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["user_id"], r["session_idx"]): r.asDict()
+            for r in sessions.sessionize(ev, gap_minutes=360).collect()
+        }
+        assert set(out) == {(7, 1), (7, 2), (8, 1)}
+        first = out[(7, 1)]
+        assert first["n_events"] == 2
+        assert first["duration_sec"] == 600.0
+        assert first["total_value"] == 4.0
+        assert out[(7, 2)]["n_events"] == 1
+        assert out[(7, 2)]["duration_sec"] == 0.0
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sessions
+
+        # a gap of EXACTLY gap_minutes does not break the session (> not >=)
+        rows = [
+            (1, "2024-01-01T00:00:00", 1, 0.0),
+            (2, "2024-01-01T06:00:00", 1, 0.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = sessions.sessionize(ev, gap_minutes=360).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 2

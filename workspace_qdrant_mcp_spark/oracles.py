@@ -2979,3 +2979,37 @@ SELECT 'srp', CAST({nq} AS INT), CAST({k} AS INT),
        round((SELECT count(*) FROM srp JOIN exact USING (query_id, vec_id))
              / {nq * k}.0, 6)
 """
+
+
+def sessionize(gap_minutes: int = 360) -> str:
+    """Gap-based sessionization — mirrors sessions.sessionize
+    (microsecond epoch arithmetic, (ts, event_id) unique ordering)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INT)
+           AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+         AS duration_sec,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_idx
+"""

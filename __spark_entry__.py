@@ -436,6 +436,21 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, q, cents)
 
 
+def _q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via int8 scalar quantization + exact rescore
+    (operators/ann.sq_topk): the `quantization_config` pipeline of the
+    reference's vector store (storage/collections/basic.rs:39) realized
+    as a Spark dataflow — in-plan global bounds, round-to-nearest int8
+    codes, reconstructed-cosine candidate scan at 1/4 the float32
+    bandwidth, k*oversample funnel, full-precision rescore. Fully
+    deterministic; the oracle replays the identical double arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.sq_topk(emb, q)
+
+
 GRAPH_SEED = 1
 # impact analysis traverses INCOMING edges; src < dst in the co-occurrence
 # graph, so the reverse seed must be a high partkey to have in-edges
@@ -1854,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, then every r3-only row (those in round-4-edited files
         # first), then headline keepers; r4-green rows rotate to the
         # tail and cycle back in later rounds.
+        "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
         "pii_detection": _q_pii_detection,
@@ -2003,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),
+        "ann_sq_topk": oracles.ann_sq_topk(ANN_QUERY_IDS),
         "ingest_apply_events": oracles.ingest_apply_events(),
         "betweenness_exact": oracles.betweenness_exact(BC_CAP),
         "leiden_invariants": oracles.leiden_invariants(LEIDEN_CAP),

@@ -70,3 +70,65 @@ def test_trained_centroids_deterministic(spark):
     a = ann.train_ivf_centroids(emb, n_cells=4).collect()
     b = ann.train_ivf_centroids(emb, n_cells=4).collect()
     assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_sq_topk_rescored_scores_are_exact_and_recall_high(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in ann.bruteforce_topk(emb, q, k=500).collect()
+    }
+    top_bf = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.bruteforce_topk(emb, q, k=5).collect()
+    }
+    sq = ann.sq_topk(emb, q, k=5, oversample=3).collect()
+    # every returned score is the full-precision cosine (rescore pass)
+    for r in sq:
+        assert bf[(r["query_id"], r["vec_id"])] == r["score"]
+    # int8 + 3x oversample loses little on 64-dim vectors
+    recall = len(top_bf & {(r["query_id"], r["vec_id"]) for r in sq}) / len(top_bf)
+    assert recall >= 0.8
+
+
+def test_sq_codes_cover_int8_range_and_are_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    coded = (
+        emb.crossJoin(F.broadcast(ann.sq_bounds(emb)))
+        .select(ann.sq_code_expr(F.col("embedding")).alias("code"))
+        .select(
+            F.min(F.array_min("code")).alias("lo"),
+            F.max(F.array_max("code")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    # global min maps to -128, global max to 127 — full byte range used
+    assert coded["lo"] == -128 and coded["hi"] == 127
+    a = ann.sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+    ).collect()
+    b = ann.sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+    ).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_sq_constant_vectors_degenerate_bounds(spark):
+    # mx == mn guard: all-constant corpus must not divide by zero
+    rows = [(i, [1.5] * 8) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.sq_topk(emb, q, k=3).collect()
+    assert len(out) == 3  # parallel vectors: cosine 1.0, ranked by id
+    assert all(r["score"] == 1.0 for r in out)

@@ -217,3 +217,19 @@ def test_round5_curation_queries_avoid_cartesian_joins(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name  # no Python UDFs
+
+
+def test_sq_topk_broadcasts_queries_and_rescores_via_hash_join(spark):
+    # The SQ approximate scan pairs the corpus with the BOUNDED broadcast
+    # query set (never a shuffled cartesian), and the k*oversample rescore
+    # funnel comes back as broadcast HASH joins on (vec_id)/(query_id) —
+    # the corpus is never paired with itself.
+    from workspace_qdrant_mcp_spark.operators import ann
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ann.sq_topk(emb, q, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # rescore equi-joins on candidate ids

@@ -293,3 +293,131 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
     )
+
+
+def sq_bounds(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row (__mn, __mx) global component bounds for int8 scalar
+    quantization — computed IN-PLAN (per-row array_min/max, then a global
+    min/max aggregate: one map-side-combined pass, no driver collect), so
+    the quantizer stays a pure dataflow at any corpus size."""
+    return emb.select(
+        F.min(F.array_min(vec_col)).cast("double").alias("__mn"),
+        F.max(F.array_max(vec_col)).cast("double").alias("__mx"),
+    )
+
+
+def _sq_denom() -> F.Column:
+    mn, mx = F.col("__mn"), F.col("__mx")
+    return F.when(mx == mn, F.lit(1.0)).otherwise(mx - mn)
+
+
+def sq_code_expr(vec_col) -> F.Column:
+    """ARRAY<TINYINT> int8 codes: component x -> floor((x-mn)*255/(mx-mn)
+    + 0.5) - 128, i.e. round-to-nearest into [0,255] shifted to the signed
+    byte range — a 4x footprint cut vs float32 (the point of scalar
+    quantization: the approximate scan is memory-bandwidth-bound).
+    Requires __mn/__mx columns in scope (join sq_bounds first)."""
+    mn = F.col("__mn")
+    return F.transform(
+        vec_col,
+        lambda x: (
+            F.floor((x.cast("double") - mn) * F.lit(255.0) / _sq_denom() + F.lit(0.5))
+            - F.lit(128)
+        ).cast("tinyint"),
+    )
+
+
+def sq_dequant_expr(code_col) -> F.Column:
+    """ARRAY<DOUBLE> reconstruction: v -> mn + (v+128)*(mx-mn)/255 — the
+    asymmetric-distance reconstruction the approximate scoring pass runs
+    over. Same literal arithmetic order as the DuckDB oracle."""
+    mn = F.col("__mn")
+    return F.transform(
+        code_col,
+        lambda v: mn
+        + (v.cast("double") + F.lit(128.0)) * _sq_denom() / F.lit(255.0),
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — int8 scalar-quantized ANN with
+    exact rescoring, the quantization pipeline the reference's vector
+    store exposes as `quantization_config` (storage/collections/basic.rs:39
+    — configured off by default there; this is the Spark realization of
+    turning it on): quantize the corpus to int8 codes, rank by cosine over
+    the RECONSTRUCTED vectors (asymmetric-distance scan at 1/4 the float32
+    memory bandwidth), keep k*oversample candidates per query, rescore
+    ONLY those with full-precision cosine over the original embeddings,
+    return the exact-rescored top-k.
+
+    100 TB shape: the codes table is the only full-corpus scan and it is
+    4x (vs fp32) / 8x (vs fp64) smaller than the raw embeddings; the
+    rescore join touches k*oversample rows per query via a broadcast
+    candidate list — the oversample→rescore funnel is the same
+    prune-then-broadcast discipline as srp_topk. Everything is column
+    expressions; deterministic (no RNG), so the DuckDB oracle replays it
+    bit-for-bit."""
+    bounds = sq_bounds(emb, vec_col)
+    coded = (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "__mn",
+            "__mx",
+            sq_code_expr(F.col(vec_col)).alias("__code"),
+        )
+        .withColumn("__dq", sq_dequant_expr(F.col("__code")))
+    )
+    q = (
+        queries.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv"),
+            "__mn",
+            "__mx",
+            sq_code_expr(F.col(vec_col)).alias("__qcode"),
+        )
+        .withColumn("__qdq", sq_dequant_expr(F.col("__qcode")))
+        .select(query_id_col, "__qv", "__qdq")
+    )
+    approx = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__dq"), F.col("__qdq")).alias("__ascore"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__ascore"), F.asc(id_col))
+    cand = (
+        approx.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    rescored = (
+        emb.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q.select(query_id_col, "__qv")), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )

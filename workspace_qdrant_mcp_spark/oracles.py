@@ -721,6 +721,69 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def ann_sq_topk(query_ids: list[int], k: int = 5, oversample: int = 3) -> str:
+    """int8 scalar-quantized ANN with exact rescore (operators/ann.sq_topk).
+    Replays the full deterministic pipeline: global component bounds →
+    round-to-nearest int8 codes → cosine over the RECONSTRUCTED vectors
+    ranks k*oversample candidates → full-precision cosine rescores only
+    those → top-k. Every arithmetic step is written in the same literal
+    order as the Spark column expressions (quantize:
+    (x-mn)*255/dn + 0.5; dequant: mn + (v+128)*dn/255), so doubles —
+    and therefore candidate sets — are bit-identical across engines."""
+    ids = ", ".join(str(i) for i in query_ids)
+    code = (
+        "list_transform(e.embedding, x -> CAST(floor("
+        "(CAST(x AS DOUBLE) - bb.mn) * 255.0 / bb.dn + 0.5) - 128 AS TINYINT))"
+    )
+    dequant = (
+        "list_transform(code, v -> mn + (CAST(v AS DOUBLE) + 128.0) * dn / 255.0)"
+    )
+    acos = duckdb_cosine_sql("d.dq", "qd.dq")
+    rcos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH b AS (
+  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+         CAST(max(list_max(embedding)) AS DOUBLE) AS mx
+  FROM embeddings
+),
+bb AS (SELECT mn, mx, CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS dn FROM b),
+coded AS MATERIALIZED (
+  SELECT e.vec_id, bb.mn, bb.dn, {code} AS code
+  FROM embeddings e CROSS JOIN bb
+),
+dq AS MATERIALIZED (
+  SELECT vec_id, {dequant} AS dq FROM coded
+),
+approx AS (
+  SELECT qd.vec_id AS query_id, d.vec_id, {acos} AS ascore
+  FROM dq d CROSS JOIN (SELECT vec_id, dq FROM dq WHERE vec_id IN ({ids})) qd
+  WHERE d.vec_id <> qd.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, vec_id ASC) AS r
+    FROM approx
+  ) WHERE r <= {k * oversample}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, {rcos} AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM rescored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 _COOC_EDGES = """
 ed AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst,

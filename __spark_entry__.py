@@ -377,6 +377,24 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(emb)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): nearest-centroid
+    blocking then min-id exemplar keep within each near-set; the
+    cluster-blocked semantic twin of `embedding_neardup`'s label blocking.
+    Training-data extension beyond the reference's exact-hash W5 dedup
+    (strategies/processing/file/dedup.rs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semdedup(emb)
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring duplication stats (Lee et al. 2021,
+    arXiv:2107.06499) over the near-copy corpus: per-doc count/fraction
+    of 60-char stride-30 spans that recur verbatim in the corpus."""
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.repeated_spans(corpus)
+
+
 def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
@@ -1868,7 +1886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 entries only). Front: queries new or code-changed this
         # round, then every r3-only row (those in round-4-edited files
         # first), then headline keepers; r4-green rows rotate to the
-        # tail and cycle back in later rounds.
+        # tail and cycle back in later rounds. Late-r5 swaps: semdedup +
+        # repeated_spans are new (no row ever); dlq_decisions returns
+        # because e96e243 changed its code after its r4 row; displaced to
+        # r6: graph_betweenness (rows-only slot — betweenness_exact is
+        # its green value signal) and grouping_tag/embedding_affinity
+        # (r3-green, grouping.py untouched since; jaccard + structural
+        # keep the family's window presence).
+        "semdedup": _q_semdedup,
+        "repeated_spans": _q_repeated_spans,
         "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -1900,16 +1926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop_neighbors": _q_graph_2hop,
         "graph_batch_2hop": _q_graph_batch_2hop,
         "graph_batch_impact": _q_graph_batch_impact,
-        "graph_betweenness": _q_graph_betweenness,
         "graph_connected_components": _q_graph_components,
         "graph_degree_stats": _q_graph_degree,
         "graph_expansion_fusion": _q_graph_expansion_fusion,
         "graph_extract_calls": _q_graph_extract_calls,
         "graph_impact_analysis": _q_graph_impact,
-        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "grouping_jaccard": _q_grouping_jaccard,
         "grouping_structural": _q_grouping_structural,
-        "grouping_tag_affinity": _q_grouping_tag_affinity,
+        "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "predicate_stack": _q_predicate_stack,
@@ -1940,8 +1964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "two_hop_chain": _q_two_hop_chain,
         "ingest_idempotency": _q_ingest_idempotency,
-        "dlq_decisions": _q_dlq_decisions,
         "reconcile_diff": _q_reconcile_diff,
+        "graph_betweenness": _q_graph_betweenness,
+        "grouping_tag_affinity": _q_grouping_tag_affinity,
+        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "ingest_apply_events": _q_ingest_apply_events,
         "graph_context": _q_graph_context,
         "events_debounce_last": _q_events_debounce,
@@ -2016,6 +2042,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": oracles.simhash_fingerprints(),
         "simhash_neardup": oracles.simhash_neardup(),
         "embedding_neardup": oracles.embedding_neardup(),
+        "semdedup": oracles.semdedup(),
+        "repeated_spans": oracles.repeated_spans(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),

@@ -1,0 +1,119 @@
+"""semdedup (SemDeDup, arXiv:2303.09540) and repeated_spans (Lee et al.
+2021, arXiv:2107.06499) on hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.operators import dedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, lab, [float(x) for x in v]) for i, lab, v in rows],
+        "vec_id long, label string, embedding array<float>",
+    )
+
+
+class TestSemDeDup:
+    def test_near_twin_drops_for_min_id_exemplar(self, spark):
+        # v0/v1 are the centroids (vec_id < n_centroids). v2 is a near
+        # twin of v0 (same direction, cosine ~1); v3 sits alone in v1's
+        # cluster. with_perturbed_vectors also adds a +2000000 copy of v0.
+        emb = _emb(
+            spark,
+            [
+                (0, "a", [1.0, 0.0]),
+                (1, "a", [0.0, 1.0]),
+                (2, "a", [0.98, 0.001]),
+                (3, "a", [0.6, 0.8]),
+            ],
+        )
+        out = dedup.semdedup(emb, n_centroids=2, threshold=0.97)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert set(rows) == {0, 1, 2, 3, 2000000}
+        assert rows[0]["is_kept"] and rows[0]["dropped_for"] is None
+        assert rows[1]["is_kept"]
+        assert rows[3]["is_kept"]
+        # both the near twin and the perturbed copy fall to exemplar 0
+        assert not rows[2]["is_kept"] and rows[2]["dropped_for"] == 0
+        assert (
+            not rows[2000000]["is_kept"]
+            and rows[2000000]["dropped_for"] == 0
+        )
+
+    def test_cross_cluster_twins_survive(self, spark):
+        # identical direction but forced into different clusters never
+        # pair: blocking is the contract (SemDeDup scans within-cluster
+        # only). v2 equals centroid v1's direction -> cluster 1, so it
+        # cannot drop for v0 even though cos(v0, v2) < threshold anyway;
+        # the assert is that every comparison stayed inside its block.
+        emb = _emb(
+            spark,
+            [
+                (0, "a", [1.0, 0.0]),
+                (1, "a", [0.0, 1.0]),
+                (2, "a", [0.0, 1.0]),
+                (3, "a", [1.0, 0.0]),
+            ],
+        )
+        out = dedup.semdedup(emb, n_centroids=2, threshold=0.97)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert rows[2]["cluster_id"] == 1 and rows[2]["dropped_for"] == 1
+        assert rows[3]["cluster_id"] == 0 and rows[3]["dropped_for"] == 0
+
+    def test_exactly_one_exemplar_per_near_set(self, spark):
+        emb = _emb(
+            spark,
+            [(i, "a", [1.0, 0.001 * i]) for i in range(5)]
+            + [(5, "a", [0.0, 1.0])],
+        )
+        out = dedup.semdedup(emb, n_centroids=1, threshold=0.97)
+        kept = [r["vec_id"] for r in out.filter("is_kept").collect()]
+        # vectors 0-4 (+ the 2000000 copy of v0) are one near-set in the
+        # single cluster; only min id 0 survives it. v5 is orthogonal.
+        assert sorted(kept) == [0, 5]
+
+
+class TestRepeatedSpans:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_built_fractions(self, spark):
+        uniq = "".join(chr(97 + (i * 7) % 26) for i in range(90))
+        docs = self._docs(
+            spark,
+            [
+                (1, "a" * 120),   # 3 spans, all identical -> all dup
+                (2, uniq),        # 2 spans, unique in corpus
+                (3, uniq),        # exact copy of 2 -> both docs all-dup
+                (4, "z" * 30),    # shorter than span_len -> 0 spans
+            ],
+        )
+        out = dedup.repeated_spans(docs, span_len=60, stride=30)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_spans"] == 3 and rows[1]["dup_frac"] == 1.0
+        assert rows[2]["n_spans"] == 2 and rows[2]["dup_frac"] == 1.0
+        assert rows[3]["dup_frac"] == 1.0
+        assert rows[4]["n_spans"] == 0 and rows[4]["dup_frac"] == 0.0
+
+    def test_unique_corpus_has_zero_dup(self, spark):
+        a = "".join(chr(97 + (i * 11) % 26) for i in range(100))
+        b = "".join(chr(97 + (i * 5 + 3) % 26) for i in range(100))
+        docs = self._docs(spark, [(1, a), (2, b)])
+        out = dedup.repeated_spans(docs, span_len=60, stride=30)
+        assert out.filter(F.col("n_dup_spans") > 0).count() == 0
+
+    def test_bounds_invariant(self, spark):
+        docs = self._docs(
+            spark,
+            [(i, ("abc" * 50)[: 30 + i * 13]) for i in range(10)],
+        )
+        out = dedup.repeated_spans(docs, span_len=60, stride=30)
+        bad = out.filter(
+            (F.col("n_dup_spans") > F.col("n_spans"))
+            | (F.col("dup_frac") < 0)
+            | (F.col("dup_frac") > 1)
+        )
+        assert bad.count() == 0
+        assert out.count() == 10

@@ -233,3 +233,31 @@ def test_sq_topk_broadcasts_queries_and_rescores_via_hash_join(spark):
     plan = _plan(ann.sq_topk(emb, q, k=5))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # rescore equi-joins on candidate ids
+
+
+def test_semdedup_pairs_only_inside_clusters(spark):
+    # SemDeDup's only non-equi pairing is corpus x the BOUNDED broadcast
+    # centroid table (n_centroids rows); the candidate-pair generator must
+    # be the cluster_id equi self-join — never a corpus x corpus loop.
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(dedup.semdedup(emb))
+    assert "CartesianProduct" not in plan
+    # exactly the centroid-assign broadcast loop, nothing corpus-sized
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_repeated_spans_is_two_stage_agg_and_equi_join(spark):
+    # The span-occurrence count must partial-aggregate map-side and the
+    # doc join-back must be an equi-join on the span key; no nested loops,
+    # no Python UDFs in the explode/substring pipeline.
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.repeated_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan

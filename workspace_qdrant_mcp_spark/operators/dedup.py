@@ -443,6 +443,145 @@ def embedding_neardup(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """(vec_id, cluster_id, is_kept, dropped_for) — SemDeDup (Abbas et al.
+    2023, arXiv:2303.09540): partition the embedding space by nearest
+    centroid, then within each cluster drop every point that has a
+    semantically near-identical neighbour (cosine >= threshold) with a
+    smaller id; the min-id exemplar of each near-set survives
+    (dropped_for = that exemplar, NULL for keepers).
+
+    Deterministic centroid rule (oracle parity, no training pass):
+    centroid j = the corpus vector with vec_id == j. SemDeDup's own
+    ablation finds cluster QUALITY barely matters — the clustering is a
+    proximity BLOCK that turns the O(N²) pairwise scan into Σ cluster²;
+    any stable partitioner works. At 100 TB the centroids come from a
+    sampled k-means (MLlib KMeans over ~1% of rows, like
+    ann.train_ivf_centroids) and n_centroids grows ~√N, which keeps
+    cluster populations — and therefore the self-join — bounded; the plan
+    shape below (broadcast-centroid argmax assign + within-block
+    self-join) is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine
+
+    corpus = with_perturbed_vectors(emb)
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("ce")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cluster_id")
+    )
+    # Materialized once: the assignment feeds BOTH sides of the pair
+    # self-join AND the final decision join — without a checkpoint Spark
+    # re-derives the broadcast-argmax subtree three times. This is the
+    # "persist cluster assignments" step every SemDeDup pipeline has; at
+    # 100 TB it is a written intermediate table, not a recompute.
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cosine(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "e")
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    dominated = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dropped_for"))
+    )
+    return (
+        assigned.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dropped_for").isNull().alias("is_kept"),
+            "dropped_for",
+        )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    span_len: int = 60,
+    stride: int = 30,
+    min_occ: int = 2,
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac) — exact repeated-substring
+    duplication statistics (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): slide a
+    span_len-char window with `stride` over every document and count, per
+    document, how many of its spans occur verbatim >= min_occ times in
+    the whole corpus (within-doc repeats count, like the paper's
+    suffix-array substring counts). dup_frac = n_dup_spans / n_spans is
+    the per-doc signal the usual drop/trim rules key on; docs shorter
+    than span_len have 0 spans and dup_frac 0.
+
+    Scale: the paper's suffix array is replaced by the shuffle-friendly
+    equivalent — explode to (span, doc_id), aggregate keyed on the span,
+    equi-join back. Spans here join on the raw string for oracle
+    bit-parity; at 100 TB the join key is xxhash64(span) (8 bytes vs 60)
+    and the per-span count uses the standard two-stage partial aggregate,
+    so a span repeated millions of times never concentrates one reducer.
+    """
+    d = docs.select("doc_id", "text").withColumn(
+        "n_off",
+        F.when(
+            F.length("text") >= span_len,
+            ((F.length("text") - span_len) / stride).cast("int") + 1,
+        ).otherwise(F.lit(0)),
+    )
+    spans = d.filter(F.col("n_off") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n_off), "
+                f"i -> substring(text, (i-1)*{stride}+1, {span_len}))"
+            )
+        ).alias("span"),
+    )
+    occ = fan_out(spans).groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        spans.join(occ, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_occ") >= min_occ, 1).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def boilerplate_lines(
     lines: DataFrame, min_docs: int = 3, limit: int = 100
 ) -> DataFrame:

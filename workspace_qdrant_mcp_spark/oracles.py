@@ -589,6 +589,88 @@ FROM scored WHERE cos_sim >= {threshold}
 """
 
 
+def semdedup(n_centroids: int = 16, threshold: float = 0.97) -> str:
+    """Oracle for operators/dedup.semdedup (SemDeDup, arXiv:2303.09540):
+    same perturbed corpus as embedding_neardup, centroid j = vector with
+    vec_id j, nearest-centroid argmax assignment (cosine DESC, cluster_id
+    ASC tiebreak), min-id exemplar keeps inside each within-cluster
+    near-set."""
+    cosc = duckdb_cosine_sql("v.e", "c.ce")
+    cosp = duckdb_cosine_sql("a.e", "b.e")
+    dbl = "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE))"
+    pert = (
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.01 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END)"
+    )
+    return f"""
+WITH vc AS (
+  SELECT vec_id, {dbl} AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, {pert} AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cents AS (SELECT vec_id AS cluster_id, e AS ce FROM vc WHERE vec_id < {n_centroids}),
+scoredc AS (
+  SELECT v.vec_id, c.cluster_id, {cosc} AS cos_c, v.e
+  FROM vc v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cluster_id, e FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cluster_id ASC) AS rn
+    FROM scoredc
+  ) WHERE rn = 1
+),
+dom AS (
+  SELECT b.vec_id, min(a.vec_id) AS dropped_for
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cosp} >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cluster_id,
+       dom.dropped_for IS NULL AS is_kept,
+       dom.dropped_for
+FROM assigned s LEFT JOIN dom ON s.vec_id = dom.vec_id
+"""
+
+
+def repeated_spans(span_len: int = 60, stride: int = 30, min_occ: int = 2) -> str:
+    """Oracle for operators/dedup.repeated_spans (Lee et al. 2021,
+    arXiv:2107.06499): stride-windowed exact span counts over the
+    near-copy corpus; per-doc duplicated-span fraction."""
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= {span_len}
+              THEN ((length(text) - {span_len}) // {stride})::INT + 1
+              ELSE 0 END AS n_off
+  FROM corpus
+),
+spans AS (
+  SELECT doc_id, substr(text, (i - 1) * {stride} + 1, {span_len}) AS span
+  FROM d, LATERAL unnest(generate_series(1, n_off)) AS t(i)
+  WHERE n_off > 0
+),
+occ AS (SELECT span, count(*) AS n_occ FROM spans GROUP BY span),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         count(*) FILTER (WHERE o.n_occ >= {min_occ}) AS n_dup_spans
+  FROM spans s JOIN occ o USING (span)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per_doc.n_spans, 0) AS n_spans,
+       coalesce(per_doc.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN coalesce(per_doc.n_spans, 0) > 0
+            THEN round(per_doc.n_dup_spans / per_doc.n_spans::DOUBLE, 6)
+            ELSE 0.0 END AS dup_frac
+FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 def ann_bruteforce_topk(query_ids: list[int], k: int = 5) -> str:
     cos = duckdb_cosine_sql("e.embedding", "q.embedding")
     ids = ", ".join(str(i) for i in query_ids)

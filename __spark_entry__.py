@@ -377,6 +377,17 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(emb)
 
 
+def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 event-time tumbling rollup (streaming/windows.py) run in batch
+    mode — the exact expression the watermarked stream runs incrementally
+    (batch/stream unification is the point of the operator; the
+    late-data/watermark discipline is asserted in test_streaming)."""
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): nearest-centroid
     blocking then min-id exemplar keep within each near-set; the
@@ -1895,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep the family's window presence).
         "semdedup": _q_semdedup,
         "repeated_spans": _q_repeated_spans,
+        "events_hourly_rollup": _q_events_hourly_rollup,
         "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -1936,7 +1948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
-        "predicate_stack": _q_predicate_stack,
         "relevance_decay_hybrid": _q_decay_hybrid,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
@@ -1966,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_idempotency": _q_ingest_idempotency,
         "reconcile_diff": _q_reconcile_diff,
         "graph_betweenness": _q_graph_betweenness,
+        "predicate_stack": _q_predicate_stack,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "ingest_apply_events": _q_ingest_apply_events,
@@ -2044,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.embedding_neardup(),
         "semdedup": oracles.semdedup(),
         "repeated_spans": oracles.repeated_spans(),
+        "events_hourly_rollup": oracles.events_hourly_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),

@@ -244,3 +244,133 @@ def test_quality_gate_default_off_keeps_everything(spark, dirs):
     import os
 
     assert not os.path.exists(dirs["dlq"])
+
+
+# ---------------------------------------------------------------------------
+# W9 event-time windows: watermarked tumbling rollup (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double"
+)
+
+
+def _run_windowed(spark, events_dir, out_dir, ckpt):
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    flat = windows.flat_rollup(
+        windows.windowed_rollup(stream, "1 hour", watermark="30 minutes")
+    )
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ev(eid, ts, uid, etype, value):
+    return {
+        "event_id": eid, "ts": ts, "user_id": uid,
+        "event_type": etype, "value": value,
+    }
+
+
+def test_windowed_rollup_emits_once_and_drops_late(spark, tmp_path):
+    events_dir = str(tmp_path / "wev")
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+
+    # hour-00 on-time events + an hour-03 event that advances the
+    # watermark (30 min lag) past hour-00's window end
+    _write_events(events_dir, "b1.json", [
+        _ev(1, "2024-01-01T00:05:00Z", 1, "create", 1.0),
+        _ev(2, "2024-01-01T00:10:00Z", 2, "create", 2.0),
+        _ev(3, "2024-01-01T00:20:00Z", 3, "modify", 3.0),
+        _ev(4, "2024-01-01T03:00:00Z", 4, "create", 4.0),
+    ])
+    _run_windowed(spark, events_dir, out_dir, ckpt)
+    _write_events(events_dir, "b2.json", [
+        _ev(5, "2024-01-01T03:10:00Z", 5, "create", 5.0),
+    ])
+    _run_windowed(spark, events_dir, out_dir, ckpt)
+
+    out = {
+        (str(r["window_start"]), r["event_type"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    h0c = out[("2024-01-01 00:00:00", "create")]
+    assert h0c["n_events"] == 2 and h0c["u_lo"] == 1 and h0c["u_hi"] == 2
+    assert h0c["sum_value"] == 3.0
+    h0m = out[("2024-01-01 00:00:00", "modify")]
+    assert h0m["n_events"] == 1 and h0m["sum_value"] == 3.0
+
+    # a LATE hour-00 event (watermark is already 02:40) must be dropped;
+    # hour-05/07 events advance + close the later windows
+    _write_events(events_dir, "b3.json", [
+        _ev(6, "2024-01-01T00:45:00Z", 9, "create", 100.0),
+        _ev(7, "2024-01-01T05:00:00Z", 6, "create", 6.0),
+    ])
+    _run_windowed(spark, events_dir, out_dir, ckpt)
+    _write_events(events_dir, "b4.json", [
+        _ev(8, "2024-01-01T07:00:00Z", 7, "create", 7.0),
+    ])
+    _run_windowed(spark, events_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).collect()
+    h0_creates = [
+        r for r in rows
+        if str(r["window_start"]) == "2024-01-01 00:00:00"
+        and r["event_type"] == "create"
+    ]
+    # exactly the original emission: the late event neither re-opened the
+    # window (no second append row) nor mutated the counts
+    assert len(h0_creates) == 1
+    assert h0_creates[0]["n_events"] == 2
+    assert h0_creates[0]["sum_value"] == 3.0
+    # the hour-03 window closed with BOTH its events (cross-restart state)
+    h3 = [
+        r for r in rows
+        if str(r["window_start"]) == "2024-01-01 03:00:00"
+    ]
+    assert len(h3) == 1 and h3[0]["n_events"] == 2
+    # hour-05 closed once the hour-07 event pushed the watermark past it
+    h5 = [
+        r for r in rows
+        if str(r["window_start"]) == "2024-01-01 05:00:00"
+    ]
+    assert len(h5) == 1 and h5[0]["n_events"] == 1
+
+
+def test_windowed_rollup_batch_equals_manual_groupby(spark):
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 1, "create", 1.5),
+            (2, "2024-01-01 00:55:00", 2, "create", 2.5),
+            (3, "2024-01-01 01:05:00", 1, "modify", 3.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_events"], r["u_lo"], r["u_hi"], r["sum_value"]
+        )
+        for r in windows.flat_rollup(
+            windows.windowed_rollup(df, "1 hour")
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "create"): (2, 1, 2, 4.0),
+        ("2024-01-01 01:00:00", "modify"): (1, 1, 1, 3.0),
+    }

@@ -2579,6 +2579,21 @@ FROM eff ORDER BY effective DESC, ts_ns ASC, event_id ASC LIMIT {limit}
 """
 
 
+def events_hourly_rollup() -> str:
+    """Oracle for streaming/windows.windowed_rollup in batch mode:
+    tumbling 1-hour event-time windows == date_trunc buckets (UTC
+    session, hour-aligned windows)."""
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       min(user_id) AS u_lo,
+       max(user_id) AS u_hi,
+       round(sum("value"), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def events_debounce_last() -> str:
     return """
 WITH r AS (

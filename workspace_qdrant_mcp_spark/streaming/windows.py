@@ -1,0 +1,67 @@
+"""Event-time windowed aggregation with watermarks (SURVEY §2.8 W9 slot —
+upgraded from n/a: the reference daemon has no event-time rollup, but a
+watcher-event stream at scale needs one, and it is the canonical
+Structured Streaming operator the engine should expose).
+
+Batch/stream unification: `windowed_rollup` is ONE function applied to
+either a streaming or a batch DataFrame — Catalyst compiles the same
+logical expression both ways, which is Structured Streaming's
+incremental-execution contract. The driver query `events_hourly_rollup`
+runs it in batch mode over events.parquet (DuckDB-oracle-backed); the
+streaming tests run the same expression over a file-source stream with
+`withWatermark` + append mode and assert (a) a window emits exactly once
+after the watermark passes its end, and (b) an event arriving later than
+the watermark is DROPPED — it never re-opens a closed window.
+
+Scale shape: a streaming shuffle keyed on (window, event_type) with
+map-side partial aggregation; state-store size is bounded by
+watermark-horizon × distinct keys. The watermark IS the 100 TB design
+point — without it, windowed state grows without bound; with it, state
+eviction is deterministic and append-mode emission is exactly-once per
+window (checkpointed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(w struct<start,end>, event_type, n_events, u_lo, u_hi, sum_value)
+    — tumbling event-time windows. Pass `watermark` (e.g. '30 minutes')
+    on a streaming DataFrame to bound state and enable append-mode
+    emission; leave None in batch mode (a batch watermark is a no-op
+    anyway). Only streaming-safe aggregates (count/min/max/sum), so the
+    exact same expression runs incrementally and in batch."""
+    ev = events
+    if watermark is not None:
+        ev = ev.withWatermark(ts_col, watermark)
+    return (
+        ev.groupBy(
+            F.window(ts_col, window_len).alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("u_lo"),
+            F.max("user_id").alias("u_hi"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def flat_rollup(roll: DataFrame) -> DataFrame:
+    """Flatten the window struct for sinks/oracles that need scalar
+    columns (parquet sink in the tests, the DuckDB value-hash gate)."""
+    return roll.select(
+        F.col("w").getField("start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "u_lo",
+        "u_hi",
+        "sum_value",
+    )

@@ -268,6 +268,16 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (curation.dsir_logweights, Xie et al.
+    2023, arXiv:2302.03169): mean log p_target/p_raw unigram ratio per
+    document, target domain = source 'src0'. The data-selection weight a
+    mixture build feeds into stratified sampling."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.dsir_logweights(load_table(spark, sf_dir, "documents"))
+
+
 def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic unigram-LM perplexity scoring
     (textstats.unigram_logppl) — the CCNet LM-quality analog with a
@@ -1907,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
+        "dsir_logweights": _q_dsir_logweights,
         "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -1949,7 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "relevance_decay_hybrid": _q_decay_hybrid,
-        "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
         "stub_resolution": _q_stub_resolution,
         "label_propagation": _q_label_propagation,
@@ -1978,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_diff": _q_reconcile_diff,
         "graph_betweenness": _q_graph_betweenness,
         "predicate_stack": _q_predicate_stack,
+        "rules_dedup_gate": _q_rules_dedup_gate,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "ingest_apply_events": _q_ingest_apply_events,
@@ -2057,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oracles.semdedup(),
         "repeated_spans": oracles.repeated_spans(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
+        "dsir_logweights": oracles.dsir_logweights(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),

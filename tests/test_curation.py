@@ -260,3 +260,56 @@ class TestSessionize:
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         out = sessions.sessionize(ev, gap_minutes=360).collect()
         assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+class TestDsirLogweights:
+    def test_target_lookalike_scores_above_raw_typical(self, spark):
+        # target docs are pure "alpha beta"; raw pool adds "gamma delta"
+        # docs. A doc made of target-heavy tokens must out-weigh a doc of
+        # pool-only tokens, and every weight is a finite number.
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha", "tgt"),
+                (2, "alpha beta beta", "tgt"),
+                (3, "gamma delta gamma", "other"),
+                (4, "alpha beta", "other"),       # looks like target
+                (5, "gamma delta delta", "other"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in curation.dsir_logweights(
+                docs, target_value="tgt"
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert out[4]["log_w"] > out[3]["log_w"]
+        assert out[1]["log_w"] > 0 > out[3]["log_w"]
+        assert out[4]["n_tokens"] == 2
+
+    def test_hand_computed_single_token_ratio(self, spark):
+        # vocab {a, b}: c_raw = (2, 3), N_raw = 5, c_tgt = (2, 0),
+        # N_tgt = 2, V = 2; doc 3 is one "b" ->
+        # log_w = ln((0+1)/(2+2)) - ln((3+1)/(5+2)) = ln(1/4) - ln(4/7)
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a a", "tgt"), (2, "b b", "other"), (3, "b", "other")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: r["log_w"]
+            for r in curation.dsir_logweights(
+                docs, target_value="tgt"
+            ).collect()
+        }
+        assert out[3] == round(math.log(0.25) - math.log(4 / 7), 6)
+
+    def test_zero_token_docs_absent(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a", "tgt"), (2, "   ", "other")],
+            "doc_id long, text string, source string",
+        )
+        out = curation.dsir_logweights(docs, target_value="tgt")
+        assert [r["doc_id"] for r in out.collect()] == [1]

@@ -295,3 +295,74 @@ def mixture_plan(
             6,
         ).alias("rate"),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_col: str = "source",
+    target_value: str = "src0",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_tokens, log_w) — DSIR data-selection importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169) with a deterministic unigram feature
+    space: per document, log_w = mean over tokens of
+    ln(p_target(w) / p_raw(w)), both distributions add-alpha smoothed
+    over the SHARED raw-corpus vocabulary. Positive log_w = the document
+    looks more like the target domain than the raw pool; DSIR then
+    samples with keep-probability proportional to exp(log_w) (Gumbel
+    top-k in the paper) — the sampler here is composition with
+    stratified_sample / split_assign, the operator is the weight.
+
+    Differences from the paper, on purpose: hashed bigrams -> plain
+    unigrams (bit-identical in the DuckDB oracle; the feature space is a
+    pluggable tokenizer), and the sum over features is length-normalized
+    to a mean so log_w is comparable across document lengths. Zero-token
+    documents are absent (no weight is defined), same as unigram_logppl.
+
+    Scale shape: one token explode feeding ONE shared count table with
+    both the raw count and the target count (a conditional sum — the
+    target pass is free, not a second scan), global totals via windows
+    over the VOCABULARY table (bounded), ratio join back on the word key
+    with map-side partial aggregation. No driver-side state, no UDFs."""
+    from pyspark.sql import Window
+
+    from .textstats import _ws_tokens
+
+    is_tgt = (F.col(target_col) == target_value).cast("long")
+    tok = fan_out(docs).select(
+        "doc_id",
+        is_tgt.alias("t"),
+        F.explode(_ws_tokens(F.col("text"))).alias("w"),
+    )
+    uni = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_raw"), F.sum("t").alias("c_tgt")
+    )
+    w_all = Window.partitionBy()
+    ratio = uni.select(
+        "w",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(alpha))
+                / (
+                    F.sum("c_tgt").over(w_all)
+                    + F.lit(alpha) * F.count(F.lit(1)).over(w_all)
+                )
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(alpha))
+                / (
+                    F.sum("c_raw").over(w_all)
+                    + F.lit(alpha) * F.count(F.lit(1)).over(w_all)
+                )
+            )
+        ).alias("lr"),
+    )
+    return (
+        tok.join(ratio, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("log_w"),
+        )
+    )

@@ -3098,6 +3098,34 @@ FROM planned
 """
 
 
+def dsir_logweights(target_value: str = "src0", alpha: float = 1.0) -> str:
+    """Oracle for curation.dsir_logweights (DSIR, arXiv:2302.03169):
+    per-doc mean log ratio of add-alpha-smoothed target vs raw unigram
+    probabilities over the shared vocabulary."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(source = '{target_value}' AS BIGINT) AS t,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            s -> length(s) > 0)) AS w
+  FROM documents
+),
+uni AS (SELECT w, count(*) AS c_raw, sum(t) AS c_tgt FROM tok GROUP BY w),
+tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM uni),
+r AS (
+  SELECT w,
+         ln((c_tgt + {alpha}) / (tot.n_tgt + {alpha} * tot.v))
+       - ln((c_raw + {alpha}) / (tot.n_raw + {alpha} * tot.v)) AS lr
+  FROM uni, tot
+),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens, avg(r.lr) AS lw
+  FROM tok t JOIN r USING (w) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, round(lw, 6) AS log_w
+FROM d
+"""
+
+
 def unigram_logppl() -> str:
     """Deterministic unigram-LM perplexity — mirrors
     textstats.unigram_logppl (add-one smoothing over the corpus vocab,

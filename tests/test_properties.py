@@ -460,3 +460,127 @@ def test_mixture_plan_realizes_target_shares(spark, tokens, weights):
         assert 0 < r["rate"] <= 1.0
         assert abs(r["rate"] - exact) < 5e-7  # 6-dp rounding only
     assert max(out[s]["rate"] for s in out) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans vs a brute-force substring-count model
+# ---------------------------------------------------------------------------
+
+SPAN_DOCS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abc ")), max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=SPAN_DOCS, span_len=st.integers(4, 10), stride=st.integers(2, 6))
+@settings(**SETTINGS)
+def test_repeated_spans_matches_bruteforce_model(spark, docs, span_len, stride):
+    """Python re-derivation of the span inventory: every (doc, offset)
+    window of span_len chars at stride steps, duplicated iff the exact
+    substring occurs >= 2 times across all windows."""
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    expected_spans = {}
+    counter = Counter()
+    for i, t in rows:
+        spans = []
+        if len(t) >= span_len:
+            for k in range((len(t) - span_len) // stride + 1):
+                spans.append(t[k * stride:k * stride + span_len])
+        expected_spans[i] = spans
+        counter.update(spans)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.repeated_spans(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    assert set(out) == set(expected_spans)
+    for i, spans in expected_spans.items():
+        n_dup = sum(1 for s in spans if counter[s] >= 2)
+        assert out[i]["n_spans"] == len(spans), (i, spans)
+        assert out[i]["n_dup_spans"] == n_dup, (i, spans)
+
+
+# ---------------------------------------------------------------------------
+# semdedup vs a brute-force cluster + min-id-dominance model
+# ---------------------------------------------------------------------------
+
+VEC_SETS = st.lists(
+    st.tuples(
+        st.sampled_from([(1.0, 0.0), (0.0, 1.0), (0.8, 0.6), (0.6, 0.8)]),
+        st.floats(0.9, 1.1),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(vecs=VEC_SETS)
+@settings(**SETTINGS)
+def test_semdedup_matches_bruteforce_model(spark, vecs):
+    """Python re-derivation: assign each vector (plus the operator's own
+    perturbed +2000000 copies) to argmax-cosine centroid (min cluster id
+    on ties), then dropped_for = min smaller-id same-cluster vector with
+    cosine >= threshold."""
+    import math
+
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    thr = 0.97
+    n_centroids = 2
+    base = [
+        (i, "l", [d[0] * s, d[1] * s]) for i, (d, s) in enumerate(vecs)
+    ]
+    # replicate with_perturbed_vectors: +2000000 copies of vec_id % 10 == 0
+    model = {i: v for i, _, v in base}
+    for i, _, v in base:
+        if i % 10 == 0:
+            model[i + 2000000] = [v[0] * 1.01, v[1]]
+
+    def cos(a, b):
+        num = a[0] * b[0] + a[1] * b[1]
+        na, nb = math.hypot(*a), math.hypot(*b)
+        return num / (na * nb) if na and nb else 0.0
+
+    cents = {j: model[j] for j in model if j < n_centroids}
+    assign = {
+        i: max(cents, key=lambda j: (cos(model[i], cents[j]), -j))
+        for i in model
+    }
+    expected = {}
+    for i in model:
+        sims = [
+            j for j in model
+            if j < i and assign[j] == assign[i]
+            and cos(model[i], model[j]) >= thr
+        ]
+        expected[i] = min(sims) if sims else None
+
+    df = spark.createDataFrame(
+        base, "vec_id long, label string, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semdedup(
+            df, n_centroids=n_centroids, threshold=thr
+        ).collect()
+    }
+    assert set(out) == set(model)
+    for i, want in expected.items():
+        got = out[i]["dropped_for"]
+        # skip knife-edge disagreements: float32 storage vs the python
+        # model can flip a pair sitting exactly at the threshold
+        margin = [
+            abs(cos(model[i], model[j]) - thr)
+            for j in model if j != i and assign[j] == assign[i]
+        ]
+        if margin and min(margin) < 1e-6:
+            continue
+        assert got == want, (i, got, want)
+        assert out[i]["is_kept"] == (want is None)

@@ -374,3 +374,82 @@ def test_windowed_rollup_batch_equals_manual_groupby(spark):
         ("2024-01-01 00:00:00", "create"): (2, 1, 2, 4.0),
         ("2024-01-01 01:00:00", "modify"): (1, 1, 1, 3.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch stateful debounce (applyInPandasWithState, streaming/stateful)
+# ---------------------------------------------------------------------------
+
+_DEB_SCHEMA = "path string, ts timestamp, event_type string, event_id long"
+
+
+def _run_debounce(spark, events_dir, out_dir, ckpt):
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    stream = (
+        spark.readStream.schema(_DEB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    deb = stateful.stateful_debounce(
+        stream, gap_secs=5, watermark="10 seconds"
+    )
+    q = (
+        deb.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _pev(path, ts, etype, eid):
+    return {"path": path, "ts": ts, "event_type": etype, "event_id": eid}
+
+
+def test_stateful_debounce_emits_last_event_per_quiet_period(spark, tmp_path):
+    events_dir = str(tmp_path / "dev")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    # /a gets a 2-event burst (2s apart, inside the 5s gap); /b one event;
+    # /c's far-future event drives the watermark past both timeouts
+    _write_events(events_dir, "b1.json", [
+        _pev("/a", "2024-01-01T00:00:01Z", "create", 1),
+        _pev("/a", "2024-01-01T00:00:03Z", "modify", 2),
+        _pev("/b", "2024-01-01T00:00:02Z", "create", 3),
+        _pev("/c", "2024-01-01T00:01:40Z", "create", 4),
+    ])
+    _run_debounce(spark, events_dir, out_dir, ckpt)
+    _write_events(events_dir, "b2.json", [
+        _pev("/c", "2024-01-01T00:03:20Z", "create", 5),
+    ])
+    _run_debounce(spark, events_dir, out_dir, ckpt)
+
+    rows = {r["path"]: r for r in spark.read.parquet(out_dir).collect()}
+    # trailing-edge semantics: the burst collapses to its LAST event
+    assert rows["/a"]["event_id"] == 2
+    assert rows["/a"]["event_type"] == "modify"
+    assert rows["/b"]["event_id"] == 3
+    assert "/c" not in rows or rows["/c"]["event_id"] in (4, 5)
+
+    # a NEW /a burst after the flush starts a second debounce period
+    _write_events(events_dir, "b3.json", [
+        _pev("/a", "2024-01-01T00:04:00Z", "create", 6),
+    ])
+    _run_debounce(spark, events_dir, out_dir, ckpt)
+    _write_events(events_dir, "b4.json", [
+        _pev("/c", "2024-01-01T00:10:00Z", "create", 7),
+    ])
+    _run_debounce(spark, events_dir, out_dir, ckpt)
+
+    a_rows = sorted(
+        (
+            r["event_id"]
+            for r in spark.read.parquet(out_dir).collect()
+            if r["path"] == "/a"
+        )
+    )
+    assert a_rows == [2, 6]

@@ -453,3 +453,35 @@ def test_stateful_debounce_emits_last_event_per_quiet_period(spark, tmp_path):
         )
     )
     assert a_rows == [2, 6]
+
+
+def test_repair_converges_reconcile_to_empty(spark, dirs):
+    d = dirs
+    # seed the store with files a and b
+    _write_events(d["events"], "b1.json", [
+        {"path": "/w/a", "event_type": "create", "content": "alpha " * 30,
+         "ts": "2024-01-01T00:00:01Z"},
+        {"path": "/w/b", "event_type": "create", "content": "beta " * 30,
+         "ts": "2024-01-01T00:00:02Z"},
+    ])
+    _run(spark, d)
+    # drift: a changed on disk, b vanished, c appeared
+    snapshot = spark.createDataFrame(
+        [("/w/a", "alpha2 " * 30), ("/w/c", "gamma " * 30)],
+        "path string, content string",
+    )
+    diff = ingest.repair(spark, snapshot, d["store"], d["dlq"])
+    got = {r["path"]: r["status"] for r in diff.collect()}
+    assert got == {
+        "/w/a": "hash_mismatch",
+        "/w/b": "stale_in_store",
+        "/w/c": "missing_in_store",
+    }
+    # convergence: nothing left to reconcile, store matches the snapshot
+    assert ingest.reconcile(spark, snapshot, d["store"]).count() == 0
+    paths = {
+        r["path"] for r in _store(spark, d).select("path").distinct().collect()
+    }
+    assert paths == {"/w/a", "/w/c"}
+    # idempotent: a second repair is a no-op diff
+    assert ingest.repair(spark, snapshot, d["store"], d["dlq"]).count() == 0

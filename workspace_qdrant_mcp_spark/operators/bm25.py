@@ -158,3 +158,62 @@ def sparse_search_weighted(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def read_postings(
+    spark: SparkSession, postings_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The maintained sparse-postings table (empty-typed frame if the
+    store does not exist yet)."""
+    import os
+
+    if os.path.exists(postings_path):
+        try:
+            return spark.read.parquet(postings_path)
+        except Exception:
+            pass
+    return spark.createDataFrame([], f"{id_col} long, term string, tf long")
+
+
+def update_postings(
+    spark: SparkSession,
+    postings_path: str,
+    changed_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """S7 FTS index sink, upgraded from the scan-is-index stance to a
+    MAINTAINED posting store: delete the postings of changed/deleted
+    documents (one anti-join on the doc key), append the recomputed
+    postings of the changed documents only. INVARIANT (asserted in
+    test_postings_store): after any update sequence, the store equals
+    doc_terms() over the current corpus — the incremental index is
+    bit-identical to a full rebuild, so every sparse_search(terms=...)
+    caller gets exact results off the maintained table.
+
+    df/IDF deliberately stay query-time derivations over the postings
+    (the SURVEY §4 stance that replaces the reference's A4 IDF-drift
+    rebalancer): no global statistics table needs transactional
+    maintenance when documents churn.
+
+    Scale: the touched set is the DELTA's postings, not the corpus; the
+    anti-join prunes by doc key (partitionable by a doc-id bucket), the
+    append is delta-sized, and the overwrite is the same MERGE emulation
+    as the chunk store (Delta/Iceberg MERGE INTO at production scale)."""
+    existing = read_postings(spark, postings_path, id_col)
+    gone = None
+    if changed_docs is not None:
+        gone = changed_docs.select(F.col(id_col))
+    if deleted_ids is not None:
+        d = deleted_ids.select(F.col(id_col))
+        gone = d if gone is None else gone.unionByName(d)
+    kept = (
+        existing
+        if gone is None
+        else existing.join(gone.distinct(), id_col, "left_anti")
+    )
+    out = kept
+    if changed_docs is not None:
+        out = kept.unionByName(doc_terms(changed_docs, id_col, text_col))
+    out.localCheckpoint().write.mode("overwrite").parquet(postings_path)

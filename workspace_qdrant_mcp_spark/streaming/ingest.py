@@ -426,3 +426,45 @@ def reconcile(
         .distinct()
     )
     return reconcile_frames(fs_snapshot, store)
+
+
+def repair(
+    spark: SparkSession,
+    fs_snapshot: DataFrame,
+    store_path: str,
+    dlq_path: str,
+    embed_fn=None,
+) -> DataFrame:
+    """W6 closing the loop (startup/reconciliation/mod.rs enqueues the
+    diff as watcher events; here the diff IS the event batch): paths
+    missing from / mismatched in the store re-ingest through the normal
+    micro-batch path — same chunking, dedup-before-embed, idempotent
+    upsert and DLQ discipline — and stale store paths delete. Returns
+    the applied diff; a reconcile() immediately after repair is empty
+    (the convergence contract, asserted in test_streaming).
+
+    Scale: the diff is the full-outer path join reconcile() already does;
+    the repair batch is bounded by the DIFF size, not the corpus — a
+    steady-state reconciliation touches only what drifted."""
+    diff = reconcile(spark, fs_snapshot, store_path).localCheckpoint()
+    upserts = (
+        fs_snapshot.join(
+            diff.filter(F.col("status") != "stale_in_store").select("path"),
+            "path",
+        ).select(
+            "path",
+            F.lit("modify").alias("event_type"),
+            "content",
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    deletes = diff.filter(F.col("status") == "stale_in_store").select(
+        "path",
+        F.lit("remove").alias("event_type"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    batch = upserts.unionByName(deletes)
+    if len(batch.take(1)) > 0:
+        process_batch(spark, batch, store_path, dlq_path, embed_fn=embed_fn)
+    return diff

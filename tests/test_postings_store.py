@@ -80,3 +80,57 @@ def test_sparse_search_off_store_matches_fresh(spark, tmp_path):
     assert [(r["doc_id"], round(r["score"], 9)) for r in fresh] == [
         (r["doc_id"], round(r["score"], 9)) for r in stored
     ]
+
+
+def test_stream_maintains_postings_in_lockstep(spark, tmp_path):
+    """End-to-end: the ingest stream with postings_path keeps the FTS
+    table equal to doc_terms over the LIVE (path, latest-content) set —
+    through create, modify, and remove."""
+    import json
+    import os
+
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    events_dir = str(tmp_path / "events")
+    store = str(tmp_path / "store")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    postings = str(tmp_path / "postings")
+    os.makedirs(events_dir)
+
+    def run(name, rows):
+        with open(os.path.join(events_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        ingest.run_ingestion_stream(
+            spark, events_dir, store, dlq, ckpt, postings_path=postings
+        )
+
+    run("b1.json", [
+        {"path": "/w/a", "event_type": "create", "content": "alpha beta",
+         "ts": "2024-01-01T00:00:01Z"},
+        {"path": "/w/b", "event_type": "create", "content": "beta beta",
+         "ts": "2024-01-01T00:00:02Z"},
+    ])
+    run("b2.json", [
+        {"path": "/w/a", "event_type": "modify", "content": "gamma",
+         "ts": "2024-01-01T00:01:00Z"},
+        {"path": "/w/b", "event_type": "remove", "content": None,
+         "ts": "2024-01-01T00:01:01Z"},
+    ])
+
+    live = spark.createDataFrame(
+        [("/w/a", "gamma")], "path string, content string"
+    )
+    got = {
+        tuple(r)
+        for r in bm25.read_postings(
+            spark, postings, id_col="path", id_type="string"
+        ).select("path", "term", "tf").collect()
+    }
+    want = {
+        tuple(r)
+        for r in bm25.doc_terms(live, id_col="path", text_col="content")
+        .select("path", "term", "tf").collect()
+    }
+    assert got == want and len(got) > 0

@@ -161,7 +161,10 @@ def sparse_search_weighted(
 
 
 def read_postings(
-    spark: SparkSession, postings_path: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    postings_path: str,
+    id_col: str = "doc_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """The maintained sparse-postings table (empty-typed frame if the
     store does not exist yet)."""
@@ -172,7 +175,9 @@ def read_postings(
             return spark.read.parquet(postings_path)
         except Exception:
             pass
-    return spark.createDataFrame([], f"{id_col} long, term string, tf long")
+    return spark.createDataFrame(
+        [], f"{id_col} {id_type}, term string, tf long"
+    )
 
 
 def update_postings(
@@ -182,6 +187,7 @@ def update_postings(
     deleted_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_type: str = "long",
 ) -> None:
     """S7 FTS index sink, upgraded from the scan-is-index stance to a
     MAINTAINED posting store: delete the postings of changed/deleted
@@ -201,7 +207,7 @@ def update_postings(
     anti-join prunes by doc key (partitionable by a doc-id bucket), the
     append is delta-sized, and the overwrite is the same MERGE emulation
     as the chunk store (Delta/Iceberg MERGE INTO at production scale)."""
-    existing = read_postings(spark, postings_path, id_col)
+    existing = read_postings(spark, postings_path, id_col, id_type)
     gone = None
     if changed_docs is not None:
         gone = changed_docs.select(F.col(id_col))

@@ -188,6 +188,7 @@ def process_batch(
     park_path: str | None = None,
     embed_fn=None,
     quality_gate: bool = False,
+    postings_path: str | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -252,6 +253,11 @@ def process_batch(
                     .parquet(dlq_path)
                 )
             changed = changed.filter(passes)
+        if postings_path is not None:
+            # the postings update runs AFTER upsert_chunks overwrites the
+            # store, but `changed` is lazily derived from the PRE-upsert
+            # store listing — pin it now or the re-read hits deleted files
+            changed = changed.localCheckpoint()
         # dedup-before-embed (phrase-cache analog, generator.rs:176-302):
         # the embed provider sees each distinct chunk text once per batch
         try:
@@ -263,6 +269,20 @@ def process_batch(
             ).select("path", "file_hash", "chunk_index", "content", "embedding")
             if len(chunks.take(1)) > 0:
                 upsert_chunks(spark, store_path, chunks)
+            # S7 maintained FTS sink (opt-in): keep the sparse-postings
+            # table in lockstep with the chunk store — only the rows that
+            # actually upserted (post-gate `changed`) re-index
+            if postings_path is not None and len(changed.take(1)) > 0:
+                from ..operators.bm25 import update_postings
+
+                update_postings(
+                    spark,
+                    postings_path,
+                    changed_docs=changed.select("path", "content"),
+                    id_col="path",
+                    text_col="content",
+                    id_type="string",
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -278,6 +298,16 @@ def process_batch(
                 raise
         if len(deletes.take(1)) > 0:
             delete_paths(spark, store_path, deletes)
+            if postings_path is not None:
+                from ..operators.bm25 import update_postings
+
+                update_postings(
+                    spark,
+                    postings_path,
+                    deleted_ids=deletes,
+                    id_col="path",
+                    id_type="string",
+                )
     except Exception as exc:  # W3: dead-letter the failed batch with the error
         # Poison rows already went to the DLQ with their row-level reason;
         # dead-lettering the raw batch again would write them twice. Once
@@ -368,6 +398,7 @@ def run_ingestion_stream(
     allow_globs: list[str] | None = None,
     watchdog: EmbeddingWatchdog | None = None,
     park_path: str | None = None,
+    postings_path: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
@@ -383,6 +414,7 @@ def run_ingestion_stream(
             lambda b, _id: process_batch(
                 spark, b, store_path, dlq_path, ignore_globs, allow_globs,
                 watchdog=watchdog, park_path=park_path,
+                postings_path=postings_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

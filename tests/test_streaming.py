@@ -485,3 +485,27 @@ def test_repair_converges_reconcile_to_empty(spark, dirs):
     assert paths == {"/w/a", "/w/c"}
     # idempotent: a second repair is a no-op diff
     assert ingest.repair(spark, snapshot, d["store"], d["dlq"]).count() == 0
+
+
+def test_compact_store_shrinks_files_preserves_rows(spark, dirs):
+    d = dirs
+    # several micro-batches -> several store rewrites; fragment the store
+    for i in range(3):
+        _write_events(d["events"], f"c{i}.json", [
+            {"path": f"/w/f{i}", "event_type": "create",
+             "content": f"word{i} " * 40,
+             "ts": f"2024-01-01T00:00:0{i + 1}Z"},
+        ])
+        _run(spark, d)
+    before = {
+        tuple(r) for r in _store(spark, d)
+        .select("path", "chunk_index", "content").collect()
+    }
+    stats = ingest.compact_store(spark, d["store"], target_rows_per_file=10**6)
+    after = {
+        tuple(r) for r in _store(spark, d)
+        .select("path", "chunk_index", "content").collect()
+    }
+    assert after == before and len(after) > 0
+    assert stats["files_after"] == 1
+    assert stats["rows"] == len(before)

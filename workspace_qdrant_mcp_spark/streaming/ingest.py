@@ -500,3 +500,40 @@ def repair(
     if len(batch.take(1)) > 0:
         process_batch(spark, batch, store_path, dlq_path, embed_fn=embed_fn)
     return diff
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Operational compaction for the incrementally-maintained parquet
+    stores (chunk store, postings, DLQ are all append/overwrite-churned):
+    rewrite into ceil(rows / target_rows_per_file) range-partitioned
+    files ordered by path — the small-file problem is THE operational
+    failure mode of incremental upsert at 100 TB (every micro-batch
+    emits files; scan cost grows with file count, not data size), and
+    range-by-path layout keeps per-tenant scans clustered so path-prefix
+    predicates prune whole files via parquet min/max. Returns
+    {files_before, files_after, rows} for the maintenance log.
+
+    Content is bit-identical before/after (asserted in test_streaming);
+    at production scale this is OPTIMIZE/rewrite_data_files — same plan:
+    read, range-repartition on the layout key, atomic overwrite."""
+    import glob as _glob
+
+    def _n_files() -> int:
+        return len(_glob.glob(os.path.join(store_path, "*.parquet")))
+
+    before = _n_files()
+    df = spark.read.parquet(store_path)
+    rows = df.count()
+    n_out = max(1, -(-rows // target_rows_per_file))
+    (
+        df.repartitionByRange(n_out, "path")
+        .sortWithinPartitions("path")
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )
+    return {"files_before": before, "files_after": _n_files(), "rows": rows}

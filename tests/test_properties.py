@@ -584,3 +584,56 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
             continue
         assert got == want, (i, got, want)
         assert out[i]["is_kept"] == (want is None)
+
+
+# ---------------------------------------------------------------------------
+# DSIR log-weights vs a brute-force probability model
+# ---------------------------------------------------------------------------
+
+DSIR_DOCS = st.lists(
+    st.tuples(
+        st.text(alphabet=st.sampled_from(list("ab ")), max_size=20),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=DSIR_DOCS)
+@settings(**SETTINGS)
+def test_dsir_matches_bruteforce_model(spark, docs):
+    import math
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    rows = [
+        (i, t, "tgt" if is_t else "raw") for i, (t, is_t) in enumerate(docs)
+    ]
+    toks = {i: t.split() for i, t, _ in rows}
+    raw = Counter()
+    tgt = Counter()
+    for i, _, src in rows:
+        raw.update(toks[i])
+        if src == "tgt":
+            tgt.update(toks[i])
+    v = len(raw)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.dsir_logweights(df, target_value="tgt").collect()
+    }
+    for i, _, _ in rows:
+        if not toks[i]:
+            assert i not in out
+            continue
+        lrs = [
+            math.log((tgt[w] + 1.0) / (n_tgt + v))
+            - math.log((raw[w] + 1.0) / (n_raw + v))
+            for w in toks[i]
+        ]
+        assert out[i]["n_tokens"] == len(toks[i])
+        assert abs(out[i]["log_w"] - sum(lrs) / len(lrs)) < 1e-5, i

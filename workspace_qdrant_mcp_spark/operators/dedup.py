@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies, each with the plan shape that survives a 100 TB corpus:
+Seven strategies, each with the plan shape that survives a 100 TB corpus:
   - exact        : hash-groupBy on a content digest (one shuffle on a
                    16-byte key; see __spark_entry__ dedup_exact)
   - ngram Jaccard: word n-gram posting join → pair-count → Jaccard — the
@@ -14,6 +14,12 @@ Five strategies, each with the plan shape that survives a 100 TB corpus:
                    four 8-bit bands equal), then exact hamming verify
   - embedding    : cosine >= threshold within a blocking key (label here;
                    LSH/IVF buckets at scale), pairs only inside blocks
+  - SemDeDup     : nearest-centroid clusters as the blocking key, min-id
+                   exemplar keeps per within-cluster near-set
+                   (arXiv:2303.09540)
+  - repeated span: stride-windowed exact substring counts, per-doc
+                   duplicated-span fraction (arXiv:2107.06499 — the
+                   suffix array as a shuffle-friendly span aggregate)
 
 The reference's dedup is ingest-time content-hash skip (W5,
 strategies/processing/file/dedup.rs via ingest.rs:86-106); everything

@@ -239,3 +239,26 @@ def test_netpbm_whitespace_valued_first_sample():
     h, w, c, px = _decode_netpbm(b"P2\n2 2\n# hey\n15\n0 5 10 15\n")
     assert (h, w, c) == (2, 2, 1)
     assert np.allclose(px.ravel(), [0, 5 / 15, 10 / 15, 1.0])
+
+
+def test_resize_images_nearest_neighbor_known_grid(spark):
+    """resize: a hand-built 4x4 grayscale gradient PGM downsampled to 2x2
+    must pick exactly the NN source pixels floor(i*4/2) = rows/cols 0,2;
+    non-images and junk come back as error rows, not exceptions."""
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    # P5 maxval 255, 4x4: pixel (r, c) = 16*r + c (distinct everywhere)
+    body = bytes(16 * r + c for r in range(4) for c in range(4))
+    pgm = b"P5\n4 4\n255\n" + body
+    rows = [
+        (0, "image", pgm, "image/x-portable-graymap", 4, 4, None),
+        (1, "video", b"\x00\x00\x00\x18ftypmp42", "video/mp4", None, None, 1.0),
+        (2, "image", b"junk", "application/octet-stream", None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in mm.resize_images(assets, 2, 2).collect()}
+    want = [round((16 * r + c) / 255.0, 6) for r in (0, 2) for c in (0, 2)]
+    assert list(out[0]["pixels"]) == want
+    assert out[0]["error"] is None
+    assert out[1]["pixels"] is None and "image-only" in out[1]["error"]
+    assert out[2]["pixels"] is None and out[2]["error"]

@@ -387,6 +387,31 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(emb)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.asof_join): every 'error'
+    event joined to the user's most recent prior-or-simultaneous 'signup'
+    event. Spark's canonical missing operator, built as the union-tag +
+    forward-fill window (one shuffle on the key; never a nested loop).
+    Oracle = DuckDB LATERAL top-1 with the same (ts, event_id) tiebreak."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    lefts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    rights = ev.filter(F.col("event_type") == "signup")
+    return temporal.asof_join(lefts, rights)
+
+
+def _q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate ladder (temporal.multires_rollup):
+    hour rows + day subtotals + grand total in ONE pass via ROLLUP
+    grouping sets."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.multires_rollup(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 event-time tumbling rollup (streaming/windows.py) run in batch
     mode — the exact expression the watermarked stream runs incrementally
@@ -1918,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
         "dsir_logweights": _q_dsir_logweights,
+        "asof_join": _q_asof_join,
+        "events_multires_rollup": _q_events_multires_rollup,
         "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -1960,8 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
         "relevance_decay_hybrid": _q_decay_hybrid,
-        "scope_resolution": _q_scope_resolution,
-        "stub_resolution": _q_stub_resolution,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
@@ -1989,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_graph_betweenness,
         "predicate_stack": _q_predicate_stack,
         "rules_dedup_gate": _q_rules_dedup_gate,
+        "scope_resolution": _q_scope_resolution,
+        "stub_resolution": _q_stub_resolution,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "ingest_apply_events": _q_ingest_apply_events,
@@ -2069,6 +2096,8 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": oracles.repeated_spans(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "dsir_logweights": oracles.dsir_logweights(),
+        "asof_join": oracles.asof_join(),
+        "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),
         "ann_srp_topk": oracles.ann_srp_topk(ANN_QUERY_IDS),

@@ -1,0 +1,107 @@
+"""As-of join (union-tag + forward-fill window) and multi-resolution
+rollup on hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.operators import temporal
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).withColumn("ts", F.col("ts"))
+
+
+def _t(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_match_tie_and_miss(self, spark):
+        lefts = spark.createDataFrame(
+            [
+                (10, 1, _t("2024-01-01 00:00:05")),  # after r1, before r2
+                (11, 1, _t("2024-01-01 00:00:10")),  # ties r2 exactly
+                (12, 2, _t("2024-01-01 00:00:01")),  # user 2 has no right
+                (13, 3, _t("2024-01-01 00:00:02")),  # right exists but later
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        rights = spark.createDataFrame(
+            [
+                (1, 1, _t("2024-01-01 00:00:03")),
+                (2, 1, _t("2024-01-01 00:00:10")),
+                (3, 3, _t("2024-01-01 00:00:09")),
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = {
+            r["event_id"]: r
+            for r in temporal.asof_join(lefts, rights).collect()
+        }
+        assert out[10]["asof_event_id"] == 1
+        assert out[11]["asof_event_id"] == 2  # ts tie -> right visible
+        assert out[12]["asof_event_id"] is None
+        assert out[13]["asof_event_id"] is None
+        assert out[10]["asof_ts"] == _t("2024-01-01 00:00:03")
+
+    def test_equal_ts_rights_pick_max_event_id(self, spark):
+        lefts = spark.createDataFrame(
+            [(10, 1, _t("2024-01-01 00:00:05"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        rights = spark.createDataFrame(
+            [
+                (7, 1, _t("2024-01-01 00:00:02")),
+                (9, 1, _t("2024-01-01 00:00:02")),
+                (8, 1, _t("2024-01-01 00:00:02")),
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = temporal.asof_join(lefts, rights).collect()[0]
+        assert out["asof_event_id"] == 9
+
+    def test_plan_is_window_not_nested_loop(self, spark):
+        lefts = spark.createDataFrame(
+            [(1, 1, _t("2024-01-01 00:00:01"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            temporal.asof_join(lefts, lefts).explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan
+
+
+class TestMultiresRollup:
+    def test_ladder_levels_are_consistent(self, spark):
+        ev = _ev(spark, [
+            (1, 1, _t("2024-01-01 00:10:00"), 1.0),
+            (2, 1, _t("2024-01-01 00:50:00"), 2.0),
+            (3, 1, _t("2024-01-01 01:10:00"), 4.0),
+            (4, 1, _t("2024-01-02 05:00:00"), 8.0),
+        ])
+        rows = temporal.multires_rollup(ev).collect()
+        by_grp = {}
+        for r in rows:
+            by_grp.setdefault(r["grp"], []).append(r)
+        # fine level: 3 hours; day level: 2 days; grand total: 1
+        assert len(by_grp[0]) == 3
+        assert len(by_grp[1]) == 2
+        assert len(by_grp[3]) == 1
+        total = by_grp[3][0]
+        assert total["n_events"] == 4 and total["sum_value"] == 15.0
+        day1 = [r for r in by_grp[1] if str(r["day"]).startswith("2024-01-01")][0]
+        assert day1["n_events"] == 3 and day1["sum_value"] == 7.0
+        # every ladder level sums to the same total (the rollup invariant)
+        assert sum(r["n_events"] for r in by_grp[0]) == 4
+        assert sum(r["sum_value"] for r in by_grp[1]) == 15.0

@@ -2579,6 +2579,40 @@ FROM eff ORDER BY effective DESC, ts_ns ASC, event_id ASC LIMIT {limit}
 """
 
 
+def asof_join() -> str:
+    """Oracle for operators/temporal.asof_join: LATERAL top-1 backward
+    match with (ts DESC, event_id DESC) tiebreak — the ASOF JOIN
+    semantics spelled out so the tie rule is pinned on both engines."""
+    return """
+SELECT l.event_id, l.user_id, l.ts,
+       r.asof_ts, r.asof_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+LEFT JOIN LATERAL (
+  SELECT rr.ts AS asof_ts, rr.event_id AS asof_event_id
+  FROM events rr
+  WHERE rr.user_id = l.user_id AND rr.event_type = 'signup'
+    AND rr.ts <= l.ts
+  ORDER BY rr.ts DESC, rr.event_id DESC
+  LIMIT 1
+) r ON TRUE
+"""
+
+
+def events_multires_rollup() -> str:
+    """Oracle for operators/temporal.multires_rollup: ROLLUP grouping
+    sets with GROUPING_ID, day-trunc cast back to TIMESTAMP (DuckDB's
+    day-trunc yields DATE; Spark's stays TIMESTAMP)."""
+    return """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       GROUPING_ID(date_trunc('day', ts), date_trunc('hour', ts)) AS grp,
+       count(*) AS n_events,
+       round(sum("value"), 6) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 def events_hourly_rollup() -> str:
     """Oracle for streaming/windows.windowed_rollup in batch mode:
     tumbling 1-hour event-time windows == date_trunc buckets (UTC

@@ -412,6 +412,34 @@ def _q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.multires_rollup(load_table(spark, sf_dir, "events"))
 
 
+def _q_range_join_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (temporal.range_join): all events falling inside
+    the 5 busiest error hours — a no-equi-key interval join that would
+    otherwise plan as a nested loop; the bucket explode/equi-join keeps
+    it shuffle-shaped (plan asserted in test_temporal)."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    busy = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("start_ts"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("start_ts"))
+        .limit(5)
+        .select(
+            "start_ts",
+            (
+                F.col("start_ts") + F.expr("INTERVAL 59 MINUTES 59 SECONDS")
+            ).alias("end_ts"),
+        )
+    )
+    return temporal.range_join(
+        ev.select("event_id", "ts", "event_type"), busy
+    ).select(
+        "event_id", F.col("start_ts").alias("window_start"), "event_type"
+    )
+
+
 def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 event-time tumbling rollup (streaming/windows.py) run in batch
     mode — the exact expression the watermarked stream runs incrementally
@@ -1945,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweights": _q_dsir_logweights,
         "asof_join": _q_asof_join,
         "events_multires_rollup": _q_events_multires_rollup,
+        "range_join_busy_hours": _q_range_join_busy_hours,
         "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -1986,7 +2015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
         "parent_context": _q_parent_context,
-        "relevance_decay_hybrid": _q_decay_hybrid,
         "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
@@ -2014,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_graph_betweenness,
         "predicate_stack": _q_predicate_stack,
         "rules_dedup_gate": _q_rules_dedup_gate,
+        "relevance_decay_hybrid": _q_decay_hybrid,
         "scope_resolution": _q_scope_resolution,
         "stub_resolution": _q_stub_resolution,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
@@ -2097,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "dsir_logweights": oracles.dsir_logweights(),
         "asof_join": oracles.asof_join(),
+        "range_join_busy_hours": oracles.range_join_busy_hours(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

@@ -105,3 +105,57 @@ class TestMultiresRollup:
         # every ladder level sums to the same total (the rollup invariant)
         assert sum(r["n_events"] for r in by_grp[0]) == 4
         assert sum(r["sum_value"] for r in by_grp[1]) == 15.0
+
+
+class TestRangeJoin:
+    def test_containment_and_multi_interval(self, spark):
+        facts = spark.createDataFrame(
+            [
+                (1, _t("2024-01-01 00:30:00")),
+                (2, _t("2024-01-01 02:30:00")),   # no interval
+                (3, _t("2024-01-01 01:00:00")),   # boundary: in both
+            ],
+            "event_id long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                ("a", _t("2024-01-01 00:00:00"), _t("2024-01-01 01:00:00")),
+                ("b", _t("2024-01-01 01:00:00"), _t("2024-01-01 02:00:00")),
+            ],
+            "iid string, start_ts timestamp, end_ts timestamp",
+        )
+        out = {
+            (r["event_id"], r["iid"])
+            for r in temporal.range_join(facts, intervals).collect()
+        }
+        assert out == {(1, "a"), (3, "a"), (3, "b")}
+
+    def test_long_interval_spanning_many_buckets(self, spark):
+        facts = spark.createDataFrame(
+            [(1, _t("2024-01-03 12:00:00")), (2, _t("2024-01-09 00:00:00"))],
+            "event_id long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("wk", _t("2024-01-01 00:00:00"), _t("2024-01-08 00:00:00"))],
+            "iid string, start_ts timestamp, end_ts timestamp",
+        )
+        out = temporal.range_join(facts, intervals).collect()
+        assert [(r["event_id"], r["iid"]) for r in out] == [(1, "wk")]
+
+    def test_plan_is_bucket_equi_join(self, spark):
+        import contextlib
+        import io
+
+        facts = spark.createDataFrame(
+            [(1, _t("2024-01-01 00:30:00"))], "event_id long, ts timestamp"
+        )
+        intervals = spark.createDataFrame(
+            [("a", _t("2024-01-01 00:00:00"), _t("2024-01-01 01:00:00"))],
+            "iid string, start_ts timestamp, end_ts timestamp",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            temporal.range_join(facts, intervals).explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -98,3 +98,45 @@ def multires_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
         .select("day", "hour", "grp", "n_events", "sum_value")
     )
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Interval (range) join without an equi key: every fact row paired
+    with every interval containing its timestamp (inclusive bounds).
+    Spark plans a bare BETWEEN join as a nested loop; the scalable form
+    is BINNING: explode each interval into the time buckets it covers,
+    bucket the facts, equi-join on the bucket, keep the BETWEEN as a
+    residual, and the bucket key turns the cross product into
+    per-bucket work. bucket_secs trades explode fan-out (long intervals
+    → more bucket rows) against join selectivity — size it near the
+    median interval length; at 100 TB both sides shuffle once on the
+    bucket and skew is a hot WINDOW of time, salted like any hot key.
+
+    Output: all fact columns + all interval columns (callers project)."""
+    fb = facts.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bucket_secs).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bucket_secs).cast("long"),
+            )
+        ),
+    )
+    return (
+        fb.join(ib, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

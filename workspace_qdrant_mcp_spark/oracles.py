@@ -2613,6 +2613,22 @@ GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
 """
 
 
+def range_join_busy_hours() -> str:
+    """Oracle for temporal.range_join over the 5 busiest error hours:
+    the plain inequality join DuckDB can afford at oracle scale."""
+    return """
+WITH busy AS (
+  SELECT date_trunc('hour', ts) AS ws, count(*) AS c
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 ORDER BY c DESC, ws ASC LIMIT 5
+)
+SELECT e.event_id, b.ws AS window_start, e.event_type
+FROM events e JOIN busy b
+  ON e.ts >= b.ws
+ AND e.ts <= b.ws + INTERVAL 59 MINUTE + INTERVAL 59 SECOND
+"""
+
+
 def events_hourly_rollup() -> str:
     """Oracle for streaming/windows.windowed_rollup in batch mode:
     tumbling 1-hour event-time windows == date_trunc buckets (UTC

@@ -1960,13 +1960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 entries only). Front: queries new or code-changed this
         # round, then every r3-only row (those in round-4-edited files
         # first), then headline keepers; r4-green rows rotate to the
-        # tail and cycle back in later rounds. Late-r5 swaps: semdedup +
-        # repeated_spans are new (no row ever); dlq_decisions returns
-        # because e96e243 changed its code after its r4 row; displaced to
-        # r6: graph_betweenness (rows-only slot — betweenness_exact is
-        # its green value signal) and grouping_tag/embedding_affinity
-        # (r3-green, grouping.py untouched since; jaccard + structural
-        # keep the family's window presence).
+        # tail and cycle back in later rounds. Late-r5 swaps: ten
+        # first-ever rows enter (semdedup, repeated_spans,
+        # events_hourly_rollup, dsir_logweights, asof_join,
+        # events_multires_rollup, range_join_busy_hours, plus
+        # dlq_decisions re-entering because e96e243 changed its code
+        # after its r4 row). Displaced to the FRONT of the r6 rotation
+        # (all r3-green, their files untouched since, pytest-covered):
+        # predicate_stack, rules_dedup_gate, relevance_decay_hybrid,
+        # scope_resolution, stub_resolution, grouping_tag_affinity,
+        # grouping_embedding_affinity, and graph_betweenness (rows-only
+        # slot — betweenness_exact is its green value signal).
         "semdedup": _q_semdedup,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,

@@ -637,3 +637,86 @@ def test_dsir_matches_bruteforce_model(spark, docs):
         ]
         assert out[i]["n_tokens"] == len(toks[i])
         assert abs(out[i]["log_w"] - sum(lrs) / len(lrs)) < 1e-5, i
+
+
+# ---------------------------------------------------------------------------
+# as-of join / range join vs brute-force models
+# ---------------------------------------------------------------------------
+
+TS_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 3),        # user
+        st.integers(0, 50),       # seconds offset
+        st.booleans(),            # right-stream membership
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(evs=TS_EVENTS)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, evs):
+    import datetime
+
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=s), is_r)
+        for i, (u, s, is_r) in enumerate(evs)
+    ]
+    lefts = [(i, u, t) for i, u, t, is_r in rows if not is_r]
+    rights = [(i, u, t) for i, u, t, is_r in rows if is_r]
+    if not lefts:
+        return
+    ldf = spark.createDataFrame(
+        lefts, "event_id long, user_id long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        rights or [(999999, -1, base)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r["event_id"]: r for r in temporal.asof_join(ldf, rdf).collect()}
+    for i, u, t in lefts:
+        cands = [(rt, ri) for ri, ru, rt in (rights or []) if ru == u and rt <= t]
+        want = max(cands) if cands else None
+        got = out[i]["asof_event_id"]
+        assert got == (want[1] if want else None), (i, got, want)
+
+
+@given(evs=TS_EVENTS, b=st.integers(2, 10))
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, evs, b):
+    import datetime
+
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    base = datetime.datetime(2024, 1, 1)
+    facts = [
+        (i, base + datetime.timedelta(seconds=s))
+        for i, (u, s, _) in enumerate(evs)
+    ]
+    intervals = [
+        ("i0", base + datetime.timedelta(seconds=5),
+         base + datetime.timedelta(seconds=20)),
+        ("i1", base + datetime.timedelta(seconds=18),
+         base + datetime.timedelta(seconds=18)),   # degenerate point
+        ("i2", base + datetime.timedelta(seconds=30),
+         base + datetime.timedelta(seconds=49)),
+    ]
+    fdf = spark.createDataFrame(facts, "event_id long, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "iid string, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        (r["event_id"], r["iid"])
+        for r in temporal.range_join(fdf, idf, bucket_secs=b).collect()
+    }
+    want = {
+        (i, iid)
+        for i, t in facts
+        for iid, s, e in intervals
+        if s <= t <= e
+    }
+    assert got == want

@@ -451,6 +451,16 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source near-dup overlap matrix (dedup.cross_source_overlap)
+    over the n-gram-Jaccard pair graph — the corpus-audit report mixture
+    builds read. Below the r5 window by design (first-ever queries took
+    the 50 slots); rotates to a driver row in r6; oracle + pytest now."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(dedup.with_near_copies(docs))
+    return dedup.cross_source_overlap(docs, pairs)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): nearest-centroid
     blocking then min-id exemplar keep within each near-set; the
@@ -2023,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
         # -- r4-green; rotated past the 50-row window this round ---------
+        "cross_source_overlap": _q_cross_source_overlap,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2131,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": oracles.dsir_logweights(),
         "asof_join": oracles.asof_join(),
         "range_join_busy_hours": oracles.range_join_busy_hours(),
+        "cross_source_overlap": oracles.cross_source_overlap(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

@@ -117,3 +117,29 @@ class TestRepeatedSpans:
         )
         assert bad.count() == 0
         assert out.count() == 10
+
+
+class TestCrossSourceOverlap:
+    def test_matrix_from_hand_built_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s0"), (2, "s0"), (3, "s1"), (4, "s2")],
+            "doc_id long, source string",
+        )
+        pairs = spark.createDataFrame(
+            [
+                (1, 2, 0.9),            # s0 x s0
+                (1, 3, 0.7),            # s0 x s1
+                (3, 2000001, 0.5),      # near-copy of doc 1 -> s0 x s1
+                (4, 2000002, 0.6),      # copy of doc 2 -> s0 x s2
+            ],
+            "id_a long, id_b long, jaccard double",
+        )
+        out = {
+            (r["source_a"], r["source_b"]): (r["n_pairs"], r["avg_jaccard"])
+            for r in dedup.cross_source_overlap(docs, pairs).collect()
+        }
+        assert out == {
+            ("s0", "s0"): (1, 0.9),
+            ("s0", "s1"): (2, 0.6),
+            ("s0", "s2"): (1, 0.6),
+        }

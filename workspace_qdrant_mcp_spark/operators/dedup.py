@@ -45,6 +45,7 @@ SIMHASH_BANDS = 4
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.9
 HAMMING_THRESHOLD = 3
+NEAR_COPY_OFFSET = 2000000  # synthetic near-copy id offset (both corpora)
 
 
 # ---------------------------------------------------------------------------
@@ -627,3 +628,60 @@ def strip_boilerplate(lines: DataFrame, min_docs: int = 3) -> DataFrame:
         .select("content")
     )
     return lines.join(boiler, "content", "left_anti").select(*lines.columns)
+
+
+def cross_source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs, avg_jaccard) — near-dup pairs rolled
+    up to the source x source overlap matrix (source_a <= source_b): the
+    report a mixture build reads to spot cross-corpus contamination and
+    set dedup-aware mixture weights (the standard companion table to the
+    per-pair dedup output in large-scale corpus audits).
+
+    `pairs` is any (id_a, id_b, jaccard) near-dup table; synthetic
+    near-copy ids (>= 2000000, with_near_copies) map back to the original
+    document's source. Scale: two equi-joins against the (doc_id, source)
+    dimension + one groupBy on the bounded sources^2 key space — the
+    matrix never outgrows the square of the source COUNT, regardless of
+    corpus size."""
+
+    def norm(c):
+        return F.when(
+            F.col(c) >= NEAR_COPY_OFFSET, F.col(c) - NEAR_COPY_OFFSET
+        ).otherwise(F.col(c))
+
+    src = docs.select("doc_id", "source")
+    p = pairs.select(
+        norm("id_a").alias("da"), norm("id_b").alias("db"), "jaccard"
+    )
+    j = (
+        p.join(
+            src.select(
+                F.col("doc_id").alias("da"), F.col("source").alias("sa")
+            ),
+            "da",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("db"), F.col("source").alias("sb")
+            ),
+            "db",
+        )
+    )
+    # average in exact integer micro-units: float partial sums are
+    # order-dependent across partitions and a mean landing on a rounding
+    # boundary flips the 6th decimal between engines; integer sums are
+    # exact, so the final division + round is bit-identical to the oracle
+    jm = F.round(F.col("jaccard") * 1e6).cast("bigint")
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(jm).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )

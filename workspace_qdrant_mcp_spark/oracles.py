@@ -393,6 +393,33 @@ jpairs AS MATERIALIZED (
 )"""
 
 
+def cross_source_overlap(n: int = 3, threshold: float = 0.5) -> str:
+    """Oracle for dedup.cross_source_overlap over the n-gram-Jaccard
+    pairs: near-copy ids fold back to the original doc's source, matrix
+    keyed (least, greatest) source pair."""
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+{_ngram_pair_ctes(n, threshold)},
+folded AS (
+  SELECT CASE WHEN id_a >= 2000000 THEN id_a - 2000000 ELSE id_a END AS da,
+         CASE WHEN id_b >= 2000000 THEN id_b - 2000000 ELSE id_b END AS db,
+         jaccard
+  FROM jpairs
+)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs,
+       -- exact integer micro-unit average (mirrors the Spark side):
+       -- float partial sums are order-dependent; integer sums are not
+       round(CAST(sum(CAST(round(round(jaccard, 6) * 1000000) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_jaccard
+FROM folded
+JOIN documents sa ON sa.doc_id = folded.da
+JOIN documents sb ON sb.doc_id = folded.db
+GROUP BY 1, 2
+"""
+
+
 def dedup_survivors(n: int = 3, threshold: float = 0.5, n_iters: int = 15) -> str:
     """Dedup decision table (operators/dedup.survivors): canonical id per
     near-dup component via n_iters matched min-label rounds over the

@@ -451,6 +451,16 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (textstats.winnowing_fingerprints,
+    Schleimer et al. 2003 / MOSS) — the local fingerprinting companion to
+    the global `doc_fingerprint`. Below the r5 window by design; rotates
+    to a driver row in r6; oracle + pytest now."""
+    return textstats.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source x source near-dup overlap matrix (dedup.cross_source_overlap)
     over the n-gram-Jaccard pair graph — the corpus-audit report mixture
@@ -2034,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_chunks": _q_nested_chunks,
         # -- r4-green; rotated past the 50-row window this round ---------
         "cross_source_overlap": _q_cross_source_overlap,
+        "winnowing_fps": _q_winnowing_fps,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2143,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracles.asof_join(),
         "range_join_busy_hours": oracles.range_join_busy_hours(),
         "cross_source_overlap": oracles.cross_source_overlap(),
+        "winnowing_fps": oracles.winnowing_fingerprints(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

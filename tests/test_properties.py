@@ -720,3 +720,61 @@ def test_range_join_matches_bruteforce(spark, evs, b):
         if s <= t <= e
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints vs the textbook algorithm
+# ---------------------------------------------------------------------------
+
+WIN_TEXTS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abC ")), max_size=30),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=WIN_TEXTS, k=st.integers(2, 5), w=st.integers(2, 5))
+@settings(**SETTINGS)
+def test_winnowing_matches_textbook_model(spark, texts, k, w):
+    """Python re-derivation of Schleimer et al.: per full window of w
+    consecutive k-gram hashes, select the (leftmost-min-hash, pos) pair;
+    docs with < w grams are one truncated window."""
+    from workspace_qdrant_mcp_spark.functions.hashing import md5_hash64
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # get the exact per-gram hashes from the same Spark expression the
+    # operator uses, then run the textbook selection in Python
+    m = 1 << 32
+    hashed = {
+        (r["doc_id"], r["pos"]): r["h"]
+        for r in df.selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(1, greatest(length(text)-{k-1},0)),"
+            f" i -> substring(text, i, {k}))) AS (pos0, g)",
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            (((md5_hash64(F.col("g")) % m) + m) % m).alias("h"),
+        )
+        .collect()
+    }
+    want = set()
+    for i, t in rows:
+        n_g = max(len(t) - (k - 1), 0)
+        if n_g == 0:
+            continue
+        n_starts = max(n_g - (w - 1), 1)
+        for p in range(1, n_starts + 1):
+            frame = [
+                (hashed[(i, q)], q)
+                for q in range(p, min(p + w, n_g + 1))
+            ]
+            want.add((i, min(frame)[1], min(frame)[0]))
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in textstats.winnowing_fingerprints(df, k=k, window=w).collect()
+    }
+    assert got == want

@@ -337,3 +337,80 @@ def fingerprint(
         F.col(id_col),
         F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fp"),
     )
+
+
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): hash every char k-gram and
+    select, for every window of `window` consecutive hashes, that
+    window's minimum (leftmost position on hash ties — the paper uses
+    rightmost; either satisfies the winnowing guarantee, the tie side is
+    pinned for oracle parity). Guarantee: any substring of length >=
+    k + window - 1 shared by two documents produces a shared selected
+    fingerprint — the local, position-robust plagiarism/dedup signal a
+    global content hash (`fingerprint`) cannot give. Documents shorter
+    than k select nothing; documents with fewer than `window` grams are
+    one truncated window (whole-doc min).
+
+    Plan: k-gram posexplode → nonneg 32-bit md5-derived hash → the
+    (hash, pos) pair packed into ONE int64 key (h * 2^20 + pos — exact
+    while docs stay under 2^20 chars) → a single forward rows-window min
+    per window start → distinct decode. All JVM-side window work
+    partitioned by doc; selected density ~2/(window+1) of positions
+    bounds the output."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.hashing import md5_hash64
+
+    m = 1 << 32
+    pk = 1 << 20
+    grams = fan_out(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+            # so short docs must produce an empty array, not bogus grams
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN "
+                f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> substring({text_col}, i, {k})) "
+                f"ELSE array() END"
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            ((md5_hash64(F.col("g")) % F.lit(m)) + F.lit(m)) % F.lit(m)
+        ).alias("h"),
+    )
+    keyed = grams.select(
+        id_col,
+        "pos",
+        (F.col("h") * F.lit(pk) + F.col("pos")).alias("key"),
+    )
+    part = W.partitionBy(id_col)
+    fwd = part.orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    return (
+        keyed.withColumn("n_g", F.count(F.lit(1)).over(part))
+        .withColumn("wkey", F.min("key").over(fwd))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_g") - F.lit(window - 1), F.lit(1))
+        )
+        .select(
+            id_col,
+            (F.col("wkey") % F.lit(pk)).alias("pos"),
+            # integer div, not floor(double /): exact for all key widths
+            F.expr(f"wkey div {pk}").alias("fp"),
+        )
+        .distinct()
+    )

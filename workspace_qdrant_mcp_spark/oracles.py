@@ -2888,6 +2888,39 @@ FROM hits
 """
 
 
+def winnowing_fingerprints(k: int = 5, window: int = 4) -> str:
+    """Oracle for textstats.winnowing_fingerprints: same packed
+    (hash, pos) int64 key, same forward window min, same full-window
+    start filter, pure integer decode."""
+    h = duckdb_md5_hash64_sql(f"substr(text, i, {k})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, greatest(length(text) - {k - 1}, 0) AS ng
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         ((({h}) % 4294967296) + 4294967296) % 4294967296 AS h
+  FROM d, LATERAL unnest(generate_series(1, ng)) AS t(i)
+  WHERE ng > 0
+),
+k2 AS (
+  SELECT doc_id, pos, h * 1048576 + pos AS key,
+         count(*) OVER (PARTITION BY doc_id) AS n_g
+  FROM g
+),
+w AS (
+  SELECT doc_id, pos, n_g,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS wkey
+  FROM k2
+)
+SELECT DISTINCT doc_id, wkey % 1048576 AS pos, wkey // 1048576 AS fp
+FROM w WHERE pos <= greatest(n_g - {window - 1}, 1)
+"""
+
+
 def doc_fingerprint() -> str:
     return """
 SELECT doc_id,

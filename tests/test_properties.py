@@ -553,6 +553,13 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
         i: max(cents, key=lambda j: (cos(model[i], cents[j]), -j))
         for i in model
     }
+    # knife-edge guard #1: if any vector's top-2 centroid cosines are
+    # within float noise, the ASSIGNMENT itself is ambiguous between this
+    # double model and Spark's float32-sourced arithmetic — skip
+    for i in model:
+        cs = sorted((cos(model[i], c) for c in cents.values()), reverse=True)
+        if len(cs) > 1 and cs[0] - cs[1] < 1e-6:
+            return
     expected = {}
     for i in model:
         sims = [
@@ -574,8 +581,8 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
     assert set(out) == set(model)
     for i, want in expected.items():
         got = out[i]["dropped_for"]
-        # skip knife-edge disagreements: float32 storage vs the python
-        # model can flip a pair sitting exactly at the threshold
+        # knife-edge guard #2: float32 storage vs the python model can
+        # flip a pair sitting exactly at the similarity threshold
         margin = [
             abs(cos(model[i], model[j]) - thr)
             for j in model if j != i and assign[j] == assign[i]

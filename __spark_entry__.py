@@ -451,6 +451,15 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
+    indexed-file rollup over the chunk store — files + chunk counts.
+    Below the r5 window by design; rotates to a driver row in r6."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    return WqmEngine(spark, sf_dir).list_files(mode="summary")
+
+
 def _q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (textstats.winnowing_fingerprints,
     Schleimer et al. 2003 / MOSS) — the local fingerprinting companion to
@@ -2045,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4-green; rotated past the 50-row window this round ---------
         "cross_source_overlap": _q_cross_source_overlap,
         "winnowing_fps": _q_winnowing_fps,
+        "list_summary": _q_list_summary,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2155,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_busy_hours": oracles.range_join_busy_hours(),
         "cross_source_overlap": oracles.cross_source_overlap(),
         "winnowing_fps": oracles.winnowing_fingerprints(),
+        "list_summary": oracles.list_summary(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

@@ -2888,6 +2888,23 @@ FROM hits
 """
 
 
+def list_summary() -> str:
+    """Oracle for api.list_files(mode='summary'): per-tenant file/chunk
+    rollup over the derived chunk store (tenant = source, one file per
+    document)."""
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+j AS (
+  SELECT c.doc_id, d.source
+  FROM chunks c JOIN documents d USING (doc_id)
+)
+SELECT source AS tenant_id,
+       count(DISTINCT doc_id) AS n_files,
+       count(*) AS n_chunks
+FROM j GROUP BY source
+"""
+
+
 def winnowing_fingerprints(k: int = 5, window: int = 4) -> str:
     """Oracle for textstats.winnowing_fingerprints: same packed
     (hash, pos) int64 key, same forward window min, same full-window

@@ -460,6 +460,15 @@ def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WqmEngine(spark, sf_dir).list_files(mode="summary")
 
 
+def _q_list_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`list` tool tree mode (§2.10, list/tree.rs renderer as data): one
+    row per directory prefix at every depth with its file count. Below
+    the r5 window by design; rotates to a driver row in r6."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    return WqmEngine(spark, sf_dir).list_files(mode="tree")
+
+
 def _q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (textstats.winnowing_fingerprints,
     Schleimer et al. 2003 / MOSS) — the local fingerprinting companion to
@@ -2055,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": _q_cross_source_overlap,
         "winnowing_fps": _q_winnowing_fps,
         "list_summary": _q_list_summary,
+        "list_tree": _q_list_tree,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2166,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_overlap": oracles.cross_source_overlap(),
         "winnowing_fps": oracles.winnowing_fingerprints(),
         "list_summary": oracles.list_summary(),
+        "list_tree": oracles.list_tree(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

@@ -266,6 +266,23 @@ class WqmEngine:
             return files.groupBy("tenant_id").agg(
                 F.count(F.lit(1)).alias("n_files"), F.sum("n_chunks").alias("n_chunks")
             )
+        if mode == "tree":
+            # tree.rs renderer as data: one row per directory prefix at
+            # every depth with its file count (the CASE guards Spark's
+            # descending sequence(1, 0) for separator-free paths)
+            pref = files.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(relative_path, '/')) > 1 THEN "
+                        "transform(sequence(1, size(split(relative_path, '/')) - 1),"
+                        " i -> array_join(slice(split(relative_path, '/'), 1, i), '/')) "
+                        "ELSE array() END"
+                    )
+                ).alias("dir_path")
+            )
+            return pref.groupBy("dir_path").agg(
+                F.count(F.lit(1)).alias("n_files")
+            ).withColumn("depth", F.size(F.split("dir_path", "/")))
         return files.orderBy("tenant_id", "relative_path").limit(limit)
 
     # -- rules (R21 dedup gate) --------------------------------------------

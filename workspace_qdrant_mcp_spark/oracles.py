@@ -2905,6 +2905,27 @@ FROM j GROUP BY source
 """
 
 
+def list_tree() -> str:
+    """Oracle for api.list_files(mode='tree'): per-directory-prefix file
+    counts at every depth over the derived path scheme."""
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+files AS (
+  SELECT DISTINCT 'src/' || d.source || '/doc_' || c.doc_id || '.txt' AS p
+  FROM chunks c JOIN documents d USING (doc_id)
+),
+parts AS (SELECT p, string_split(p, '/') AS seg FROM files),
+pref AS (
+  SELECT array_to_string(seg[1:i], '/') AS dir_path
+  FROM parts, LATERAL unnest(generate_series(1, len(seg) - 1)) AS t(i)
+  WHERE len(seg) > 1
+)
+SELECT dir_path, count(*) AS n_files,
+       len(string_split(dir_path, '/')) AS depth
+FROM pref GROUP BY dir_path
+"""
+
+
 def winnowing_fingerprints(k: int = 5, window: int = 4) -> str:
     """Oracle for textstats.winnowing_fingerprints: same packed
     (hash, pos) int64 key, same forward window min, same full-window

@@ -451,6 +451,13 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality scoring (textstats.bigram_logppl) —
+    one step closer to CCNet's KenLM than the unigram twin: word
+    TRANSITIONS, not bag-of-words. Below the r5 window; r6 rotation."""
+    return textstats.bigram_logppl(load_table(spark, sf_dir, "documents"))
+
+
 def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
     indexed-file rollup over the chunk store — files + chunk counts.
@@ -2065,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fps": _q_winnowing_fps,
         "list_summary": _q_list_summary,
         "list_tree": _q_list_tree,
+        "bigram_logppl": _q_bigram_logppl,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2177,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fps": oracles.winnowing_fingerprints(),
         "list_summary": oracles.list_summary(),
         "list_tree": oracles.list_tree(),
+        "bigram_logppl": oracles.bigram_logppl(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

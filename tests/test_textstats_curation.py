@@ -225,3 +225,40 @@ def test_unigram_logppl_hand_computed(spark):
     # the all-common-words doc is MORE typical (lower logppl) than the
     # doc containing the rare word
     assert out[1]["logppl"] < out[2]["logppl"]
+
+
+class TestBigramLogppl:
+    def test_hand_computed_conditional(self, spark):
+        # corpus: "a b", "a b", "a c", "solo" -> bigrams: (a b)x2, (a c)x1
+        # c(a .) = 3, V = 4 (a, b, c, solo — the vocab counts ALL tokens)
+        # p(b|a) = (2+1)/(3+4) = 3/7 ; p(c|a) = (1+1)/(3+4) = 2/7
+        import math
+
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in textstats.bigram_logppl(docs).collect()
+        }
+        assert set(out) == {1, 2, 3}          # doc 4 has < 2 tokens
+        assert out[1]["n_bigrams"] == 1
+        assert out[1]["logppl"] == round(-math.log(3 / 7), 6)
+        assert out[3]["logppl"] == round(-math.log(2 / 7), 6)
+
+    def test_transition_signal_beats_bag_of_words(self, spark):
+        # same unigram bag, scrambled transitions -> higher bigram ppl
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        base = [(i, "the cat sat on the mat") for i in range(1, 9)]
+        docs = spark.createDataFrame(
+            base + [(9, "mat the on sat cat the")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["logppl"]
+            for r in textstats.bigram_logppl(docs).collect()
+        }
+        assert out[9] > out[1]

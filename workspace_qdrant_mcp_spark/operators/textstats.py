@@ -414,3 +414,69 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def bigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, logppl) — bigram conditional-LM quality score,
+    one step closer to CCNet's 5-gram KenLM than `unigram_logppl`:
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with add-one smoothing
+    over the corpus unigram vocabulary V; logppl = -mean ln p over the
+    document's bigrams. Lower = more typical word TRANSITIONS (the
+    signal n-gram LMs add over bag-of-words). Docs with < 2 tokens have
+    no bigram and are absent, like the unigram twin.
+
+    Plan: ONE bigram explode feeding the bigram count table; the
+    context table c(w1 ·) is a second aggregate OF THE COUNT TABLE (not
+    a second corpus scan); V comes from a window over the context table
+    (bounded vocabulary). Joins key on the bigram / its first word —
+    word-count shapes throughout."""
+    from pyspark.sql import Window
+
+    bg_expr = (
+        f"CASE WHEN size(__toks) >= 2 THEN "
+        f"transform(sequence(1, size(__toks) - 1),"
+        f" i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+        f"ELSE array() END"
+    )
+    bg = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(bg_expr)).alias("bg"))
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = cnt.withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    ).groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    # V = corpus unigram vocabulary (all tokens, incl. doc-final ones)
+    uni = (
+        fan_out(docs)
+        .select(F.explode(_ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_all = Window.partitionBy()
+    vtab = uni.select(
+        F.count(F.lit(1)).over(w_all).alias("v")
+    ).limit(1)
+    p = (
+        cnt.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vtab))
+        .select(
+            "bg",
+            (
+                (F.col("c_bg") + F.lit(1.0))
+                / (F.col("c_ctx") + F.col("v"))
+            ).alias("pw"),
+        )
+    )
+    return (
+        bg.join(p, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(-F.avg(F.log("pw")), 6).alias("logppl"),
+        )
+    )

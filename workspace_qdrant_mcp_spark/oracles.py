@@ -3274,6 +3274,43 @@ FROM d
 """
 
 
+def bigram_logppl() -> str:
+    """Oracle for textstats.bigram_logppl: add-one-smoothed conditional
+    bigram LM over the corpus, p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V)."""
+    return """
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+  FROM cnt GROUP BY 1
+),
+vt AS (
+  SELECT count(DISTINCT tk) AS v
+  FROM (SELECT unnest(w) AS tk FROM tokd)
+),
+p AS (
+  SELECT cnt.bg, (cnt.c_bg + 1.0) / (ctx.c_ctx + vt.v) AS pw
+  FROM cnt JOIN ctx ON split_part(cnt.bg, ' ', 1) = ctx.w1, vt
+),
+d AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, -avg(ln(p.pw)) AS lp
+  FROM bg b JOIN p USING (bg) GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, round(lp, 6) AS logppl
+FROM d
+"""
+
+
 def unigram_logppl() -> str:
     """Deterministic unigram-LM perplexity — mirrors
     textstats.unigram_logppl (add-one smoothing over the corpus vocab,

@@ -462,18 +462,14 @@ def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
     indexed-file rollup over the chunk store — files + chunk counts.
     Below the r5 window by design; rotates to a driver row in r6."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    return WqmEngine(spark, sf_dir).list_files(mode="summary")
+    return _engine(spark, sf_dir).list_files(mode="summary")
 
 
 def _q_list_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool tree mode (§2.10, list/tree.rs renderer as data): one
     row per directory prefix at every depth with its file count. Below
     the r5 window by design; rotates to a driver row in r6."""
-    from workspace_qdrant_mcp_spark.api import WqmEngine
-
-    return WqmEngine(spark, sf_dir).list_files(mode="tree")
+    return _engine(spark, sf_dir).list_files(mode="tree")
 
 
 def _q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:

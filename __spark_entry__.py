@@ -451,6 +451,23 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase (sessions.funnel):
+    strict event-time ordering between stages via chained min-frontier
+    aggregates. Below the r5 window; r6 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sessions
+
+    return sessions.funnel(load_table(spark, sf_dir, "events"))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle (sessions.cohort_retention). Below
+    the r5 window; r6 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sessions
+
+    return sessions.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def _q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM quality scoring (textstats.bigram_logppl) —
     one step closer to CCNet's KenLM than the unigram twin: word
@@ -2069,6 +2086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_summary": _q_list_summary,
         "list_tree": _q_list_tree,
         "bigram_logppl": _q_bigram_logppl,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2182,6 +2201,8 @@ def oracle_sql() -> dict[str, str]:
         "list_summary": oracles.list_summary(),
         "list_tree": oracles.list_tree(),
         "bigram_logppl": oracles.bigram_logppl(),
+        "funnel_conversion": oracles.funnel_conversion(),
+        "cohort_retention": oracles.cohort_retention(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

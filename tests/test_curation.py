@@ -313,3 +313,56 @@ class TestDsirLogweights:
         )
         out = curation.dsir_logweights(docs, target_value="tgt")
         assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestFunnelAndCohort:
+    def _ev(self, spark, rows):
+        from pyspark.sql import functions as FF
+
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", FF.to_timestamp("ts"))
+
+    def test_funnel_enforces_strict_order(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sessions
+
+        ev = self._ev(spark, [
+            # user 1: full ordered funnel
+            (1, 1, "2024-01-01 00:00:01", "view"),
+            (2, 1, "2024-01-01 00:00:02", "click"),
+            (3, 1, "2024-01-01 00:00:03", "purchase"),
+            # user 2: clicked BEFORE viewing -> stalls at view
+            (4, 2, "2024-01-01 00:00:01", "click"),
+            (5, 2, "2024-01-01 00:00:02", "view"),
+            # user 3: view+click only
+            (6, 3, "2024-01-01 00:00:01", "view"),
+            (7, 3, "2024-01-01 00:00:02", "click"),
+            # user 4: purchase without any view -> counts nowhere
+            (8, 4, "2024-01-01 00:00:01", "purchase"),
+        ])
+        out = {
+            r["stage"]: r["n_users"]
+            for r in sessions.funnel(ev).collect()
+        }
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_cohort_triangle_hand_built(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sessions
+
+        ev = self._ev(spark, [
+            (1, 1, "2024-01-01 10:00:00", "view"),   # cohort d0
+            (2, 1, "2024-01-02 09:00:00", "view"),   # active d1
+            (3, 1, "2024-01-04 09:00:00", "view"),   # active d3
+            (4, 2, "2024-01-01 11:00:00", "view"),   # cohort d0
+            (5, 3, "2024-01-02 11:00:00", "view"),   # cohort d1 (own day 0)
+        ])
+        out = {
+            (str(r["cohort_day"])[:10], r["day_offset"]): r["n_users"]
+            for r in sessions.cohort_retention(ev).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 3): 1,
+            ("2024-01-02", 0): 1,
+        }

@@ -2656,6 +2656,55 @@ FROM events e JOIN busy b
 """
 
 
+def funnel_conversion(
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> str:
+    """Oracle for sessions.funnel: chained min-frontier CTEs, strict
+    event-time ordering between stages."""
+    ctes = []
+    selects = []
+    for idx, st in enumerate(stages):
+        name = f"s{idx + 1}"
+        if idx == 0:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            prev = f"s{idx}"
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t"
+                f" FROM events e JOIN {prev} p ON e.user_id = p.user_id"
+                f" WHERE e.event_type = '{st}' AND e.ts > p.t"
+                f" GROUP BY e.user_id)"
+            )
+        selects.append(
+            f"SELECT {idx + 1} AS stage_index, '{st}' AS stage,"
+            f" (SELECT count(*) FROM {name}) AS n_users"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention() -> str:
+    """Oracle for sessions.cohort_retention: first-event-day cohorts ×
+    active-day offsets (day-trunc cast to TIMESTAMP for Spark parity)."""
+    return """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+       count(*) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def events_hourly_rollup() -> str:
     """Oracle for streaming/windows.windowed_rollup in batch mode:
     tumbling 1-hour event-time windows == date_trunc buckets (UTC

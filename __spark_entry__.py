@@ -451,6 +451,18 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate over events
+    (sketches.hll_estimate): oracle-exact registers AND estimate — the
+    cross-engine-verifiable sketch Spark's approx_count_distinct cannot
+    be. Below the r5 window; r6 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.hll_estimate(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
 def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view→click→purchase (sessions.funnel):
     strict event-time ordering between stages via chained min-frontier
@@ -2088,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logppl": _q_bigram_logppl,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
+        "hll_distinct_users": _q_hll_distinct_users,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2203,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logppl": oracles.bigram_logppl(),
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
+        "hll_distinct_users": oracles.hll_distinct_users(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

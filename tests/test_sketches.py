@@ -1,0 +1,55 @@
+"""Deterministic HyperLogLog: accuracy within theory, register
+mergeability (the property that makes sketches work distributed), and
+the linear-counting small-range correction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workspace_qdrant_mcp_spark.operators import sketches
+
+
+def _ids(spark, lo, hi, col="k"):
+    return spark.range(lo, hi).select(F.col("id").alias(col))
+
+
+def test_estimate_within_theoretical_error(spark):
+    # 50k distinct — far beyond linear counting; 1.04/sqrt(256) = 6.5%
+    # relative standard error, assert within 4 sigma
+    n = 50_000
+    out = sketches.hll_estimate(_ids(spark, 0, n), "k").collect()[0]
+    assert out["exact_distinct"] == n
+    rel = abs(out["hll_estimate"] - n) / n
+    assert rel < 4 * sketches.hll_error_bound(), rel
+    assert out["n_nonzero"] == out["m"]  # every register hit at 50k
+
+
+def test_small_range_uses_linear_counting(spark):
+    out = sketches.hll_estimate(_ids(spark, 0, 30), "k").collect()[0]
+    assert out["n_nonzero"] <= 30
+    # linear counting at tiny cardinality is very tight
+    assert abs(out["hll_estimate"] - 30) < 6
+
+
+def test_registers_merge_by_max(spark):
+    # registers(A ∪ B) == max-merge(registers(A), registers(B)) — the
+    # distributed-aggregation contract: partial sketches combine
+    # losslessly, which is why ONE groupBy(bucket) scales to 100 TB
+    a = _ids(spark, 0, 2_000)
+    b = _ids(spark, 1_500, 4_000)
+    union = _ids(spark, 0, 4_000)
+    ra = {r["bucket"]: r["register"] for r in sketches.hll_registers(a, "k").collect()}
+    rb = {r["bucket"]: r["register"] for r in sketches.hll_registers(b, "k").collect()}
+    ru = {r["bucket"]: r["register"] for r in sketches.hll_registers(union, "k").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    base = _ids(spark, 0, 1_000)
+    dup = base.unionAll(base).unionAll(base)
+    e1 = sketches.hll_estimate(base, "k").collect()[0]["hll_estimate"]
+    e3 = sketches.hll_estimate(dup, "k").collect()[0]["hll_estimate"]
+    assert e1 == e3

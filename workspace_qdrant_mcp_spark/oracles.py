@@ -2656,6 +2656,47 @@ FROM events e JOIN busy b
 """
 
 
+def hll_distinct_users(p: int = 8) -> str:
+    """Oracle for sketches.hll_estimate over events.user_id: identical
+    md5-derived registers (60-bit hash, 60-p-bit rank word, exact
+    binary-string rank), identical ordered cumulative float sum."""
+    m = 1 << p
+    word_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = repr(alpha * m * m)
+    h = duckdb_md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT (v % {m}) AS bucket, v // {m} AS w
+  FROM (SELECT {h} AS v FROM events)
+),
+r AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {word_bits + 1}
+              ELSE {word_bits + 1} - length(printf('%b', w)) END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY bucket),
+run AS (
+  SELECT register,
+         sum(pow(2.0, -register)) OVER (ORDER BY bucket) AS s_run,
+         count(*) OVER () AS n_present
+  FROM regs
+),
+agg AS (SELECT max(s_run) AS s_present, max(n_present) AS n_present FROM run),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT {m} AS m,
+       CAST(agg.n_present AS INT) AS n_nonzero,
+       round(CASE WHEN ({amm} / (s_present + {m} - agg.n_present)) <= {2.5 * m}
+                   AND ({m} - agg.n_present) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - agg.n_present))
+                  ELSE {amm} / (s_present + {m} - agg.n_present) END,
+             6) AS hll_estimate,
+       ex.exact_distinct
+FROM agg, ex
+"""
+
+
 def funnel_conversion(
     stages: tuple[str, ...] = ("view", "click", "purchase"),
 ) -> str:

@@ -463,6 +463,17 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_event_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point frequency estimates for every event type next to
+    exact counts (sketches.cms_point_estimates) — the addition-mergeable
+    CMS twin of the HLL sketch. Below the r5 window; r6 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select(F.col("event_type").alias("key")).distinct()
+    return sketches.cms_point_estimates(ev, "event_type", probes)
+
+
 def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view→click→purchase (sessions.funnel):
     strict event-time ordering between stages via chained min-frontier
@@ -2101,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "hll_distinct_users": _q_hll_distinct_users,
+        "cms_event_type_freqs": _q_cms_event_type_freqs,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2217,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),
+        "cms_event_type_freqs": oracles.cms_event_type_freqs(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

@@ -53,3 +53,28 @@ def test_duplicates_do_not_move_the_estimate(spark):
     e1 = sketches.hll_estimate(base, "k").collect()[0]["hll_estimate"]
     e3 = sketches.hll_estimate(dup, "k").collect()[0]["hll_estimate"]
     assert e1 == e3
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    # 20 distinct keys into a 4x256 matrix: collisions unlikely, every
+    # estimate >= exact always (the CMS guarantee), and most are exact
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 20).cast("string").alias("k")
+    )
+    probes = df.select(F.col("k").alias("key")).distinct()
+    out = sketches.cms_point_estimates(df, "k", probes).collect()
+    assert len(out) == 20
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in out)
+    assert all(r["exact_count"] == 100 for r in out)
+    exact_hits = sum(1 for r in out if r["cms_estimate"] == r["exact_count"])
+    assert exact_hits >= 18  # collisions are the exception, not the rule
+
+
+def test_cms_absent_key_estimates_small(spark):
+    df = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    probes = spark.createDataFrame([("never-seen",)], "key string")
+    r = sketches.cms_point_estimates(df, "k", probes).collect()[0]
+    assert r["exact_count"] == 0
+    # an absent key can only collide into occupied counters; with 100
+    # keys over 256 buckets the min over 4 rows is almost surely tiny
+    assert r["cms_estimate"] <= 5

@@ -114,3 +114,65 @@ def hll_estimate(
 def hll_error_bound(p: int = HLL_P) -> float:
     """The theoretical relative standard error 1.04 / sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(row_idx, bucket, cnt) — the d×w Count-Min counter matrix
+    (Cormode & Muthukrishnan 2005) of key_col occurrences, one
+    md5-salted hash row per j. Mergeable by ADDITION (partial matrices
+    sum), the CMS twin of HLL's max-merge — one groupBy on (j, bucket),
+    counters bounded at d·w regardless of stream size."""
+    rows = None
+    for j in range(d):
+        hj = (
+            md5_hash64(F.col(key_col).cast("string"), salt=f"cms{j}|") % w
+        ).alias("bucket")
+        part = df.select(F.lit(j).alias("row_idx"), hj)
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(key, cms_estimate, exact_count) — point-query frequency estimates
+    for the probe keys: min over the d counters each key hashes into,
+    next to the exact count. CMS guarantees estimate >= exact (asserted
+    in tests) with overshoot bounded by collisions."""
+    counters = cms_counters(df, key_col, d, w)
+    probe_rows = None
+    for j in range(d):
+        hj = (
+            md5_hash64(F.col("key").cast("string"), salt=f"cms{j}|") % w
+        ).alias("bucket")
+        part = probes.select("key", F.lit(j).alias("row_idx"), hj)
+        probe_rows = (
+            part if probe_rows is None else probe_rows.unionByName(part)
+        )
+    est = (
+        probe_rows.join(counters, ["row_idx", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "key", "left").select(
+        "key",
+        "cms_estimate",
+        F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+    )

@@ -2697,6 +2697,36 @@ FROM agg, ex
 """
 
 
+def cms_event_type_freqs(d: int = 4, w: int = 256) -> str:
+    """Oracle for sketches.cms_point_estimates over events.event_type:
+    identical md5-salted counter matrix, min over rows, exact counts."""
+    h = (
+        "CAST(concat('0x', substr(md5('cms' || j || '|' || key), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH src AS (SELECT event_type AS key FROM events),
+hs AS (
+  SELECT j, {h} % {w} AS bucket
+  FROM src, LATERAL unnest(generate_series(0, {d - 1})) AS t(j)
+),
+counters AS (SELECT j, bucket, count(*) AS cnt FROM hs GROUP BY 1, 2),
+probes AS (SELECT DISTINCT event_type AS key FROM events),
+ph AS (
+  SELECT key, j, {h} % {w} AS bucket
+  FROM probes, LATERAL unnest(generate_series(0, {d - 1})) AS t(j)
+),
+est AS (
+  SELECT ph.key, min(coalesce(c.cnt, 0)) AS cms_estimate
+  FROM ph LEFT JOIN counters c ON c.j = ph.j AND c.bucket = ph.bucket
+  GROUP BY ph.key
+),
+ex AS (SELECT event_type AS key, count(*) AS exact_count FROM events GROUP BY 1)
+SELECT est.key, est.cms_estimate, coalesce(ex.exact_count, 0) AS exact_count
+FROM est LEFT JOIN ex USING (key)
+"""
+
+
 def funnel_conversion(
     stages: tuple[str, ...] = ("view", "click", "purchase"),
 ) -> str:

@@ -463,6 +463,17 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user estimate over events
+    (sketches.kmv_distinct_estimate) — the min-k-mergeable third sketch
+    next to HLL (max) and CMS (add). Below the r5 window; r6 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.kmv_distinct_estimate(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
 def _q_cms_event_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point frequency estimates for every event type next to
     exact counts (sketches.cms_point_estimates) — the addition-mergeable
@@ -2113,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_event_type_freqs": _q_cms_event_type_freqs,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         # (hybrid/bm25/dense moved below to make room for the new
         # curation queries — r4-green, their code unchanged this round;
         # simhash_fingerprints' code path is covered by the r4-green
@@ -2230,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),
         "cms_event_type_freqs": oracles.cms_event_type_freqs(),
+        "kmv_distinct_users": oracles.kmv_distinct_users(),
         "events_multires_rollup": oracles.events_multires_rollup(),
         "ann_bruteforce_topk": oracles.ann_bruteforce_topk(ANN_QUERY_IDS),
         "ann_ivf_topk": oracles.ann_ivf_topk(ANN_QUERY_IDS),

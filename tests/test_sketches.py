@@ -78,3 +78,25 @@ def test_cms_absent_key_estimates_small(spark):
     # an absent key can only collide into occupied counters; with 100
     # keys over 256 buckets the min over 4 rows is almost surely tiny
     assert r["cms_estimate"] <= 5
+
+
+def test_kmv_estimate_and_merge_discipline(spark):
+    # 10k distinct: estimator within 5/sqrt(k-1) relative error
+    n = 10_000
+    out = sketches.kmv_distinct_estimate(_ids(spark, 0, n), "k").collect()[0]
+    assert out["exact_distinct"] == n
+    rel = abs(out["kmv_estimate"] - n) / n
+    assert rel < 5 / (64 - 1) ** 0.5, rel
+    # min-k merge: sketch(A ∪ B) == bottom-k of sketch(A) ∪ sketch(B)
+    a = {r["h"] for r in sketches.kmv_sketch(_ids(spark, 0, 3000), "k").collect()}
+    b = {r["h"] for r in sketches.kmv_sketch(_ids(spark, 2000, 6000), "k").collect()}
+    u = [r["h"] for r in sketches.kmv_sketch(_ids(spark, 0, 6000), "k").collect()]
+    assert sorted(a | b)[:64] == u
+
+
+def test_kmv_sample_is_a_stable_subset_of_distinct_keys(spark):
+    df = _ids(spark, 0, 500)
+    s1 = [(r["rank"], r["key"]) for r in sketches.kmv_sketch(df, "k").collect()]
+    s2 = [(r["rank"], r["key"]) for r in sketches.kmv_sketch(df.repartition(13), "k").collect()]
+    assert s1 == s2  # partitioning-independent
+    assert len(s1) == 64 and len({k for _, k in s1}) == 64

@@ -176,3 +176,57 @@ def cms_point_estimates(
         "cms_estimate",
         F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
     )
+
+
+KMV_K = 64
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(rank, key, h) — the k-minimum-values sketch (Bar-Yossef et al.
+    2002): the k smallest md5 hashes of key_col's DISTINCT values. Dual
+    use: (a) a deterministic uniform sample WITHOUT replacement of the
+    distinct keys (hash order is a random permutation, but the same one
+    on every engine/run), and (b) a distinct-count estimator from the
+    k-th smallest hash. Mergeable by min-k union — the third merge
+    discipline next to HLL's max and CMS's add. Plan: distinct → narrow
+    hash map → TakeOrdered(k): no full sort, one reduction."""
+    from pyspark.sql.window import Window
+
+    ranked = (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select("key", md5_hash64(F.col("key").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy("h")))
+    )
+    return ranked.select("rank", "key", "h")
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(k, kth_hash, kmv_estimate, exact_distinct) — the KMV estimator
+    n̂ = (k - 1) / (h_(k) / 2^60): if the k-th smallest of n uniform
+    hashes sits at fraction f of the hash space, n ≈ (k-1)/f. Exact
+    integer k-th hash; the one float division is identical on both
+    engines."""
+    sk = kmv_sketch(df, key_col, k)
+    kth = sk.filter(F.col("rank") == k).select(
+        F.col("h").alias("kth_hash")
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    return kth.crossJoin(exact).select(
+        F.lit(k).alias("k"),
+        "kth_hash",
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(float(1 << 60))),
+            6,
+        ).alias("kmv_estimate"),
+        "exact_distinct",
+    )

@@ -2697,6 +2697,24 @@ FROM agg, ex
 """
 
 
+def kmv_distinct_users(k: int = 64) -> str:
+    """Oracle for sketches.kmv_distinct_estimate over events.user_id:
+    exact integer k-th-smallest md5 hash, one identical float division."""
+    h = duckdb_md5_hash64_sql("CAST(key AS VARCHAR)")
+    return f"""
+WITH dk AS (SELECT DISTINCT user_id AS key FROM events),
+hs AS (SELECT {h} AS h FROM dk),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT {k}),
+kth AS (SELECT max(h) AS kth_hash, count(*) AS nk FROM topk),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT {k} AS k, kth_hash,
+       round({float(k - 1)} / (CAST(kth_hash AS DOUBLE) / {float(1 << 60)}), 6)
+         AS kmv_estimate,
+       exact_distinct
+FROM kth, ex WHERE nk = {k}
+"""
+
+
 def cms_event_type_freqs(d: int = 4, w: int = 256) -> str:
     """Oracle for sketches.cms_point_estimates over events.event_type:
     identical md5-salted counter matrix, min over rows, exact counts."""

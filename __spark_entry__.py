@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from workspace_qdrant_mcp_spark import oracles  # noqa: E402
+from workspace_qdrant_mcp_spark import ckpt, oracles  # noqa: E402
 from workspace_qdrant_mcp_spark.functions import filters  # noqa: E402
 from workspace_qdrant_mcp_spark.io import load_table  # noqa: E402
 from workspace_qdrant_mcp_spark.operators import (  # noqa: E402
@@ -672,7 +672,12 @@ def _symbol_graph(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SYMBOLS_CACHE:
         nodes, edges = gx.extract_symbols(_code_docs(spark, sf_dir))
-        _SYMBOLS_CACHE[key] = (nodes.localCheckpoint(), edges.localCheckpoint())
+        # pin: session-lifetime store, exempt from the between-queries
+        # checkpoint sweep (ckpt.clear_unpinned) — a released truncated-
+        # lineage block cannot be recomputed
+        _SYMBOLS_CACHE[key] = ckpt.pin(
+            spark, lambda: (nodes.localCheckpoint(), edges.localCheckpoint())
+        )
     return _SYMBOLS_CACHE[key]
 
 
@@ -682,9 +687,12 @@ _TERMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TERMS_CACHE:
-        _TERMS_CACHE[key] = bm25.doc_terms(
-            load_table(spark, sf_dir, "documents")
-        ).localCheckpoint()
+        _TERMS_CACHE[key] = ckpt.pin(
+            spark,
+            lambda: bm25.doc_terms(
+                load_table(spark, sf_dir, "documents")
+            ).localCheckpoint(),
+        )
     return _TERMS_CACHE[key]
 
 
@@ -699,9 +707,12 @@ _EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _edges(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGES_CACHE:
-        _EDGES_CACHE[key] = graph.cooccurrence_edges(
-            load_table(spark, sf_dir, "lineitem")
-        ).localCheckpoint()
+        _EDGES_CACHE[key] = ckpt.pin(
+            spark,
+            lambda: graph.cooccurrence_edges(
+                load_table(spark, sf_dir, "lineitem")
+            ).localCheckpoint(),
+        )
     return _EDGES_CACHE[key]
 
 

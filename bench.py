@@ -29,6 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from workspace_qdrant_mcp_spark import ckpt  # noqa: E402
 from workspace_qdrant_mcp_spark.session import get_spark  # noqa: E402
 
 
@@ -60,6 +61,11 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
             except Exception as exc:
                 _log(f"# bench warmup error in {name}: {exc}")
+            # release the query's checkpoint blocks (pinned session stores
+            # survive) — without this, superseded localCheckpoints pile up
+            # across the 119-query session and later queries run with
+            # shrinking execution memory (the r5 graph-family regression)
+            ckpt.clear_unpinned(spark)
     warmup_sec = round(time.perf_counter() - t_warm0, 2)
     _log(f"# warmup done in {warmup_sec}s (warmup={'on' if warmup else 'off'})")
 
@@ -75,6 +81,7 @@ def main() -> None:
             _log(f"# bench error in {name}: {exc}")
         else:
             _log(f"# {name}: {timings[name]}s ({counts[name]} rows)")
+        ckpt.clear_unpinned(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -22,6 +22,7 @@ from .functions.embedder import MOCK_DIM, mock_embed
 from .functions.text import tokenize_bm25
 from .functions.vectors import cosine
 from .operators import bm25, exact, fusion, grep as grep_ops
+from . import ckpt
 from .store import build_chunks, build_code_lines
 
 ALL_COLLECTIONS = ("projects", "libraries", "rules", "scratchpad")
@@ -43,13 +44,22 @@ class WqmEngine:
     @property
     def chunks(self) -> DataFrame:
         if self._chunks is None:
-            self._chunks = build_chunks(self.spark, self._sf_dir).localCheckpoint()
+            # pin: this store lives for the engine's lifetime; the
+            # between-queries checkpoint sweep must not release it
+            # (a truncated-lineage block cannot be recomputed)
+            self._chunks = ckpt.pin(
+                self.spark,
+                lambda: build_chunks(self.spark, self._sf_dir).localCheckpoint(),
+            )
         return self._chunks
 
     @property
     def lines(self) -> DataFrame:
         if self._lines is None:
-            self._lines = build_code_lines(self.spark, self._sf_dir).localCheckpoint()
+            self._lines = ckpt.pin(
+                self.spark,
+                lambda: build_code_lines(self.spark, self._sf_dir).localCheckpoint(),
+            )
         return self._lines
 
     # -- filter assembly (P1-P8) -------------------------------------------

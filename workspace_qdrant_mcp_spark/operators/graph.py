@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import RollingCheckpoint
 from ..io import fan_out
 
 PAGERANK_DAMPING = 0.85
@@ -226,8 +227,13 @@ def find_path(
         "node", _pad(F.col("node")).alias("path")
     )
     visited = frontier.select("node")
+    # separate rollers: frontier(d) and visited(d) each supersede only
+    # their own previous generation (visited(d) is checkpointed AFTER the
+    # union that reads frontier(d), so the release order is safe)
+    roll_f = RollingCheckpoint(spark)
+    roll_v = RollingCheckpoint(spark)
     for depth in range(1, max_depth + 1):
-        frontier = (
+        frontier = roll_f(
             e.join(F.broadcast(frontier), e.src == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
@@ -236,14 +242,13 @@ def find_path(
             .groupBy("node")
             .agg(F.min("path").alias("path"))
             .join(F.broadcast(visited), "node", "left_anti")
-            .localCheckpoint()
         )
         hit = frontier.filter(F.col("node") == target).select("path").take(1)
         if hit:
             return spark.createDataFrame(
                 [(target, depth, hit[0]["path"])], out_schema
             )
-        visited = visited.unionByName(frontier.select("node")).localCheckpoint()
+        visited = roll_v(visited.unionByName(frontier.select("node")))
     return spark.createDataFrame([], out_schema)
 
 
@@ -273,17 +278,20 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    ranks = (
+    # each iteration's rank state supersedes the previous one — roll the
+    # checkpoints so storage stays constant across n_iters (and across a
+    # long multi-query session; see ckpt.py)
+    roll = RollingCheckpoint(edges.sparkSession)
+    ranks = roll(
         nodes.join(out_deg, "node_id", "left")
         .select(
             "node_id",
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
             F.lit(1.0).alias("rank"),
         )
-        .localCheckpoint()
     )
     n = ranks.count()
-    ranks = ranks.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = roll(ranks.withColumn("rank", F.lit(1.0 / n)))
     # Small-state graphs: broadcast the rank vector into the edge join so
     # each iteration is map-side over the (checkpointed, never reshuffled)
     # edge table + ONE shuffle for the dst aggregation. Huge graphs fall
@@ -301,7 +309,7 @@ def pagerank(
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
         )
-        ranks = (
+        ranks = roll(
             ranks.select("node_id", "out_deg")
             .join(contrib, "node_id", "left")
             .crossJoin(F.broadcast(dang))
@@ -316,7 +324,6 @@ def pagerank(
             )
             # eager checkpoint: one materialization per iteration, constant
             # lineage depth (without it the plan deepens quadratically)
-            .localCheckpoint()
         )
     return ranks.select("node_id", "rank")
 
@@ -338,10 +345,10 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()
     )
-    labels = (
+    roll = RollingCheckpoint(edges.sparkSession)
+    labels = roll(
         nodes_from_edges(und)
         .select("node_id", F.col("node_id").alias("component"))
-        .localCheckpoint()
     )
     bcast = labels.count() <= BROADCAST_STATE_MAX_NODES
     prev_sum = None
@@ -352,7 +359,7 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("component").alias("nbr"))
         )
-        labels = (
+        labels = roll(
             labels.join(nbr_min, "node_id", "left")
             .select(
                 "node_id",
@@ -360,7 +367,6 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
                     F.col("component"), F.coalesce("nbr", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         # labels only ever decrease; an unchanged sum ⇒ fixed point reached
         # — further iterations are identity, so early exit preserves the
@@ -473,11 +479,15 @@ def label_propagation_distributed(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    # keep n_phases+1 generations: `before` (the sweep-start labels) is
+    # read by the end-of-sweep changed-count diff, so it must survive all
+    # n_phases sub-step checkpoints of that sweep — still a constant
+    # footprint, vs max_iters*n_phases generations unreleased before
+    roll = RollingCheckpoint(edges.sparkSession, keep_last=n_phases + 1)
+    labels = roll(
         und.select(F.col("src").alias("node_id"))
         .distinct()
         .withColumn("label", F.col("node_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         before = labels
@@ -500,13 +510,12 @@ def label_propagation_distributed(
                 )
                 .select("node_id", (-F.col("m.neg")).alias("best"))
             )
-            labels = (
+            labels = roll(
                 labels.join(best, "node_id", "left")
                 .select(
                     "node_id",
                     F.coalesce("best", "label").alias("label"),
                 )
-                .localCheckpoint()
             )
         n_changed = (
             before.withColumnRenamed("label", "old")

@@ -71,6 +71,37 @@ class TestSearch:
         assert 0 < len(rows) <= 5
         assert "dense" not in res.columns and "content" not in res.columns
 
+    def test_hybrid_plan_assembly_runs_no_jobs(self, spark, engine):
+        """The hybrid hot path must be one deferred plan: no take(1)
+        emptiness probes, no eager count() for BM25's N (VERDICT r5 #3).
+        Assembling the search DataFrame therefore launches ZERO Spark
+        jobs; everything runs at collect()."""
+        engine.chunks  # warm the session store outside the probe window
+        sc = spark.sparkContext
+        group = "hybrid-plan-probe"
+        sc.setJobGroup(group, "plan assembly must be lazy")
+        try:
+            res = engine.search("dup spark vector", mode="hybrid", limit=5)
+            jobs_during_assembly = sc.statusTracker().getJobIdsForGroup(group)
+            assert jobs_during_assembly == [], jobs_during_assembly
+            assert res.collect()
+        finally:
+            sc.setJobGroup("", "")
+
+    def test_hybrid_empty_keyword_leg_passes_dense_through(self, engine):
+        """Query terms with idf 0 everywhere ('the') → empty sparse leg →
+        the dense leg's RAW cosine scores come back un-fused
+        (fusion.rs:170-171), now via the in-plan pass-through."""
+        # threshold 0.01 → sparse cut 0.005: idf-0 terms score exactly 0
+        # and drop, while the dense leg keeps any positive cosine
+        rows = engine.search(
+            "the", mode="hybrid", limit=5, threshold=0.01, diverse=False
+        ).collect()
+        assert rows
+        # raw cosine scores, not 1/(60+r) RRF values (max RRF contribution
+        # from a single leg is 1/61 ≈ 0.0164)
+        assert any(abs(r["score"]) > 0.05 for r in rows)
+
     def test_exact_mode_scoring(self, engine):
         rows = engine.search("dup", mode="exact").collect()
         assert rows

@@ -135,20 +135,20 @@ class WqmEngine:
 
         if len(legs) == 2:
             sem, kw = legs[0][1], legs[1][1]
-            if len(sem.take(1)) == 0 or len(kw.take(1)) == 0:
-                fused = sem.unionByName(kw)
-            else:
-                ranked = fusion.rrf_fuse(
-                    {"semantic": sem.select("point_id", "collection", "score"),
-                     "keyword": kw.select("point_id", "collection", "score")},
-                    id_cols=["point_id", "collection"],
-                )
-                fused = ranked.join(
-                    self.chunks.select(
-                        "point_id", "collection", "tenant_id", "library_name"
-                    ),
-                    ["point_id", "collection"],
-                )
+            # in-plan RRF with empty-leg pass-through (fusion.rs:170-171)
+            # — no take(1)/count() probes, the whole hybrid search is one
+            # Spark job (VERDICT r5 #3)
+            ranked = fusion.rrf_fuse_lazy(
+                sem.select("point_id", "collection", "score"),
+                kw.select("point_id", "collection", "score"),
+                id_cols=["point_id", "collection"],
+            )
+            fused = ranked.join(
+                self.chunks.select(
+                    "point_id", "collection", "tenant_id", "library_name"
+                ),
+                ["point_id", "collection"],
+            )
         else:
             fused = legs[0][1]
 
@@ -192,13 +192,18 @@ class WqmEngine:
         ).groupBy("point_id", "collection", "term").agg(
             F.count(F.lit(1)).alias("tf")
         )
-        n = cand.count()
+        # N as a lazy 1-row broadcast aggregate (the bm25.sparse_search
+        # pattern) — no eager count() action in the search hot path
+        nn = cand.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("n_docs")
+        )
         dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         q = self.spark.createDataFrame([(t,) for t in sorted(set(qterms))], ["term"])
         scored = (
             terms.join(F.broadcast(q), "term")
             .join(F.broadcast(dfreq), "term")
-            .withColumn("w", bm25.bm25_weight_expr(F.lit(float(max(n, 1)))))
+            .crossJoin(F.broadcast(nn))
+            .withColumn("w", bm25.bm25_weight_expr(F.col("n_docs")))
             .groupBy("point_id", "collection")
             .agg(F.sum("w").alias("score"))
             .filter(F.col("score") >= thr)

@@ -68,6 +68,56 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_lazy(
+    sem: DataFrame,
+    kw: DataFrame,
+    id_cols: list[str] | None = None,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Two-leg RRF with the reference's empty-leg pass-through
+    (fusion.rs:170-171) expressed ENTIRELY in-plan — no driver actions,
+    so a hybrid search stays one Spark job.
+
+    Shape: rank each leg (unpartitioned window over the bounded top-2k
+    candidate set), FULL OUTER join on the ids, then decide fused-vs-raw
+    per row from global leg counts computed by a window over the joined
+    frame itself — counting `sem_score`/`kw_score` non-nulls needs no
+    second evaluation of the leg plans, which is what makes this lazy
+    where a `.take(1)` probe or `.count()` is not. When both legs are
+    non-empty the score is Σ 1/(rrf_k + rank + 1) (identical to
+    rrf_fuse); when either is empty every row necessarily came from the
+    other leg and keeps its RAW score (the pass-through contract).
+
+    Returns (*id_cols, score) UNSORTED, like rrf_fuse."""
+    id_cols = id_cols or ["doc_id"]
+    sem_r = leg_ranks(sem.select(*id_cols, "score"), id_cols).select(
+        *id_cols,
+        F.col("score").alias("sem_score"),
+        F.col("rank").alias("sem_rank"),
+    )
+    kw_r = leg_ranks(kw.select(*id_cols, "score"), id_cols).select(
+        *id_cols,
+        F.col("score").alias("kw_score"),
+        F.col("rank").alias("kw_rank"),
+    )
+    j = sem_r.join(kw_r, id_cols, "full_outer")
+    # global window over the joined candidate frame (<= 4*limit rows) —
+    # same cost class as the fusion itself
+    w = Window.partitionBy()
+    both = (F.count("sem_score").over(w) > 0) & (F.count("kw_score").over(w) > 0)
+    contrib = [
+        F.when(
+            F.col(c).isNotNull(),
+            1.0 / (F.lit(float(rrf_k)) + F.col(c) + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        for c in ("sem_rank", "kw_rank")
+    ]
+    score = F.when(both, contrib[0] + contrib[1]).otherwise(
+        F.coalesce("sem_score", "kw_score")
+    )
+    return j.select(*id_cols, score.alias("score"))
+
+
 def apply_decay(
     df: DataFrame,
     decay_map: dict[str, float],

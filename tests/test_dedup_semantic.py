@@ -143,3 +143,63 @@ class TestCrossSourceOverlap:
             ("s0", "s1"): (2, 0.6),
             ("s0", "s2"): (1, 0.6),
         }
+
+
+class TestNgramStopGramCap:
+    """The stop-gram frequency cap in ngram_jaccard_pairs (the 100 TB
+    skew mitigation: f docs sharing a gram → f² join rows)."""
+
+    def test_universal_gram_generates_no_pairs(self, spark):
+        # every doc shares one boilerplate trigram; tails are unique.
+        # Uncapped, the shared gram alone joins all C(n,2) doc pairs;
+        # capped, it is dropped and no pair survives.
+        docs = spark.createDataFrame(
+            [(i, f"shared boiler plate unique{i} tail{i} word{i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+        assert capped.count() == 0
+        uncapped = dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_df_frac=None
+        )
+        assert uncapped.count() == 8 * 7 // 2
+
+    def test_jaccard_over_kept_grams(self, spark):
+        # two near-identical docs plus boilerplate present in all docs:
+        # the capped jaccard is computed over the KEPT gram sets only
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb cc dd ee"),
+                (2, "aa bb cc dd ff"),
+                (3, "aa bb cc gg hh"),
+                (4, "aa bb cc ii jj"),
+                (5, "aa bb cc kk ll"),
+            ],
+            "doc_id long, text string",
+        )
+        # "aa bb cc" appears in 5/5 docs -> dropped at max_df_frac=0.5.
+        # doc1 kept grams: {bb cc dd, cc dd ee}; doc2: {bb cc dd, cc dd ff}
+        # -> intersection 1, union 3, jaccard 1/3
+        rows = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.3
+            ).collect()
+        }
+        assert rows == {(1, 2): round(1 / 3, 6)}
+
+    def test_cap_is_plan_side_not_driver(self, spark):
+        # assembling the capped plan must launch no Spark jobs (the
+        # n_docs denominator is a lazy 1-row broadcast aggregate)
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        )
+        sc = spark.sparkContext
+        group = "ngram-cap-probe"
+        sc.setJobGroup(group, "lazy cap")
+        try:
+            df = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+            assert sc.statusTracker().getJobIdsForGroup(group) == []
+            df.collect()
+        finally:
+            sc.setJobGroup("", "")

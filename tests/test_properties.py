@@ -789,3 +789,23 @@ def test_winnowing_matches_textbook_model(spark, texts, k, w):
         for r in textstats.winnowing_fingerprints(df, k=k, window=w).collect()
     }
     assert got == want
+
+
+def test_winnowing_oversized_doc_fails_visibly(spark, monkeypatch):
+    """Positions >= the pack width would alias into the hash bits of the
+    packed (hash, pos) int64 key — the guard must raise instead of
+    emitting corrupted fingerprints (ADVICE r5). The pack width is
+    shrunk via the module constant: a true 2^20-char fixture is
+    quadratic in the gram transform and would take minutes."""
+    import pytest as _pytest
+
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    monkeypatch.setattr(textstats, "WINNOWING_PACK_POS", 16)
+    doc = spark.createDataFrame([(1, "x y z w v u t s r q p o")],
+                                ["doc_id", "text"])
+    with _pytest.raises(Exception, match="pack width"):
+        textstats.winnowing_fingerprints(doc, k=5, window=4).collect()
+    # under the limit: runs clean with the same patched width
+    small = spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "text"])
+    assert textstats.winnowing_fingerprints(small, k=5, window=4).count() > 0

@@ -323,8 +323,22 @@ def sq_code_expr(vec_col) -> F.Column:
     return F.transform(
         vec_col,
         lambda x: (
-            F.floor((x.cast("double") - mn) * F.lit(255.0) / _sq_denom() + F.lit(0.5))
-            - F.lit(128)
+            # clamp to the byte range BEFORE the tinyint cast: bounds are
+            # corpus-wide, so a query component outside [mn,mx] would
+            # otherwise produce a code outside [-128,127] that wraps
+            # silently under non-ANSI Spark while the oracle's CAST errors
+            # — divergent candidate sets for out-of-corpus queries
+            F.greatest(
+                F.lit(-128),
+                F.least(
+                    F.lit(127),
+                    F.floor(
+                        (x.cast("double") - mn) * F.lit(255.0) / _sq_denom()
+                        + F.lit(0.5)
+                    )
+                    - F.lit(128),
+                ),
+            )
         ).cast("tinyint"),
     )
 

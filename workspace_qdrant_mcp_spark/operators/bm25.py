@@ -171,10 +171,12 @@ def read_postings(
     import os
 
     if os.path.exists(postings_path):
-        try:
-            return spark.read.parquet(postings_path)
-        except Exception:
-            pass
+        # no catch-all here: update_postings rewrites the store as
+        # kept-postings ∪ delta, so treating an UNREADABLE (vs absent)
+        # store as empty would silently truncate the whole index to the
+        # current delta on the next update — a corrupt read must abort
+        # the update loudly instead (ADVICE r5)
+        return spark.read.parquet(postings_path)
     return spark.createDataFrame(
         [], f"{id_col} {id_type}, term string, tf long"
     )

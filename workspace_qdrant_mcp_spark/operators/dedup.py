@@ -43,6 +43,11 @@ MINHASH_BANDS = 4
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 JACCARD_THRESHOLD = 0.5
+# Stop-gram frequency cap for the n-gram inverted-index join: grams in
+# more than this fraction of documents are dropped before the self-join
+# (f docs sharing a gram → f² join rows; a too-common gram carries no
+# dedup signal anyway — the n-gram analog of a stopword).
+MAX_GRAM_DF_FRAC = 0.5
 COSINE_DUP_THRESHOLD = 0.9
 HAMMING_THRESHOLD = 3
 NEAR_COPY_OFFSET = 2000000  # synthetic near-copy id offset (both corpora)
@@ -80,15 +85,25 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df_frac: float | None = MAX_GRAM_DF_FRAC,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with word-n-gram Jaccard >= threshold.
 
-    Plan: explode distinct grams → gram self-join (the inverted index) →
-    per-pair intersection count → join sizes → Jaccard filter. The gram join
-    shuffles on the gram — skew on stop-grams is the scale risk; AQE skew
-    handling plus a frequency cap (drop grams in > X% of docs) are the
-    mitigations at 100 TB.
+    Plan: explode distinct grams → stop-gram cap → gram self-join (the
+    inverted index) → per-pair intersection count → join sizes → Jaccard
+    filter. The gram join shuffles on the gram — skew on stop-grams is
+    THE scale risk: one gram shared by f docs contributes f² join rows,
+    so a boilerplate gram in 1% of a 10B-doc corpus alone is 10^16 pairs.
+    The cap drops grams whose doc frequency exceeds max_df_frac of the
+    corpus BEFORE the self-join (the stop set is tiny by construction —
+    broadcast anti-join), bounding any gram's contribution; Jaccard is
+    then computed over each document's KEPT gram set (sizes recomputed
+    after the cap, mirrored in the oracle). A gram that common carries no
+    dedup signal — it's the n-gram analog of a stopword. AQE skew-join
+    handles the sub-cap residue. max_df_frac=None disables the cap.
     """
     # join on the gram's int64 hash, not the ~3-word string — smaller
     # shuffle keys and cheaper hash-join probes (collisions ~1e-10/pair,
@@ -101,9 +116,27 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     )
-    sizes = fan_out(corpus).select(
-        "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_grams")
-    )
+    if max_df_frac is not None:
+        # n_docs as a lazy 1-row broadcast aggregate (no driver action);
+        # word_ngrams is per-doc distinct, so count(*) per gram == df
+        nn = corpus.agg(
+            F.count(F.lit(1)).cast("double").alias("__n_docs")
+        )
+        stop = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(nn))
+            .filter(F.col("__df") > F.col("__n_docs") * F.lit(max_df_frac))
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(stop), "gram", "left_anti")
+        sizes = grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+    else:
+        sizes = fan_out(corpus).select(
+            "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_grams")
+        )
     pairs = (
         grams.alias("a")
         .join(grams.alias("b"), "gram")

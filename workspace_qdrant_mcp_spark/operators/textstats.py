@@ -341,6 +341,12 @@ def fingerprint(
 
 
 
+# Pack width for the (hash, pos) -> int64 winnowing key: positions must
+# stay below this or they alias into the hash bits. Module-level so the
+# guard is testable without a 2^20-char fixture document.
+WINNOWING_PACK_POS = 1 << 20
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -372,7 +378,7 @@ def winnowing_fingerprints(
     from ..functions.hashing import md5_hash64
 
     m = 1 << 32
-    pk = 1 << 20
+    pk = WINNOWING_PACK_POS
     grams = fan_out(docs).select(
         F.col(id_col),
         F.posexplode(
@@ -395,7 +401,30 @@ def winnowing_fingerprints(
     keyed = grams.select(
         id_col,
         "pos",
-        (F.col("h") * F.lit(pk) + F.col("pos")).alias("key"),
+        # enforce the pack-width precondition: a pos >= 2^20 would alias
+        # into the hash bits and silently corrupt every fingerprint of
+        # that document — oversized docs must fail visibly instead
+        # (ADVICE r5). Widening the pack is the fix if such docs are
+        # expected; the corpus contract here is chunked docs << 1M chars.
+        F.when(
+            F.col("pos") < F.lit(pk),
+            F.col("h") * F.lit(pk) + F.col("pos"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnowing_fingerprints: document position exceeds "
+                        f"the 2^20 pack width (doc "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(", pos "),
+                    F.col("pos").cast("string"),
+                    F.lit(") — chunk the document or widen the pack"),
+                )
+            ).cast("long")
+        )
+        .alias("key"),
     )
     part = W.partitionBy(id_col)
     fwd = part.orderBy("pos").rowsBetween(W.currentRow, window - 1)

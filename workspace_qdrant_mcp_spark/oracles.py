@@ -353,10 +353,15 @@ corpus AS (
 """
 
 
-def _ngram_pair_ctes(n: int = 3, threshold: float = 0.5) -> str:
+def _ngram_pair_ctes(
+    n: int = 3, threshold: float = 0.5, max_df_frac: float = 0.5
+) -> str:
     """CTE chain over a `corpus`(doc_id, text) CTE ending in
     `jpairs`(id_a, id_b, jaccard >= threshold) — shared by the
-    ngram_jaccard and dedup_survivors oracles."""
+    ngram_jaccard, dedup_survivors and cross_source_overlap oracles.
+    Mirrors dedup.ngram_jaccard_pairs exactly, INCLUDING the stop-gram
+    frequency cap: grams in > max_df_frac of the corpus are dropped
+    before the pair join and sizes are recomputed over kept grams."""
     gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
     return f"""
 wd AS (
@@ -372,16 +377,22 @@ gs AS (
               ELSE [] END AS grams
   FROM wd
 ),
-g AS (SELECT doc_id,
-             unnest(list_transform(grams,
-               x -> {duckdb_md5_hash64_sql('x')})) AS gram
-      FROM gs),
+g0 AS (SELECT doc_id,
+              unnest(list_transform(grams,
+                x -> {duckdb_md5_hash64_sql('x')})) AS gram
+       FROM gs),
+nd AS (SELECT count(*) AS n_docs FROM corpus),
+stopg AS (
+  SELECT gram FROM g0, nd GROUP BY gram, n_docs
+  HAVING count(*) > {max_df_frac} * n_docs
+),
+g AS (SELECT g0.* FROM g0 ANTI JOIN stopg USING (gram)),
 prs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
 jpairs AS MATERIALIZED (
   SELECT id_a, id_b,
          CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
@@ -456,40 +467,10 @@ FROM l{n_iters}"""
 
 
 def ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
-    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
     return f"""
 WITH {_NEAR_COPY_CORPUS},
-wd AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS w
-  FROM corpus
-),
-gs AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= {n}
-              THEN list_distinct(list_transform(
-                     generate_series(1, len(w) - {n - 1}), i -> {gram_i}))
-              ELSE [] END AS grams
-  FROM wd
-),
-g AS (SELECT doc_id,
-             unnest(list_transform(grams,
-               x -> {duckdb_md5_hash64_sql('x')})) AS gram
-      FROM gs),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
-j AS (
-  SELECT id_a, id_b,
-         CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
-  FROM pairs
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-)
-SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= {threshold}
+{_ngram_pair_ctes(n, threshold)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jpairs
 """
 
 

@@ -347,25 +347,37 @@ def resize_images(
     import numpy as np
 
     def one(media: bytes) -> list[float]:
-        try:
-            import io
+        # Spec decoders FIRST: any container they handle yields identical
+        # pixels whether or not PIL is importable on the executor (the
+        # PIL path's convert("RGB") quantizes high-bit-depth sources to
+        # 8 bits, while _decode_netpbm normalizes by the true maxval —
+        # routing those containers away from PIL removes the
+        # environment-dependent result; ADVICE r5). PIL is only the
+        # widener for containers the spec decoders can't read (JPEG,
+        # palette PNG, ...), where its 8-bit RGB convert is the
+        # documented behavior.
+        m = bytes(media)
+        if m[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            _, _, _, arr = _decode_netpbm(m)
+        elif m[:2] == b"BM":
+            _, _, _, arr = _decode_bmp(m)
+        else:
+            try:
+                if m[:8] == b"\x89PNG\r\n\x1a\n":
+                    _, _, _, arr = _decode_png(m)
+                else:
+                    raise ValueError("unsupported image container")
+            except Exception:  # exotic PNG variant or non-PNG container
+                import io
 
-            from PIL import Image  # optional; not in the base container
-
-            arr = (
-                np.asarray(Image.open(io.BytesIO(media)).convert("RGB"))
-                / 255.0
-            )
-        except ImportError:
-            m = bytes(media)
-            if m[:2] in (b"P2", b"P3", b"P5", b"P6"):
-                _, _, _, arr = _decode_netpbm(m)
-            elif m[:2] == b"BM":
-                _, _, _, arr = _decode_bmp(m)
-            elif m[:8] == b"\x89PNG\r\n\x1a\n":
-                _, _, _, arr = _decode_png(m)
-            else:
-                raise ValueError("unsupported image container") from None
+                try:
+                    from PIL import Image  # optional; not in the container
+                except ImportError:
+                    raise ValueError("unsupported image container") from None
+                arr = (
+                    np.asarray(Image.open(io.BytesIO(m)).convert("RGB"))
+                    / 255.0
+                )
         h, w = arr.shape[0], arr.shape[1]
         gray = arr.mean(axis=2)
         ri = (np.arange(out_h) * h) // out_h

@@ -240,7 +240,7 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (curation.decontaminate): training docs
-    (source != 'src1') sharing word 5-grams with the eval slice
+    (source != 'src1') sharing word 13-grams (the GPT-3 appendix-C width) with the eval slice
     (source = 'src1'), via a df-capped inverted-index gram join — the
     GPT-3 appendix-C n-gram collision check, never eval x train
     all-pairs."""

@@ -72,7 +72,7 @@ class TestDecontaminate:
         ev = self._df(spark, [(100, f"the benchmark contains {leak} inside")])
         out = {
             r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
-            for r in curation.decontaminate(train, ev).collect()
+            for r in curation.decontaminate(train, ev, n=5).collect()
         }
         assert set(out) == {2, 3}  # doc 1 is clean
         assert out[2][1] == 1 and out[3][1] == 1
@@ -85,9 +85,20 @@ class TestDecontaminate:
         )
         ev = self._df(spark, [(100, f"{boiler} eval body")])
         # boilerplate appears in 21 docs; df_cap=10 silences it entirely
-        assert curation.decontaminate(train, ev, df_cap=10).count() == 0
+        assert curation.decontaminate(train, ev, n=5, df_cap=10).count() == 0
         # with a generous cap every train doc is (correctly) flagged
-        assert curation.decontaminate(train, ev, df_cap=100).count() == 20
+        assert curation.decontaminate(train, ev, n=5, df_cap=100).count() == 20
+
+    def test_default_is_gpt3_13gram(self, spark):
+        # the default collision width is 13 (Brown et al. 2020 app. C):
+        # a 12-word shared span must NOT flag, a 13-word span must
+        span12 = " ".join(f"w{i}" for i in range(12))
+        span13 = " ".join(f"w{i}" for i in range(13))
+        ev = self._df(spark, [(100, f"eval holds {span13} verbatim")])
+        t12 = self._df(spark, [(1, f"prefix {span12} suffix")])
+        t13 = self._df(spark, [(2, f"prefix {span13} suffix")])
+        assert curation.decontaminate(t12, ev).count() == 0
+        assert curation.decontaminate(t13, ev).count() == 1
 
 
 class TestStratifiedSample:

@@ -37,7 +37,11 @@ from .dedup import word_ngrams
 
 SPLIT_BUCKETS = 1000
 SPLIT_SALT = "split|"
-DECONTAM_NGRAM = 5
+# GPT-3's published decontamination protocol checks 13-gram collisions
+# between training data and benchmark text (Brown et al. 2020, appendix C);
+# n stays configurable for corpora whose documents are shorter than 13
+# words (the 5-gram setting used through round 5).
+DECONTAM_NGRAM = 13
 DECONTAM_DF_CAP = 100
 
 

@@ -410,6 +410,52 @@ def leiden_invariants(
         1 for m in comm_members.values() if _connected_pieces(m, adj) > 1
     )
 
+    # The SQL oracle cannot recompute disconnected_communities — the
+    # partition exists only on this side, and the oracle string has no
+    # access to it (it sees only the base tables). The strongest
+    # available cross-check is therefore a SECOND, mechanically
+    # independent recomputation here: distributed min-label connected
+    # components (graph.connected_components — iterative DataFrame
+    # joins, nothing shared with the recursive-DFS _connected_pieces)
+    # over the community-induced edge subgraph. Pieces per community =
+    # distinct CC labels among members with intra-community edges +
+    # isolated members. A disagreement is an audit-machinery bug and
+    # fails the query loudly instead of emitting a self-asserted zero.
+    from . import graph as graph_ops
+
+    intra = [
+        (int(node_ids[i]), int(node_ids[j]))
+        for i in range(n)
+        for j in adj[i]
+        if i < j and flat[i] == flat[j]
+    ]
+    cc_map: dict[int, int] = {}
+    if intra:
+        cc_df = graph_ops.connected_components(
+            spark.createDataFrame(intra, "src long, dst long"), n_iters=30
+        )
+        cc_map = {
+            r["node_id"]: r["component"] for r in cc_df.collect()
+        }
+    disconnected_cc = 0
+    for members in comm_members.values():
+        labels = {
+            cc_map[int(node_ids[m])]
+            for m in members
+            if int(node_ids[m]) in cc_map
+        }
+        isolated = sum(
+            1 for m in members if int(node_ids[m]) not in cc_map
+        )
+        if len(labels) + isolated > 1:
+            disconnected_cc += 1
+    if disconnected_cc != disconnected:
+        raise AssertionError(
+            "leiden connectivity audit mismatch: DFS counted "
+            f"{disconnected} disconnected communities, distributed CC "
+            f"counted {disconnected_cc}"
+        )
+
     # Cross-verification of the connectivity-audit MACHINERY itself: the
     # oracle cannot see the Spark partition, so `disconnected == 0` alone
     # would be self-asserted by this audit code. n_graph_components runs

@@ -1433,9 +1433,16 @@ def leiden_invariants(cap: int = 500) -> str:
     violation counters and booleans are CONSTANTS asserting the value a
     correct run must produce (mod.rs local-move stability, refine.rs
     connectivity guarantee, DOM-01 min-label determinism, CPM >= the
-    singleton baseline): the oracle cannot see the Spark partition, so
-    those checks are performed by the Spark-side audit code and this row
-    pins their expected outcome rather than re-deriving it. The
+    singleton baseline): the oracle cannot see the Spark partition —
+    this string is built with no data access and DuckDB sees only the
+    base tables — so those checks are performed by the Spark-side audit
+    code and this row pins their expected outcome rather than
+    re-deriving it. disconnected_communities specifically is now
+    DOUBLE-computed on the Spark side (recursive-DFS _connected_pieces
+    AND distributed min-label CC over the community-induced subgraph,
+    leiden.py) with a hard AssertionError on disagreement, so the
+    pinned 0 is backed by two mechanically independent implementations
+    rather than one self-asserting pass. The
     n_graph_components column exists precisely to keep that audit code
     honest: it is produced by the SAME _connected_pieces DFS the
     disconnected_communities check uses, but over the whole capped graph
@@ -2962,12 +2969,13 @@ GROUP BY source
 
 
 def decontamination(
-    n: int = 5, min_shared: int = 1, df_cap: int = 100
+    n: int = 13, min_shared: int = 1, df_cap: int = 100
 ) -> str:
     """Benchmark decontamination (curation.decontaminate): training docs
     (source <> 'src1') sharing >= min_shared distinct word n-grams with
     the eval set (source = 'src1'); grams with corpus df > df_cap are
-    boilerplate and never join."""
+    boilerplate and never join. n=13 is GPT-3's published collision
+    width (Brown et al. 2020, appendix C)."""
     gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
     return f"""
 WITH wd AS (

@@ -203,3 +203,42 @@ class TestNgramStopGramCap:
             df.collect()
         finally:
             sc.setJobGroup("", "")
+
+
+class TestSemDeDupKMeansPath:
+    def test_survivor_set_insensitive_to_centroid_source(self, spark):
+        """SemDeDup's ablation: clustering quality barely matters — the
+        blocking only bounds the pair scan. On the synthetic corpus the
+        sampled-KMeans centroids and the deterministic vec_id rule must
+        keep the SAME survivor set (near-twins always co-cluster)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        det = {
+            r["vec_id"]
+            for r in dedup.semdedup(emb, n_centroids=8).collect()
+            if r["is_kept"]
+        }
+        km = {
+            r["vec_id"]
+            for r in dedup.semdedup(
+                emb, n_centroids=8, centroid_mode="kmeans"
+            ).collect()
+            if r["is_kept"]
+        }
+        assert det == km
+
+    def test_kmeans_path_is_sampled_and_deterministic(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = dedup.semdedup(
+            emb, n_centroids=4, centroid_mode="kmeans", sample_frac=0.5
+        ).collect()
+        b = dedup.semdedup(
+            emb, n_centroids=4, centroid_mode="kmeans", sample_frac=0.5
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_unknown_mode_raises(self, spark):
+        import pytest as _pytest
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with _pytest.raises(ValueError, match="centroid_mode"):
+            dedup.semdedup(emb, centroid_mode="nope")

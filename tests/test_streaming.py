@@ -509,3 +509,83 @@ def test_compact_store_shrinks_files_preserves_rows(spark, dirs):
     assert after == before and len(after) > 0
     assert stats["files_after"] == 1
     assert stats["rows"] == len(before)
+
+
+class TestFairnessScheduler:
+    """W7 anti-starvation alternation (fairness_scheduler.rs:114-290,
+    ordering dequeue.rs:320-410)."""
+
+    def _queue(self, spark, n_active=20, n_inactive=20):
+        # 2-tenant burst: tenant A is an active project, tenant B
+        # inactive — both enqueue file adds at t=0..n
+        rows = [
+            (f"a{i}", "A", "file", "add", "projects", 1, i)
+            for i in range(n_active)
+        ] + [
+            (f"b{i}", "B", "file", "add", "projects", 0, i)
+            for i in range(n_inactive)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "queue_id string, tenant_id string, item_type string, "
+            "op string, collection string, is_active int, created_ts long",
+        )
+
+    def test_two_tenant_burst_interleaves(self, spark):
+        from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+        sched = fs.FairnessScheduler()
+        batches = fs.drain_fairly(
+            sched, self._queue(spark), max_batch_size=10, now_ts=0
+        )
+        order = [r["tenant_id"] for b in batches for r in b]
+        assert len(order) == 40
+        # high pass: 10 active items; flip; low pass: inactive get a turn
+        assert order[:10] == ["A"] * 10
+        assert order[10] == "B"
+        # the inactive tenant makes progress long before the active
+        # burst drains (anti-starvation), and both fully drain
+        assert "B" in set(order[:15])
+        assert order.count("A") == 20 and order.count("B") == 20
+        assert sched.metrics.direction_flips_total >= 2
+        assert sched.metrics.high_priority_first_items > 0
+        assert sched.metrics.low_priority_first_items > 0
+
+    def test_disabled_is_pure_priority_desc(self, spark):
+        from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+        sched = fs.FairnessScheduler(fs.FairnessConfig(enabled=False))
+        batches = fs.drain_fairly(
+            sched, self._queue(spark), max_batch_size=10, now_ts=0
+        )
+        order = [r["tenant_id"] for b in batches for r in b]
+        # active tenant monopolizes until fully drained
+        assert order[:20] == ["A"] * 20 and order[20:] == ["B"] * 20
+
+    def test_delete_and_age_promotions_are_direction_invariant(self, spark):
+        from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+        rows = [
+            # old inactive add: age 1000s -> +2 promotion
+            ("old", "B", "file", "add", "projects", 0, 0),
+            # active delete: always first
+            ("del", "A", "file", "delete", "projects", 1, 990),
+            # fresh active adds
+            *[(f"a{i}", "A", "file", "add", "projects", 1, 995) for i in range(5)],
+            # tenant registration line-jump
+            ("reg", "C", "tenant", "add", "projects", 0, 999),
+        ]
+        q = spark.createDataFrame(
+            rows,
+            "queue_id string, tenant_id string, item_type string, "
+            "op string, collection string, is_active int, created_ts long",
+        )
+        sched = fs.FairnessScheduler()
+        batch = sched.dequeue_next_batch(q, max_batch_size=8, now_ts=1000)
+        ids = [r["queue_id"] for r in batch]
+        # delete first, then the registration line-jump, then the aged
+        # item (promoted above fresh active work), then fresh adds
+        assert ids[0] == "del"
+        assert ids[1] == "reg"
+        assert ids[2] == "old"
+        assert set(ids[3:]) == {f"a{i}" for i in range(5)}

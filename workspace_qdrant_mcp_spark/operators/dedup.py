@@ -487,6 +487,9 @@ def semdedup(
     emb: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.97,
+    centroid_mode: str = "deterministic",
+    sample_frac: float = 1.0,
+    seed: int = 42,
 ) -> DataFrame:
     """(vec_id, cluster_id, is_kept, dropped_for) — SemDeDup (Abbas et al.
     2023, arXiv:2303.09540): partition the embedding space by nearest
@@ -495,25 +498,54 @@ def semdedup(
     smaller id; the min-id exemplar of each near-set survives
     (dropped_for = that exemplar, NULL for keepers).
 
-    Deterministic centroid rule (oracle parity, no training pass):
-    centroid j = the corpus vector with vec_id == j. SemDeDup's own
-    ablation finds cluster QUALITY barely matters — the clustering is a
-    proximity BLOCK that turns the O(N²) pairwise scan into Σ cluster²;
-    any stable partitioner works. At 100 TB the centroids come from a
-    sampled k-means (MLlib KMeans over ~1% of rows, like
-    ann.train_ivf_centroids) and n_centroids grows ~√N, which keeps
-    cluster populations — and therefore the self-join — bounded; the plan
-    shape below (broadcast-centroid argmax assign + within-block
-    self-join) is unchanged.
+    Two centroid sources, same plan shape (broadcast-centroid argmax
+    assign + within-block self-join):
+
+      centroid_mode="deterministic" (default — oracle parity, no
+        training pass): centroid j = the corpus vector with vec_id == j.
+      centroid_mode="kmeans": seeded MLlib KMeans over a sample_frac
+        sample of the corpus (ann.train_ivf_centroids) — the production
+        path at 100 TB, where centroids come from ~1% of rows and
+        n_centroids grows ~√N to keep cluster populations (and the
+        self-join) bounded.
+
+    SemDeDup's own ablation finds cluster QUALITY barely matters — the
+    clustering is a proximity BLOCK that turns the O(N²) pairwise scan
+    into Σ cluster²; any stable partitioner works
+    (test_dedup_semantic asserts both modes keep the same survivors on
+    the synthetic corpus).
     """
     from pyspark.sql.window import Window
 
     from ..functions.vectors import cosine
 
     corpus = with_perturbed_vectors(emb)
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cluster_id"), F.col("e").alias("ce")
-    )
+    if centroid_mode == "kmeans":
+        from .ann import train_ivf_centroids
+
+        train_src = (
+            corpus.sample(fraction=sample_frac, seed=seed)
+            if sample_frac < 1.0
+            else corpus
+        )
+        cents = train_ivf_centroids(
+            train_src.select("vec_id", F.col("e").alias("embedding")),
+            n_cells=n_centroids,
+            vec_col="embedding",
+            seed=seed,
+        ).select(
+            F.col("cell_id").alias("cluster_id"),
+            F.col("embedding").alias("ce"),
+        )
+    elif centroid_mode == "deterministic":
+        cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cluster_id"), F.col("e").alias("ce")
+        )
+    else:
+        raise ValueError(
+            f"unknown centroid_mode {centroid_mode!r}; "
+            "expected 'deterministic' or 'kmeans'"
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("cluster_id")
     )

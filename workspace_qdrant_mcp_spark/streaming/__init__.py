@@ -1,1 +1,1 @@
-from . import ingest  # noqa: F401
+from . import fairness, ingest  # noqa: F401

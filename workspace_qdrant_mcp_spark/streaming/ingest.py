@@ -406,7 +406,11 @@ def run_ingestion_stream(
     park_path to get W8 degraded-mode behavior per micro-batch."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 16)  # W7 warmup throttling analog
+        # W7 warmup throttling analog; per-tenant anti-starvation
+        # alternation lives in streaming/fairness.py (FairnessScheduler —
+        # the dequeue layer a queue-driven consumer runs ABOVE this
+        # stream, mirroring fairness_scheduler.rs)
+        .option("maxFilesPerTrigger", 16)
         .json(events_dir)
     )
     q = (

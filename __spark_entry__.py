@@ -2059,29 +2059,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only; see the window comment below.
     return {
-        # ORDER = the r5 correctness window (driver records the FIRST
-        # 50 entries only). Front: queries new or code-changed this
-        # round, then every r3-only row (those in round-4-edited files
-        # first), then headline keepers; r4-green rows rotate to the
-        # tail and cycle back in later rounds. Late-r5 swaps: ten
-        # first-ever rows enter (semdedup, repeated_spans,
-        # events_hourly_rollup, dsir_logweights, asof_join,
-        # events_multires_rollup, range_join_busy_hours, plus
-        # dlq_decisions re-entering because e96e243 changed its code
-        # after its r4 row). Displaced to the FRONT of the r6 rotation
-        # (all r3-green, their files untouched since, pytest-covered):
-        # predicate_stack, rules_dedup_gate, relevance_decay_hybrid,
-        # scope_resolution, stub_resolution, grouping_tag_affinity,
-        # grouping_embedding_affinity, and graph_betweenness (rows-only
-        # slot — betweenness_exact is its green value signal).
+        # ORDER = the r6 correctness window (driver records the FIRST
+        # 50 entries only). Provenance below is against CORRECTNESS
+        # files r1-r5 (a query's round = its newest green driver row).
+        #
+        # Slots 1-10: NEW IN r5, NEVER driver-recorded (they were added
+        # past the 50-row window; r5's rotation comment mislabeled them
+        # "r4-green" — corrected here, first driver evidence will be r6):
+        "cross_source_overlap": _q_cross_source_overlap,
+        "winnowing_fps": _q_winnowing_fps,
+        "list_summary": _q_list_summary,
+        "list_tree": _q_list_tree,
+        "bigram_logppl": _q_bigram_logppl,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
+        "hll_distinct_users": _q_hll_distinct_users,
+        "cms_event_type_freqs": _q_cms_event_type_freqs,
+        "kmv_distinct_users": _q_kmv_distinct_users,
+        # Slots 11-24: newest green row is r3 — stalest evidence in the
+        # suite; several live in files edited in r5/r6 (api.py, bm25.py),
+        # so their r3 rows predate current code:
+        "corpus_stats": _q_corpus_stats,
+        "cross_collection_rrf": _q_cross_collection_rrf,
+        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
+        "grouping_tag_affinity": _q_grouping_tag_affinity,
+        "hapax_eviction": _q_hapax_eviction,
+        "narrative_explains": _q_narrative_explains,
+        "predicate_stack": _q_predicate_stack,
+        "quality_metrics": _q_quality_metrics,
+        "relevance_decay_hybrid": _q_decay_hybrid,
+        "rules_dedup_gate": _q_rules_dedup_gate,
+        "scope_resolution": _q_scope_resolution,
+        "scroll_retrieve": _q_scroll_retrieve,
+        "simhash_fingerprints": _q_simhash_fp,
+        "stub_resolution": _q_stub_resolution,
+        # Slots 25-26: rows-only by design (no oracle SQL; their value
+        # signals are betweenness_exact / leiden_invariants) — never had
+        # a full green row and never will; recorded for the rows check:
+        "graph_betweenness": _q_graph_betweenness,
+        "leiden_communities": _q_leiden_communities,
+        # Slots 27-47: code paths EDITED this round (r6) — lazy hybrid
+        # fusion + api hot path (fusion.py/api.py/search_pipeline.py),
+        # RollingCheckpoint in graph.py iterative ops, ngram stop-gram
+        # cap + semdedup kmeans arg (dedup.py), decontamination n=13
+        # (curation.py), leiden dual connectivity audit (leiden.py),
+        # SQ clamp (ann.py), resize decoder routing (multimodal.py):
+        "hybrid_search_rrf": _q_hybrid,
+        "fallback_search": _q_fallback_search,
+        "parent_context": _q_parent_context,
+        "graph_context": _q_graph_context,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
+        "exact_match_scoring": _q_exact_scoring,
+        "splade_search": _q_splade_search,
+        "image_search": _q_image_search,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "graph_find_path": _q_graph_find_path,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_connected_components": _q_graph_components,
+        "label_propagation": _q_label_propagation,
+        "ngram_jaccard_neardup": _q_ngram_jaccard,
+        "dedup_survivors": _q_dedup_survivors,
         "semdedup": _q_semdedup,
+        "decontamination": _q_decontamination,
+        "leiden_invariants": _q_leiden_invariants,
+        "ann_sq_topk": _q_ann_sq,
+        "multimodal_features": _q_multimodal_features,
+        # Slots 48-50: r4-green keepers re-verified under r6 code
+        # (betweenness/two-hop read graph.py; minhash is the heaviest
+        # dedup plan):
+        "betweenness_exact": _q_betweenness_exact,
+        "two_hop_chain": _q_two_hop_chain,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        # ---- below the 50-row window: green r4/r5 rows whose code is
+        # unchanged since (r5: most of the curation/event/ANN family;
+        # r4: the long-stable core) — they rotate back in future rounds.
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
         "dsir_logweights": _q_dsir_logweights,
         "asof_join": _q_asof_join,
         "events_multires_rollup": _q_events_multires_rollup,
         "range_join_busy_hours": _q_range_join_busy_hours,
-        "ann_sq_topk": _q_ann_sq,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
         "pii_detection": _q_pii_detection,
@@ -2093,16 +2151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "sessionize": _q_sessionize,
         "dataset_split": _q_dataset_split,
-        "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
         "nested_chunks_brace": _q_nested_chunks_brace,
-        "graph_find_path": _q_graph_find_path,
         "taxonomy_tags": _q_taxonomy_tags,
         "concept_layer": _q_concept_layer,
-        "leiden_invariants": _q_leiden_invariants,
-        "multimodal_features": _q_multimodal_features,
-        "splade_search": _q_splade_search,
-        "image_search": _q_image_search,
         "doc_extraction": _q_doc_extraction,
         "tier1_tags": _q_tier1_tags,
         "token_count": _q_token_count,
@@ -2112,7 +2164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop_neighbors": _q_graph_2hop,
         "graph_batch_2hop": _q_graph_batch_2hop,
         "graph_batch_impact": _q_graph_batch_impact,
-        "graph_connected_components": _q_graph_components,
         "graph_degree_stats": _q_graph_degree,
         "graph_expansion_fusion": _q_graph_expansion_fusion,
         "graph_extract_calls": _q_graph_extract_calls,
@@ -2121,51 +2172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_structural": _q_grouping_structural,
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
-        "parent_context": _q_parent_context,
-        "label_propagation": _q_label_propagation,
         "semantic_chunks": _q_semantic_chunks,
         "nested_chunks": _q_nested_chunks,
-        # -- r4-green; rotated past the 50-row window this round ---------
-        "cross_source_overlap": _q_cross_source_overlap,
-        "winnowing_fps": _q_winnowing_fps,
-        "list_summary": _q_list_summary,
-        "list_tree": _q_list_tree,
-        "bigram_logppl": _q_bigram_logppl,
-        "funnel_conversion": _q_funnel_conversion,
-        "cohort_retention": _q_cohort_retention,
-        "hll_distinct_users": _q_hll_distinct_users,
-        "cms_event_type_freqs": _q_cms_event_type_freqs,
-        "kmv_distinct_users": _q_kmv_distinct_users,
-        # (hybrid/bm25/dense moved below to make room for the new
-        # curation queries — r4-green, their code unchanged this round;
-        # simhash_fingerprints' code path is covered by the r4-green
-        # simhash_neardup, corpus_stats' bm25.py is untouched since its
-        # r3-green row — both re-verify in r6)
-        "hybrid_search_rrf": _q_hybrid,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
-        "simhash_fingerprints": _q_simhash_fp,
-        "corpus_stats": _q_corpus_stats,
-        "scroll_retrieve": _q_scroll_retrieve,
-        "cross_collection_rrf": _q_cross_collection_rrf,
-        "quality_metrics": _q_quality_metrics,
-        "narrative_explains": _q_narrative_explains,
-        "hapax_eviction": _q_hapax_eviction,
         "lsp_enrichment": _q_lsp_enrichment,
-        "minhash_lsh_neardup": _q_minhash_lsh,
-        "two_hop_chain": _q_two_hop_chain,
         "ingest_idempotency": _q_ingest_idempotency,
         "reconcile_diff": _q_reconcile_diff,
-        "graph_betweenness": _q_graph_betweenness,
-        "predicate_stack": _q_predicate_stack,
-        "rules_dedup_gate": _q_rules_dedup_gate,
-        "relevance_decay_hybrid": _q_decay_hybrid,
-        "scope_resolution": _q_scope_resolution,
-        "stub_resolution": _q_stub_resolution,
-        "grouping_tag_affinity": _q_grouping_tag_affinity,
-        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "ingest_apply_events": _q_ingest_apply_events,
-        "graph_context": _q_graph_context,
         "events_debounce_last": _q_events_debounce,
         "queue_stats": _q_queue_stats,
         "queue_dequeue_order": _q_queue_dequeue_order,
@@ -2182,22 +2194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_baskets": _q_keyword_baskets,
         "mmr_tag_selection": _q_mmr_tag_selection,
         "diversity_rerank": _q_diversity,
-        "exact_match_scoring": _q_exact_scoring,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
         "cooccurrence_top_pairs": _q_cooc_top_pairs,
         "grep_count": _q_grep_count,
         "grep_exact_lines": _q_grep_exact_lines,
         "grep_regex_lines": _q_grep_regex_lines,
         "grep_context_lines": _q_grep_context_lines,
         "chunk_text": _q_chunk_text,
-        "fallback_search": _q_fallback_search,
         "mock_embeddings": _q_mock_embeddings,
-        "betweenness_exact": _q_betweenness_exact,
-        "graph_pagerank": _q_graph_pagerank,
         "sequence_packing": _q_sequence_packing,
-        "leiden_communities": _q_leiden_communities,
-        "ngram_jaccard_neardup": _q_ngram_jaccard,
-        "dedup_survivors": _q_dedup_survivors,
         "dedup_exact": _q_dedup_exact,
     }
 

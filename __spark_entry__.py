@@ -1336,6 +1336,33 @@ def _q_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
 
 
+GRAPH_ANALYTICS_CAP = 500  # same capped subgraph as adjacency_export
+KCORE_K = 20  # peels ~20% of the capped subgraph at sf0.01 (real cascade)
+
+
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts (clustering-structure analytic
+    extending A1) on the capped co-occurrence subgraph — degree-ordered
+    orientation (Suri & Vassilvitskii 2011), wedge join + closing join;
+    the oracle replays the identical orientation keys."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < GRAPH_ANALYTICS_CAP)
+        & (F.col("dst") < GRAPH_ANALYTICS_CAP)
+    )
+    return graph.triangle_counts(e)
+
+
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership + within-core degree (dense-core analytic) on
+    the capped co-occurrence subgraph: iterative peel to fixpoint,
+    oracle-unrolled to the same 30 rounds."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < GRAPH_ANALYTICS_CAP)
+        & (F.col("dst") < GRAPH_ANALYTICS_CAP)
+    )
+    return graph.k_core(e, k=KCORE_K)
+
+
 def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 debounce semantics as a batch query: last event per
     (hour window, user, type), deterministic tiebreak (ts desc, id desc)."""
@@ -2203,6 +2230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
+        # NEW IN r6 (no driver row yet — below the window this round,
+        # oracle-backed + pytest; front of the r7 rotation):
+        "graph_triangles": _q_graph_triangles,
+        "graph_kcore": _q_graph_kcore,
     }
 
 
@@ -2214,6 +2245,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": oracles.corpus_stats(),
         "hapax_eviction": oracles.hapax_eviction(),
         "dedup_exact": oracles.dedup_exact(),
+        "graph_triangles": oracles.graph_triangles(GRAPH_ANALYTICS_CAP),
+        "graph_kcore": oracles.graph_kcore(GRAPH_ANALYTICS_CAP, KCORE_K),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

@@ -5,6 +5,7 @@ betweenness.rs:204-267, community.rs:218-331)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from workspace_qdrant_mcp_spark.operators import graph
 
@@ -265,3 +266,36 @@ class TestBetweenness:
     def test_sampling_scales(self, spark):
         bc = graph.betweenness(_edges(spark, CHAIN), sample_k=3).collect()
         assert len(bc) == 5  # all nodes present, scaled estimates
+
+
+class TestTriangleCounts:
+    def test_hand_built(self, spark):
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+        # 4-5 edge (no triangle) and a disjoint triangle {10,11,12}
+        k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+        rows = k4 + [(4, 5), (10, 11), (11, 12), (10, 12)]
+        e = spark.createDataFrame(rows, "src long, dst long").withColumn(
+            "weight", F.lit(1)
+        )
+        out = {r["node_id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+    def test_multi_edges_and_self_loops_ignored(self, spark):
+        rows = [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (1, 3)]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        out = {r["node_id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestKCore:
+    def test_pendant_peel_cascade(self, spark):
+        # path 1-2-3 hanging off a triangle {3,4,5}: 2-core = the
+        # triangle; the path peels in cascading rounds (1 first, then 2)
+        rows = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        out = {r["node_id"]: r["core_degree"] for r in graph.k_core(e, k=2).collect()}
+        assert out == {3: 2, 4: 2, 5: 2}
+
+    def test_k_above_max_degree_empty(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        assert graph.k_core(e, k=3).count() == 0

@@ -608,6 +608,113 @@ def label_propagation(
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting & k-core decomposition (graph-quality analytics
+# extending A1/A2 — clustering structure and dense-core membership over
+# the same co-occurrence / symbol graphs)
+# ---------------------------------------------------------------------------
+
+# order-key pack: deg * 10^12 + node_id is collision-free while node ids
+# stay below 10^12 (TPC-H partkeys and symbol ids are far below)
+_TRI_PACK = 10**12
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node_id, n_triangles) — exact per-node triangle participation
+    over the UNDIRECTED simple graph (self-loops and multi-edges
+    ignored); nodes in no triangle are omitted.
+
+    Scale-canonical degree-ordered plan (the MapReduce triangle-counting
+    scheme of Suri & Vassilvitskii 2011): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, generate wedges only
+    at each node's oriented out-neighbors, and close them with one
+    equi-join back on the oriented edge set. Orientation bounds any
+    node's out-degree by O(√m), so the wedge explosion at hub nodes —
+    the thing that kills the naive a<b<c three-way join on a skewed
+    graph — cannot happen; both joins are plain shuffles on (src) /
+    (b, c). The (deg, id) tiebreak makes the orientation (and the plan's
+    intermediate sizes) deterministic."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    key = (F.col("deg") * F.lit(_TRI_PACK) + F.col("node_id")).alias("k")
+    keyed = deg.select("node_id", key)
+    oriented = (
+        und.join(keyed.select(F.col("node_id").alias("src"), F.col("k").alias("ks")), "src")
+        .join(keyed.select(F.col("node_id").alias("dst"), F.col("k").alias("kd")), "dst")
+        .filter(F.col("ks") < F.col("kd"))
+        .select("src", "dst", "ks", "kd")
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), "src")
+        .filter(F.col("x.kd") < F.col("y.kd"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+    tris = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def k_core(edges: DataFrame, k: int = 3, n_iters: int = 30) -> DataFrame:
+    """(node_id, core_degree) — the k-core of the undirected simple
+    graph: the maximal subgraph where every node has degree >= k;
+    core_degree is the node's degree WITHIN the core. Computed by the
+    standard peeling fixpoint: repeatedly drop nodes with current
+    degree < k. Deterministic (pure set operations); n_iters bounds the
+    rounds (each round is one degree aggregate + one semi-join — the
+    peel can only remove nodes, so an unchanged count is a fixpoint and
+    iteration stops early, preserving exact fixed-round semantics for
+    the oracle's unrolled CTE)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    roll = RollingCheckpoint(edges.sparkSession)
+    cur = roll(und)
+    prev_n = None
+    for _ in range(n_iters):
+        keep = (
+            cur.groupBy(F.col("src").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node_id")
+        )
+        cur = roll(
+            cur.join(keep.withColumnRenamed("node_id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+        )
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Betweenness centrality (G8 — Brandes, parallel over sources)
 # ---------------------------------------------------------------------------
 

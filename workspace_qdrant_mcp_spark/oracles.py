@@ -1474,6 +1474,66 @@ FROM comp
 """
 
 
+def graph_triangles(cap: int = 500) -> str:
+    """Per-node triangle counts on the capped co-occurrence subgraph —
+    the SQL twin of graph.triangle_counts, replaying the SAME
+    degree-ordered orientation (key = deg*10^12 + node_id) so the wedge
+    and closing joins are bit-identical in structure, not just in
+    result."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+),
+deg AS (SELECT u AS node_id, count(*) AS d FROM und GROUP BY u),
+keyed AS (SELECT node_id, d * 1000000000000 + node_id AS k FROM deg),
+o AS MATERIALIZED (
+  SELECT e.u AS src, e.v AS dst, ks.k AS ks, kd.k AS kd
+  FROM und e
+  JOIN keyed ks ON ks.node_id = e.u
+  JOIN keyed kd ON kd.node_id = e.v
+  WHERE ks.k < kd.k
+),
+w AS (
+  SELECT x.src AS a, x.dst AS b, y.dst AS c
+  FROM o x JOIN o y ON x.src = y.src AND x.kd < y.kd
+),
+t AS (SELECT a, b, c FROM w JOIN o z ON z.src = w.b AND z.dst = w.c),
+ex AS (SELECT unnest([a, b, c]) AS node_id FROM t)
+SELECT node_id, count(*) AS n_triangles FROM ex GROUP BY node_id
+"""
+
+
+def graph_kcore(cap: int = 500, k: int = 20, n_iters: int = 30) -> str:
+    """k-core membership + within-core degree on the capped co-occurrence
+    subgraph — n_iters unrolled peeling rounds (the dedup_survivors
+    unroll pattern); the Spark side's early exit fires only at the
+    fixpoint, so both engines compute the identical round sequence."""
+    parts = [
+        f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+e0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+)"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+kp{i} AS MATERIALIZED (SELECT u FROM e{i} GROUP BY u HAVING count(*) >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN kp{i} a ON a.u = e.u JOIN kp{i} b ON b.u = e.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT u AS node_id, count(*) AS core_degree FROM e{n_iters} GROUP BY u"""
+    )
+    return "".join(parts)
+
+
 def two_hop_chain(n_files: int = 500, funcs: int = 20) -> str:
     """G1 2-hop at the reference bench's chain-graph cardinality
     (graph_bench.rs:209-230). Closed form: on a per-file linear chain the

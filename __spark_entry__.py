@@ -485,6 +485,29 @@ def _q_cms_event_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_point_estimates(ev, "event_type", probes)
 
 
+def _q_bloom_user_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probes over events.user_id
+    (sketches.bloom_membership, m=1024/k=4 md5-salted): 10 known users +
+    10 absent ghost keys; no-false-negative guarantee and the density
+    false-positive estimate ride along. OR-mergeable set-bit table — the
+    fourth merge discipline (max/add/min-k/or). NEW IN r6."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    known = (
+        ev.select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .orderBy("key")
+        .limit(10)
+    )
+    ghosts = spark.createDataFrame(
+        [(f"ghost{i}",) for i in range(10)], ["key"]
+    )
+    return sketches.bloom_membership(
+        ev, "user_id", known.unionByName(ghosts)
+    )
+
+
 def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view→click→purchase (sessions.funnel):
     strict event-time ordering between stages via chained min-frontier
@@ -2234,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed + pytest; front of the r7 rotation):
         "graph_triangles": _q_graph_triangles,
         "graph_kcore": _q_graph_kcore,
+        "bloom_user_membership": _q_bloom_user_membership,
     }
 
 
@@ -2247,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact(),
         "graph_triangles": oracles.graph_triangles(GRAPH_ANALYTICS_CAP),
         "graph_kcore": oracles.graph_kcore(GRAPH_ANALYTICS_CAP, KCORE_K),
+        "bloom_user_membership": oracles.bloom_user_membership(),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

@@ -100,3 +100,45 @@ def test_kmv_sample_is_a_stable_subset_of_distinct_keys(spark):
     s2 = [(r["rank"], r["key"]) for r in sketches.kmv_sketch(df.repartition(13), "k").collect()]
     assert s1 == s2  # partitioning-independent
     assert len(s1) == 64 and len({k for _, k in s1}) == 64
+
+
+class TestBloom:
+    def test_no_false_negatives_and_ghosts_flagged(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [(f"u{i}",) for i in range(200)], ["k"]
+        )
+        probes = spark.createDataFrame(
+            [(f"u{i}",) for i in range(0, 200, 20)]
+            + [(f"zz{i}",) for i in range(5)],
+            ["key"],
+        )
+        rows = {
+            r["key"]: r
+            for r in sketches.bloom_membership(df, "k", probes).collect()
+        }
+        # present_exact => maybe_present (the Bloom guarantee)
+        for r in rows.values():
+            if r["present_exact"]:
+                assert r["maybe_present"]
+        assert all(rows[f"u{i}"]["maybe_present"] for i in range(0, 200, 20))
+        # density sanity: 200 keys * 4 hashes <= 800 of 1024 bits
+        some = next(iter(rows.values()))
+        assert 0 < some["n_bits_set"] <= 800
+        assert 0 < some["fp_estimate"] < 1
+
+    def test_or_merge_equals_union_build(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], ["k"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], ["k"])
+        merged = (
+            sketches.bloom_bits(a, "k")
+            .unionByName(sketches.bloom_bits(b, "k"))
+            .distinct()
+        )
+        direct = sketches.bloom_bits(a.unionByName(b), "k")
+        assert sorted(r["bit"] for r in merged.collect()) == sorted(
+            r["bit"] for r in direct.collect()
+        )

@@ -230,3 +230,87 @@ def kmv_distinct_estimate(
         ).alias("kmv_estimate"),
         "exact_distinct",
     )
+
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(bit,) — the SET bit positions of a Bloom filter (Bloom 1970)
+    over key_col's values: k md5-salted hash functions into m bits.
+    Stored sparse (set positions only); merge discipline is OR — the
+    distinct union of set-bit tables — completing the square next to
+    HLL's max, CMS's add and KMV's min-k. Build is one narrow map +
+    distinct; the filter is bounded at m rows regardless of input."""
+    rows = None
+    for j in range(k):
+        hj = (
+            md5_hash64(F.col(key_col).cast("string"), salt=f"bloom{j}|") % m
+        ).alias("bit")
+        part = df.select(hj)
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.distinct()
+
+
+def bloom_membership(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(key, maybe_present, present_exact, n_bits_set, fp_estimate) —
+    probe the filter: a key is maybe_present iff ALL k of its bits are
+    set (the no-false-negative guarantee: present_exact ⇒ maybe_present,
+    asserted in tests). n_bits_set and the classic density-based
+    false-positive estimate (bits_set/m)^k ride along; the power is
+    expanded to explicit multiplications so both engines run the same
+    IEEE operations."""
+    bits = bloom_bits(df, key_col, m, k)
+    probe_rows = None
+    for j in range(k):
+        hj = (
+            md5_hash64(F.col("key").cast("string"), salt=f"bloom{j}|") % m
+        ).alias("bit")
+        part = probes.select("key", hj)
+        probe_rows = (
+            part if probe_rows is None else probe_rows.unionByName(part)
+        )
+    hits = (
+        # distinct first: two hash functions may collide on the same bit
+        # for one key, and the all-k test counts distinct bits
+        probe_rows.distinct()
+        .join(bits.withColumn("set", F.lit(1)), "bit", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe_bits"),
+            F.sum(F.coalesce("set", F.lit(0))).alias("n_set"),
+        )
+        .select(
+            "key", (F.col("n_set") == F.col("n_probe_bits")).alias("maybe_present")
+        )
+    )
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .withColumn("present_exact", F.lit(True))
+    )
+    nbits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    dens = F.col("n_bits_set").cast("double") / F.lit(float(m))
+    fp = dens
+    for _ in range(k - 1):
+        fp = fp * dens
+    return (
+        hits.join(exact, "key", "left")
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "key",
+            "maybe_present",
+            F.coalesce("present_exact", F.lit(False)).alias("present_exact"),
+            "n_bits_set",
+            F.round(fp, 6).alias("fp_estimate"),
+        )
+    )

@@ -2793,6 +2793,53 @@ FROM est LEFT JOIN ex USING (key)
 """
 
 
+def bloom_user_membership(m: int = 1024, k: int = 4) -> str:
+    """Oracle for sketches.bloom_membership over events.user_id:
+    identical md5-salted bit positions, all-k membership test, density
+    false-positive estimate with the same left-associated
+    multiplications."""
+    h = (
+        "CAST(concat('0x', substr(md5('bloom' || j || '|' || key), 1, 15))"
+        " AS BIGINT)"
+    )
+    dens = f"(CAST(n_bits_set AS DOUBLE) / {float(m)})"
+    fp = " * ".join([dens] * k)
+    return f"""
+WITH src AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {h} % {m} AS bit
+  FROM src, LATERAL unnest(generate_series(0, {k - 1})) AS t(j)
+),
+known AS (
+  SELECT key FROM (SELECT DISTINCT key FROM src) ORDER BY key LIMIT 10
+),
+probes AS (
+  SELECT key FROM known
+  UNION ALL
+  SELECT 'ghost' || i FROM generate_series(0, 9) s(i)
+),
+ph AS (
+  SELECT DISTINCT key, {h} % {m} AS bit
+  FROM probes, LATERAL unnest(generate_series(0, {k - 1})) AS t(j)
+),
+hits AS (
+  SELECT ph.key,
+         count(*) AS n_probe_bits,
+         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+  FROM ph LEFT JOIN bits b USING (bit)
+  GROUP BY ph.key
+),
+ex AS (SELECT DISTINCT key, TRUE AS present_exact FROM src),
+nb AS (SELECT count(*) AS n_bits_set FROM bits)
+SELECT h.key,
+       h.n_set = h.n_probe_bits AS maybe_present,
+       coalesce(ex.present_exact, FALSE) AS present_exact,
+       nb.n_bits_set,
+       round({fp}, 6) AS fp_estimate
+FROM hits h LEFT JOIN ex USING (key), nb
+"""
+
+
 def funnel_conversion(
     stages: tuple[str, ...] = ("view", "click", "purchase"),
 ) -> str:

@@ -592,6 +592,19 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bruteforce_topk(emb, q)
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN with exact rescore (ann.pq_topk, M=8 subspaces x 16
+    codes over the 64-dim embeddings): deterministic vec_id<16 codebook
+    (the semdedup convention; production = per-subspace sampled k-means,
+    Jégou et al. 2011), ADC scan touches only the narrow codes table,
+    m-ordered ADC sum for float determinism. NEW IN r6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.pq_topk(emb, q, dim=64)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_queries, k, recall) — recall@k of the approximate ANN
     paths (IVF with n_probe pruning, banded SRP-LSH) against the exact
@@ -2258,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_kcore": _q_graph_kcore,
         "bloom_user_membership": _q_bloom_user_membership,
+        "ann_pq_topk": _q_ann_pq,
     }
 
 
@@ -2272,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": oracles.graph_triangles(GRAPH_ANALYTICS_CAP),
         "graph_kcore": oracles.graph_kcore(GRAPH_ANALYTICS_CAP, KCORE_K),
         "bloom_user_membership": oracles.bloom_user_membership(),
+        "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

@@ -132,3 +132,51 @@ def test_sq_constant_vectors_degenerate_bounds(spark):
     out = ann.sq_topk(emb, q, k=3).collect()
     assert len(out) == 3  # parallel vectors: cosine 1.0, ranked by id
     assert all(r["score"] == 1.0 for r in out)
+
+
+class TestPQ:
+    def test_pq_shape_and_no_self_match(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann.pq_topk(emb, q, dim=64)
+        rows = out.collect()
+        assert len(rows) == 25
+        assert all(r["vec_id"] != r["query_id"] for r in rows)
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rnk"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    def test_pq_recall_vs_bruteforce(self, spark):
+        # exact rescore over a 3x oversampled ADC candidate set: the
+        # top-k must substantially agree with brute force (the funnel's
+        # whole point); assert a conservative floor
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.bruteforce_topk(emb, q).collect()
+        }
+        pq = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.pq_topk(emb, q, dim=64).collect()
+        }
+        recall = len(exact & pq) / len(exact)
+        assert recall >= 0.5, recall
+
+    def test_codes_table_is_narrow(self, spark):
+        # the compressed corpus: one (vec_id, m, code_id) row per
+        # subspace, codes within [0, n_codes)
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = ann.pq_codebook(emb, dim=64)
+        codes = ann.pq_encode(emb, cb, dim=64)
+        n_vec = emb.count()
+        assert codes.count() == n_vec * ann.PQ_M
+        mm = codes.agg(
+            F.min("code_id").alias("lo"), F.max("code_id").alias("hi")
+        ).collect()[0]
+        assert 0 <= mm["lo"] and mm["hi"] < ann.PQ_CODES

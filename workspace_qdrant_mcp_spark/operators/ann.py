@@ -435,3 +435,173 @@ def sq_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_CODES = 16  # codes per subspace
+
+
+def pq_codebook(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(m, code_id, sub ARRAY<DOUBLE>) — the PQ codebook. Deterministic
+    rule (oracle parity, the semdedup convention): entry (m, j) is
+    subspace m of the corpus vector with id == j. At 100 TB the
+    codebook comes from per-subspace sampled k-means (Jégou et al.
+    2011); like semdedup's centroids, codebook QUALITY only moves the
+    recall/compression trade-off — the plan shape is identical, and the
+    exact-rescore funnel bounds the damage of a bad codebook."""
+    s = dim // m
+    out = None
+    base = emb.filter(F.col(id_col) < n_codes)
+    for mi in range(m):
+        part = base.select(
+            F.lit(mi).alias("m"),
+            F.col(id_col).alias("code_id"),
+            F.transform(
+                F.slice(F.col(vec_col), mi * s + 1, s),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _subspaces(
+    df: DataFrame, dim: int, m: int, key_col: str, vec_col: str, out_key: str
+) -> DataFrame:
+    s = dim // m
+    out = None
+    for mi in range(m):
+        part = df.select(
+            F.col(key_col).alias(out_key),
+            F.lit(mi).alias("m"),
+            F.transform(
+                F.slice(F.col(vec_col), mi * s + 1, s),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, m, code_id) — the compressed corpus: per subspace, the
+    L2-nearest codebook entry (min-(distance, code_id) struct — the
+    deterministic argmin). This narrow int table is the ONLY
+    full-corpus artifact the approximate scan reads: dim doubles per
+    vector become m small ints (64x8B → 8x1B-class at production
+    sizes) — the memory-bandwidth story that makes PQ the default
+    billion-scale ANN layout."""
+    subs = _subspaces(emb, dim, m, id_col, vec_col, id_col)
+    cb = codebook.select("m", "code_id", F.col("sub").alias("csub"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("csub"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select(id_col, "m", "code_id", l2.alias("__d"))
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("b"))
+        .select(id_col, "m", F.col("b.code_id").alias("code_id"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    oversample: int = 3,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — PQ ANN with ADC scoring and
+    exact rescore (Jégou, Douze & Schmid 2011): encode the corpus to
+    per-subspace codes once; per query, precompute the m×n_codes
+    lookup table of query-subvector · codebook-entry dots (a broadcast
+    dim); the approximate score of a corpus vector is the ORDERED sum
+    of its codes' LUT entries — the scan touches only the narrow codes
+    table and never the raw vectors. Top k·oversample per query then
+    rescore with full-precision cosine (the sq_topk funnel).
+
+    Determinism: the per-vector ADC sum is an m-ordered fold over the
+    collected (m, partial) list, NOT a groupBy float sum — float
+    addition is order-dependent and a partition-ordered sum could
+    diverge between engines/runs (the HLL ordered-window discipline);
+    ranking ties break on vec_id."""
+    cb = pq_codebook(emb, dim, m, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+    qsubs = _subspaces(queries, dim, m, query_id_col, vec_col, query_id_col)
+    pd_dot = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("csub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsubs.join(
+            F.broadcast(cb.select("m", "code_id", F.col("sub").alias("csub"))),
+            "m",
+        )
+        .select(query_id_col, "m", "code_id", pd_dot.alias("pd"))
+    )
+    adot = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("m", "pd"))).alias("l"))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.col("l"), F.lit(0.0), lambda acc, x: acc + x["pd"]
+            ).alias("__ascore"),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__ascore"), F.asc(id_col)
+    )
+    cand = (
+        adot.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    rescored = (
+        emb.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )

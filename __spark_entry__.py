@@ -615,7 +615,11 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, nq = 5, len(ANN_QUERY_IDS)
     exact = _q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     legs = []
-    for method, qfn in (("ivf", _q_ann_ivf), ("srp", _q_ann_srp)):
+    for method, qfn in (
+        ("ivf", _q_ann_ivf),
+        ("srp", _q_ann_srp),
+        ("pq", _q_ann_pq),
+    ):
         hits = (
             qfn(spark, sf_dir)
             .select("query_id", "vec_id")
@@ -630,7 +634,10 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_hits") / F.lit(nq * k), 6).alias("recall"),
             )
         )
-    return legs[0].unionByName(legs[1])
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3662,13 +3662,18 @@ WITH exact AS (
   SELECT query_id, vec_id FROM ({ann_bruteforce_topk(query_ids, k=k)}) e
 ),
 ivf AS (SELECT query_id, vec_id FROM ({ann_ivf_topk(query_ids, k=k)}) v),
-srp AS (SELECT query_id, vec_id FROM ({ann_srp_topk(query_ids, k=k)}) s)
+srp AS (SELECT query_id, vec_id FROM ({ann_srp_topk(query_ids, k=k)}) s),
+pq AS (SELECT query_id, vec_id FROM ({ann_pq_topk(query_ids, k=k)}) p)
 SELECT 'ivf' AS method, CAST({nq} AS INT) AS n_queries, CAST({k} AS INT) AS k,
        round((SELECT count(*) FROM ivf JOIN exact USING (query_id, vec_id))
              / {nq * k}.0, 6) AS recall
 UNION ALL
 SELECT 'srp', CAST({nq} AS INT), CAST({k} AS INT),
        round((SELECT count(*) FROM srp JOIN exact USING (query_id, vec_id))
+             / {nq * k}.0, 6)
+UNION ALL
+SELECT 'pq', CAST({nq} AS INT), CAST({k} AS INT),
+       round((SELECT count(*) FROM pq JOIN exact USING (query_id, vec_id))
              / {nq * k}.0, 6)
 """
 

@@ -451,6 +451,17 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+def _q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 session-window rollup (streaming/windows.session_rollup, 6h
+    gap) in batch mode — the built-in session_window twin of the batch
+    sessionize operator; same expression runs watermarked/incremental
+    (batch≡stream asserted in test_streaming). NEW IN r6."""
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.flat_session_rollup(windows.session_rollup(ev, "6 hours"))
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2279,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "bloom_user_membership": _q_bloom_user_membership,
         "ann_pq_topk": _q_ann_pq,
+        "events_session_rollup": _q_events_session_rollup,
     }
 
 
@@ -2294,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": oracles.graph_kcore(GRAPH_ANALYTICS_CAP, KCORE_K),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
+        "events_session_rollup": oracles.events_session_rollup(),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

@@ -2989,6 +2989,41 @@ GROUP BY 1, 2
 """
 
 
+def events_session_rollup(gap_minutes: int = 360) -> str:
+    """Oracle for streaming/windows.session_rollup in batch mode:
+    gap-closed session windows per user — split when ts - prev_ts >
+    gap (STRICTLY greater; exactly-gap merges — probed against
+    session_window and identical to sessionize's flag), window =
+    [min ts, max ts + gap)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def events_debounce_last() -> str:
     return """
 WITH r AS (

@@ -65,3 +65,41 @@ def flat_rollup(roll: DataFrame) -> DataFrame:
         "u_hi",
         "sum_value",
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "6 hours",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(w struct<start,end>, user_id, n_events, sum_value) — event-time
+    SESSION windows (dynamic-length, gap-closed): the built-in
+    `session_window` twin of the batch sessions.sessionize operator.
+    Merge rule (probed and pinned for the oracle): an event extends the
+    session iff ts - prev_ts <= gap — the SAME strict-greater split as
+    sessionize's running-sum flag — and the emitted window is
+    [min ts, max ts + gap). In streaming mode the watermark closes a
+    session once event time passes its end, so state per user is one
+    open session, not unbounded history — the canonical streaming
+    sessionization the reference's work-queue design never needed but a
+    watcher-event stream at scale does."""
+    ev = events
+    if watermark is not None:
+        ev = ev.withWatermark(ts_col, watermark)
+    return ev.groupBy(
+        F.session_window(ts_col, gap).alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def flat_session_rollup(roll: DataFrame) -> DataFrame:
+    return roll.select(
+        F.col("w").getField("start").alias("session_start"),
+        F.col("w").getField("end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )

@@ -2179,12 +2179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a full green row and never will; recorded for the rows check:
         "graph_betweenness": _q_graph_betweenness,
         "leiden_communities": _q_leiden_communities,
-        # Slots 27-47: code paths EDITED this round (r6) — lazy hybrid
+        # Slots 27-44: code paths EDITED this round (r6) — lazy hybrid
         # fusion + api hot path (fusion.py/api.py/search_pipeline.py),
         # RollingCheckpoint in graph.py iterative ops, ngram stop-gram
         # cap + semdedup kmeans arg (dedup.py), decontamination n=13
         # (curation.py), leiden dual connectivity audit (leiden.py),
-        # SQ clamp (ann.py), resize decoder routing (multimodal.py):
+        # SQ clamp (ann.py):
         "hybrid_search_rrf": _q_hybrid,
         "fallback_search": _q_fallback_search,
         "parent_context": _q_parent_context,
@@ -2193,8 +2193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_match_scoring": _q_exact_scoring,
         "splade_search": _q_splade_search,
         "image_search": _q_image_search,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
         "graph_find_path": _q_graph_find_path,
         "graph_pagerank": _q_graph_pagerank,
         "graph_connected_components": _q_graph_components,
@@ -2205,16 +2203,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "leiden_invariants": _q_leiden_invariants,
         "ann_sq_topk": _q_ann_sq,
-        "multimodal_features": _q_multimodal_features,
-        # Slots 48-50: r4-green keepers re-verified under r6 code
-        # (betweenness/two-hop read graph.py; minhash is the heaviest
-        # dedup plan):
+        # Slots 45-49: NEW IN r6 — first driver evidence this round
+        # (graph triangle counts + k-core, Bloom membership, PQ/ADC ANN,
+        # session-window rollup):
+        "graph_triangles": _q_graph_triangles,
+        "graph_kcore": _q_graph_kcore,
+        "bloom_user_membership": _q_bloom_user_membership,
+        "ann_pq_topk": _q_ann_pq,
+        "events_session_rollup": _q_events_session_rollup,
+        # Slot 50: r4-green keeper re-verified under the r6 graph.py
+        # edits (the exact-betweenness value signal):
         "betweenness_exact": _q_betweenness_exact,
-        "two_hop_chain": _q_two_hop_chain,
-        "minhash_lsh_neardup": _q_minhash_lsh,
         # ---- below the 50-row window: green r4/r5 rows whose code is
         # unchanged since (r5: most of the curation/event/ANN family;
         # r4: the long-stable core) — they rotate back in future rounds.
+        # Displaced from the r6 window to make room for the five NEW r6
+        # queries (their exact query paths are untouched this round:
+        # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash
+        # — only other functions in those files changed):
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "multimodal_features": _q_multimodal_features,
+        "two_hop_chain": _q_two_hop_chain,
+        "minhash_lsh_neardup": _q_minhash_lsh,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
         "dsir_logweights": _q_dsir_logweights,
@@ -2284,13 +2295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
-        # NEW IN r6 (no driver row yet — below the window this round,
-        # oracle-backed + pytest; front of the r7 rotation):
-        "graph_triangles": _q_graph_triangles,
-        "graph_kcore": _q_graph_kcore,
-        "bloom_user_membership": _q_bloom_user_membership,
-        "ann_pq_topk": _q_ann_pq,
-        "events_session_rollup": _q_events_session_rollup,
     }
 
 

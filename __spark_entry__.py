@@ -1390,31 +1390,41 @@ def _q_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select("node_id", F.round("centrality", 6).alias("centrality"))
 
 
-GRAPH_ANALYTICS_CAP = 500  # same capped subgraph as adjacency_export
-KCORE_K = 20  # peels ~20% of the capped subgraph at sf0.01 (real cascade)
+KCORE_K = 20  # peels a real cascade at the proportional-cap density
+
+
+def _prop_capped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence subgraph capped PROPORTIONALLY: node ids below
+    count(part)//4 (500 at sf0.01, 5000 at sf0.1). A fixed id cap gets
+    sparser as SF grows (each part co-orders with a fixed-size id
+    window less often), emptying the k-core; the proportional cap keeps
+    subgraph density — and the analytics' behavior — scale-invariant.
+    The cap is a lazy 1-row broadcast aggregate (no driver action);
+    the oracle computes the same scalar subquery."""
+    cap = load_table(spark, sf_dir, "part").agg(
+        (F.count(F.lit(1)) / F.lit(4)).cast("long").alias("__cap")
+    )
+    return (
+        _edges(spark, sf_dir)
+        .crossJoin(F.broadcast(cap))
+        .filter((F.col("src") < F.col("__cap")) & (F.col("dst") < F.col("__cap")))
+        .select("src", "dst", "weight")
+    )
 
 
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node exact triangle counts (clustering-structure analytic
-    extending A1) on the capped co-occurrence subgraph — degree-ordered
-    orientation (Suri & Vassilvitskii 2011), wedge join + closing join;
-    the oracle replays the identical orientation keys."""
-    e = _edges(spark, sf_dir).filter(
-        (F.col("src") < GRAPH_ANALYTICS_CAP)
-        & (F.col("dst") < GRAPH_ANALYTICS_CAP)
-    )
-    return graph.triangle_counts(e)
+    extending A1) on the proportionally-capped co-occurrence subgraph —
+    degree-ordered orientation (Suri & Vassilvitskii 2011), wedge join +
+    closing join; the oracle replays the identical orientation keys."""
+    return graph.triangle_counts(_prop_capped_edges(spark, sf_dir))
 
 
 def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership + within-core degree (dense-core analytic) on
-    the capped co-occurrence subgraph: iterative peel to fixpoint,
-    oracle-unrolled to the same 30 rounds."""
-    e = _edges(spark, sf_dir).filter(
-        (F.col("src") < GRAPH_ANALYTICS_CAP)
-        & (F.col("dst") < GRAPH_ANALYTICS_CAP)
-    )
-    return graph.k_core(e, k=KCORE_K)
+    the proportionally-capped co-occurrence subgraph: iterative peel to
+    fixpoint, oracle-unrolled to the same 30 rounds."""
+    return graph.k_core(_prop_capped_edges(spark, sf_dir), k=KCORE_K)
 
 
 def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2306,8 +2316,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": oracles.corpus_stats(),
         "hapax_eviction": oracles.hapax_eviction(),
         "dedup_exact": oracles.dedup_exact(),
-        "graph_triangles": oracles.graph_triangles(GRAPH_ANALYTICS_CAP),
-        "graph_kcore": oracles.graph_kcore(GRAPH_ANALYTICS_CAP, KCORE_K),
+        "graph_triangles": oracles.graph_triangles(),
+        "graph_kcore": oracles.graph_kcore(k=KCORE_K),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),

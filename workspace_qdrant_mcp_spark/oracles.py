@@ -1559,7 +1559,7 @@ FROM comp
 """
 
 
-def graph_triangles(cap: int = 500) -> str:
+def graph_triangles(cap_sql: str = "(SELECT count(*) // 4 FROM part)") -> str:
     """Per-node triangle counts on the capped co-occurrence subgraph —
     the SQL twin of graph.triangle_counts, replaying the SAME
     degree-ordered orientation (key = deg*10^12 + node_id) so the wedge
@@ -1567,7 +1567,8 @@ def graph_triangles(cap: int = 500) -> str:
     result."""
     return f"""
 WITH {_COOC_EDGES},
-sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
 und AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
 ),
@@ -1590,7 +1591,11 @@ SELECT node_id, count(*) AS n_triangles FROM ex GROUP BY node_id
 """
 
 
-def graph_kcore(cap: int = 500, k: int = 20, n_iters: int = 30) -> str:
+def graph_kcore(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+    k: int = 20,
+    n_iters: int = 30,
+) -> str:
     """k-core membership + within-core degree on the capped co-occurrence
     subgraph — n_iters unrolled peeling rounds (the dedup_survivors
     unroll pattern); the Spark side's early exit fires only at the
@@ -1598,7 +1603,8 @@ def graph_kcore(cap: int = 500, k: int = 20, n_iters: int = 30) -> str:
     parts = [
         f"""
 WITH {_COOC_EDGES},
-sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
 e0 AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
 )"""

@@ -1404,6 +1404,10 @@ def _prop_capped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = load_table(spark, sf_dir, "part").agg(
         (F.count(F.lit(1)) / F.lit(4)).cast("long").alias("__cap")
     )
+    # the broadcast-1-row crossJoin necessarily plans as a
+    # BroadcastNestedLoopJoin (Catalyst constant-folds any synthetic
+    # equi-key away) — that IS the optimal plan for a scalar build side;
+    # the plan audit whitelists exactly this __cap pattern
     return (
         _edges(spark, sf_dir)
         .crossJoin(F.broadcast(cap))

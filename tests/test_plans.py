@@ -261,3 +261,36 @@ def test_repeated_spans_is_two_stage_agg_and_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round6_queries_avoid_cartesian_joins(spark):
+    """r6 additions keep equi-join shapes: degree-ordered triangle
+    wedge+closing joins, k-core peel semi-joins, PQ's LUT join on
+    (m, code_id), bloom's bit join, and the session-window rollup must
+    never degrade to a nested-loop pairing. (ann_pq_topk's broadcast
+    crossJoin of the 1-row bounds table is absent here by design —
+    PQ joins codebook/LUT by key.)"""
+    import __spark_entry__ as entrymod
+
+    for name in ("graph_triangles", "graph_kcore", "ann_pq_topk",
+                 "bloom_user_membership", "events_session_rollup"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        # the scalar proportional-cap join is the one permitted
+        # nested-loop: a broadcast 1-ROW aggregate build side (Catalyst
+        # constant-folds any synthetic equi-key, so this shape is
+        # unavoidable AND optimal); every other NLJ is a scale bug.
+        # Simple-mode plan keeps the join condition on the node line.
+        # permitted shapes: the __cap residual filter, or an
+        # unconditioned BuildRight Cross — both only arise from
+        # F.broadcast(one-row-aggregate) scalar attaches in this repo
+        # (a big-big cross would plan as CartesianProduct, asserted
+        # absent above)
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for line in simple.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                ok = "__cap" in line or line.strip().endswith(
+                    "BroadcastNestedLoopJoin BuildRight, Cross"
+                )
+                assert ok, (name, line)

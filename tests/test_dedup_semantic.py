@@ -242,3 +242,69 @@ class TestSemDeDupKMeansPath:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with _pytest.raises(ValueError, match="centroid_mode"):
             dedup.semdedup(emb, centroid_mode="nope")
+
+
+class TestSignatureStore:
+    """Maintained minhash signature store: incremental == rebuild (the
+    postings-store invariant), and incremental near-dup off the store
+    equals the batch path restricted to the new ids."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _canon(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_update_sequence_equals_rebuild(self, spark, tmp_path):
+        p = str(tmp_path / "sigs")
+        d1 = self._docs(spark, [(i, f"first wave document {i} " * 8) for i in range(6)])
+        dedup.update_signature_store(spark, p, changed_docs=d1)
+        # modify doc 2, add docs 6-7, delete doc 4
+        d2 = self._docs(
+            spark,
+            [(2, "changed content entirely " * 8)]
+            + [(i, f"second wave document {i} " * 8) for i in (6, 7)],
+        )
+        dels = spark.createDataFrame([(4,)], "doc_id long")
+        dedup.update_signature_store(spark, p, changed_docs=d2, deleted_ids=dels)
+        current = (
+            d1.filter(~F.col("doc_id").isin(2, 4))
+            .unionByName(d2)
+        )
+        rebuilt = dedup.minhash_signatures(current)
+        got = dedup.read_signature_store(spark, p)
+        assert self._canon(got) == self._canon(rebuilt)
+
+    def test_incremental_matches_batch_restricted(self, spark, tmp_path):
+        p = str(tmp_path / "sigs2")
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        old = self._docs(
+            spark,
+            [(1, base), (2, base[:-30] + " tail variation one two")]
+            + [(i, f"unrelated filler text number {i} " * 7) for i in (3, 4)],
+        )
+        dedup.update_signature_store(spark, p, changed_docs=old)
+        new = self._docs(spark, [(10, base[:-15] + " slight tail"), (11, "completely new material " * 8)])
+        dedup.update_signature_store(spark, p, changed_docs=new)
+        corpus = old.unionByName(new)
+        new_ids = new.select("doc_id")
+        inc = self._canon(
+            dedup.incremental_neardup(spark, p, corpus, new_ids)
+        )
+        full = dedup.minhash_lsh_neardup(corpus)
+        restricted = self._canon(
+            full.filter(
+                F.col("id_a").isin(10, 11) | F.col("id_b").isin(10, 11)
+            )
+        )
+        assert inc == restricted
+        assert inc  # the near-twin of doc 1/2 must actually be found
+
+    def test_batch_path_unchanged_by_refactor(self, spark):
+        # the shared exact_verify_pairs refactor must keep the batch
+        # operator's output identical on the near-copy corpus
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = dedup.with_near_copies(docs.select("doc_id", "text"))
+        out = dedup.minhash_lsh_neardup(corpus)
+        assert out.count() > 0
+        assert out.filter(F.col("jaccard") < 0.5).count() == 0

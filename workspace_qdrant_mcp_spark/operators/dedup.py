@@ -267,14 +267,26 @@ def minhash_lsh_neardup(
         )
         .distinct()
     )
-    # exact-verify sets as int32 shingle hashes: 4-byte elements instead of
-    # k-char strings — smaller candidate-join shuffle, cheaper intersects;
-    # hash collisions (~1e-5/doc) are identical in the oracle
-    # Verify sets only for docs that survived candidate generation — LSH
-    # candidates are a vanishing fraction of the corpus at scale, so the
-    # semi-join prune keeps the broadcast side bounded by |candidates|,
-    # not |corpus|.
     cand = cand.localCheckpoint()
+    return exact_verify_pairs(corpus, cand, threshold, shingle_k)
+
+
+def exact_verify_pairs(
+    corpus: DataFrame,
+    cand: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact char-shingle Jaccard over a bounded candidate-pair table —
+    the shared verify stage of the batch and incremental minhash paths.
+
+    Verify sets as int32 shingle hashes: 4-byte elements instead of
+    k-char strings — smaller candidate-join shuffle, cheaper intersects;
+    hash collisions (~1e-5/doc) are identical in the oracle. Sets are
+    built only for docs that survived candidate generation — LSH
+    candidates are a vanishing fraction of the corpus at scale, so the
+    semi-join prune keeps the broadcast side bounded by |candidates|,
+    not |corpus|."""
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
@@ -316,6 +328,106 @@ def minhash_lsh_neardup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained minhash signature store (the S7 postings-store discipline
+# applied to the dedup family: signatures are written at ingest, and a
+# new batch dedups against the store without re-signing the corpus)
+# ---------------------------------------------------------------------------
+
+def read_signature_store(
+    spark, store_path: str, n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """The maintained (doc_id, v0..v{n-1}) signature table; empty-typed
+    frame if the store does not exist yet. Like bm25.read_postings, only
+    a MISSING store reads as empty — an unreadable one must abort the
+    update loudly (update rewrites the store as kept ∪ delta, so
+    treating a corrupt read as empty would truncate the index)."""
+    import os
+
+    if os.path.exists(store_path):
+        return spark.read.parquet(store_path)
+    cols = ", ".join(f"v{j} long" for j in range(n_hashes))
+    return spark.createDataFrame([], f"doc_id long, {cols}")
+
+
+def update_signature_store(
+    spark,
+    store_path: str,
+    changed_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    n_hashes: int = N_MINHASHES,
+    shingle_k: int = 5,
+) -> None:
+    """Incremental signature maintenance: drop the signatures of
+    changed/deleted docs (one anti-join on doc_id), append freshly
+    computed signatures of the changed docs only. INVARIANT (asserted
+    in tests): after any update sequence the store equals
+    minhash_signatures() over the current corpus — incremental ==
+    rebuild, so incremental_neardup off the store is exact. The touched
+    set is delta-sized; at production scale this is a Delta MERGE."""
+    existing = read_signature_store(spark, store_path, n_hashes)
+    gone = None
+    if changed_docs is not None:
+        gone = changed_docs.select("doc_id")
+    if deleted_ids is not None:
+        d = deleted_ids.select("doc_id")
+        gone = d if gone is None else gone.unionByName(d)
+    kept = (
+        existing
+        if gone is None
+        else existing.join(gone.distinct(), "doc_id", "left_anti")
+    )
+    out = kept
+    if changed_docs is not None:
+        out = kept.unionByName(
+            minhash_signatures(changed_docs, n_hashes, shingle_k)
+        )
+    out.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def incremental_neardup(
+    spark,
+    store_path: str,
+    corpus: DataFrame,
+    new_ids: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int = 5,
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — near-dups INVOLVING the new batch, found
+    against the maintained store: band buckets of the new docs' stored
+    signatures (batch-sized, broadcast) join the full bucket table, so
+    candidate generation touches only buckets a new doc lands in — the
+    corpus is never re-signed and never self-joined. Exact verify runs
+    over the corpus texts for just the candidate ids (the shared
+    exact_verify_pairs funnel). Equals the batch minhash_lsh_neardup
+    restricted to pairs touching a new id (asserted in tests)."""
+    sigs = read_signature_store(spark, store_path, n_hashes).localCheckpoint()
+    new_sigs = sigs.join(
+        F.broadcast(new_ids.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    buckets = lsh_band_buckets(sigs, n_hashes=n_hashes)
+    new_buckets = lsh_band_buckets(new_sigs, n_hashes=n_hashes)
+    cand = (
+        buckets.join(
+            F.broadcast(
+                new_buckets.select(
+                    "band", "bucket", F.col("doc_id").alias("new_id")
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(
+            F.least("doc_id", "new_id").alias("id_a"),
+            F.greatest("doc_id", "new_id").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    return exact_verify_pairs(corpus, cand, threshold, shingle_k)
 
 
 # ---------------------------------------------------------------------------

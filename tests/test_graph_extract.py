@@ -218,3 +218,90 @@ def test_lsp_enrichment_reference_cap(spark):
     assert len(row["lsp_references"].split("|")) == 20
     assert row["lsp_references"].startswith("caller_000.py|caller_001.py")
     assert row["lsp_type_signature"] == "def target_fn()"
+
+
+class TestGraphStore:
+    """S8 maintained graph sink (operators/graph_store): incremental ==
+    full rebuild, including the cross-file rewiring case (a definition
+    change in one file flips call edges in untouched files)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "tenant_id string, file_path string, content string"
+        )
+
+    def _canon(self, df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def _assert_equals_rebuild(self, spark, store_dir, corpus):
+        from workspace_qdrant_mcp_spark.operators import graph_store as gs
+
+        nodes, tokens, edges = gs.read_graph_store(spark, store_dir)
+        rn, re_ = gx.extract_symbols(corpus)
+        assert self._canon(nodes) == self._canon(rn)
+        assert self._canon(tokens) == self._canon(gx.call_tokens(corpus))
+        assert self._canon(edges) == self._canon(re_)
+
+    def test_update_sequence_equals_rebuild(self, spark, tmp_path):
+        from workspace_qdrant_mcp_spark.operators import graph_store as gs
+
+        store = str(tmp_path / "gstore")
+        v1 = self._docs(spark, [
+            ("t", "a.py", "def alpha():\n    beta()\n"),
+            ("t", "b.py", "def beta():\n    pass\n"),
+            ("t", "c.py", "def gamma():\n    delta()\n"),
+        ])
+        gs.update_graph_store(spark, store, changed_docs=v1)
+        self._assert_equals_rebuild(spark, store, v1)
+
+        # modify b.py (beta -> beta2: a.py's beta() call UNRESOLVES —
+        # cross-file rewiring), add d.py defining delta (c.py's call
+        # RESOLVES — rewiring the other direction), delete nothing
+        v2_changed = self._docs(spark, [
+            ("t", "b.py", "def beta2():\n    pass\n"),
+            ("t", "d.py", "def delta():\n    pass\n"),
+        ])
+        gs.update_graph_store(spark, store, changed_docs=v2_changed)
+        corpus2 = self._docs(spark, [
+            ("t", "a.py", "def alpha():\n    beta()\n"),
+            ("t", "b.py", "def beta2():\n    pass\n"),
+            ("t", "c.py", "def gamma():\n    delta()\n"),
+            ("t", "d.py", "def delta():\n    pass\n"),
+        ])
+        self._assert_equals_rebuild(spark, store, corpus2)
+        # the rewiring actually happened: gamma->delta edge now exists
+        _, _, edges = gs.read_graph_store(spark, store)
+        assert edges.filter(F.col("source_file") == "c.py").count() == 1
+        assert edges.filter(F.col("source_file") == "a.py").count() == 0
+
+        # delete d.py: gamma's edge unresolves again
+        gs.update_graph_store(
+            spark, store,
+            deleted_paths=spark.createDataFrame(
+                [("t", "d.py")], "tenant_id string, file_path string"
+            ),
+        )
+        corpus3 = corpus2.filter(F.col("file_path") != "d.py")
+        self._assert_equals_rebuild(spark, store, corpus3)
+
+    def test_tenant_isolation(self, spark, tmp_path):
+        from workspace_qdrant_mcp_spark.operators import graph_store as gs
+
+        store = str(tmp_path / "gstore2")
+        v1 = self._docs(spark, [
+            ("t1", "a.py", "def foo():\n    bar()\n"),
+            ("t1", "b.py", "def bar():\n    pass\n"),
+            ("t2", "a.py", "def foo():\n    bar()\n"),
+        ])
+        gs.update_graph_store(spark, store, changed_docs=v1)
+        # t2 has no bar definition: its foo->bar must not resolve into
+        # t1's node, before or after an unrelated t1 update
+        v2 = self._docs(spark, [("t1", "b.py", "def bar():\n    baz()\n")])
+        gs.update_graph_store(spark, store, changed_docs=v2)
+        corpus = v1.filter(
+            ~((F.col("tenant_id") == "t1") & (F.col("file_path") == "b.py"))
+        ).unionByName(v2)
+        self._assert_equals_rebuild(spark, store, corpus)
+        _, _, edges = gs.read_graph_store(spark, store)
+        assert edges.filter(F.col("tenant_id") == "t2").count() == 0

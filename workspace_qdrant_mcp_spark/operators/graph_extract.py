@@ -48,36 +48,39 @@ def _node_id(tenant, file_path, symbol, sym_type):
     )
 
 
-def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """docs: (tenant_id, file_path, content) → (nodes, edges).
+def symbol_nodes(docs: DataFrame) -> DataFrame:
+    """(node_id, tenant_id, symbol_name, symbol_type, file_path) — the
+    per-FILE symbol definitions. Strictly per-file derivation, so the
+    maintained store can delete+append by file_path (S8 incremental)."""
+    return (
+        docs.select(
+            "tenant_id",
+            "file_path",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("content"), F.lit(_SYMBOL_RE), 1)
+                )
+            ).alias("symbol_name"),
+        )
+        .withColumn("symbol_type", F.lit("function"))
+        .select(
+            _node_id(
+                F.col("tenant_id"), F.col("file_path"),
+                F.col("symbol_name"), F.col("symbol_type"),
+            ).alias("node_id"),
+            "tenant_id", "symbol_name", "symbol_type", "file_path",
+        )
+        .distinct()
+    )
 
-    nodes: (node_id, tenant_id, symbol_name, symbol_type, file_path)
-    edges: (edge_id, tenant_id, source_node_id, target_node_id, edge_type,
-            source_file, weight)
-    """
-    syms = docs.select(
-        "tenant_id",
-        "file_path",
-        F.explode(
-            F.array_distinct(F.regexp_extract_all(F.col("content"), F.lit(_SYMBOL_RE), 1))
-        ).alias("symbol_name"),
-        "content",
-    ).withColumn("symbol_type", F.lit("function"))
-    nodes = syms.select(
-        _node_id(
-            F.col("tenant_id"), F.col("file_path"),
-            F.col("symbol_name"), F.col("symbol_type"),
-        ).alias("node_id"),
-        "tenant_id", "symbol_name", "symbol_type", "file_path",
-    ).distinct()
 
-    # CALLS: call-site tokens `name(` (word-boundary-guarded) extracted per
-    # file, then EQUI-joined to the symbol table on (tenant, name) — a
-    # simple approximation of the reference's tree-sitter call analysis,
-    # same edge schema. The token extraction replaces an earlier
-    # per-tenant quadratic contains() join: at scale the call-site join is
-    # a hash join on (tenant, name), not |files|x|symbols| string scans.
-    call_tokens = docs.select(
+def call_tokens(docs: DataFrame) -> DataFrame:
+    """(tenant_id, file_path, callee) — call-site tokens `name(`
+    (word-boundary-guarded) per file. Also strictly per-file, hence
+    incrementally maintainable; the regex extraction over content is the
+    content-bound cost of the graph sink, and it only ever runs on the
+    changed files."""
+    return docs.select(
         "tenant_id", "file_path",
         F.explode(
             F.array_distinct(
@@ -89,7 +92,16 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("callee"),
     )
-    callers = syms.select(
+
+
+def resolve_call_edges(nodes: DataFrame, tokens: DataFrame) -> DataFrame:
+    """CALLS edges as a pure join over the two narrow derived tables —
+    an EQUI-join on (tenant, name), a simple approximation of the
+    reference's tree-sitter call analysis with the same edge schema.
+    (The token extraction replaced an earlier per-tenant quadratic
+    contains() join: at scale this is a hash join, not
+    |files|x|symbols| string scans.)"""
+    callers = nodes.select(
         F.col("tenant_id"), F.col("file_path"),
         F.col("file_path").alias("src_file"),
         F.col("symbol_name").alias("caller"),
@@ -98,10 +110,9 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("tenant_id"),
         F.col("symbol_name").alias("callee"),
         F.col("node_id").alias("target_node_id"),
-        F.col("file_path").alias("callee_file"),
     )
     calls = (
-        callers.join(call_tokens, ["tenant_id", "file_path"])
+        callers.join(tokens, ["tenant_id", "file_path"])
         .join(callees, ["tenant_id", "callee"])
         .filter(F.col("caller") != F.col("callee"))
         .select(
@@ -117,7 +128,7 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .distinct()
     )
-    edges = calls.withColumn(
+    return calls.withColumn(
         "edge_id",
         F.substring(
             F.sha2(
@@ -133,7 +144,20 @@ def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         "edge_id", "tenant_id", "source_node_id", "target_node_id",
         "edge_type", "source_file", "weight",
     )
-    return nodes, edges
+
+
+def extract_symbols(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """docs: (tenant_id, file_path, content) → (nodes, edges).
+
+    nodes: (node_id, tenant_id, symbol_name, symbol_type, file_path)
+    edges: (edge_id, tenant_id, source_node_id, target_node_id, edge_type,
+            source_file, weight)
+
+    Composition of the per-file derivations + the resolution join —
+    identical output to the maintained-store path (graph_store.py), which
+    keeps the nodes/tokens tables incrementally and re-resolves edges."""
+    nodes = symbol_nodes(docs)
+    return nodes, resolve_call_edges(nodes, call_tokens(docs))
 
 
 def narrative_sections(

@@ -671,3 +671,64 @@ def test_session_rollup_stream_equals_batch(spark, tmp_path):
         by_user.setdefault(u, []).append(n)
     assert sorted(by_user[1]) == [1, 2]
     assert by_user[2] == [3]
+
+
+def test_graph_store_lockstep_with_stream(spark, tmp_path):
+    """S8 maintained graph sink through the real micro-batch path:
+    create/modify/remove events drive update_graph_store, and after each
+    batch the store equals a full extract_symbols rebuild over the
+    surviving corpus (incl. cross-file call rewiring)."""
+    from workspace_qdrant_mcp_spark.operators import graph_extract as gx
+    from workspace_qdrant_mcp_spark.operators import graph_store as gs
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    gdir = str(tmp_path / "graph")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+
+    def check(corpus_rows):
+        corpus = spark.createDataFrame(
+            [("default", p, c) for p, c in corpus_rows],
+            "tenant_id string, file_path string, content string",
+        )
+        nodes, tokens, edges = gs.read_graph_store(spark, gdir)
+        rn, re_ = gx.extract_symbols(corpus)
+
+        def canon(df):
+            cols = sorted(df.columns)
+            return sorted(tuple(r) for r in df.select(*cols).collect())
+
+        assert canon(nodes) == canon(rn)
+        assert canon(edges) == canon(re_)
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    a = "def alpha():\n    beta()\n"
+    b = "def beta():\n    pass\n"
+    ingest.process_batch(
+        spark,
+        batch([("a.py", "create", a, t), ("b.py", "create", b, t)]),
+        store, dlq, graph_store_dir=gdir,
+    )
+    check([("a.py", a), ("b.py", b)])
+
+    # modify b.py: beta -> beta2 (a.py's call edge must unresolve)
+    b2 = "def beta2():\n    pass\n"
+    ingest.process_batch(
+        spark,
+        batch([("b.py", "modify", b2, t)]),
+        store, dlq, graph_store_dir=gdir,
+    )
+    check([("a.py", a), ("b.py", b2)])
+
+    # remove b.py entirely
+    ingest.process_batch(
+        spark,
+        batch([("b.py", "remove", None, t)]),
+        store, dlq, graph_store_dir=gdir,
+    )
+    check([("a.py", a)])

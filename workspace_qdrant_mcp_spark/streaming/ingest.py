@@ -189,6 +189,7 @@ def process_batch(
     embed_fn=None,
     quality_gate: bool = False,
     postings_path: str | None = None,
+    graph_store_dir: str | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -253,10 +254,11 @@ def process_batch(
                     .parquet(dlq_path)
                 )
             changed = changed.filter(passes)
-        if postings_path is not None:
-            # the postings update runs AFTER upsert_chunks overwrites the
-            # store, but `changed` is lazily derived from the PRE-upsert
-            # store listing — pin it now or the re-read hits deleted files
+        if postings_path is not None or graph_store_dir is not None:
+            # the postings/graph updates run AFTER upsert_chunks
+            # overwrites the store, but `changed` is lazily derived from
+            # the PRE-upsert store listing — pin it now or the re-read
+            # sees the post-upsert hashes and the delta evaporates
             changed = changed.localCheckpoint()
         # dedup-before-embed (phrase-cache analog, generator.rs:176-302):
         # the embed provider sees each distinct chunk text once per batch
@@ -283,6 +285,24 @@ def process_batch(
                     text_col="content",
                     id_type="string",
                 )
+            # S8 maintained graph sink (opt-in): keep the symbol graph in
+            # lockstep with the chunk store — extraction runs only on the
+            # post-gate changed files, edge rewiring is delta-scoped
+            # (operators/graph_store). Single-tenant ingest stream maps
+            # path -> file_path under the 'default' tenant; multi-tenant
+            # deployments partition the stream per watch folder first.
+            if graph_store_dir is not None and len(changed.take(1)) > 0:
+                from ..operators.graph_store import update_graph_store
+
+                update_graph_store(
+                    spark,
+                    graph_store_dir,
+                    changed_docs=changed.select(
+                        F.lit("default").alias("tenant_id"),
+                        F.col("path").alias("file_path"),
+                        "content",
+                    ),
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -307,6 +327,17 @@ def process_batch(
                     deleted_ids=deletes,
                     id_col="path",
                     id_type="string",
+                )
+            if graph_store_dir is not None:
+                from ..operators.graph_store import update_graph_store
+
+                update_graph_store(
+                    spark,
+                    graph_store_dir,
+                    deleted_paths=deletes.select(
+                        F.lit("default").alias("tenant_id"),
+                        F.col("path").alias("file_path"),
+                    ),
                 )
     except Exception as exc:  # W3: dead-letter the failed batch with the error
         # Poison rows already went to the DLQ with their row-level reason;
@@ -399,6 +430,7 @@ def run_ingestion_stream(
     watchdog: EmbeddingWatchdog | None = None,
     park_path: str | None = None,
     postings_path: str | None = None,
+    graph_store_dir: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
@@ -419,6 +451,7 @@ def run_ingestion_stream(
                 spark, b, store_path, dlq_path, ignore_globs, allow_globs,
                 watchdog=watchdog, park_path=park_path,
                 postings_path=postings_path,
+                graph_store_dir=graph_store_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

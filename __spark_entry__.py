@@ -451,6 +451,70 @@ def _q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_rollup(windows.windowed_rollup(ev, "1 hour"))
 
 
+FAIRNESS_SLICE = 60  # first N events by id -> 6 full batches of 10
+
+
+def _fairness_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic queue derivation from the events table: op from the
+    event type (delete/add/update/uplift/scan weights all exercised),
+    some tenant-registration line-jumps, all three collection priorities,
+    is_active from user parity, created_ts = epoch seconds."""
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(
+        FAIRNESS_SLICE
+    )
+    op = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "purchase", "add")
+        .when(F.col("event_type") == "signup", "update")
+        .when(F.col("event_type") == "click", "uplift")
+        .otherwise("scan")
+    )
+    return ev.select(
+        F.col("event_id").alias("queue_id"),
+        op.alias("op"),
+        F.when(F.col("event_id") % 17 == 0, "tenant")
+        .otherwise("file")
+        .alias("item_type"),
+        F.when(F.col("event_id") % 11 == 0, "rules")
+        .when(F.col("event_id") % 11 == 1, "libraries")
+        .otherwise("projects")
+        .alias("collection"),
+        (F.col("user_id") % 2).cast("int").alias("is_active"),
+        F.col("ts").cast("long").alias("created_ts"),
+    )
+
+
+def _q_fairness_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(batch_no, pos, queue_id) — the W7 anti-starvation drain order
+    over a 60-item queue derived from events: the FairnessScheduler's
+    asymmetric DESC/ASC alternation with delete precedence, line-jumps
+    and age promotion (streaming/fairness.py, fairness_scheduler.rs
+    parity). With full 10-item batches the direction strictly
+    alternates (10 >= both budgets), which the oracle replays as six
+    unrolled rank-take-remove rounds. The control loop is driver-side
+    like the reference's; thresholds derive from the slice's time span
+    so the age promotion actually discriminates. NEW IN r6."""
+    from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+    q = _fairness_queue(spark, sf_dir).localCheckpoint()
+    lo, hi = q.agg(
+        F.min("created_ts"), F.max("created_ts")
+    ).collect()[0]
+    span = max(1, int(hi) - int(lo))
+    cfg = fs.FairnessConfig(
+        age_promotion_warning_seconds=span // 3,
+        age_promotion_critical_seconds=2 * span // 3,
+    )
+    sched = fs.FairnessScheduler(cfg)
+    batches = fs.drain_fairly(sched, q, max_batch_size=10, now_ts=int(hi) + 1)
+    rows = [
+        (bi, pi, r["queue_id"])
+        for bi, b in enumerate(batches)
+        for pi, r in enumerate(b)
+    ]
+    return spark.createDataFrame(rows, "batch_no int, pos int, queue_id long")
+
+
 def _q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 session-window rollup (streaming/windows.session_rollup, 6h
     gap) in batch mode — the built-in session_window twin of the batch
@@ -2217,24 +2281,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "leiden_invariants": _q_leiden_invariants,
         "ann_sq_topk": _q_ann_sq,
-        # Slots 45-49: NEW IN r6 — first driver evidence this round
+        # Slots 45-50: NEW IN r6 — first driver evidence this round
         # (graph triangle counts + k-core, Bloom membership, PQ/ADC ANN,
-        # session-window rollup):
+        # session-window rollup, W7 fairness drain):
         "graph_triangles": _q_graph_triangles,
         "graph_kcore": _q_graph_kcore,
         "bloom_user_membership": _q_bloom_user_membership,
         "ann_pq_topk": _q_ann_pq,
         "events_session_rollup": _q_events_session_rollup,
-        # Slot 50: r4-green keeper re-verified under the r6 graph.py
-        # edits (the exact-betweenness value signal):
-        "betweenness_exact": _q_betweenness_exact,
+        "fairness_dequeue": _q_fairness_dequeue,
         # ---- below the 50-row window: green r4/r5 rows whose code is
         # unchanged since (r5: most of the curation/event/ANN family;
         # r4: the long-stable core) — they rotate back in future rounds.
-        # Displaced from the r6 window to make room for the five NEW r6
+        # Displaced from the r6 window to make room for the six NEW r6
         # queries (their exact query paths are untouched this round:
-        # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash
-        # — only other functions in those files changed):
+        # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash/
+        # betweenness() — only other functions in those files changed):
+        "betweenness_exact": _q_betweenness_exact,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "multimodal_features": _q_multimodal_features,
@@ -2325,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),
+        "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

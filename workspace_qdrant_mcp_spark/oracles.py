@@ -2995,6 +2995,91 @@ GROUP BY 1, 2
 """
 
 
+def fairness_dequeue(n_slice: int = 60, batch: int = 10) -> str:
+    """Oracle for the W7 fairness drain (streaming/fairness.py): replay
+    the same queue derivation, thresholds and dequeue ORDER BY, with the
+    DESC/ASC alternation unrolled — full batches flip the direction
+    every round (10 >= both budgets), so round i runs DESC iff i is
+    even. Each round is rank → take `batch` → anti-join remove (the
+    dedup_survivors unroll pattern)."""
+    n_rounds = n_slice // batch
+
+    def order_by(desc: bool) -> str:
+        pr = (
+            "CASE WHEN collection = 'rules' THEN 1 "
+            "WHEN collection = 'libraries' THEN 0 "
+            "WHEN is_active > 0 THEN 1 ELSE 0 END"
+        )
+        opw = (
+            "CASE WHEN op = 'delete' THEN 10 WHEN op = 'reset' THEN 8 "
+            "WHEN op = 'add' THEN 5 WHEN op = 'update' THEN 4 "
+            "WHEN op = 'rename' THEN 3 WHEN op = 'uplift' THEN 2 ELSE 1 END"
+        )
+        d = "DESC" if desc else "ASC"
+        # FIFO created-order on the high-priority (DESC) pass, LIFO on
+        # the anti-starvation (ASC) pass — the tiebreak direction is the
+        # INVERSE of the priority direction (dequeue.rs created_at
+        # {order} with order ASC on DESC passes)
+        t = "ASC" if desc else "DESC"
+        return (
+            "CASE WHEN op IN ('delete','reset') THEN 1 ELSE 0 END DESC, "
+            "CASE WHEN item_type = 'tenant' AND op IN ('add','scan') "
+            "THEN 1 ELSE 0 END DESC, "
+            "CASE WHEN now_ts - created_ts >= crit THEN 2 "
+            "WHEN now_ts - created_ts >= warn THEN 1 ELSE 0 END DESC, "
+            f"{pr} {d}, {opw} {d}, created_ts {t}, queue_id {t}"
+        )
+
+    parts = [
+        f"""
+WITH sl AS MATERIALIZED (
+  SELECT event_id, event_type, user_id, ts FROM events
+  ORDER BY event_id LIMIT {n_slice}
+),
+q0 AS MATERIALIZED (
+  SELECT event_id AS queue_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'add'
+              WHEN event_type = 'signup' THEN 'update'
+              WHEN event_type = 'click' THEN 'uplift'
+              ELSE 'scan' END AS op,
+         CASE WHEN event_id % 17 = 0 THEN 'tenant' ELSE 'file' END
+           AS item_type,
+         CASE WHEN event_id % 11 = 0 THEN 'rules'
+              WHEN event_id % 11 = 1 THEN 'libraries'
+              ELSE 'projects' END AS collection,
+         CAST(user_id % 2 AS INT) AS is_active,
+         CAST(floor(epoch(ts)) AS BIGINT) AS created_ts,
+         (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) + 1 FROM sl) AS now_ts,
+         (SELECT greatest(1, CAST(floor(epoch(max(ts))) AS BIGINT)
+                             - CAST(floor(epoch(min(ts))) AS BIGINT)) // 3 FROM sl)
+           AS warn,
+         (SELECT 2 * greatest(1, CAST(floor(epoch(max(ts))) AS BIGINT)
+                                 - CAST(floor(epoch(min(ts))) AS BIGINT)) // 3 FROM sl)
+           AS crit
+  FROM sl
+)"""
+    ]
+    for i in range(n_rounds):
+        desc = i % 2 == 0
+        parts.append(
+            f""",
+b{i} AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY {order_by(desc)}) - 1 AS pos
+  FROM q{i} ORDER BY {order_by(desc)} LIMIT {batch}
+),
+q{i + 1} AS MATERIALIZED (
+  SELECT q.* FROM q{i} q ANTI JOIN b{i} USING (queue_id)
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS batch_no, CAST(pos AS INT) AS pos, queue_id FROM b{i}"
+        for i in range(n_rounds)
+    )
+    parts.append("\n" + selects)
+    return "".join(parts)
+
+
 def events_session_rollup(gap_minutes: int = 360) -> str:
     """Oracle for streaming/windows.session_rollup in batch mode:
     gap-closed session windows per user — split when ts - prev_ts >

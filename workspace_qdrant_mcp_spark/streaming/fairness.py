@@ -78,12 +78,17 @@ def dequeue_sort_cols(
     now_ts: Column,
     warning_secs: int,
     critical_secs: int,
+    key_col: str = "queue_id",
 ) -> list[Column]:
     """The full ORDER BY of the reference dequeue query over a queue
     frame with columns (op, item_type, collection, is_active,
     created_ts). Direction flips only the priority CASE, the op weight,
     and the created_ts tiebreak (FIFO on DESC, LIFO on ASC); the
-    delete/reset, line-jump and age promotions are direction-invariant."""
+    delete/reset, line-jump and age promotions are direction-invariant.
+    key_col is the final total-order tiebreak (same direction as
+    created_ts) — the reference leans on SQLite's scan order for equal
+    timestamps; a distributed engine must pin it explicitly so reruns
+    and the oracle replay are bit-identical."""
     age = now_ts - F.col("created_ts")
     delete_first = F.when(F.col("op").isin("delete", "reset"), 1).otherwise(0)
     line_jump = F.when(
@@ -102,9 +107,9 @@ def dequeue_sort_cols(
     )
     opw = _op_weight()
     directed = (
-        [priority.desc(), opw.desc(), F.col("created_ts").asc()]
+        [priority.desc(), opw.desc(), F.col("created_ts").asc(), F.col(key_col).asc()]
         if descending
-        else [priority.asc(), opw.asc(), F.col("created_ts").desc()]
+        else [priority.asc(), opw.asc(), F.col("created_ts").desc(), F.col(key_col).desc()]
     )
     return [delete_first.desc(), line_jump.desc(), age_promo.desc(), *directed]
 

@@ -484,6 +484,18 @@ def _fairness_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout (curation.shard_assignment, 8 shards):
+    exchange-free keyed-hash shard + per-shard deterministic position —
+    N independent writers, identical re-runs. NEW IN r6 (below the
+    window; front of the r7 rotation)."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.shard_assignment(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_fairness_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(batch_no, pos, queue_id) — the W7 anti-starvation drain order
     over a 60-item queue derived from events: the FairnessScheduler's
@@ -2298,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash/
         # betweenness() — only other functions in those files changed):
         "betweenness_exact": _q_betweenness_exact,
+        "shard_assignment": _q_shard_assignment,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "multimodal_features": _q_multimodal_features,
@@ -2389,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
+        "shard_assignment": oracles.shard_assignment(),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

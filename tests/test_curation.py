@@ -377,3 +377,37 @@ class TestFunnelAndCohort:
             ("2024-01-01", 3): 1,
             ("2024-01-02", 0): 1,
         }
+
+
+class TestShardAssignment:
+    def test_deterministic_and_complete(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = curation.shard_assignment(docs, n_shards=8).collect()
+        b = curation.shard_assignment(docs, n_shards=8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == docs.count()
+        # positions are dense 0..k-1 within each shard
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+
+    def test_token_balance_within_20pct(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = curation.shard_assignment(docs, n_shards=4).collect()
+        tok = {}
+        for r in rows:
+            tok[r["shard"]] = tok.get(r["shard"], 0) + r["n_tokens"]
+        mean = sum(tok.values()) / len(tok)
+        for shard, t in tok.items():
+            assert abs(t - mean) / mean < 0.2, (shard, t, mean)
+
+    def test_assignment_is_exchange_free(self, spark):
+        # the shard column itself must come from a pure column
+        # expression: no Exchange before the first window (which
+        # partitions BY shard — that one shuffle is the per-shard sort)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = curation.shard_assignment(docs, n_shards=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)

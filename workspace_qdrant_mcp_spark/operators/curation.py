@@ -370,3 +370,48 @@ def dsir_logweights(
             F.round(F.avg("lr"), 6).alias("log_w"),
         )
     )
+
+
+SHARD_SALT = "shard|"
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int = 8,
+    salt: str = SHARD_SALT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, pos_in_shard, n_tokens) — the training-shard
+    layout step: every document gets a deterministic shard and a
+    deterministic position within it, so N writers can each produce
+    their shard file independently and any re-run (or late-arriving
+    recomputation) lands identically.
+
+    Scale shape: shard = keyed md5 hash % n_shards — a pure column
+    expression, NO global ordering and no exchange for the assignment
+    itself (a row_number over an unpartitioned window would funnel the
+    corpus through one partition); pos_in_shard is a window partitioned
+    BY SHARD ordered by the (collision-free-in-practice) hash then id —
+    each shard's ordering is an independent partition-local sort. Token
+    balance across shards is the law of large numbers (asserted within
+    ±20% in tests), the same statistical-balance contract as
+    dataset_split; exact token-balanced packing WITHIN a shard is
+    sequence_packing's job downstream."""
+    from pyspark.sql import Window
+
+    h = md5_hash64(F.col(id_col).cast("string"), salt=salt)
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: F.length(t) > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(
+            id_col,
+            h.alias("h"),
+            (h % n_shards).cast("int").alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w) - 1)
+        .select(id_col, "shard", "pos_in_shard", "n_tokens")
+    )

@@ -2995,6 +2995,26 @@ GROUP BY 1, 2
 """
 
 
+def shard_assignment(n_shards: int = 8) -> str:
+    """Oracle for curation.shard_assignment: identical keyed hash,
+    modulo shard, per-shard (hash, id) position, whitespace tokens."""
+    h = duckdb_md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt="shard|")
+    return f"""
+WITH a AS (
+  SELECT doc_id, {h} AS h,
+         CAST({h} % {n_shards} AS INT) AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> length(t) > 0)) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS INT) AS pos_in_shard,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM a
+"""
+
+
 def fairness_dequeue(n_slice: int = 60, batch: int = 10) -> str:
     """Oracle for the W7 fairness drain (streaming/fairness.py): replay
     the same queue derivation, thresholds and dequeue ORDER BY, with the

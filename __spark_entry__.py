@@ -692,6 +692,23 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_topk(emb, q, dim=64)
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (ann.ivf_pq_topk): inverted-file cell probe
+    prunes WHICH vectors are scored, PQ/ADC decides HOW cheaply, shared
+    exact-rescore funnel bounds both approximations — the billion-scale
+    layout (FAISS IndexIVFPQ). Deterministic vec_id<10 centroids and
+    vec_id<16 codebook for oracle parity. NEW IN r6 (below the window;
+    front of the r7 rotation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    return ann.ivf_pq_topk(emb, q, cents, dim=64)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_queries, k, recall) — recall@k of the approximate ANN
     paths (IVF with n_probe pruning, banded SRP-LSH) against the exact
@@ -2311,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # betweenness() — only other functions in those files changed):
         "betweenness_exact": _q_betweenness_exact,
         "shard_assignment": _q_shard_assignment,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "multimodal_features": _q_multimodal_features,
@@ -2403,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_rollup": oracles.events_session_rollup(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
+        "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),
         "relevance_decay_hybrid": oracles.relevance_decay_hybrid(
             QUERY_TERMS, DECAY_MAP, QUERY_VEC_ID
         ),

@@ -180,3 +180,57 @@ class TestPQ:
             F.min("code_id").alias("lo"), F.max("code_id").alias("hi")
         ).collect()[0]
         assert 0 <= mm["lo"] and mm["hi"] < ann.PQ_CODES
+
+
+class TestIVFPQ:
+    def test_shape_and_candidates_within_probed_cells(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        out = ann.ivf_pq_topk(emb, q, cents, dim=64)
+        rows = out.collect()
+        assert len(rows) == 25
+        assert all(r["vec_id"] != r["query_id"] for r in rows)
+        # every returned vector must live in one of its query's 2 probed
+        # cells (the whole point of the inverted file)
+        assigned = {
+            r["vec_id"]: r["cell_id"]
+            for r in ann.assign_ivf_cells(emb, cents).select(
+                "vec_id", "cell_id"
+            ).collect()
+        }
+        import math
+        def top_cells(qv, cents_rows, n=2):
+            dots = []
+            for cid, cv in cents_rows:
+                dots.append((sum(a*b for a, b in zip(qv, cv)), -cid))
+            dots.sort(reverse=True)
+            return {-c for _, c in dots[:n]}
+        cents_rows = [(r["cell_id"], r["embedding"]) for r in cents.collect()]
+        qvecs = {r["query_id"]: r["embedding"] for r in q.collect()}
+        for r in rows:
+            probed = top_cells(qvecs[r["query_id"]], cents_rows)
+            assert assigned[r["vec_id"]] in probed, r
+
+    def test_recall_floor_vs_bruteforce(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.bruteforce_topk(emb, q).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.ivf_pq_topk(emb, q, cents, dim=64).collect()
+        }
+        # double approximation: conservative floor
+        assert len(exact & got) / len(exact) >= 0.3

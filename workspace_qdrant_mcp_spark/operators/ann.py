@@ -605,3 +605,111 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_probe: int = 2,
+    oversample: int = 3,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — IVF-PQ: the billion-scale layout
+    (FAISS's IndexIVFPQ; Jégou et al. 2011) as a composition of the two
+    existing funnels. The inverted file prunes WHICH vectors are scored
+    (only the n_probe nearest cells per query — at production scale the
+    codes table is bucketed by cell_id, so pruning skips file groups);
+    PQ/ADC decides HOW cheaply (narrow codes + broadcast LUT, no raw
+    vectors in the scan); the exact-cosine rescore funnel bounds the
+    accuracy cost of both approximations at once.
+
+    Plan: cell assignment (broadcast-centroid argmax) ⋈ codes table →
+    semi-join on the probed (query, cell) pairs → LUT join on
+    (m, code_id) → m-ordered ADC fold → top k·oversample → exact
+    rescore. Every join is an equi-join; the only per-query state is the
+    m×n_codes LUT and the n_probe cell list, both broadcast."""
+    cb = pq_codebook(emb, dim, m, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+    cells = assign_ivf_cells(emb, centroids, id_col, vec_col).select(
+        id_col, "cell_id"
+    )
+    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
+    qcells = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            query_id_col,
+            "cell_id",
+            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__d"), F.asc("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "cell_id")
+    )
+    qsubs = _subspaces(queries, dim, m, query_id_col, vec_col, query_id_col)
+    pd_dot = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("csub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(
+        F.broadcast(cb.select("m", "code_id", F.col("sub").alias("csub"))),
+        "m",
+    ).select(query_id_col, "m", "code_id", pd_dot.alias("pd"))
+    # probe pruning: keep only (query, vector) pairs whose vector lives
+    # in one of the query's probed cells
+    probed = cells.join(F.broadcast(qcells), "cell_id").select(
+        query_id_col, id_col
+    )
+    adot = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .join(probed, [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("m", "pd"))).alias("l"))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.col("l"), F.lit(0.0), lambda acc, x: acc + x["pd"]
+            ).alias("__ascore"),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__ascore"), F.asc(id_col)
+    )
+    cand = (
+        adot.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    rescored = (
+        emb.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )

@@ -833,6 +833,122 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def ann_ivf_pq_topk(
+    query_ids: list[int],
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 10,
+    n_probe: int = 2,
+    k: int = 5,
+    oversample: int = 3,
+) -> str:
+    """IVF-PQ (operators/ann.ivf_pq_topk): the ann_ivf cell-probe
+    composed with the ann_pq ADC pipeline — candidates restricted to the
+    probed (query, cell) pairs before the ordered ADC sum, then the
+    shared exact-rescore funnel."""
+    s = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    dot_ec = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    dot_qc = (
+        "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {s}), i -> "
+        f"(CAST(e.embedding[sub.m * {s} + i] AS DOUBLE) - cb.sub[i]) * "
+        f"(CAST(e.embedding[sub.m * {s} + i] AS DOUBLE) - cb.sub[i])))"
+    )
+    qdot = (
+        f"list_sum(list_transform(generate_series(1, {s}), i -> "
+        f"CAST(q.embedding[sub.m * {s} + i] AS DOUBLE) * cb.sub[i]))"
+    )
+    rcos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < {n_cells}),
+ass AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.cell_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+qc AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_qc} DESC, c.cell_id ASC) AS r
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id IN ({ids})
+  ) WHERE r <= {n_probe}
+),
+probed AS MATERIALIZED (
+  SELECT qc.query_id, a.vec_id FROM ass a JOIN qc USING (cell_id)
+),
+ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m),
+cb AS MATERIALIZED (
+  SELECT ms.m, c.vec_id AS code_id,
+         list_transform(generate_series(1, {s}),
+           i -> CAST(c.embedding[ms.m * {s} + i] AS DOUBLE)) AS sub
+  FROM embeddings c, ms WHERE c.vec_id < {n_codes}
+),
+dists AS (
+  SELECT e.vec_id, sub.m, cb.code_id, {l2} AS d
+  FROM embeddings e, ms sub
+  JOIN cb ON cb.m = sub.m
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, code_id FROM (
+    SELECT vec_id, m, code_id,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code_id ASC) AS r
+    FROM dists
+  ) WHERE r = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, sub.m, cb.code_id, {qdot} AS pd
+  FROM embeddings q, ms sub
+  JOIN cb ON cb.m = sub.m
+  WHERE q.vec_id IN ({ids})
+),
+adot AS (
+  SELECT l.query_id, c.vec_id,
+         list_sum(list(l.pd ORDER BY c.m)) AS ascore
+  FROM codes c
+  JOIN lut l ON l.m = c.m AND l.code_id = c.code_id
+  SEMI JOIN probed p ON p.query_id = l.query_id AND p.vec_id = c.vec_id
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, vec_id ASC) AS r
+    FROM adot
+  ) WHERE r <= {k * oversample}
+),
+rescored AS (
+  SELECT cn.query_id, cn.vec_id, {rcos} AS score
+  FROM cand cn
+  JOIN embeddings e ON e.vec_id = cn.vec_id
+  JOIN embeddings q ON q.vec_id = cn.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM rescored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 def ann_srp_topk(
     query_ids: list[int],
     k: int = 5,

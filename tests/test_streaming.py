@@ -732,3 +732,52 @@ def test_graph_store_lockstep_with_stream(spark, tmp_path):
         store, dlq, graph_store_dir=gdir,
     )
     check([("a.py", a)])
+
+
+def test_signature_store_lockstep_with_stream(spark, tmp_path):
+    """Third maintained sink through the micro-batch path: the minhash
+    signature store tracks create/modify/remove and always equals a full
+    re-sign of the surviving corpus."""
+    from workspace_qdrant_mcp_spark.functions.hashing import md5_hash64
+    from workspace_qdrant_mcp_spark.operators import dedup
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    sigp = str(tmp_path / "sigs")
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+
+    def check(corpus_rows):
+        corpus = spark.createDataFrame(
+            corpus_rows, "path string, text string"
+        ).select(md5_hash64(F.col("path")).alias("doc_id"), "text")
+        want = sorted(
+            tuple(r) for r in dedup.minhash_signatures(corpus).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in dedup.read_signature_store(spark, sigp).collect()
+        )
+        assert got == want
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "create", "alpha text " * 10, t),
+               ("b.txt", "create", "bravo text " * 10, t)]),
+        store, dlq, signature_store_path=sigp,
+    )
+    check([("a.txt", "alpha text " * 10), ("b.txt", "bravo text " * 10)])
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "modify", "changed body " * 10, t),
+               ("b.txt", "remove", None, t)]),
+        store, dlq, signature_store_path=sigp,
+    )
+    check([("a.txt", "changed body " * 10)])

@@ -190,6 +190,7 @@ def process_batch(
     quality_gate: bool = False,
     postings_path: str | None = None,
     graph_store_dir: str | None = None,
+    signature_store_path: str | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -254,7 +255,11 @@ def process_batch(
                     .parquet(dlq_path)
                 )
             changed = changed.filter(passes)
-        if postings_path is not None or graph_store_dir is not None:
+        if (
+            postings_path is not None
+            or graph_store_dir is not None
+            or signature_store_path is not None
+        ):
             # the postings/graph updates run AFTER upsert_chunks
             # overwrites the store, but `changed` is lazily derived from
             # the PRE-upsert store listing — pin it now or the re-read
@@ -303,6 +308,24 @@ def process_batch(
                         "content",
                     ),
                 )
+            # maintained minhash signature store (opt-in): new batches
+            # can near-dup against the corpus without re-signing it
+            # (dedup.incremental_neardup); path is the doc key here
+            if (
+                signature_store_path is not None
+                and len(changed.take(1)) > 0
+            ):
+                from ..functions.hashing import md5_hash64
+                from ..operators.dedup import update_signature_store
+
+                update_signature_store(
+                    spark,
+                    signature_store_path,
+                    changed_docs=changed.select(
+                        md5_hash64(F.col("path")).alias("doc_id"),
+                        F.col("content").alias("text"),
+                    ),
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -337,6 +360,17 @@ def process_batch(
                     deleted_paths=deletes.select(
                         F.lit("default").alias("tenant_id"),
                         F.col("path").alias("file_path"),
+                    ),
+                )
+            if signature_store_path is not None:
+                from ..functions.hashing import md5_hash64
+                from ..operators.dedup import update_signature_store
+
+                update_signature_store(
+                    spark,
+                    signature_store_path,
+                    deleted_ids=deletes.select(
+                        md5_hash64(F.col("path")).alias("doc_id")
                     ),
                 )
     except Exception as exc:  # W3: dead-letter the failed batch with the error

@@ -508,7 +508,9 @@ def _q_fairness_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the age promotion actually discriminates. NEW IN r6."""
     from workspace_qdrant_mcp_spark.streaming import fairness as fs
 
-    q = _fairness_queue(spark, sf_dir).localCheckpoint()
+    # 60 rows: one partition, or every per-round sort+limit pays the
+    # full multi-partition scheduling overhead (6 rounds x 32 tasks)
+    q = _fairness_queue(spark, sf_dir).coalesce(1).localCheckpoint()
     lo, hi = q.agg(
         F.min("created_ts"), F.max("created_ts")
     ).collect()[0]
@@ -518,7 +520,9 @@ def _q_fairness_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
         age_promotion_critical_seconds=2 * span // 3,
     )
     sched = fs.FairnessScheduler(cfg)
-    batches = fs.drain_fairly(sched, q, max_batch_size=10, now_ts=int(hi) + 1)
+    batches = fs.drain_fairly_static(
+        sched, q, max_batch_size=10, now_ts=int(hi) + 1
+    )
     rows = [
         (bi, pi, r["queue_id"])
         for bi, b in enumerate(batches)

@@ -781,3 +781,29 @@ def test_signature_store_lockstep_with_stream(spark, tmp_path):
         store, dlq, signature_store_path=sigp,
     )
     check([("a.txt", "changed body " * 10)])
+
+
+def test_static_drain_equals_live_drain(spark):
+    """drain_fairly_static (two materialized orderings + driver replay)
+    must produce byte-identical batches and final metrics to the live
+    per-round-sort drain on a static queue."""
+    from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+    rows = (
+        [(f"a{i}", "A", "file", "add", "projects", 1, i) for i in range(17)]
+        + [(f"b{i}", "B", "file", "scan", "projects", 0, i) for i in range(14)]
+        + [("d0", "A", "file", "delete", "projects", 1, 3)]
+    )
+    q = spark.createDataFrame(
+        rows,
+        "queue_id string, tenant_id string, item_type string, "
+        "op string, collection string, is_active int, created_ts long",
+    )
+    live = fs.FairnessScheduler()
+    static = fs.FairnessScheduler()
+    lb = fs.drain_fairly(live, q, max_batch_size=10, now_ts=100)
+    sb = fs.drain_fairly_static(static, q, max_batch_size=10, now_ts=100)
+    assert [[r["queue_id"] for r in b] for b in lb] == [
+        [r["queue_id"] for r in b] for b in sb
+    ]
+    assert live.metrics == static.metrics

@@ -158,22 +158,74 @@ class FairnessScheduler:
             .limit(max_batch_size)
             .collect()
         )
-        n = len(items)
-        if n:
-            self._items_since_flip += n
-            self.metrics.total_items_dequeued += n
-            self.metrics.items_since_flip = self._items_since_flip
-            if self._descending:
-                self.metrics.high_priority_first_items += n
-            else:
-                self.metrics.low_priority_first_items += n
-            if self._items_since_flip >= limit:
-                self._descending = not self._descending
-                self._items_since_flip = 0
-                self.metrics.direction_flips_total += 1
-                self.metrics.current_priority_descending = self._descending
-                self.metrics.items_since_flip = 0
+        self._advance(len(items), limit)
         return items
+
+    def _advance(self, n: int, limit: int) -> None:
+        """State/metrics update after dequeuing n items under the
+        current direction's batch budget — shared by the live and the
+        static-ordering drain paths (fairness_scheduler.rs:255-280)."""
+        if not n:
+            return
+        self._items_since_flip += n
+        self.metrics.total_items_dequeued += n
+        self.metrics.items_since_flip = self._items_since_flip
+        if self._descending:
+            self.metrics.high_priority_first_items += n
+        else:
+            self.metrics.low_priority_first_items += n
+        if self._items_since_flip >= limit:
+            self._descending = not self._descending
+            self._items_since_flip = 0
+            self.metrics.direction_flips_total += 1
+            self.metrics.current_priority_descending = self._descending
+            self.metrics.items_since_flip = 0
+
+
+def drain_fairly_static(
+    scheduler: FairnessScheduler,
+    queue: DataFrame,
+    max_batch_size: int = 10,
+    now_ts: int = 0,
+    key_col: str = "queue_id",
+) -> list[list]:
+    """Drain a STATIC pending frame — semantically identical to
+    drain_fairly (sort-remaining-then-take == scan a precomputed total
+    order skipping taken ids, because nothing but removals changes
+    between rounds), but the two direction orderings are materialized
+    ONCE (two Spark jobs total) and the rounds replay driver-side
+    through the same scheduler state machine. The general drain_fairly
+    re-sorts per round because a live queue mutates between batches
+    (new arrivals, lease expiries); use this one for bounded snapshots
+    (the driver query / reporting path)."""
+    desc_order = scheduler._order(queue, True, now_ts).collect()
+    asc_order = scheduler._order(queue, False, now_ts).collect()
+    taken: set = set()
+    batches: list[list] = []
+    while len(taken) < len(desc_order):
+        if scheduler.config.enabled:
+            descending = scheduler._descending
+            limit = (
+                scheduler.config.high_priority_batch
+                if descending
+                else scheduler.config.low_priority_batch
+            )
+        else:
+            descending, limit = True, max_batch_size
+        order = desc_order if descending else asc_order
+        batch = []
+        for r in order:
+            if r[key_col] not in taken:
+                batch.append(r)
+                if len(batch) == max_batch_size:
+                    break
+        if not batch:
+            break
+        taken.update(r[key_col] for r in batch)
+        if scheduler.config.enabled:
+            scheduler._advance(len(batch), limit)
+        batches.append(batch)
+    return batches
 
 
 def drain_fairly(

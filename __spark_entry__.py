@@ -727,6 +727,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", _q_ann_ivf),
         ("srp", _q_ann_srp),
         ("pq", _q_ann_pq),
+        ("ivf_pq", _q_ann_ivf_pq),
     ):
         hits = (
             qfn(spark, sf_dir)

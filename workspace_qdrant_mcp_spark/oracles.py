@@ -3925,7 +3925,8 @@ WITH exact AS (
 ),
 ivf AS (SELECT query_id, vec_id FROM ({ann_ivf_topk(query_ids, k=k)}) v),
 srp AS (SELECT query_id, vec_id FROM ({ann_srp_topk(query_ids, k=k)}) s),
-pq AS (SELECT query_id, vec_id FROM ({ann_pq_topk(query_ids, k=k)}) p)
+pq AS (SELECT query_id, vec_id FROM ({ann_pq_topk(query_ids, k=k)}) p),
+ivfpq AS (SELECT query_id, vec_id FROM ({ann_ivf_pq_topk(query_ids, k=k)}) ip)
 SELECT 'ivf' AS method, CAST({nq} AS INT) AS n_queries, CAST({k} AS INT) AS k,
        round((SELECT count(*) FROM ivf JOIN exact USING (query_id, vec_id))
              / {nq * k}.0, 6) AS recall
@@ -3936,6 +3937,10 @@ SELECT 'srp', CAST({nq} AS INT), CAST({k} AS INT),
 UNION ALL
 SELECT 'pq', CAST({nq} AS INT), CAST({k} AS INT),
        round((SELECT count(*) FROM pq JOIN exact USING (query_id, vec_id))
+             / {nq * k}.0, 6)
+UNION ALL
+SELECT 'ivf_pq', CAST({nq} AS INT), CAST({k} AS INT),
+       round((SELECT count(*) FROM ivfpq JOIN exact USING (query_id, vec_id))
              / {nq * k}.0, 6)
 """
 

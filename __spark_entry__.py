@@ -2332,8 +2332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash/
         # betweenness() — only other functions in those files changed):
         "betweenness_exact": _q_betweenness_exact,
+        # NEW IN r6, added after the window filled — no driver row yet
+        # (oracle-backed + pytest); front of the r7 rotation:
         "shard_assignment": _q_shard_assignment,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        # (end of r6 additions)
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "multimodal_features": _q_multimodal_features,

@@ -807,3 +807,71 @@ def test_static_drain_equals_live_drain(spark):
         [r["queue_id"] for r in b] for b in sb
     ]
     assert live.metrics == static.metrics
+
+
+def test_streaming_hll_registers_equal_batch_prefix(spark, tmp_path):
+    """Cross-batch streaming HLL (applyInPandasWithState): after
+    draining two micro-batches, each key's state registers — and the
+    emitted estimate — equal a BATCH hll build over everything seen.
+    The max-merge law is what makes the sketch streamable."""
+    import math
+
+    from workspace_qdrant_mcp_spark.operators import sketches
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "hev")
+    out_dir = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01T00:00:{i:02d}Z",
+         "user_id": 100 + (i % 7), "event_type": "view", "value": 0.0}
+        for i in range(20)
+    ]
+    b2 = [
+        {"event_id": 100 + i, "ts": f"2024-01-01T01:00:{i:02d}Z",
+         "user_id": 100 + (i % 13), "event_type": "view", "value": 0.0}
+        for i in range(20)
+    ] + [
+        {"event_id": 200, "ts": "2024-01-01T01:30:00Z",
+         "user_id": 999, "event_type": "click", "value": 0.0}
+    ]
+    _write_events(events_dir, "b1.json", b1)
+    _write_events(events_dir, "b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stateful.streaming_hll(stream)
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).collect()
+    # 'view' touched in both batches -> two emissions; the LAST (max
+    # n_seen) reflects the full prefix
+    view_rows = sorted(
+        (r for r in out if r["key"] == "view"), key=lambda r: r["n_seen"]
+    )
+    assert [r["n_seen"] for r in view_rows] == [20, 40]
+    final_est = view_rows[-1]["estimate"]
+
+    all_events = spark.createDataFrame(
+        [(e["user_id"],) for e in b1 + b2 if e["event_type"] == "view"],
+        ["user_id"],
+    )
+    batch = sketches.hll_estimate(all_events, "user_id").collect()[0]
+    assert abs(final_est - batch["hll_estimate"]) < 1e-6
+    # exactness sanity: 13 distinct users, estimate within HLL error
+    assert abs(final_est - 13) / 13 < 3 * 1.04 / math.sqrt(256) + 0.2
+
+    click = [r for r in out if r["key"] == "click"]
+    assert len(click) == 1 and click[0]["n_seen"] == 1

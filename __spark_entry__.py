@@ -1522,6 +1522,15 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(_prop_capped_edges(spark, sf_dir))
 
 
+def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the proportionally-capped
+    co-occurrence subgraph (graph.clustering_coefficient): cc =
+    2T/(d(d-1)) composing the degree-ordered triangle counts with the
+    simple degrees. NEW IN r6 (below the window; front of the r7
+    rotation)."""
+    return graph.clustering_coefficient(_prop_capped_edges(spark, sf_dir))
+
+
 def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership + within-core degree (dense-core analytic) on
     the proportionally-capped co-occurrence subgraph: iterative peel to
@@ -2336,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-backed + pytest); front of the r7 rotation:
         "shard_assignment": _q_shard_assignment,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "graph_clustering_coeff": _q_graph_clustering,
         # (end of r6 additions)
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
@@ -2424,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact(),
         "graph_triangles": oracles.graph_triangles(),
         "graph_kcore": oracles.graph_kcore(k=KCORE_K),
+        "graph_clustering_coeff": oracles.graph_clustering_coeff(),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),

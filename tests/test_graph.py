@@ -299,3 +299,20 @@ class TestKCore:
     def test_k_above_max_degree_empty(self, spark):
         e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
         assert graph.k_core(e, k=3).count() == 0
+
+
+class TestClusteringCoefficient:
+    def test_hand_built(self, spark):
+        # triangle {1,2,3} + pendant 3-4: cc(1)=cc(2)=1 (deg 2, 1 tri),
+        # cc(3)=2*1/(3*2)=1/3, cc(4)=0 (deg 1)
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        out = {
+            r["node_id"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+            for r in graph.clustering_coefficient(e).collect()
+        }
+        assert out[1] == (2, 1, 1.0)
+        assert out[2] == (2, 1, 1.0)
+        assert out[3] == (3, 1, round(1 / 3, 6))
+        assert out[4] == (1, 0, 0.0)

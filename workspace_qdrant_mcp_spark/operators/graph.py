@@ -673,6 +673,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(node_id, degree, n_triangles, clustering_coeff) — the local
+    clustering coefficient cc(v) = 2·T(v) / (deg(v)·(deg(v)-1)) over the
+    undirected simple graph; nodes of degree < 2 have cc = 0. A pure
+    composition: the degree-ordered triangle counts joined to the simple
+    degrees — no new shuffle shape beyond triangle_counts itself."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def k_core(edges: DataFrame, k: int = 3, n_iters: int = 30) -> DataFrame:
     """(node_id, core_degree) — the k-core of the undirected simple
     graph: the maximal subgraph where every node has degree >= k;

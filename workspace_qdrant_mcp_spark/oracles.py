@@ -1707,6 +1707,45 @@ SELECT node_id, count(*) AS n_triangles FROM ex GROUP BY node_id
 """
 
 
+def graph_clustering_coeff(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+) -> str:
+    """Local clustering coefficient — graph_triangles' CTE chain joined
+    to the simple undirected degrees, cc = 2T/(d(d-1))."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+),
+deg AS (SELECT u AS node_id, count(*) AS d FROM und GROUP BY u),
+keyed AS (SELECT node_id, d * 1000000000000 + node_id AS k FROM deg),
+o AS MATERIALIZED (
+  SELECT e.u AS src, e.v AS dst, ks.k AS ks, kd.k AS kd
+  FROM und e
+  JOIN keyed ks ON ks.node_id = e.u
+  JOIN keyed kd ON kd.node_id = e.v
+  WHERE ks.k < kd.k
+),
+w AS (
+  SELECT x.src AS a, x.dst AS b, y.dst AS c
+  FROM o x JOIN o y ON x.src = y.src AND x.kd < y.kd
+),
+t AS (SELECT a, b, c FROM w JOIN o z ON z.src = w.b AND z.dst = w.c),
+ex AS (SELECT unnest([a, b, c]) AS node_id FROM t),
+tri AS (SELECT node_id, count(*) AS n_triangles FROM ex GROUP BY node_id)
+SELECT deg.node_id,
+       deg.d AS degree,
+       coalesce(tri.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(tri.n_triangles, 0)
+                       / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tri USING (node_id)
+"""
+
+
 def graph_kcore(
     cap_sql: str = "(SELECT count(*) // 4 FROM part)",
     k: int = 20,

@@ -1538,6 +1538,18 @@ def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core(_prop_capped_edges(spark, sf_dir), k=KCORE_K)
 
 
+def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (graph.harmonic_centrality, exact) on the
+    BC_CAP co-occurrence subgraph — Σ 1/dist per node, well-defined on
+    disconnected graphs; oracle = unrolled walk-matrix min-distances
+    (the betweenness_exact machinery). NEW IN r6 (below the window;
+    front of the r7 rotation)."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < BC_CAP) & (F.col("dst") < BC_CAP)
+    )
+    return graph.harmonic_centrality(e)
+
+
 def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 debounce semantics as a batch query: last event per
     (hour window, user, type), deterministic tiebreak (ts desc, id desc)."""
@@ -2346,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "graph_clustering_coeff": _q_graph_clustering,
+        "graph_harmonic": _q_graph_harmonic,
         # (end of r6 additions)
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
@@ -2435,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": oracles.graph_triangles(),
         "graph_kcore": oracles.graph_kcore(k=KCORE_K),
         "graph_clustering_coeff": oracles.graph_clustering_coeff(),
+        "graph_harmonic": oracles.harmonic_exact(BC_CAP),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),

@@ -316,3 +316,43 @@ class TestClusteringCoefficient:
         assert out[2] == (2, 1, 1.0)
         assert out[3] == (3, 1, round(1 / 3, 6))
         assert out[4] == (1, 0, 0.0)
+
+
+class TestHarmonicCentrality:
+    def test_chain_hand_computed(self, spark):
+        # path 1-2-3: H(2) = 1 + 1 = 2; H(1) = H(3) = 1 + 1/2 = 1.5
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        out = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(e).collect()
+        }
+        assert out == {1: 1.5, 2: 2.0, 3: 1.5}
+
+    def test_disconnected_components_no_cross_contribution(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2), (10, 11), (11, 12)], "src long, dst long"
+        )
+        out = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(e).collect()
+        }
+        assert out[1] == 1.0 and out[2] == 1.0
+        assert out[11] == 2.0 and out[10] == 1.5 and out[12] == 1.5
+
+    def test_sampling_scales(self, spark):
+        # complete K4: every node's exact H = 3; first-2-source sampling
+        # scaled by 4/2 stays a consistent estimator on a symmetric graph
+        e = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)],
+            "src long, dst long",
+        )
+        exact = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(e).collect()
+        }
+        assert all(v == 3.0 for v in exact.values())
+        approx = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(e, sample_k=2).collect()
+        }
+        assert sum(approx.values()) == sum(exact.values())

@@ -753,6 +753,71 @@ def k_core(edges: DataFrame, k: int = 3, n_iters: int = 30) -> DataFrame:
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    sample_k: int | None = None,
+) -> DataFrame:
+    """(node_id, harmonic) — harmonic centrality H(v) = Σ_{u≠v} 1/d(u,v)
+    over the undirected simple graph (unreachable pairs contribute 0,
+    which is what makes harmonic — unlike classic closeness —
+    well-defined on disconnected graphs). Same architecture as
+    betweenness: adjacency exported once to a broadcast CSR, per-source
+    BFS accumulation parallel over executors via mapPartitions; since
+    d is symmetric, accumulating 1/d(s, w) into w over ALL sources s
+    yields H(w) exactly. Optional first-k source sampling scaled n/k
+    (the Bader-style approximation betweenness uses)."""
+    spark = edges.sparkSession
+    np_ids, indptr, indices = _collect_adjacency_csr(edges)
+    node_ids = np_ids.tolist()
+    n = len(node_ids)
+    if n == 0:
+        return spark.createDataFrame([], "node_id long, harmonic double")
+    lst = indices.tolist()
+    nbrs: list[list[int]] = [lst[indptr[i] : indptr[i + 1]] for i in range(n)]
+    src_idx = list(range(n)) if sample_k is None else list(range(min(sample_k, n)))
+    scale = 1.0 if sample_k is None else n / float(len(src_idx))
+    badj = spark.sparkContext.broadcast(nbrs)
+
+    def per_source(src_iter):
+        from collections import deque
+
+        g = badj.value
+        m = len(g)
+        acc = [0.0] * m
+        for s in src_iter:
+            dist = [-1] * m
+            dist[s] = 0
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                dv1 = dist[v] + 1
+                for w in g[v]:
+                    if dist[w] < 0:
+                        dist[w] = dv1
+                        dq.append(w)
+                        acc[w] += 1.0 / dv1
+        for node, val in enumerate(acc):
+            if val != 0.0:
+                yield (node, val)
+
+    parts = max(1, min(len(src_idx), spark.sparkContext.defaultParallelism))
+    raw = (
+        spark.sparkContext.parallelize(src_idx, parts)
+        .mapPartitions(per_source)
+        .reduceByKey(lambda a, b: a + b)
+    )
+    acc_df = spark.createDataFrame(
+        raw.map(lambda kv: (node_ids[kv[0]], kv[1])), ["node_id", "raw"]
+    )
+    all_nodes = spark.createDataFrame([(v,) for v in node_ids], ["node_id"])
+    return all_nodes.join(acc_df, "node_id", "left").select(
+        "node_id",
+        F.round(
+            F.coalesce(F.col("raw"), F.lit(0.0)) * F.lit(scale), 6
+        ).alias("harmonic"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Betweenness centrality (G8 — Brandes, parallel over sources)
 # ---------------------------------------------------------------------------

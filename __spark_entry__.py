@@ -1550,6 +1550,17 @@ def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.harmonic_centrality(e)
 
 
+def _q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity (graph.eccentricity) on the BC_CAP
+    co-occurrence subgraph — per-component max shortest-path distance
+    (diameter/radius derive from it); integer max-merge, no float
+    discipline needed. NEW IN r6 (below the window; r7 rotation)."""
+    e = _edges(spark, sf_dir).filter(
+        (F.col("src") < BC_CAP) & (F.col("dst") < BC_CAP)
+    )
+    return graph.eccentricity(e)
+
+
 def _q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 debounce semantics as a batch query: last event per
     (hour window, user, type), deterministic tiebreak (ts desc, id desc)."""
@@ -2359,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "graph_clustering_coeff": _q_graph_clustering,
         "graph_harmonic": _q_graph_harmonic,
+        "graph_eccentricity": _q_graph_eccentricity,
         # (end of r6 additions)
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
@@ -2449,6 +2461,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": oracles.graph_kcore(k=KCORE_K),
         "graph_clustering_coeff": oracles.graph_clustering_coeff(),
         "graph_harmonic": oracles.harmonic_exact(BC_CAP),
+        "graph_eccentricity": oracles.eccentricity_exact(BC_CAP),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),

@@ -356,3 +356,16 @@ class TestHarmonicCentrality:
             for r in graph.harmonic_centrality(e, sample_k=2).collect()
         }
         assert sum(approx.values()) == sum(exact.values())
+
+
+class TestEccentricity:
+    def test_path_and_disconnected(self, spark):
+        # path 1-2-3-4: ecc = [3,2,2,3]; disjoint pair {10,11}: ecc 1
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+        out = {
+            r["node_id"]: r["eccentricity"]
+            for r in graph.eccentricity(e).collect()
+        }
+        assert out == {1: 3, 2: 2, 3: 2, 4: 3, 10: 1, 11: 1}

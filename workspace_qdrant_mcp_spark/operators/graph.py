@@ -818,6 +818,63 @@ def harmonic_centrality(
     )
 
 
+def eccentricity(edges: DataFrame) -> DataFrame:
+    """(node_id, eccentricity) — max shortest-path distance from each
+    node to any node REACHABLE from it (per-component eccentricity;
+    the component's diameter = max, radius = min of these). Same
+    broadcast-CSR + per-source BFS harness as harmonic/betweenness;
+    since d is symmetric, source s's BFS pushes max-updates into every
+    reached node, and the integer max-merge across sources is
+    order-insensitive (no float discipline needed)."""
+    spark = edges.sparkSession
+    np_ids, indptr, indices = _collect_adjacency_csr(edges)
+    node_ids = np_ids.tolist()
+    n = len(node_ids)
+    if n == 0:
+        return spark.createDataFrame([], "node_id long, eccentricity int")
+    lst = indices.tolist()
+    nbrs: list[list[int]] = [lst[indptr[i] : indptr[i + 1]] for i in range(n)]
+    badj = spark.sparkContext.broadcast(nbrs)
+
+    def per_source(src_iter):
+        from collections import deque
+
+        g = badj.value
+        m = len(g)
+        acc = [0] * m
+        for s in src_iter:
+            dist = [-1] * m
+            dist[s] = 0
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                dv1 = dist[v] + 1
+                for w in g[v]:
+                    if dist[w] < 0:
+                        dist[w] = dv1
+                        dq.append(w)
+                        if dv1 > acc[w]:
+                            acc[w] = dv1
+        for node, val in enumerate(acc):
+            if val:
+                yield (node, val)
+
+    parts = max(1, min(n, spark.sparkContext.defaultParallelism))
+    raw = (
+        spark.sparkContext.parallelize(list(range(n)), parts)
+        .mapPartitions(per_source)
+        .reduceByKey(max)
+    )
+    acc_df = spark.createDataFrame(
+        raw.map(lambda kv: (node_ids[kv[0]], kv[1])), ["node_id", "raw"]
+    )
+    all_nodes = spark.createDataFrame([(v,) for v in node_ids], ["node_id"])
+    return all_nodes.join(acc_df, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("raw"), F.lit(0)).cast("int").alias("eccentricity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Betweenness centrality (G8 — Brandes, parallel over sources)
 # ---------------------------------------------------------------------------

@@ -1823,6 +1823,45 @@ LEFT JOIN (
     return "".join(parts)
 
 
+def eccentricity_exact(cap: int = 40, max_depth: int = 12) -> str:
+    """Per-node eccentricity on the capped co-occurrence subgraph — max
+    min-distance per node over the unrolled walk-matrix depths (the
+    harmonic/betweenness machinery)."""
+    parts = [
+        f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+),
+w1 AS MATERIALIZED (SELECT u AS s, v, CAST(1 AS BIGINT) AS c FROM und)"""
+    ]
+    for d in range(1, max_depth):
+        parts.append(
+            f""",
+w{d + 1} AS MATERIALIZED (
+  SELECT w.s, e.v, CAST(sum(w.c) AS BIGINT) AS c
+  FROM w{d} w JOIN und e ON w.v = e.u GROUP BY 1, 2
+)"""
+        )
+    wall = "\n  UNION ALL ".join(
+        f"SELECT s, v, {d} AS d FROM w{d}" for d in range(1, max_depth + 1)
+    )
+    parts.append(
+        f""",
+wall AS MATERIALIZED (SELECT * FROM ({wall}) WHERE s <> v),
+mind AS (SELECT s, v, min(d) AS d FROM wall GROUP BY 1, 2),
+allnodes AS (SELECT DISTINCT u AS node_id FROM und)
+SELECT an.node_id,
+       CAST(coalesce(e.ecc, 0) AS INT) AS eccentricity
+FROM allnodes an
+LEFT JOIN (SELECT v AS node_id, max(d) AS ecc FROM mind GROUP BY v) e
+  USING (node_id)
+"""
+    )
+    return "".join(parts)
+
+
 def two_hop_chain(n_files: int = 500, funcs: int = 20) -> str:
     """G1 2-hop at the reference bench's chain-graph cardinality
     (graph_bench.rs:209-230). Closed form: on a per-file linear chain the

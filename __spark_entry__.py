@@ -1550,6 +1550,20 @@ def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.harmonic_centrality(e)
 
 
+PPR_SEEDS = [1, 199]  # the forward + reverse traversal seeds
+
+
+def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank) over the full
+    co-occurrence graph, teleporting to the two traversal seeds — ranks
+    measure proximity to the seed neighborhood (the 'related symbols'
+    ranking global PageRank cannot give). NEW IN r6 (below the window;
+    r7 rotation)."""
+    return graph.personalized_pagerank(
+        _edges(spark, sf_dir), seeds=PPR_SEEDS
+    )
+
+
 def _q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node eccentricity (graph.eccentricity) on the BC_CAP
     co-occurrence subgraph — per-component max shortest-path distance
@@ -2371,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": _q_graph_clustering,
         "graph_harmonic": _q_graph_harmonic,
         "graph_eccentricity": _q_graph_eccentricity,
+        "graph_ppr": _q_graph_ppr,
         # (end of r6 additions)
         "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
@@ -2462,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering_coeff": oracles.graph_clustering_coeff(),
         "graph_harmonic": oracles.harmonic_exact(BC_CAP),
         "graph_eccentricity": oracles.eccentricity_exact(BC_CAP),
+        "graph_ppr": oracles.graph_ppr(PPR_SEEDS),
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),

@@ -369,3 +369,34 @@ class TestEccentricity:
             for r in graph.eccentricity(e).collect()
         }
         assert out == {1: 3, 2: 2, 3: 2, 4: 3, 10: 1, 11: 1}
+
+
+class TestPersonalizedPageRank:
+    def test_mass_concentrates_near_seed(self, spark):
+        # chain 0-1-2-3-4-5 with seed 0: rank decays with distance
+        e = _edges(spark, CHAIN + [(4, 5)])
+        out = {
+            r["node_id"]: r["rank"]
+            for r in graph.personalized_pagerank(e, seeds=[0], n_iters=30).collect()
+        }
+        assert out[0] > out[2] > out[4]
+        # total mass conserved (teleport + dangling both return to seeds)
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+
+    def test_uniform_over_multiple_seeds(self, spark):
+        # two disjoint triangles, one seed in each: by symmetry each
+        # component holds half the mass
+        e = _edges(spark, TRIANGLES)
+        out = {
+            r["node_id"]: r["rank"]
+            for r in graph.personalized_pagerank(
+                e, seeds=[0, 3], n_iters=30
+            ).collect()
+        }
+        left = sum(v for k, v in out.items() if k <= 2)
+        right = sum(v for k, v in out.items() if k >= 3)
+        assert abs(left - right) < 1e-9
+
+    def test_no_seeds_raises(self, spark):
+        with pytest.raises(ValueError, match="seed"):
+            graph.personalized_pagerank(_edges(spark, CHAIN), seeds=[])

@@ -328,6 +328,72 @@ def pagerank(
     return ranks.select("node_id", "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    n_iters: int = 10,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """(node_id, rank) — PageRank with the teleport distribution
+    concentrated on `seeds` (uniform over them): the random surfer
+    restarts at a seed instead of anywhere, so ranks measure proximity
+    TO the seed set — the "related to this symbol neighborhood" ranking
+    that global PageRank can't give. Dangling mass also returns to the
+    seeds (the standard PPR convention). Identical plan shape to
+    pagerank(): per-iteration map-side-combinable groupBy(dst) with
+    rolling checkpoints; the teleport vector is a column CASE, never a
+    table."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = nodes_from_edges(e)
+    out_deg = e.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    p_seed = 1.0 / len(seeds)
+    pcol = F.when(F.col("node_id").isin(seeds), F.lit(p_seed)).otherwise(
+        F.lit(0.0)
+    )
+    roll = RollingCheckpoint(edges.sparkSession)
+    ranks = roll(
+        nodes.join(out_deg, "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            pcol.alias("rank"),
+        )
+    )
+    bcast = ranks.count() <= BROADCAST_STATE_MAX_NODES
+    for _ in range(n_iters):
+        dang = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
+        contrib = (
+            e.join(F.broadcast(state) if bcast else state, "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
+        )
+        ranks = roll(
+            ranks.select("node_id", "out_deg")
+            .join(contrib, "node_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node_id",
+                "out_deg",
+                (
+                    F.lit(1.0 - damping) * pcol
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dang") * pcol
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node_id", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Connected components (HashMin deterministic label propagation)
 # ---------------------------------------------------------------------------

@@ -1188,6 +1188,44 @@ pr{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def graph_ppr(
+    seeds: list[int], n_iters: int = 10, damping: float = 0.85
+) -> str:
+    """Personalized PageRank (graph.personalized_pagerank): the
+    graph_pagerank unroll with the teleport CASE concentrated on the
+    seed set; dangling mass returns to the seeds."""
+    p_seed = 1.0 / len(seeds)
+    ids = ", ".join(str(s) for s in seeds)
+    pcol = f"CASE WHEN node_id IN ({ids}) THEN {p_seed} ELSE 0.0 END"
+    parts = [
+        f"WITH {_COOC_EDGES},",
+        "odeg AS (SELECT gn.node_id, coalesce(o.c, 0) AS out_deg FROM gn "
+        "LEFT JOIN (SELECT src AS node_id, count(*) AS c FROM ed GROUP BY src) o "
+        "USING (node_id)),",
+        f"pr0 AS MATERIALIZED (SELECT node_id, out_deg, {pcol} AS rank FROM odeg)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f""",
+dg{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang FROM pr{i} WHERE out_deg = 0),
+cb{i} AS (
+  SELECT e.dst AS node_id, sum(p.rank / p.out_deg) AS inflow
+  FROM ed e JOIN pr{i} p ON p.node_id = e.src GROUP BY e.dst
+),
+pr{i + 1} AS MATERIALIZED (
+  SELECT p.node_id, p.out_deg,
+         (1.0 - {damping}) * ({pcol})
+           + {damping} * (coalesce(c.inflow, 0.0)
+                          + dg{i}.dang * ({pcol})) AS rank
+  FROM pr{i} p LEFT JOIN cb{i} c USING (node_id) CROSS JOIN dg{i}
+)"""
+        )
+    parts.append(
+        f"\nSELECT node_id, round(rank, 6) AS rank FROM pr{n_iters}"
+    )
+    return "".join(parts)
+
+
 def graph_connected_components(n_iters: int = 15) -> str:
     parts = [
         f"WITH {_COOC_EDGES},",

@@ -209,6 +209,24 @@ class TestFallbackExpansionParent:
         base = engine.search("spark", mode="keyword", limit=5).collect()
         assert not base  # without expansion the query finds nothing
 
+    def test_search_expanded_assembly_runs_no_jobs(self, spark, engine):
+        """search_expanded must be as lazy as search() (VERDICT r6 #2):
+        no eager count() for BM25's N, and the basket-expansion term set
+        joins IN-PLAN rather than collecting expansion_keywords()."""
+        engine.chunks  # warm the session store outside the probe window
+        tags = spark.createDataFrame([("spark",)], ["tag"])
+        baskets = spark.createDataFrame([("spark", "dup")], ["tag", "keyword"])
+        sc = spark.sparkContext
+        group = "expanded-plan-probe"
+        sc.setJobGroup(group, "expanded plan assembly must be lazy")
+        try:
+            res = engine.search_expanded("spark", tags, baskets, limit=5)
+            jobs_during_assembly = sc.statusTracker().getJobIdsForGroup(group)
+            assert jobs_during_assembly == [], jobs_during_assembly
+            assert res.collect()
+        finally:
+            sc.setJobGroup("", "")
+
     def test_parent_context_attached(self, spark, engine):
         later_chunks = engine.chunks.filter(F.col("chunk_index") > 0).select(
             "point_id", "collection"

@@ -388,36 +388,61 @@ class WqmEngine:
         limit: int = fusion.DEFAULT_LIMIT,
         threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
         expansion_weight: float = 0.5,
+        max_keywords: int = 10,
         **filter_kwargs,
     ) -> DataFrame:
         """Keyword search with basket expansion: expansion terms join the
-        sparse query at weight 0.5 (flow.rs:265-300 sparse merge)."""
+        sparse query at weight 0.5 (flow.rs:265-300 sparse merge).
+
+        Fully lazy assembly (zero Spark jobs until the caller acts, same
+        contract as search()): the expansion term set is the
+        tags⋈baskets join AS A PLAN (not expansion_keywords()'s
+        collected list — that helper remains the reference-shaped
+        driver API), base-weight-wins merge is a left-anti + union, and
+        BM25's N is the 1-row broadcast aggregate from _sparse_leg
+        rather than an eager count()."""
         cand = self._filtered(**filter_kwargs)
-        base = [(t, 1.0) for t in _tokenize_py(query)]
-        extra = [
-            (t, expansion_weight)
-            for t in self.expansion_keywords(query, tags_df, baskets_df)
-        ]
-        merged: dict[str, float] = {}
-        for t, w in base + extra:  # base weight wins on collision (merge
-            merged.setdefault(t, w)  # keeps the original query weight)
-        if not merged:
+        qtoks = _tokenize_py(query)
+        if not qtoks:
+            # empty tokenized query ⇒ no base terms and (tags ⋈ ∅) no
+            # expansion either — the empty-leg branch, decided driver-side
+            # with no job (tokenizing the query string is pure Python)
             return self._sparse_leg(cand, [], 2 * limit, threshold * 0.5)
+        base_q = self.spark.createDataFrame(
+            [(t, 1.0) for t in sorted(set(qtoks))], ["term", "qw"]
+        )
+        # in-plan expansion_keywords: query tokens ⋈ tags ⋈ baskets →
+        # first max_keywords distinct keywords in keyword order
+        qtagdf = self.spark.createDataFrame([(t,) for t in qtoks], ["tag"])
+        kw_w = Window.orderBy("term")
+        exp_q = (
+            tags_df.join(F.broadcast(qtagdf), "tag")
+            .join(baskets_df, "tag")
+            .select(F.col("keyword").alias("term"))
+            .distinct()
+            .withColumn("__rk", F.row_number().over(kw_w))
+            .filter(F.col("__rk") <= max_keywords)
+            .select("term", F.lit(float(expansion_weight)).alias("qw"))
+            # base weight wins on collision (merge keeps the original
+            # query weight) — anti-join instead of dict.setdefault
+            .join(base_q.select("term"), "term", "left_anti")
+        )
+        q = base_q.unionByName(exp_q)
         terms = cand.select(
             "point_id", "collection",
             F.explode(tokenize_bm25(F.col("content"))).alias("term"),
         ).groupBy("point_id", "collection", "term").agg(
             F.count(F.lit(1)).alias("tf")
         )
-        n = cand.count()
-        dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        q = self.spark.createDataFrame(
-            sorted(merged.items()), ["term", "qw"]
+        nn = cand.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("n_docs")
         )
+        dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         return (
             terms.join(F.broadcast(q), "term")
             .join(F.broadcast(dfreq), "term")
-            .withColumn("w", bm25.bm25_weight_expr(F.lit(float(max(n, 1)))))
+            .crossJoin(F.broadcast(nn))
+            .withColumn("w", bm25.bm25_weight_expr(F.col("n_docs")))
             .groupBy("point_id", "collection")
             .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
             .filter(F.col("score") >= threshold * 0.5)

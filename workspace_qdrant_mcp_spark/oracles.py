@@ -3314,7 +3314,8 @@ def fairness_dequeue(n_slice: int = 60, batch: int = 10) -> str:
         # FIFO created-order on the high-priority (DESC) pass, LIFO on
         # the anti-starvation (ASC) pass — the tiebreak direction is the
         # INVERSE of the priority direction (dequeue.rs created_at
-        # {order} with order ASC on DESC passes)
+        # {order} with order ASC on DESC passes). Op weight is ALWAYS
+        # DESC regardless of pass (dequeue.rs:76-79 pins op_order).
         t = "ASC" if desc else "DESC"
         return (
             "CASE WHEN op IN ('delete','reset') THEN 1 ELSE 0 END DESC, "
@@ -3322,7 +3323,7 @@ def fairness_dequeue(n_slice: int = 60, batch: int = 10) -> str:
             "THEN 1 ELSE 0 END DESC, "
             "CASE WHEN now_ts - created_ts >= crit THEN 2 "
             "WHEN now_ts - created_ts >= warn THEN 1 ELSE 0 END DESC, "
-            f"{pr} {d}, {opw} {d}, created_ts {t}, queue_id {t}"
+            f"{pr} {d}, {opw} DESC, created_ts {t}, queue_id {t}"
         )
 
     parts = [

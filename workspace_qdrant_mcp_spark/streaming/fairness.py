@@ -20,7 +20,8 @@ Semantics replicated exactly:
   - priority CASE: memory collection and active-project items rank 1,
     libraries and inactive projects rank 0 (dequeue.rs:384-389);
   - op weight: delete 10, reset 8, add 5, update 4, rename 3, uplift 2,
-    scan 1 (dequeue.rs:390-398), direction-ordered;
+    scan 1 (dequeue.rs:390-398), ALWAYS DESC on both passes
+    (dequeue.rs:76-79 pins op_order regardless of priority direction);
   - disabled ⇒ always priority DESC (fairness_scheduler.rs:224-228).
 
 The control loop is driver-side state (direction + items-since-flip),
@@ -82,9 +83,13 @@ def dequeue_sort_cols(
 ) -> list[Column]:
     """The full ORDER BY of the reference dequeue query over a queue
     frame with columns (op, item_type, collection, is_active,
-    created_ts). Direction flips only the priority CASE, the op weight,
-    and the created_ts tiebreak (FIFO on DESC, LIFO on ASC); the
-    delete/reset, line-jump and age promotions are direction-invariant.
+    created_ts). Direction flips only the priority CASE and the
+    created_ts tiebreak (FIFO on DESC, LIFO on ASC); the delete/reset,
+    line-jump, age promotions AND the op weight are direction-invariant
+    — the reference pins op_order DESC on BOTH passes (dequeue.rs:76-79
+    'delete always takes precedence ... regardless of which priority
+    pass'), so heavier ops (add > update > rename > uplift > scan) keep
+    their relative order even on the anti-starvation pass.
     key_col is the final total-order tiebreak (same direction as
     created_ts) — the reference leans on SQLite's scan order for equal
     timestamps; a distributed engine must pin it explicitly so reruns
@@ -109,7 +114,7 @@ def dequeue_sort_cols(
     directed = (
         [priority.desc(), opw.desc(), F.col("created_ts").asc(), F.col(key_col).asc()]
         if descending
-        else [priority.asc(), opw.asc(), F.col("created_ts").desc(), F.col(key_col).desc()]
+        else [priority.asc(), opw.desc(), F.col("created_ts").desc(), F.col(key_col).desc()]
     )
     return [delete_first.desc(), line_jump.desc(), age_promo.desc(), *directed]
 

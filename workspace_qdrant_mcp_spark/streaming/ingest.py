@@ -202,8 +202,22 @@ def process_batch(
     (textstats.gopher_gate_expr) to changed content AFTER the hash dedup
     (unchanged files are never re-judged) and routes rejects to the DLQ
     with reason 'quality_gate' — curation at ingest time, off by default
-    so existing stores are unaffected."""
+    so existing stores are unaffected.
+
+    Checkpoint hygiene: every per-batch localCheckpoint (the debounced
+    batch, the pinned `changed` delta, the store overwrite staging blocks
+    and the graph/signature-store deltas) is fully consumed by the time
+    this function returns, so the finally block releases every block
+    CREATED DURING THIS CALL that was not ckpt.pin()ned — a long-running
+    stream holds constant checkpoint storage instead of leaking ~6+
+    blocks per micro-batch (the exact accumulation ckpt.py's docstring
+    warns kills long sessions). Scoped to this call's blocks (entry-set
+    diff) rather than a global clear_unpinned so a caller's own
+    checkpoints are never destroyed."""
+    from .. import ckpt
+
     processable: DataFrame | None = None
+    ids_at_entry = ckpt.persistent_ids(spark)
     try:
         batch = filter_watched_paths(batch, ignore_globs, allow_globs)
         b = debounce_batch(batch).localCheckpoint()
@@ -385,6 +399,9 @@ def process_batch(
             .write.mode("append")
             .parquet(dlq_path)
         )
+    finally:
+        created = ckpt.persistent_ids(spark) - ids_at_entry
+        ckpt.release(spark, created - ckpt._PINNED)
 
 
 def dead_letter_split(events: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -465,17 +482,20 @@ def run_ingestion_stream(
     park_path: str | None = None,
     postings_path: str | None = None,
     graph_store_dir: str | None = None,
+    signature_store_path: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
     availableNow so tests drain the backlog and stop. Pass a watchdog +
-    park_path to get W8 degraded-mode behavior per micro-batch."""
+    park_path to get W8 degraded-mode behavior per micro-batch. All
+    three maintained sinks (postings / symbol graph / minhash signature
+    store) thread through to process_batch, so stream deletes prune
+    every store."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
-        # alternation lives in streaming/fairness.py (FairnessScheduler —
-        # the dequeue layer a queue-driven consumer runs ABOVE this
-        # stream, mirroring fairness_scheduler.rs)
+        # alternation is run_fair_ingestion_stream below (FairnessScheduler
+        # dequeue inside foreachBatch, mirroring fairness_scheduler.rs)
         .option("maxFilesPerTrigger", 16)
         .json(events_dir)
     )
@@ -486,8 +506,122 @@ def run_ingestion_stream(
                 watchdog=watchdog, park_path=park_path,
                 postings_path=postings_path,
                 graph_store_dir=graph_store_dir,
+                signature_store_path=signature_store_path,
             )
         )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def queue_frame_from_events(
+    batch: DataFrame, active_tenants: list[str] | None = None
+) -> DataFrame:
+    """Derive the FairnessScheduler queue shape from a watcher-event
+    micro-batch (unified_queue_processor/mod.rs:49-101 maps watcher
+    events into queue items the scheduler dequeues). Tenant = first path
+    segment (the watch-folder model); op: remove→delete, else add;
+    is_active from the caller's active-project set."""
+    tenant = F.split(F.col("path"), "/").getItem(0)
+    active = (
+        F.lit(False)
+        if not active_tenants
+        else tenant.isin([str(t) for t in active_tenants])
+    )
+    return batch.select(
+        F.concat_ws(
+            "|", F.col("path"), F.col("ts").cast("long").cast("string")
+        ).alias("queue_id"),
+        tenant.alias("tenant_id"),
+        F.lit("file").alias("item_type"),
+        F.when(F.col("event_type") == "remove", "delete")
+        .otherwise("add")
+        .alias("op"),
+        F.lit("projects").alias("collection"),
+        active.cast("int").alias("is_active"),
+        F.col("ts").cast("long").alias("created_ts"),
+        "path",
+        "event_type",
+        "content",
+        "ts",
+    )
+
+
+def run_fair_ingestion_stream(
+    spark: SparkSession,
+    events_dir: str,
+    store_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+    active_tenants: list[str] | None = None,
+    scheduler=None,
+    processing_log_path: str | None = None,
+    dequeue_batch_size: int = 10,
+    **process_kwargs,
+) -> None:
+    """W7 end-to-end: the ingestion stream with the FairnessScheduler AS
+    the per-micro-batch dequeue layer (unified_queue_processor/mod.rs:
+    49-101 — the reference's processor loop asks the scheduler for the
+    next batch and processes exactly that batch, in that order).
+
+    foreachBatch: map the micro-batch to the queue shape, then drain it
+    through the scheduler — each dequeued batch is processed via
+    process_batch IN DEQUEUE ORDER, so an active tenant's burst cannot
+    starve an inactive tenant's items within a trigger (the asymmetric
+    10/3 alternation yields to the low-priority pass between high
+    batches). The scheduler's alternation state carries ACROSS
+    micro-batches, exactly like the reference's long-lived
+    AlternationState. Each dequeued item appends (seq, batch_no,
+    queue_id, tenant_id) to processing_log_path so tests and operators
+    can audit the interleaving the stream actually executed."""
+    from .fairness import FairnessScheduler, drain_fairly
+
+    sched = scheduler or FairnessScheduler()
+    seq_state = {"seq": 0}
+
+    def _one_trigger(b: DataFrame, _id: int) -> None:
+        from .. import ckpt
+
+        before = ckpt.persistent_ids(spark)
+        qf = queue_frame_from_events(b, active_tenants).localCheckpoint()
+        try:
+            now_ts = (
+                qf.agg(F.max("created_ts")).first()[0] or 0
+            ) + 1
+            batches = drain_fairly(
+                sched, qf, max_batch_size=dequeue_batch_size, now_ts=now_ts
+            )
+            for bno, rows in enumerate(batches):
+                if processing_log_path is not None:
+                    log = spark.createDataFrame(
+                        [
+                            (seq_state["seq"] + i, bno, r["queue_id"], r["tenant_id"])
+                            for i, r in enumerate(rows)
+                        ],
+                        "seq long, batch_no int, queue_id string, tenant_id string",
+                    )
+                    log.write.mode("append").parquet(processing_log_path)
+                seq_state["seq"] += len(rows)
+                ids = {r["queue_id"] for r in rows}
+                sub = qf.filter(F.col("queue_id").isin(list(ids))).select(
+                    "path", "event_type", "content", "ts"
+                )
+                process_batch(
+                    spark, sub, store_path, dlq_path, **process_kwargs
+                )
+        finally:
+            # the trigger's queue checkpoint is consumed; same per-call
+            # release discipline as process_batch
+            created = ckpt.persistent_ids(spark) - before
+            ckpt.release(spark, created - ckpt._PINNED)
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(events_dir)
+        .writeStream.foreachBatch(_one_trigger)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -119,22 +119,6 @@ HLL_OUT_SCHEMA = "key string, n_seen long, estimate double"
 _HLL_STATE_SCHEMA = "regs array<int>, n_seen long"
 
 
-def _hll_py(value: str, p: int = HLL_STATE_P) -> tuple[int, int]:
-    """(bucket, rho) — EXACTLY operators/sketches.hll_registers's
-    arithmetic (md5 first 15 hex chars = 60-bit hash; bucket = low p
-    bits; rho = leading zeros of the remaining 60-p bit word + 1), so
-    the streaming state is bit-identical to the batch registers."""
-    import hashlib
-
-    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
-    m = 1 << p
-    word_bits = 60 - p
-    bucket = h % m
-    w = h // m
-    rho = word_bits + 1 if w == 0 else word_bits + 1 - w.bit_length()
-    return bucket, rho
-
-
 def streaming_hll(
     events: DataFrame,
     key_col: str = "event_type",
@@ -149,51 +133,90 @@ def streaming_hll(
     updated estimate (update semantics — one row per key per batch that
     touched it). The registers after any prefix of the stream equal a
     batch hll_registers build over that prefix (asserted in tests) —
-    the merge law is what makes the sketch streamable at all."""
+    the merge law is what makes the sketch streamable at all.
+
+    Execution shape: the per-row (bucket, rho) pair is computed
+    JVM-side BEFORE the stateful operator, with EXACTLY the batch
+    hll_registers arithmetic (operators/sketches.py:40 — md5 of
+    CAST(value AS STRING), low-p-bit bucket, leading-zero rank), so
+    floats/decimals/strings coerce identically in batch and stream and
+    no Python code ever hashes an element. The state function is then a
+    vectorized numpy max-scatter of the Arrow batch into the carried
+    2^p registers — O(batch) columnar, O(2^p) state. (A per-batch
+    groupBy(bucket) BEFORE the state op would be a second stateful
+    aggregation in the same stream — chaining restriction — so the
+    scatter happens inside the state function instead.)"""
     import math
 
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ..functions.hashing import md5_hash64
+
     m = 1 << p
+    word_bits = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    v = md5_hash64(F.col(value_col).cast("string"))
+    rho = F.when(F.col("__hll_w") == 0, F.lit(word_bits + 1)).otherwise(
+        F.lit(word_bits + 1) - F.length(F.conv(F.col("__hll_w"), 10, 2))
+    )
+    keep = [ts_col] if watermark is not None else []
+    hashed = (
+        src.select(F.col(key_col), v.alias("__hll_v"), *keep)
+        .select(
+            key_col,
+            (F.col("__hll_v") % m).alias("bucket"),
+            F.expr(f"__hll_v div {m}").alias("__hll_w"),
+            *keep,
+        )
+        .withColumn("rho", rho)
+        .drop("__hll_w")
+    )
 
     def fn(
         key: tuple,
         pdfs: Iterator["pd.DataFrame"],
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             return
         if state.exists:
             regs_raw, n_seen = state.get
-            regs = list(regs_raw)
+            regs = np.asarray(regs_raw, dtype=np.int64)
         else:
-            regs, n_seen = [0] * m, 0
+            regs, n_seen = np.zeros(m, dtype=np.int64), 0
         touched = False
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                b, r = _hll_py(str(int(v)) if not isinstance(v, str) else v, p)
-                if r > regs[b]:
-                    regs[b] = r
-                touched = True
-                n_seen += 1
+            if not len(pdf):
+                continue
+            np.maximum.at(
+                regs,
+                pdf["bucket"].to_numpy(dtype=np.int64),
+                pdf["rho"].to_numpy(dtype=np.int64),
+            )
+            n_seen += len(pdf)
+            touched = True
         if not touched:
             return
-        state.update((regs, n_seen))
-        s = sum(2.0 ** -r for r in regs)
+        state.update(([int(r) for r in regs], int(n_seen)))
+        # estimate over the bounded 2^p registers, summed sequentially in
+        # bucket order — bit-identical to the batch ordered-window sum
+        s = sum(2.0 ** -int(r) for r in regs)
         raw = alpha * m * m / s
-        zeros = regs.count(0)
+        zeros = int((regs == 0).sum())
         est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
         yield pd.DataFrame(
             {"key": [key[0]], "n_seen": [n_seen], "estimate": [round(est, 6)]}
         )
 
-    src = events
-    if watermark is not None:
-        src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(key_col).applyInPandasWithState(
+    return hashed.groupBy(key_col).applyInPandasWithState(
         fn,
         HLL_OUT_SCHEMA,
         _HLL_STATE_SCHEMA,

@@ -400,3 +400,108 @@ class TestPersonalizedPageRank:
     def test_no_seeds_raises(self, spark):
         with pytest.raises(ValueError, match="seed"):
             graph.personalized_pagerank(_edges(spark, CHAIN), seeds=[])
+
+
+class TestDistributedBFSFallback:
+    """VERDICT r6 #4: above BFS_DISTRIBUTED_THRESHOLD nodes the
+    BFS-harness centralities must not collect the CSR to the driver —
+    mode='auto' switches to the frontier-join fallback. Parity is
+    asserted by forcing the distributed path on small graphs where the
+    driver path is exact ground truth."""
+
+    GRAPH = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (10, 11), (11, 12)]
+
+    def _both(self, spark, fn_driver, fn_dist, col):
+        e = _edges(spark, self.GRAPH)
+        drv = {r["node_id"]: r[col] for r in fn_driver(e).collect()}
+        dst = {r["node_id"]: r[col] for r in fn_dist(e).collect()}
+        return drv, dst
+
+    def test_betweenness_distributed_matches_driver(self, spark):
+        drv, dst = self._both(
+            spark,
+            lambda e: graph.betweenness(e, mode="driver"),
+            lambda e: graph.betweenness_distributed(e),
+            "centrality",
+        )
+        assert set(drv) == set(dst)
+        for k in drv:
+            assert dst[k] == pytest.approx(drv[k], abs=1e-9)
+
+    def test_harmonic_distributed_matches_driver(self, spark):
+        drv, dst = self._both(
+            spark,
+            lambda e: graph.harmonic_centrality(e, mode="driver"),
+            lambda e: graph.harmonic_centrality_distributed(e),
+            "harmonic",
+        )
+        assert drv == dst
+
+    def test_eccentricity_distributed_matches_driver(self, spark):
+        drv, dst = self._both(
+            spark,
+            lambda e: graph.eccentricity(e, mode="driver"),
+            lambda e: graph.eccentricity_distributed(e),
+            "eccentricity",
+        )
+        assert drv == dst
+
+    def test_sampled_betweenness_same_source_convention(self, spark):
+        # first-k ascending sources on both paths → identical estimates
+        e = _edges(spark, self.GRAPH)
+        drv = {
+            r["node_id"]: r["centrality"]
+            for r in graph.betweenness(e, sample_k=3, mode="driver").collect()
+        }
+        dst = {
+            r["node_id"]: r["centrality"]
+            for r in graph.betweenness_distributed(e, sample_k=3).collect()
+        }
+        for k in drv:
+            assert dst[k] == pytest.approx(drv[k], abs=1e-9)
+
+    def test_auto_switches_above_threshold(self, spark):
+        # 13 nodes > threshold 5 → auto runs the distributed path; the
+        # default source budget (256) exceeds n, so results stay exact
+        # and equal to the driver path (the fallback contract: above the
+        # cap the job still completes, with documented estimators)
+        e = _edges(spark, self.GRAPH)
+        auto = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(
+                e, mode="auto", distributed_threshold=5
+            ).collect()
+        }
+        drv = {
+            r["node_id"]: r["harmonic"]
+            for r in graph.harmonic_centrality(e, mode="driver").collect()
+        }
+        assert auto == drv
+        ecc_auto = {
+            r["node_id"]: r["eccentricity"]
+            for r in graph.eccentricity(
+                e, mode="auto", distributed_threshold=5
+            ).collect()
+        }
+        ecc_drv = {
+            r["node_id"]: r["eccentricity"]
+            for r in graph.eccentricity(e, mode="driver").collect()
+        }
+        assert ecc_auto == ecc_drv
+        bc_auto = {
+            r["node_id"]: r["centrality"]
+            for r in graph.betweenness(
+                e, mode="auto", distributed_threshold=5
+            ).collect()
+        }
+        bc_drv = {
+            r["node_id"]: r["centrality"]
+            for r in graph.betweenness(e, mode="driver").collect()
+        }
+        for k in bc_drv:
+            assert bc_auto[k] == pytest.approx(bc_drv[k], abs=1e-9)
+
+    def test_unknown_mode_raises(self, spark):
+        e = _edges(spark, [(0, 1)])
+        with pytest.raises(ValueError, match="mode"):
+            graph.betweenness(e, mode="Driver")

@@ -819,9 +819,38 @@ def k_core(edges: DataFrame, k: int = 3, n_iters: int = 30) -> DataFrame:
     )
 
 
+def _use_distributed_bfs(
+    edges: DataFrame, mode: str, threshold: int | None
+) -> bool:
+    """Path selector shared by the BFS-harness centralities: 'driver' /
+    'distributed' force; 'auto' counts nodes (one bounded aggregate,
+    the label_propagation(mode='auto') discipline) and picks the
+    frontier-join fallback above the threshold so the driver CSR
+    collect can never exceed driver memory."""
+    if mode not in ("driver", "auto", "distributed"):
+        raise ValueError(
+            f"unknown BFS-centrality mode {mode!r}; "
+            "expected 'driver', 'auto', or 'distributed'"
+        )
+    if mode == "distributed":
+        return True
+    if mode == "driver":
+        return False
+    cap = BFS_DISTRIBUTED_THRESHOLD if threshold is None else threshold
+    n_nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    return n_nodes > cap
+
+
 def harmonic_centrality(
     edges: DataFrame,
     sample_k: int | None = None,
+    mode: str = "auto",
+    distributed_threshold: int | None = None,
 ) -> DataFrame:
     """(node_id, harmonic) — harmonic centrality H(v) = Σ_{u≠v} 1/d(u,v)
     over the undirected simple graph (unreachable pairs contribute 0,
@@ -831,7 +860,17 @@ def harmonic_centrality(
     BFS accumulation parallel over executors via mapPartitions; since
     d is symmetric, accumulating 1/d(s, w) into w over ALL sources s
     yields H(w) exactly. Optional first-k source sampling scaled n/k
-    (the Bader-style approximation betweenness uses)."""
+    (the Bader-style approximation betweenness uses).
+
+    mode='auto' (default): above BFS_DISTRIBUTED_THRESHOLD nodes the
+    driver CSR export would exceed driver memory, so the frontier-join
+    fallback (harmonic_centrality_distributed) runs instead, with the
+    default source budget when the caller picked none.
+    'driver'/'distributed' force a path."""
+    if _use_distributed_bfs(edges, mode, distributed_threshold):
+        return harmonic_centrality_distributed(
+            edges, sample_k=sample_k or BFS_DISTRIBUTED_DEFAULT_SOURCES
+        )
     spark = edges.sparkSession
     np_ids, indptr, indices = _collect_adjacency_csr(edges)
     node_ids = np_ids.tolist()
@@ -884,14 +923,27 @@ def harmonic_centrality(
     )
 
 
-def eccentricity(edges: DataFrame) -> DataFrame:
+def eccentricity(
+    edges: DataFrame,
+    mode: str = "auto",
+    distributed_threshold: int | None = None,
+) -> DataFrame:
     """(node_id, eccentricity) — max shortest-path distance from each
     node to any node REACHABLE from it (per-component eccentricity;
     the component's diameter = max, radius = min of these). Same
     broadcast-CSR + per-source BFS harness as harmonic/betweenness;
     since d is symmetric, source s's BFS pushes max-updates into every
     reached node, and the integer max-merge across sources is
-    order-insensitive (no float discipline needed)."""
+    order-insensitive (no float discipline needed).
+
+    mode='auto' (default): above BFS_DISTRIBUTED_THRESHOLD nodes the
+    frontier-join fallback runs with the default source budget — a
+    sampled LOWER-BOUND estimate there (exact all-sources eccentricity
+    is O(n²) state at that scale); below it the exact driver harness."""
+    if _use_distributed_bfs(edges, mode, distributed_threshold):
+        return eccentricity_distributed(
+            edges, sample_k=BFS_DISTRIBUTED_DEFAULT_SOURCES
+        )
     spark = edges.sparkSession
     np_ids, indptr, indices = _collect_adjacency_csr(edges)
     node_ids = np_ids.tolist()
@@ -948,6 +1000,8 @@ def eccentricity(edges: DataFrame) -> DataFrame:
 def betweenness(
     edges: DataFrame,
     sample_k: int | None = None,
+    mode: str = "auto",
+    distributed_threshold: int | None = None,
 ) -> DataFrame:
     """(node_id, centrality) — Brandes over the undirected graph.
 
@@ -956,7 +1010,16 @@ def betweenness(
     per-source accumulation in parallel over executors (mapPartitions over
     the source list). Normalization 2/((n-1)(n-2)) clamped to <=1; optional
     first-k source sampling scaled by n/k (betweenness.rs:49-184 — Bader
-    approximation, sources in sorted order for determinism)."""
+    approximation, sources in sorted order for determinism).
+
+    mode='auto' (default): above BFS_DISTRIBUTED_THRESHOLD nodes the
+    frontier-join Brandes (betweenness_distributed) runs instead of the
+    driver CSR export, with the default source budget when the caller
+    picked none. 'driver'/'distributed' force a path."""
+    if _use_distributed_bfs(edges, mode, distributed_threshold):
+        return betweenness_distributed(
+            edges, sample_k=sample_k or BFS_DISTRIBUTED_DEFAULT_SOURCES
+        )
     spark = edges.sparkSession
     # Arrow transfer of the directed edge list + numpy symmetrize/dedup/CSR
     # (no union-distinct shuffle, no Python edge loop — both measured
@@ -1034,6 +1097,253 @@ def betweenness(
             # without halving (betweenness.rs:103-128) — its scores are 2x
             # the textbook value, clamped at 1.0. Strict numeric parity >
             # textbook here.
+            F.coalesce(F.col("raw"), F.lit(0.0)) * F.lit(norm * scale),
+            F.lit(1.0),
+        ).alias("centrality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BFS-harness fallback (the 100 TB path for the centralities)
+#
+# The driver-side harness above (betweenness/harmonic/eccentricity) mirrors
+# the reference's AdjacencyExport architecture (graph/algorithms/mod.rs:1-9
+# LOCK-SCOPE snapshot): collect the CSR once, fan per-source BFS over
+# executors via a broadcast. Per-tenant code graphs are small by contract,
+# but a tenant graph past driver memory must not kill the job — so above
+# BFS_DISTRIBUTED_THRESHOLD nodes, mode='auto' switches to a pure
+# frontier-join formulation where NOTHING is ever collected: a
+# level-synchronous multi-source BFS keyed by source (the same iterative
+# shape as label_propagation_distributed), shared by all three
+# centralities. Sources are the first k node ids ascending — the exact
+# convention of the driver harness's Bader-style sampling
+# (betweenness.rs:49-184), so sampled results agree across paths.
+# ---------------------------------------------------------------------------
+
+BFS_DISTRIBUTED_THRESHOLD = LPA_DISTRIBUTED_THRESHOLD
+# Source budget for the distributed fallback when the caller didn't pick
+# one: k sampled sources keep in-flight state at O(k * n) rows (visited
+# table) regardless of graph size, scaled back by n/k.
+BFS_DISTRIBUTED_DEFAULT_SOURCES = 256
+
+
+def _undirected_simple(edges: DataFrame) -> DataFrame:
+    """(u, v) — symmetrized, self-loop-free, deduped edge frame (the
+    distributed twin of _collect_adjacency_csr's numpy normalization)."""
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return (
+        base.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            base.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+    )
+
+
+def _multi_source_bfs(
+    und: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 64,
+):
+    """visited (src, node_id, dist, sigma): shortest-path forest from every
+    source in `sources` (one column `src`) over the undirected simple
+    graph `und` (u, v), with sigma = number of shortest s→node paths.
+
+    Level-synchronous frontier joins: depth d's frontier joins the edge
+    table once, sums sigma over all level-d predecessors (every shortest
+    path to a depth-d+1 node runs through a depth-d neighbor, so the
+    groupBy-sum IS the Brandes sigma recurrence), anti-joins the visited
+    set, and becomes depth d+1. Per depth: one equi-join + one groupBy +
+    one anti-join — all shuffle-bounded and AQE-friendly; state is the
+    visited table, O(k·n) rows for k sources. The per-depth emptiness
+    count() is a bounded driver action (≤ graph diameter ≤ max_depth —
+    the k_core fixpoint discipline). Sigma values are integer path
+    counts carried as doubles: exact under float addition up to 2^53,
+    so the shuffle's reduce order cannot perturb them."""
+    spark = und.sparkSession
+    roll_v = RollingCheckpoint(spark, keep_last=2)
+    roll_f = RollingCheckpoint(spark, keep_last=2)
+    frontier = roll_f(
+        sources.select(
+            "src",
+            F.col("src").alias("node_id"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    visited = roll_v(frontier)
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["node_id"] == und["u"])
+            .select("src", F.col("v").alias("node_id"), "sigma")
+            .groupBy("src", "node_id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select("src", "node_id"),
+                ["src", "node_id"],
+                "left_anti",
+            )
+            .select("src", "node_id", F.lit(depth).alias("dist"), "sigma")
+        )
+        frontier = roll_f(nxt)
+        if frontier.limit(1).count() == 0:
+            break
+        visited = roll_v(visited.unionByName(frontier))
+    return visited
+
+
+def _distributed_sources(
+    und: DataFrame, sample_k: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(all_nodes, sources): first sample_k node ids ascending (all nodes
+    when sample_k is None) — the driver harness's deterministic
+    source-sampling convention, as a plan."""
+    nodes = und.select(F.col("u").alias("node_id")).distinct()
+    if sample_k is None:
+        return nodes, nodes.select(F.col("node_id").alias("src"))
+    srcs = (
+        nodes.orderBy("node_id")
+        .limit(sample_k)
+        .select(F.col("node_id").alias("src"))
+    )
+    return nodes, srcs
+
+
+def harmonic_centrality_distributed(
+    edges: DataFrame,
+    sample_k: int | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """(node_id, harmonic) — frontier-join twin of harmonic_centrality:
+    H(w) = Σ_{s ∈ sources} 1/d(s, w) · (n/k), exact when sample_k is
+    None (all sources). Nothing collected to the driver."""
+    und = _undirected_simple(edges).localCheckpoint()
+    nodes, srcs = _distributed_sources(und, sample_k)
+    counts = nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes")
+    ).crossJoin(
+        srcs.agg(F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("k_src"))
+    )
+    visited = _multi_source_bfs(und, srcs, max_depth)
+    acc = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node_id")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("raw"))
+    )
+    return (
+        nodes.join(acc, "node_id", "left")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "node_id",
+            F.round(
+                F.coalesce(F.col("raw"), F.lit(0.0))
+                * F.col("n_nodes") / F.col("k_src"),
+                6,
+            ).alias("harmonic"),
+        )
+    )
+
+
+def eccentricity_distributed(
+    edges: DataFrame,
+    sample_k: int | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """(node_id, eccentricity) — frontier-join twin of eccentricity():
+    ecc(w) = max_{s ∈ sources} d(s, w). Exact with all sources
+    (sample_k None); with a sample it is the standard LOWER-BOUND
+    estimator (every observed distance is a true distance — exact
+    distributed eccentricity at scale needs iFUB-style refinement, out
+    of scope; the bound is what sampled pivots give)."""
+    und = _undirected_simple(edges).localCheckpoint()
+    nodes, srcs = _distributed_sources(und, sample_k)
+    visited = _multi_source_bfs(und, srcs, max_depth)
+    acc = visited.groupBy("node_id").agg(F.max("dist").alias("raw"))
+    return nodes.join(acc, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("raw"), F.lit(0)).cast("int").alias("eccentricity"),
+    )
+
+
+def betweenness_distributed(
+    edges: DataFrame,
+    sample_k: int | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """(node_id, centrality) — Brandes as frontier joins, the 100 TB
+    fallback for betweenness(): forward multi-source BFS builds
+    (dist, sigma) per (src, node); the dependency back-propagation runs
+    level-by-level from the deepest frontier inward, each level one
+    equi-join + groupBy over the shortest-path predecessor relation
+    (edge (u,v) with dist_v = dist_u + 1 under the same src). Same
+    normalization and n/k source scaling as the driver path — including
+    the reference's deliberately un-halved double-counted normalization
+    (betweenness.rs:103-128)."""
+    spark = edges.sparkSession
+    und = _undirected_simple(edges).localCheckpoint()
+    nodes, srcs = _distributed_sources(und, sample_k)
+    n = nodes.count()
+    if n < 3:
+        return nodes.select("node_id", F.lit(0.0).alias("centrality"))
+    k = srcs.count()
+    visited = _multi_source_bfs(und, srcs, max_depth)
+    # shortest-path DAG edges: u (pred) → v, per source
+    vu = visited.select(
+        "src",
+        F.col("node_id").alias("u"),
+        F.col("dist").alias("du"),
+        F.col("sigma").alias("su"),
+    )
+    vv = visited.select(
+        "src",
+        F.col("node_id").alias("v"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sv"),
+    )
+    preds = (
+        und.join(vu, "u")
+        .join(vv, ["src", "v"])
+        .filter(F.col("dv") == F.col("du") + 1)
+        .select("src", "u", "v", "dv", "su", "sv")
+        .localCheckpoint()
+    )
+    max_d = visited.agg(F.max("dist")).first()[0] or 0
+    roll = RollingCheckpoint(spark, keep_last=2)
+    # delta rows are written exactly once per (src, node): all of a
+    # node's dependency contributions arrive in the single backward
+    # level equal to its depth + 1
+    delta = roll(
+        spark.createDataFrame([], "src long, node_id long, delta double")
+    )
+    for lvl in range(max_d, 0, -1):
+        dw = delta.select(
+            "src", F.col("node_id").alias("v"), F.col("delta").alias("delta_w")
+        )
+        contrib = (
+            preds.filter(F.col("dv") == lvl)
+            .join(dw, ["src", "v"], "left")
+            .select(
+                "src",
+                F.col("u").alias("node_id"),
+                (
+                    F.col("su") / F.col("sv")
+                    * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
+                ).alias("part"),
+            )
+            .groupBy("src", "node_id")
+            .agg(F.sum("part").alias("delta"))
+        )
+        delta = roll(delta.unionByName(contrib))
+    acc = (
+        delta.filter(F.col("node_id") != F.col("src"))
+        .groupBy("node_id")
+        .agg(F.sum("delta").alias("raw"))
+    )
+    norm = 2.0 / ((n - 1) * (n - 2))
+    scale = 1.0 if sample_k is None else n / float(k)
+    return nodes.join(acc, "node_id", "left").select(
+        "node_id",
+        F.least(
             F.coalesce(F.col("raw"), F.lit(0.0)) * F.lit(norm * scale),
             F.lit(1.0),
         ).alias("centrality"),

@@ -1818,6 +1818,30 @@ SELECT u AS node_id, count(*) AS core_degree FROM e{n_iters} GROUP BY u"""
     return "".join(parts)
 
 
+def leiden_membership(cap: int = 500) -> str:
+    """Oracle for the leiden_communities membership-invariant projection:
+    a correct deterministic Leiden run assigns every node of the capped
+    subgraph exactly once, labels each community by its min member id,
+    and keeps every size≥2 membership connected — so the expected table
+    is constant-true over the node universe, derived from the edges
+    alone. Any clustering defect flips a bit (or the row count) on the
+    Spark side and hash-fails."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed WHERE src < {cap} AND dst < {cap}),
+nodes AS (
+  SELECT DISTINCT node_id FROM (
+    SELECT src AS node_id FROM sub UNION ALL SELECT dst FROM sub
+  )
+)
+SELECT node_id,
+       TRUE AS assigned_once,
+       TRUE AS min_labeled,
+       TRUE AS connected_membership
+FROM nodes
+"""
+
+
 def harmonic_exact(cap: int = 40, max_depth: int = 12) -> str:
     """Harmonic centrality on the capped co-occurrence subgraph — the
     SQL twin of graph.harmonic_centrality with sampling off: H(v) =
@@ -1913,9 +1937,11 @@ FROM generate_series(0, {n_files - 1}) s(i), (VALUES (1), (2)) d(d)
 """
 
 
-def betweenness_exact(cap: int = 40, max_depth: int = 12) -> str:
-    """G8 exact betweenness on the capped co-occurrence subgraph — the SQL
-    twin of operators/graph.betweenness with sampling off.
+def betweenness_exact(
+    cap: int = 40, max_depth: int = 12, sample_k: int | None = None
+) -> str:
+    """G8 betweenness on the capped co-occurrence subgraph — the SQL
+    twin of operators/graph.betweenness (exact with sample_k None).
 
     Pair-counting formulation (equivalent to Brandes' accumulation):
       sigma(s,v)  = #shortest s->v paths = walk count at minimal depth
@@ -1925,6 +1951,10 @@ def betweenness_exact(cap: int = 40, max_depth: int = 12) -> str:
                     where dist(s,v)+dist(v,t)=dist(s,t)
       centrality  = least(raw * 2/((n-1)(n-2)), 1.0)   -- the reference's
                     un-halved normalization (betweenness.rs:103-128)
+    With sample_k, sources s are restricted to the first k node ids
+    ascending and raw is scaled by n/k — EXACTLY the driver harness's
+    Bader sampling convention (betweenness.rs:49-184), which is what
+    lets the sampled Spark run hash-match this oracle.
     Walk counts are unrolled matrix powers w1..w{max_depth}; the parity
     test fails loudly if the subgraph diameter ever exceeds max_depth."""
     parts = [
@@ -1948,6 +1978,12 @@ w{d + 1} AS MATERIALIZED (
     wall = "\n  UNION ALL ".join(
         f"SELECT s, v, {d} AS d, c FROM w{d}" for d in range(1, max_depth + 1)
     )
+    if sample_k is None:
+        src_filter = ""
+        scale = "1.0"
+    else:
+        src_filter = f" AND a.s IN (SELECT node_id FROM srcs)"
+        scale = f"nn_bc.n / (SELECT CAST(count(*) AS DOUBLE) FROM srcs)"
     parts.append(
         f""",
 wall AS MATERIALIZED (
@@ -1958,18 +1994,20 @@ sp AS MATERIALIZED (
   SELECT m.s, m.v, m.d, w.c AS sig
   FROM mind m JOIN wall w ON w.s = m.s AND w.v = m.v AND w.d = m.d
 ),
+allnodes AS (SELECT DISTINCT u AS node_id FROM und),
+srcs AS (SELECT node_id FROM allnodes ORDER BY node_id LIMIT {sample_k or 0}),
 raw AS (
   SELECT a.v AS node_id,
          sum(CAST(a.sig AS DOUBLE) * b.sig / c.sig) AS r
   FROM sp a
   JOIN sp b ON b.s = a.v
   JOIN sp c ON c.s = a.s AND c.v = b.v
-  WHERE a.d + b.d = c.d AND a.s <> b.v AND a.v <> b.v
+  WHERE a.d + b.d = c.d AND a.s <> b.v AND a.v <> b.v{src_filter}
   GROUP BY 1
-),
-allnodes AS (SELECT DISTINCT u AS node_id FROM und)
+)
 SELECT an.node_id,
-       round(least(coalesce(r.r, 0.0) * 2.0 / ((nn_bc.n - 1) * (nn_bc.n - 2)),
+       round(least(coalesce(r.r, 0.0)
+                     * (2.0 / ((nn_bc.n - 1) * (nn_bc.n - 2)) * ({scale})),
                    1.0), 6) AS centrality
 FROM allnodes an
 CROSS JOIN nn_bc

@@ -234,3 +234,24 @@ class TestIVFPQ:
         }
         # double approximation: conservative floor
         assert len(exact & got) / len(exact) >= 0.3
+
+
+class TestRecallGates:
+    """VERDICT r6 #9: the recall harness's per-leg recall@5 numbers are
+    GATES, not just reported metrics — a quantizer/bucketing regression
+    fails loudly here. Floors sit well under the measured values
+    (ivf ~0.92-0.96, ivf_pq ~0.60-0.68, pq ~0.48-0.60, srp ~0.40-0.48
+    across sf0.001/sf0.01) so dataset growth doesn't flake them; they
+    exist to catch collapses (a broken codebook or empty probe list
+    scores ~0), not drift."""
+
+    FLOORS = {"ivf": 0.80, "ivf_pq": 0.45, "pq": 0.35, "srp": 0.30}
+
+    def test_recall_at_5_floors(self, spark):
+        import __spark_entry__ as entry
+
+        rows = entry._q_ann_recall(spark, SF_SMOKE).collect()
+        got = {r["method"]: r["recall"] for r in rows}
+        assert set(got) == set(self.FLOORS)
+        for method, floor in self.FLOORS.items():
+            assert got[method] >= floor, (method, got[method], floor)

@@ -875,3 +875,100 @@ def test_streaming_hll_registers_equal_batch_prefix(spark, tmp_path):
 
     click = [r for r in out if r["key"] == "click"]
     assert len(click) == 1 and click[0]["n_seen"] == 1
+
+
+def test_op_weight_direction_invariant(spark):
+    """ADVICE r6: op weight is ALWAYS DESC — on the anti-starvation
+    (ASC) pass, heavier ops still dequeue before lighter ones within the
+    same priority band (dequeue.rs:76-79 pins op_order on BOTH passes)."""
+    from workspace_qdrant_mcp_spark.streaming import fairness as fs
+
+    # all inactive (priority 0) so the ASC pass reaches them first; ops
+    # span the weight ladder at identical timestamps
+    rows = [
+        ("u1", "B", "file", "uplift", "projects", 0, 0),
+        ("a1", "B", "file", "add", "projects", 0, 0),
+        ("r1", "B", "file", "rename", "projects", 0, 0),
+        ("s1", "B", "file", "scan", "projects", 0, 0),
+        ("up1", "B", "file", "update", "projects", 0, 0),
+    ]
+    q = spark.createDataFrame(
+        rows,
+        "queue_id string, tenant_id string, item_type string, "
+        "op string, collection string, is_active int, created_ts long",
+    )
+    expected = ["a1", "up1", "r1", "u1", "s1"]  # add>update>rename>uplift>scan
+    for descending in (True, False):
+        cols = fs.dequeue_sort_cols(descending, F.lit(0), 300, 900)
+        got = [r["queue_id"] for r in q.orderBy(*cols).collect()]
+        assert got == expected, (descending, got)
+
+
+def test_fair_ingestion_stream_interleaves_tenants(spark, tmp_path):
+    """VERDICT r6 #5 — W7 end-to-end: the FairnessScheduler runs as the
+    dequeue layer INSIDE the ingestion stream's foreachBatch. A 2-tenant
+    burst (active tenant A floods 20 files, inactive tenant B enqueues
+    12) must process in scheduler order: 10 A (high pass), then B gets a
+    turn (low pass) long before A's burst drains, with everything
+    ingested exactly once."""
+    d = {
+        "events": str(tmp_path / "events"),
+        "store": str(tmp_path / "store"),
+        "dlq": str(tmp_path / "dlq"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "log": str(tmp_path / "plog"),
+    }
+    evs = [
+        {"path": f"A/f{i}.txt", "event_type": "create",
+         "content": f"alpha {i} " * 30, "ts": f"2026-01-01T00:00:{i:02d}"}
+        for i in range(20)
+    ] + [
+        {"path": f"B/g{i}.txt", "event_type": "create",
+         "content": f"bravo {i} " * 30, "ts": f"2026-01-01T00:00:{i:02d}"}
+        for i in range(12)
+    ]
+    _write_events(d["events"], "b1.json", evs)
+    ingest.run_fair_ingestion_stream(
+        spark, d["events"], d["store"], d["dlq"], d["ckpt"],
+        active_tenants=["A"], processing_log_path=d["log"],
+    )
+    log = (
+        spark.read.parquet(d["log"])
+        .orderBy("seq")
+        .select("tenant_id")
+        .collect()
+    )
+    order = [r["tenant_id"] for r in log]
+    assert len(order) == 32
+    # high-priority pass: the active tenant's first 10; then the
+    # anti-starvation flip gives B a turn before A's burst drains
+    assert order[:10] == ["A"] * 10
+    assert order[10] == "B"
+    assert "B" in set(order[:15])
+    assert order.count("A") == 20 and order.count("B") == 12
+    # every file ingested exactly once, both tenants present
+    store = spark.read.parquet(d["store"])
+    paths = [r["path"] for r in store.select("path").collect()]
+    assert len(paths) == len(set(paths)) == 32
+    assert {p.split("/")[0] for p in paths} == {"A", "B"}
+
+
+def test_process_batch_releases_its_checkpoints(spark, tmp_path):
+    """ADVICE r6: process_batch must not leak localCheckpoint storage —
+    every block created during the call (debounce, store staging, delta
+    pins) is released on exit, so a long-running stream's storage
+    footprint is flat across micro-batches."""
+    from workspace_qdrant_mcp_spark import ckpt
+
+    store = str(tmp_path / "store")
+    dlq = str(tmp_path / "dlq")
+    batch = spark.createDataFrame(
+        [("x.txt", "create", "hello " * 40, "2026-01-01T00:00:00")],
+        "path string, event_type string, content string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    before = ckpt.persistent_ids(spark)
+    ingest.process_batch(spark, batch, store, dlq)
+    after = ckpt.persistent_ids(spark)
+    leaked = after - before
+    assert not leaked, f"leaked persistent blocks: {leaked}"
+    assert spark.read.parquet(store).count() > 0

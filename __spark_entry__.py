@@ -412,6 +412,68 @@ def _q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.multires_rollup(load_table(spark, sf_dir, "events"))
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal history (temporal.scd2_history): each user's
+    event_type timeline collapsed to change intervals with
+    valid_from/valid_to/is_current — the CDC/warehouse layout asof_join
+    reads. One shuffle, two windows on the same partitioning. NEW IN
+    r7."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (sketches.heavy_hitters): users with exact count
+    > n/10, found via per-partition Misra-Gries candidate summaries
+    (mergeable, Agarwal et al. 2012) + one exact verify pass over the
+    candidate set only. Oracle = the plain exact HAVING filter — the
+    sketch must produce exactly the true answer set, which is the MG
+    superset guarantee under the n/(k+1) error bound. NEW IN r7."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id", k=10
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample — Efraimidis-Spirakis keys from a keyed
+    hash): the k=100 documents drawn with probability proportional to
+    n_chars. One pass + global top-k (TakeOrdered); reproducible and
+    shard-invariant like split_assign. NEW IN r7."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars")
+    )
+    return curation.weighted_sample(docs, k=100, weight_col="n_chars")
+
+
+def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection (temporal.hourly_anomalies): hours whose
+    per-type event count sits ≥ 2 population-stddevs from that type's
+    hourly mean. Rollup + per-type stats window, both
+    map-side-combinable. NEW IN r7."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.hourly_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (temporal.value_quantiles,
+    type-7 interpolation — the Spark percentile / DuckDB quantile_cont
+    shared convention). Exact here for oracle value parity; the 100 TB
+    call site swaps in approx_percentile's mergeable t-digest. NEW IN
+    r7."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.value_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def _q_range_join_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (temporal.range_join): all events falling inside
     the 5 busiest error hours — a no-equi-key interval join that would
@@ -2366,15 +2428,83 @@ def _q_two_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only; see the window comment below.
+    # entries only. This is the r7 rotation (VERDICT r6 #1): every entry
+    # in the window either had NO driver row yet, was EDITED this round,
+    # or carried its stalest (r4) green row. Provenance comments are
+    # against CORRECTNESS_r01-r06.
     return {
-        # ORDER = the r6 correctness window (driver records the FIRST
-        # 50 entries only). Provenance below is against CORRECTNESS
-        # files r1-r5 (a query's round = its newest green driver row).
-        #
-        # Slots 1-10: NEW IN r5, NEVER driver-recorded (they were added
-        # past the 50-row window; r5's rotation comment mislabeled them
-        # "r4-green" — corrected here, first driver evidence will be r6):
+        # Slots 1-6: NEW IN r6 after that window filled — oracle-backed +
+        # pytest since r6, first driver evidence lands THIS round:
+        "shard_assignment": _q_shard_assignment,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "graph_clustering_coeff": _q_graph_clustering,
+        "graph_harmonic": _q_graph_harmonic,
+        "graph_eccentricity": _q_graph_eccentricity,
+        "graph_ppr": _q_graph_ppr,        # Slots 7-11: NEW IN r7 (SCD2 temporal history, Misra-Gries
+        # heavy hitters with exact verify, Efraimidis-Spirakis weighted
+        # sampling, hourly z-score anomalies, exact type-7 quantiles):
+        "scd2_history": _q_scd2_history,
+        "heavy_hitters": _q_heavy_hitters,
+        "weighted_sample": _q_weighted_sample,
+        "hourly_anomalies": _q_hourly_anomalies,
+        "value_quantiles": _q_value_quantiles,        # Slots 12-15: code or oracle CHANGED this round, so their newest
+        # rows predate current behavior — graph_betweenness and
+        # leiden_communities were rows-only until r7 (now oracle-backed:
+        # sampled pair-counting twin / membership-invariant projection);
+        # fairness_dequeue's op-weight ordering was corrected to
+        # always-DESC (ADVICE r6) in code AND oracle; tag_expansion_sparse
+        # exercises the search_expanded path rebuilt lazy (VERDICT r6 #2):
+        "graph_betweenness": _q_graph_betweenness,
+        "leiden_communities": _q_leiden_communities,
+        "fairness_dequeue": _q_fairness_dequeue,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,        # Slots 16-50: the 35 queries whose newest green row was r4 — the
+        # stalest evidence in the suite (VERDICT r6 #1 rotation list),
+        # including every one whose file was touched in r6/r7
+        # (minhash_lsh_neardup: r6 verify-stage REFACTOR, extracted to
+        # exact_verify_pairs, behavior-preserving — the r6 ledger
+        # mislabeled it "untouched", corrected here per VERDICT r6 #3;
+        # betweenness_exact/two_hop_chain/diversity_rerank/ann legs/
+        # dedup_exact/embedding_neardup/simhash_neardup live in files
+        # graph.py/dedup.py/ann.py/fusion.py edited since their rows):
+        "betweenness_exact": _q_betweenness_exact,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "two_hop_chain": _q_two_hop_chain,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "nested_chunks": _q_nested_chunks,
+        "lsp_enrichment": _q_lsp_enrichment,
+        "ingest_idempotency": _q_ingest_idempotency,
+        "reconcile_diff": _q_reconcile_diff,
+        "ingest_apply_events": _q_ingest_apply_events,
+        "events_debounce_last": _q_events_debounce,
+        "queue_stats": _q_queue_stats,
+        "queue_dequeue_order": _q_queue_dequeue_order,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_topk": _q_ann_ivf,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_fingerprint,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "label_centroids": _q_label_centroids,
+        "centroid_rerank": _q_centroid_rerank,
+        "keyword_baskets": _q_keyword_baskets,
+        "mmr_tag_selection": _q_mmr_tag_selection,
+        "diversity_rerank": _q_diversity,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
+        "grep_count": _q_grep_count,
+        "grep_exact_lines": _q_grep_exact_lines,
+        "grep_regex_lines": _q_grep_regex_lines,
+        "grep_context_lines": _q_grep_context_lines,
+        "chunk_text": _q_chunk_text,
+        "mock_embeddings": _q_mock_embeddings,
+        "sequence_packing": _q_sequence_packing,
+        "dedup_exact": _q_dedup_exact,        # ---- below the 50-row window: every row here is r5- or
+        # r6-green (newest rows recorded against code that has not
+        # changed since, except where noted in the per-query docstrings);
+        # they rotate back through future windows on the same
+        # stalest-first policy.
         "cross_source_overlap": _q_cross_source_overlap,
         "winnowing_fps": _q_winnowing_fps,
         "list_summary": _q_list_summary,
@@ -2385,9 +2515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_event_type_freqs": _q_cms_event_type_freqs,
         "kmv_distinct_users": _q_kmv_distinct_users,
-        # Slots 11-24: newest green row is r3 — stalest evidence in the
-        # suite; several live in files edited in r5/r6 (api.py, bm25.py),
-        # so their r3 rows predate current code:
         "corpus_stats": _q_corpus_stats,
         "cross_collection_rrf": _q_cross_collection_rrf,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
@@ -2402,22 +2529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_retrieve": _q_scroll_retrieve,
         "simhash_fingerprints": _q_simhash_fp,
         "stub_resolution": _q_stub_resolution,
-        # Slots 25-26: rows-only by design (no oracle SQL; their value
-        # signals are betweenness_exact / leiden_invariants) — never had
-        # a full green row and never will; recorded for the rows check:
-        "graph_betweenness": _q_graph_betweenness,
-        "leiden_communities": _q_leiden_communities,
-        # Slots 27-44: code paths EDITED this round (r6) — lazy hybrid
-        # fusion + api hot path (fusion.py/api.py/search_pipeline.py),
-        # RollingCheckpoint in graph.py iterative ops, ngram stop-gram
-        # cap + semdedup kmeans arg (dedup.py), decontamination n=13
-        # (curation.py), leiden dual connectivity audit (leiden.py),
-        # SQ clamp (ann.py):
         "hybrid_search_rrf": _q_hybrid,
         "fallback_search": _q_fallback_search,
         "parent_context": _q_parent_context,
         "graph_context": _q_graph_context,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
         "exact_match_scoring": _q_exact_scoring,
         "splade_search": _q_splade_search,
         "image_search": _q_image_search,
@@ -2431,37 +2546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "leiden_invariants": _q_leiden_invariants,
         "ann_sq_topk": _q_ann_sq,
-        # Slots 45-50: NEW IN r6 — first driver evidence this round
-        # (graph triangle counts + k-core, Bloom membership, PQ/ADC ANN,
-        # session-window rollup, W7 fairness drain):
         "graph_triangles": _q_graph_triangles,
         "graph_kcore": _q_graph_kcore,
         "bloom_user_membership": _q_bloom_user_membership,
         "ann_pq_topk": _q_ann_pq,
         "events_session_rollup": _q_events_session_rollup,
-        "fairness_dequeue": _q_fairness_dequeue,
-        # ---- below the 50-row window: green r4/r5 rows whose code is
-        # unchanged since (r5: most of the curation/event/ANN family;
-        # r4: the long-stable core) — they rotate back in future rounds.
-        # Displaced from the r6 window to make room for the six NEW r6
-        # queries (their exact query paths are untouched this round:
-        # sparse_search/dense.py/multimodal decode/batch_k_hop/minhash/
-        # betweenness() — only other functions in those files changed):
-        "betweenness_exact": _q_betweenness_exact,
-        # NEW IN r6, added after the window filled — no driver row yet
-        # (oracle-backed + pytest); front of the r7 rotation:
-        "shard_assignment": _q_shard_assignment,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq,
-        "graph_clustering_coeff": _q_graph_clustering,
-        "graph_harmonic": _q_graph_harmonic,
-        "graph_eccentricity": _q_graph_eccentricity,
-        "graph_ppr": _q_graph_ppr,
-        # (end of r6 additions)
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
         "multimodal_features": _q_multimodal_features,
-        "two_hop_chain": _q_two_hop_chain,
-        "minhash_lsh_neardup": _q_minhash_lsh,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
         "dsir_logweights": _q_dsir_logweights,
@@ -2500,38 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_structural": _q_grouping_structural,
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
-        "semantic_chunks": _q_semantic_chunks,
-        "nested_chunks": _q_nested_chunks,
-        "lsp_enrichment": _q_lsp_enrichment,
-        "ingest_idempotency": _q_ingest_idempotency,
-        "reconcile_diff": _q_reconcile_diff,
-        "ingest_apply_events": _q_ingest_apply_events,
-        "events_debounce_last": _q_events_debounce,
-        "queue_stats": _q_queue_stats,
-        "queue_dequeue_order": _q_queue_dequeue_order,
-        "simhash_neardup": _q_simhash_neardup,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_topk": _q_ann_ivf,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_fingerprint,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "label_centroids": _q_label_centroids,
-        "centroid_rerank": _q_centroid_rerank,
-        "keyword_baskets": _q_keyword_baskets,
-        "mmr_tag_selection": _q_mmr_tag_selection,
-        "diversity_rerank": _q_diversity,
-        "cooccurrence_top_pairs": _q_cooc_top_pairs,
-        "grep_count": _q_grep_count,
-        "grep_exact_lines": _q_grep_exact_lines,
-        "grep_regex_lines": _q_grep_regex_lines,
-        "grep_context_lines": _q_grep_context_lines,
-        "chunk_text": _q_chunk_text,
-        "mock_embeddings": _q_mock_embeddings,
-        "sequence_packing": _q_sequence_packing,
-        "dedup_exact": _q_dedup_exact,
-    }
+        "semantic_chunks": _q_semantic_chunks,    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2587,6 +2646,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "dsir_logweights": oracles.dsir_logweights(),
         "asof_join": oracles.asof_join(),
+        "scd2_history": oracles.scd2_history(),
+        "heavy_hitters": oracles.heavy_hitters(k=10),
+        "weighted_sample": oracles.weighted_sample(k=100),
+        "hourly_anomalies": oracles.hourly_anomalies(),
+        "value_quantiles": oracles.value_quantiles(),
         "range_join_busy_hours": oracles.range_join_busy_hours(),
         "cross_source_overlap": oracles.cross_source_overlap(),
         "winnowing_fps": oracles.winnowing_fingerprints(),

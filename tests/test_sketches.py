@@ -142,3 +142,50 @@ class TestBloom:
         assert sorted(r["bit"] for r in merged.collect()) == sorted(
             r["bit"] for r in direct.collect()
         )
+
+
+class TestHeavyHitters:
+    def test_exact_answer_set_with_skewed_stream(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        # 1000 rows: two heavy keys (300 + 200), the rest a long tail of
+        # 100 keys x 5 — with k=4 the threshold is 250, so exactly one
+        # key qualifies... make two qualify: threshold n/k = 250 → only
+        # 'hot1'(300) passes; k=5 → 200 threshold → hot1 only; use
+        # k=4 with hot2=260: total 1000 = 300+260+440 (88 keys x 5)
+        rows = (
+            [("hot1",)] * 300 + [("hot2",)] * 260
+            + [(f"tail{i}",) for i in range(88) for _ in range(5)]
+        )
+        df = spark.createDataFrame(rows, "user_id string").repartition(8)
+        out = sketches.heavy_hitters(df, "user_id", k=4).collect()
+        assert [(r["user_id"], r["cnt"]) for r in out] == [
+            ("hot1", 300), ("hot2", 260)
+        ]
+
+    def test_mg_candidates_are_superset_of_true_heavies(self, spark):
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        rows = [("h",)] * 50 + [(f"t{i % 30}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "user_id string").repartition(4)
+        cand = {
+            r["key"] for r in sketches._mg_summaries(df, "user_id", 5).collect()
+        }
+        assert "h" in cand  # count 50 > n/(k+1) = 25 → must survive
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_monotone(self, spark):
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(i, 10 if i < 50 else 1000) for i in range(100)],
+            "doc_id long, n_chars long",
+        )
+        s1 = curation.weighted_sample(docs, k=20, weight_col="n_chars")
+        s2 = curation.weighted_sample(docs, k=20, weight_col="n_chars")
+        ids1 = [r["doc_id"] for r in s1.collect()]
+        assert ids1 == [r["doc_id"] for r in s2.collect()]  # reproducible
+        # heavy rows (100x weight) dominate the draw
+        n_heavy = sum(1 for i in ids1 if i >= 50)
+        assert n_heavy >= 15

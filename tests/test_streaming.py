@@ -972,3 +972,60 @@ def test_process_batch_releases_its_checkpoints(spark, tmp_path):
     leaked = after - before
     assert not leaked, f"leaked persistent blocks: {leaked}"
     assert spark.read.parquet(store).count() > 0
+
+
+def test_streaming_heavy_hitters_candidates_survive(spark, tmp_path):
+    """Cross-batch streaming Misra-Gries: after two micro-batches, every
+    key whose TOTAL count exceeds its hash-group's n/(capacity+1) bound
+    must appear in the group's latest summary — the candidate guarantee
+    the batch heavy_hitters verify phase relies on (here the grouping is
+    BY KEY HASH, so a key's occurrences all accumulate in one group's
+    state and the bound is group-local)."""
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "mgev")
+    out_dir = str(tmp_path / "mgout")
+    ck = str(tmp_path / "mgckpt")
+    # 'hot' appears 30x per batch; tail keys once each
+    def mk(eid0, batch_tag):
+        rows = [
+            {"event_id": eid0 + i, "ts": f"2024-01-01T00:00:{i % 60:02d}Z",
+             "user_id": 777, "event_type": "view", "value": 0.0}
+            for i in range(30)
+        ] + [
+            {"event_id": eid0 + 100 + i, "ts": f"2024-01-01T00:01:{i % 60:02d}Z",
+             "user_id": 1000 * batch_tag + i, "event_type": "view", "value": 0.0}
+            for i in range(40)
+        ]
+        return rows
+
+    _write_events(events_dir, "b1.json", mk(0, 1))
+    _write_events(events_dir, "b2.json", mk(1000, 2))
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stateful.streaming_heavy_hitters(stream, capacity=8, n_groups=4)
+        .writeStream.foreachBatch(
+            lambda b, bid: b.withColumn("bid", F.lit(bid))
+            .write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    last = out.filter(F.col("bid") == out.agg(F.max("bid")).first()[0])
+    rows = last.collect()
+    hot = [r for r in rows if r["key"] == "777"]
+    assert hot, "heavy key must survive in its group's summary"
+    # MG undercount bound: est >= true_count - n_group/(capacity+1)
+    r = hot[0]
+    assert r["est"] >= 60 - r["n_group"] // 9
+    # state is bounded: no group tracks more than capacity keys
+    per_grp = last.groupBy("grp").count().collect()
+    assert all(x["count"] <= 8 for x in per_grp)

@@ -159,3 +159,81 @@ class TestRangeJoin:
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestScd2History:
+    def test_collapses_runs_and_closes_intervals(self, spark):
+        import datetime as dt
+
+        from workspace_qdrant_mcp_spark.operators import temporal
+
+        t = lambda s: dt.datetime.fromisoformat(f"2026-01-01T{s}")
+        ev = spark.createDataFrame(
+            [
+                (1, t("00:00"), 7, "view"),
+                (2, t("00:01"), 7, "view"),     # same value → collapses
+                (3, t("00:02"), 7, "click"),    # change
+                (4, t("00:03"), 7, "view"),     # change back (new interval)
+                (5, t("00:00"), 8, "signup"),   # other user: single current
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        rows = sorted(
+            temporal.scd2_history(ev).collect(),
+            key=lambda r: (r["user_id"], r["valid_from"]),
+        )
+        u7 = [r for r in rows if r["user_id"] == 7]
+        assert [r["event_type"] for r in u7] == ["view", "click", "view"]
+        assert [r["is_current"] for r in u7] == [False, False, True]
+        # intervals chain: valid_to = next valid_from
+        assert u7[0]["valid_to"] == u7[1]["valid_from"]
+        assert u7[1]["valid_to"] == u7[2]["valid_from"]
+        u8 = [r for r in rows if r["user_id"] == 8]
+        assert len(u8) == 1 and u8[0]["is_current"]
+
+
+class TestHourlyAnomalies:
+    def test_flags_only_outlier_hours(self, spark):
+        import datetime as dt
+
+        from workspace_qdrant_mcp_spark.operators import temporal
+
+        rows = []
+        eid = 0
+        # type 'a': 9 quiet hours of 2 events, 1 spike hour of 30
+        for h in range(9):
+            for i in range(2):
+                eid += 1
+                rows.append((eid, dt.datetime(2026, 1, 1, h, i), 1, "a"))
+        for i in range(30):
+            eid += 1
+            rows.append((eid, dt.datetime(2026, 1, 1, 9, i % 60), 1, "a"))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = temporal.hourly_anomalies(ev, z_thresh=2.0).collect()
+        assert len(out) == 1
+        assert out[0]["hour"].hour == 9 and out[0]["n_events"] == 30
+        assert out[0]["zscore"] > 2.0
+
+
+class TestValueQuantiles:
+    def test_exact_type7_interpolation(self, spark):
+        import datetime as dt
+
+        from workspace_qdrant_mcp_spark.operators import temporal
+
+        ev = spark.createDataFrame(
+            [
+                (i, dt.datetime(2026, 1, 1), 1, "x", float(v))
+                for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        row = temporal.value_quantiles(ev).collect()[0]
+        # type-7: q(p) at rank p*(n-1): median of 1..10 = 5.5,
+        # q90 = 1 + 0.9*9 = rank 8.1 → 9.1, q99 → 9.91
+        assert row["q5"] == 5.5
+        assert row["q9"] == 9.1
+        assert row["q99"] == 9.91

@@ -415,3 +415,34 @@ def shard_assignment(
         .withColumn("pos_in_shard", F.row_number().over(w) - 1)
         .select(id_col, "shard", "pos_in_shard", "n_tokens")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws|",
+) -> DataFrame:
+    """docs + sample_key, restricted to the k rows an Efraimidis-Spirakis
+    (2006) weighted reservoir draw selects: key_i = ln(u_i) / w_i with
+    u_i a deterministic (0,1) hash of the id, sample = the k LARGEST
+    keys (equivalently u_i^(1/w_i) — heavier rows draw larger keys in
+    expectation, inclusion probability proportional to weight, without
+    replacement). The keyed-hash u makes the draw reproducible and
+    shard-invariant (the split_assign discipline — no RNG state, no
+    exchange for the keying); selection is one global top-k, exactly the
+    TakeOrdered shape that never materializes a full sort at scale.
+    Weights must be strictly positive — caller shifts/clamps.
+    Deterministic total order: (sample_key desc, id asc)."""
+    u = (
+        (md5_hash64(F.col(id_col).cast("string"), salt=salt) % 1_000_000)
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+        .withColumn("sample_key", F.round("sample_key", 6))
+    )

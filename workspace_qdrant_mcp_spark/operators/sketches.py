@@ -314,3 +314,81 @@ def bloom_membership(
             F.round(fp, 6).alias("fp_estimate"),
         )
     )
+
+
+def _mg_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """(key, est) per partition — Misra-Gries frequency summaries with at
+    most `capacity` tracked keys per partition. Per Arrow batch the
+    counting is pandas value_counts (columnar); the MG decrement loop
+    runs over the ≤capacity tracked keys, never over rows."""
+    import pandas as pd
+
+    out_schema = f"key string, est long"
+
+    def per_partition(pdfs):
+        counters: dict[str, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf[key_col].astype(str).value_counts()
+            for key, cnt in vc.items():
+                if key in counters:
+                    counters[key] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[key] = int(cnt)
+                else:
+                    # batch-MG decrement: absorb cnt against the current
+                    # minimum repeatedly (equivalent to cnt unit
+                    # decrements, O(capacity log capacity) amortized)
+                    rem = int(cnt)
+                    while rem > 0 and len(counters) >= capacity:
+                        m = min(counters.values())
+                        dec = min(rem, m)
+                        rem -= dec
+                        counters = {
+                            k: v - dec for k, v in counters.items() if v > dec
+                        }
+                    if rem > 0:
+                        counters[key] = rem
+        if counters:
+            yield pd.DataFrame(
+                {"key": list(counters), "est": list(counters.values())}
+            )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        per_partition, out_schema
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """(key, cnt) — the keys whose EXACT count exceeds n/k, counts exact,
+    ordered (cnt desc, key asc). Two-phase at-scale shape:
+
+      1. candidate generation: per-partition Misra-Gries summaries with
+         capacity k (Misra & Gries 1982); merging per-partition MG
+         summaries preserves the undercount bound ≤ n/(k+1) (Agarwal et
+         al. 2012 mergeable-summaries), so every key with true count
+         > n/k ≥ strictly more than the bound survives as a candidate —
+         the candidate union is ≤ k·partitions rows, never corpus-sized;
+      2. exact verify: one count pass semi-joined to the candidate set,
+         filtered against the n/k threshold (n as a lazy 1-row
+         broadcast).
+
+    The sketch decides WHAT to count exactly — the corpus-wide groupBy
+    that a naive top-k needs never materializes rare keys' groups."""
+    cand = (
+        _mg_summaries(df, key_col, capacity=k)
+        .select(F.col("key").alias(key_col))
+        .distinct()
+    )
+    nn = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(key_col, "cnt")
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+    )

@@ -140,3 +140,97 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to, is_current) — Slowly-Changing-
+    Dimension Type 2 history: each key's attribute timeline collapsed to
+    change intervals (consecutive equal values merge; valid_to = next
+    change's valid_from, NULL while current) — the standard temporal
+    upsert/CDC shape a warehouse keeps for point-in-time joins (the
+    asof_join above reads exactly this layout).
+
+    Two windows over the SAME (key) partitioning ordered by
+    (ts, id) — deterministic under timestamp ties, one shuffle total
+    (the second window reuses the first's exchange). At 100 TB this is
+    the one-pass MERGE-free formulation: no self-join, no per-key
+    collect, skew bounded by the busiest key's event count."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changes = events.withColumn(
+        "__prev", F.lag(attr_col).over(w)
+    ).filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            key_col,
+            attr_col,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    z_thresh: float = 2.0,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, hour, n_events, zscore) — hours whose event count
+    deviates ≥ z_thresh population-stddevs from that type's hourly mean
+    (volume anomaly detection over the rollup). Two aggregations over
+    the same grouping key: hourly counts, then a per-type window for
+    mean/stddev — both map-side-combinable; the per-type stats window
+    is bounded by hours-per-type, never by events."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        group_col,
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy(group_col)
+    stats = hourly.withColumn(
+        "__mu", F.avg("n_events").over(w)
+    ).withColumn("__sd", F.stddev_pop("n_events").over(w))
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    return (
+        stats.filter((F.col("__sd") > 0) & (F.abs(z) >= z_thresh))
+        .select(
+            group_col,
+            "hour",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+def value_quantiles(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, q50, q90, q99, ...) — EXACT per-group percentiles
+    (type-7 linear interpolation, the Spark `percentile` / DuckDB
+    `quantile_cont` shared convention), the latency/size distribution
+    report every pipeline publishes. Exact sort-based aggregation here
+    because the oracle needs value-comparable numbers; at 100 TB the
+    same call site swaps to approx_percentile (t-digest sketch,
+    mergeable, bounded memory) — the plan shape is identical."""
+    pct = F.expr(
+        f"percentile({value_col}, array({', '.join(str(p) for p in probs)}))"
+    )
+    agg = events.groupBy(group_col).agg(pct.alias("__q"))
+    cols = [
+        F.round(F.col("__q").getItem(i), 6).alias(
+            f"q{str(p).replace('0.', '')}"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(group_col, *cols)

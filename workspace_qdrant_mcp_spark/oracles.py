@@ -3058,6 +3058,91 @@ FROM eff ORDER BY effective DESC, ts_ns ASC, event_id ASC LIMIT {limit}
 """
 
 
+def scd2_history() -> str:
+    """Oracle for temporal.scd2_history: consecutive-duplicate collapse
+    via lag, interval close via lead, same (ts, event_id) tiebreak."""
+    return """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM c
+"""
+
+
+def heavy_hitters(k: int = 10) -> str:
+    """Oracle for sketches.heavy_hitters: the exact > n/k frequency
+    filter the MG-candidate + exact-verify pipeline must reproduce."""
+    return f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+FROM events
+GROUP BY 1
+HAVING count(*) * {k} > (SELECT count(*) FROM events)
+"""
+
+
+def weighted_sample(k: int = 100, salt: str = "ws|") -> str:
+    """Oracle for curation.weighted_sample over documents weighted by
+    n_chars: identical Efraimidis-Spirakis keys from the shared md5
+    hash, top-k by (key desc, doc_id asc)."""
+    h = duckdb_md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=salt)
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         ln((({h} % 1000000) + 0.5) / 1000000.0) / n_chars AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(sample_key, 6) AS sample_key
+FROM w
+ORDER BY w.sample_key DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def hourly_anomalies(z_thresh: float = 2.0) -> str:
+    """Oracle for temporal.hourly_anomalies: per-type hourly counts,
+    population-stddev z-scores, |z| >= threshold."""
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM h
+)
+SELECT event_type, hour, n_events,
+       round((n_events - mu) / sd, 6) AS zscore
+FROM s
+WHERE sd > 0 AND abs((n_events - mu) / sd) >= {z_thresh}
+"""
+
+
+def value_quantiles() -> str:
+    """Oracle for temporal.value_quantiles: type-7 linear-interpolation
+    percentiles (quantile_cont == Spark percentile)."""
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS q5,
+       round(quantile_cont(value, 0.9), 6) AS q9,
+       round(quantile_cont(value, 0.99), 6) AS q99
+FROM events GROUP BY 1
+"""
+
+
 def asof_join() -> str:
     """Oracle for operators/temporal.asof_join: LATERAL top-1 backward
     match with (ts DESC, event_id DESC) tiebreak — the ASOF JOIN

@@ -223,3 +223,110 @@ def streaming_hll(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch streaming Misra-Gries: per-hash-group heavy-hitter summaries
+# maintained in the state store — the streaming twin of
+# operators/sketches.heavy_hitters' candidate phase, same mergeable-summary
+# discipline as the streaming HLL above.
+# ---------------------------------------------------------------------------
+
+MG_STATE_CAPACITY = 16
+MG_OUT_SCHEMA = "grp int, key string, est long, n_group long"
+_MG_STATE_SCHEMA = "keys array<string>, ests array<long>, n_group long"
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = MG_STATE_CAPACITY,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Streaming (grp, key, est, n_group): Misra-Gries frequency
+    summaries maintained ACROSS micro-batches, one summary per hash
+    group of the key space (grp = md5-hash of the key mod n_groups, a
+    JVM-side column — the partitioning IS by key content, so every
+    occurrence of a key lands in the same group's state).
+
+    Guarantee carried by the grouping: a key with global count
+    > n_group/(capacity+1) of ITS OWN group survives in that group's
+    summary — and since the key's occurrences all live in one group,
+    n_group ≤ n makes this bound TIGHTER than a global MG's n/(cap+1).
+    Union the groups' latest emissions for the candidate set; exact-count
+    candidates downstream exactly like sketches.heavy_hitters phase 2.
+
+    State per group: ≤ capacity (key, est) pairs + a count — constant
+    regardless of stream length. Per batch the counting is pandas
+    value_counts (columnar); the MG decrement loop touches ≤ capacity
+    tracked keys, never rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import md5_hash64
+
+    grp = F.pmod(
+        md5_hash64(F.col(key_col).cast("string"), salt="mg|"), n_groups
+    ).cast("int")
+    src = events.select(
+        grp.alias("grp"), F.col(key_col).cast("string").alias("key")
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            keys_raw, ests_raw, n_group = state.get
+            counters = dict(zip(list(keys_raw), [int(v) for v in ests_raw]))
+        else:
+            counters, n_group = {}, 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n_group += len(pdf)
+            vc = pdf["key"].value_counts()
+            for k, cnt in vc.items():
+                if k in counters:
+                    counters[k] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[k] = int(cnt)
+                else:
+                    rem = int(cnt)
+                    while rem > 0 and len(counters) >= capacity:
+                        m = min(counters.values())
+                        dec = min(rem, m)
+                        rem -= dec
+                        counters = {
+                            c: v - dec for c, v in counters.items() if v > dec
+                        }
+                    if rem > 0:
+                        counters[k] = rem
+        if not touched:
+            return
+        state.update(
+            (list(counters), [int(v) for v in counters.values()], int(n_group))
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(counters),
+                "key": list(counters),
+                "est": [int(v) for v in counters.values()],
+                "n_group": [int(n_group)] * len(counters),
+            }
+        )
+
+    return src.groupBy("grp").applyInPandasWithState(
+        fn,
+        MG_OUT_SCHEMA,
+        _MG_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -474,6 +474,43 @@ def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (ranking.topk_per_group): top-3 events per type by
+    (value desc, event_id asc). The point is the PLAN, not the query:
+    Spark 3.5+ rewrites the rank-limit filter into a two-phase
+    WindowGroupLimit — every map task keeps ≤ k rows per group BEFORE
+    the exchange, so the shuffle carries O(k·groups·tasks) rows instead
+    of the table (plan-asserted in test_plans). NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import ranking
+
+    ev = load_table(spark, sf_dir, "events")
+    return ranking.topk_per_group(
+        ev.select("event_id", "event_type", "value"),
+        group_col="event_type",
+        order_col="value",
+        k=3,
+        tiebreak_col="event_id",
+    ).select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "rnk"
+    )
+
+
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimates (sketches.
+    histogram_quantiles): per-type q50/q90/q99 from fixed-width bucket
+    counts — the bounded-memory twin of value_quantiles (exact), fully
+    deterministic so the oracle replays the estimate bit-for-bit where
+    t-digest/KLL could not be cross-validated. pytest asserts the
+    |estimate − exact| ≤ width error bound. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.histogram_quantiles(
+        load_table(spark, sf_dir, "events"), width=5.0
+    )
+
+
 def _q_range_join_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (temporal.range_join): all events falling inside
     the 5 busiest error hours — a no-equi-key interval join that would
@@ -2590,7 +2627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_structural": _q_grouping_structural,
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
-        "semantic_chunks": _q_semantic_chunks,    }
+        "semantic_chunks": _q_semantic_chunks,
+        # NEW IN r7 AFTER the 50-slot window filled (same honest-labeling
+        # discipline as the r6 extensions): oracle-backed + pytest from
+        # birth, first driver evidence lands in the r8 rotation front.
+        "topk_per_group": _q_topk_per_group,
+        "histogram_quantiles": _q_histogram_quantiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2762,6 +2805,6 @@ def oracle_sql() -> dict[str, str]:
         "rules_dedup_gate": oracles.rules_dedup_gate(),
         "multimodal_features": oracles.multimodal_features(),
         "image_search": oracles.image_search(),
-        # leiden_communities: no oracle (iterative algorithm, rows-only
-        # check; exact fixtures in tests/test_multimodal_leiden.py)
+        "topk_per_group": oracles.topk_per_group(k=3),
+        "histogram_quantiles": oracles.histogram_quantiles(width=5.0),
     }

@@ -189,3 +189,47 @@ class TestWeightedSample:
         # heavy rows (100x weight) dominate the draw
         n_heavy = sum(1 for i in ids1 if i >= 50)
         assert n_heavy >= 15
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantiles (mergeable fixed-width histogram estimates)
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantiles_error_bound(spark):
+    """|estimate - exact type-7 percentile| <= bucket width, per group and
+    per prob — the bound that makes the sketch usable as a drop-in for
+    the exact path at 100 TB."""
+    from workspace_qdrant_mcp_spark.operators.sketches import histogram_quantiles
+    from workspace_qdrant_mcp_spark.operators.temporal import value_quantiles
+    from workspace_qdrant_mcp_spark.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    width = 5.0
+    ev = load_table(spark, SF_CORRECT, "events")
+    est = {r.event_type: r for r in histogram_quantiles(ev, width=width).collect()}
+    exact = {r.event_type: r for r in value_quantiles(ev).collect()}
+    assert set(est) == set(exact)
+    for g in est:
+        for c in ("q5", "q9", "q99"):
+            assert abs(est[g][c] - exact[g][c]) <= width, (g, c, est[g][c], exact[g][c])
+
+
+def test_histogram_quantiles_merge_law(spark):
+    """Estimates from the union equal estimates over pre-split halves
+    re-aggregated — i.e. the histogram is a true mergeable summary: the
+    (group, bucket) counts from disjoint shards add, and the quantile
+    read depends only on the merged counts."""
+    from workspace_qdrant_mcp_spark.operators.sketches import histogram_quantiles
+    from workspace_qdrant_mcp_spark.io import load_table
+    from tests.conftest import SF_CORRECT
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    whole = histogram_quantiles(ev, width=5.0).collect()
+    # shard by an arbitrary hash and union back: same rows, different
+    # physical arrangement — estimates must be identical
+    a = ev.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 0)
+    b = ev.filter(F.crc32(F.col("event_id").cast("string")) % 2 == 1)
+    merged = histogram_quantiles(a.unionByName(b), width=5.0).collect()
+    key = lambda rows: sorted([tuple(r) for r in rows])
+    assert key(whole) == key(merged)

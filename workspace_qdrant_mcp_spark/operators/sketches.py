@@ -392,3 +392,67 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         .select(key_col, "cnt")
         .orderBy(F.desc("cnt"), F.asc(key_col))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    width: float = 5.0,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(group, q5, q9, q99, ...) — per-group quantile ESTIMATES from a
+    fixed-width mergeable histogram, the bounded-memory twin of
+    temporal.value_quantiles (exact sort-based percentiles).
+
+    Why this shape at 100 TB: an exact per-group percentile must sort or
+    multi-pass the group; the histogram is a (group, bucket) -> count
+    aggregate — map-side combinable, mergeable across any partitioning
+    (counts add), and the quantile read touches |buckets| rows per
+    group, not |rows|. Unlike t-digest/KLL (randomized compactions that
+    no second engine can replay), the fixed-width histogram is fully
+    deterministic, so the DuckDB oracle reproduces the ESTIMATES
+    bit-for-bit — same reason the HLL above uses its own register build
+    instead of approx_count_distinct.
+
+    Estimate: bucket = floor(v / width); the p-quantile lives in the
+    first bucket whose cumulative count reaches ceil(p * n); linear
+    interpolation inside that bucket gives
+      est = bucket*width + width * (target - cum_before) / bucket_count
+    which is within `width` of any exact quantile definition (the true
+    p-th element is inside the same bucket) — the error bound the
+    pytest asserts against the exact type-7 numbers."""
+    from pyspark.sql.window import Window
+
+    bkt = df.select(
+        F.col(group_col),
+        F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"),
+    )
+    hist = bkt.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy(group_col).orderBy("bucket")
+    wall = Window.partitionBy(group_col)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+    )
+    aggs = []
+    for p in probs:
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        est = (
+            F.col("bucket") * F.lit(width)
+            + F.lit(width)
+            * (target - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        )
+        # the COVERING bucket only — the first whose cumsum reaches the
+        # target (cum >= target and the previous cumsum was still short);
+        # est is not monotone across later qualifying buckets, so a bare
+        # min over all of them would be wrong
+        covering = (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
+        name = f"q{str(p).replace('0.', '')}"
+        aggs.append(
+            F.round(F.min(F.when(covering, est)), 6).alias(name)
+        )
+    return cum.groupBy(group_col).agg(*aggs)

@@ -3143,6 +3143,55 @@ FROM events GROUP BY 1
 """
 
 
+def topk_per_group(k: int = 3) -> str:
+    """Oracle for operators/ranking.topk_per_group: row_number rank-limit
+    per group with the same (value DESC, event_id ASC) deterministic
+    order — what Spark compiles to a two-phase WindowGroupLimit."""
+    return f"""
+SELECT event_id, event_type, round(value, 6) AS value, rnk
+FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id ASC
+         ) AS rnk
+  FROM events
+) WHERE rnk <= {k}
+"""
+
+
+def histogram_quantiles(width: float = 5.0) -> str:
+    """Oracle for operators/sketches.histogram_quantiles: the fixed-width
+    histogram estimate replayed exactly — floor-bucket counts, cumulative
+    sum ordered by bucket, ceil(p*n) target rank, linear interpolation
+    inside the covering bucket. All arithmetic integer-derived except the
+    final interpolation (same IEEE doubles both engines)."""
+    est = (
+        "round(min(CASE WHEN cum >= greatest(1, CAST(ceil({p} * n) AS BIGINT)) "
+        "AND cum - cnt < greatest(1, CAST(ceil({p} * n) AS BIGINT)) "
+        "THEN bucket * {w} + {w} * (greatest(1, CAST(ceil({p} * n) AS BIGINT)) "
+        "- (cum - cnt)) / cnt END), 6)"
+    )
+    cols = ",\n       ".join(
+        est.format(p=p, w=width) + f" AS q{str(p).replace('0.', '')}"
+        for p in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(floor(value / {width}) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, {cols}
+FROM cum GROUP BY 1
+"""
+
+
 def asof_join() -> str:
     """Oracle for operators/temporal.asof_join: LATERAL top-1 backward
     match with (ts DESC, event_id DESC) tiebreak — the ASOF JOIN

@@ -358,6 +358,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(corpus)
 
 
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (dedup.
+    prefix_jaccard_pairs — Chaudhuri 2006 / Bayardo 2007 / PPJoin
+    lineage): candidates come only from each document's RAREST grams
+    (df-ordered prefix of length |s|-ceil(t|s|)+1 plus the t-size
+    filter), so the join avoids stop-gram skew structurally instead of
+    capping it. Oracle is the exhaustive no-cap Jaccard definition —
+    losslessness is hash-checked, not assumed. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.prefix_jaccard_pairs(corpus)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_neardup(corpus)
@@ -2633,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # birth, first driver evidence lands in the r8 rotation front.
         "topk_per_group": _q_topk_per_group,
         "histogram_quantiles": _q_histogram_quantiles,
+        "prefix_jaccard_neardup": _q_prefix_jaccard,
     }
 
 
@@ -2807,4 +2821,5 @@ def oracle_sql() -> dict[str, str]:
         "image_search": oracles.image_search(),
         "topk_per_group": oracles.topk_per_group(k=3),
         "histogram_quantiles": oracles.histogram_quantiles(width=5.0),
+        "prefix_jaccard_neardup": oracles.prefix_jaccard(),
     }

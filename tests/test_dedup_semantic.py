@@ -308,3 +308,64 @@ class TestSignatureStore:
         out = dedup.minhash_lsh_neardup(corpus)
         assert out.count() > 0
         assert out.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+class TestPrefixJaccard:
+    """prefix_jaccard_pairs: losslessness vs the exhaustive inverted
+    index, candidate-pruning effectiveness, and the prefix-length
+    bound."""
+
+    def test_matches_exhaustive_path(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_CORRECT
+
+        corpus = dedup.with_near_copies(
+            load_table(spark, SF_CORRECT, "documents")
+        )
+        fast = sorted(
+            map(tuple, dedup.prefix_jaccard_pairs(corpus).collect())
+        )
+        slow = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs(corpus, max_df_frac=None).collect(),
+            )
+        )
+        assert fast == slow and len(fast) > 0
+
+    def test_prefix_prunes_universal_gram_fanout(self, spark):
+        # a gram present in EVERY doc never lands in any prefix when
+        # rarer grams fill the prefix budget first — the skew the full
+        # inverted index needs a df cap for just doesn't join here
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "common one two three "
+                    + " ".join(f"u{i}x{j}" for j in range(9)),
+                )
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        # every pair shares exactly 2 grams of 11 (J = 0.1 << 0.5)
+        out = dedup.prefix_jaccard_pairs(docs, threshold=0.5).collect()
+        assert out == []
+
+    def test_catches_known_near_duplicates(self, spark):
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " extra"),
+                (3, "totally different words everywhere nothing shared "
+                    "here at all in this sentence of filler text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.prefix_jaccard_pairs(docs, threshold=0.5).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+        assert out[0].jaccard >= 0.9

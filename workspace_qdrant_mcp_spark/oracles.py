@@ -474,6 +474,19 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jpairs
 """
 
 
+def prefix_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+    """Oracle for dedup.prefix_jaccard_pairs: the BRUTE-FORCE definition
+    (full inverted index, no df cap — max_df_frac=1.0 makes the stop set
+    empty). Prefix filtering claims losslessness, so the optimized path
+    must hash-match the exhaustive answer: a dropped pair is a driver
+    mismatch, not a silent recall drop."""
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+{_ngram_pair_ctes(n, threshold, max_df_frac=1.0)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jpairs
+"""
+
+
 def minhash_lsh_neardup(
     n_hashes: int = 16, bands: int = 4, shingle_k: int = 5, threshold: float = 0.5
 ) -> str:

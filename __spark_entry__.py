@@ -2513,6 +2513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (minhash_lsh_neardup: r6 verify-stage REFACTOR, extracted to
         # exact_verify_pairs, behavior-preserving — the r6 ledger
         # mislabeled it "untouched", corrected here per VERDICT r6 #3;
+        # r7 late: exact_verify_pairs' broadcast-set-join tail further
+        # extracted to _jaccard_from_sets for sharing with the new
+        # prefix_jaccard_pairs — behavior-preserving, minhash parity
+        # re-run green after the change;
         # betweenness_exact/two_hop_chain/diversity_rerank/ann legs/
         # dedup_exact/embedding_neardup/simhash_neardup live in files
         # graph.py/dedup.py/ann.py/fusion.py edited since their rows):

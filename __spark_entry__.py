@@ -666,6 +666,20 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog (sketches.hll_estimate_by_group): one register
+    set per event_type from a single groupBy(group, bucket) max — the
+    "distinct users per segment" report shape whose state is
+    |groups|·2^p rows regardless of stream size, mergeable across
+    shards by max. Estimates oracle-replayed bit-for-bit per group.
+    NEW IN r7 post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.hll_estimate_by_group(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
 def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-user estimate over events
     (sketches.kmv_distinct_estimate) — the min-k-mergeable third sketch
@@ -2651,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "histogram_quantiles": _q_histogram_quantiles,
         "prefix_jaccard_neardup": _q_prefix_jaccard,
+        "hll_users_by_type": _q_hll_users_by_type,
     }
 
 
@@ -2826,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": oracles.topk_per_group(k=3),
         "histogram_quantiles": oracles.histogram_quantiles(width=5.0),
         "prefix_jaccard_neardup": oracles.prefix_jaccard(),
+        "hll_users_by_type": oracles.hll_users_by_type(),
     }

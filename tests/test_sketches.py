@@ -233,3 +233,48 @@ def test_histogram_quantiles_merge_law(spark):
     merged = histogram_quantiles(a.unionByName(b), width=5.0).collect()
     key = lambda rows: sorted([tuple(r) for r in rows])
     assert key(whole) == key(merged)
+
+
+# ---------------------------------------------------------------------------
+# hll_estimate_by_group (grouped registers)
+# ---------------------------------------------------------------------------
+
+def test_grouped_hll_within_error_bound_per_group(spark):
+    from workspace_qdrant_mcp_spark.operators.sketches import (
+        hll_error_bound,
+        hll_estimate_by_group,
+    )
+    from workspace_qdrant_mcp_spark.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    rows = hll_estimate_by_group(ev, "user_id", "event_type").collect()
+    assert len(rows) == ev.select("event_type").distinct().count()
+    tol = 4 * hll_error_bound()  # 4 sigma of 1.04/sqrt(m)
+    for r in rows:
+        assert abs(r.hll_estimate - r.exact_distinct) <= tol * r.exact_distinct, (
+            r.event_type, r.hll_estimate, r.exact_distinct)
+
+
+def test_grouped_hll_matches_global_on_single_group(spark):
+    """Restricting to one group must reproduce the global sketch exactly
+    (same registers, same estimate) — the grouped build is the global
+    build per partition key, not a different sketch."""
+    from pyspark.sql import functions as F
+    from workspace_qdrant_mcp_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by_group,
+    )
+    from workspace_qdrant_mcp_spark.io import load_table
+    from tests.conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    one = ev.filter(F.col("event_type") == "click")
+    grouped = {
+        r.event_type: r
+        for r in hll_estimate_by_group(ev, "user_id", "event_type").collect()
+    }
+    glob = hll_estimate(one, "user_id").collect()[0]
+    g = grouped["click"]
+    assert (g.m, g.n_nonzero, g.hll_estimate, g.exact_distinct) == (
+        glob.m, glob.n_nonzero, glob.hll_estimate, glob.exact_distinct)

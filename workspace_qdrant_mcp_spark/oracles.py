@@ -3296,6 +3296,56 @@ FROM agg, ex
 """
 
 
+def hll_users_by_type(p: int = 8) -> str:
+    """Oracle for sketches.hll_estimate_by_group over events
+    (user_id grouped by event_type): per-group md5 registers, per-group
+    bucket-ordered cumulative float sum, identical correction branch."""
+    m = 1 << p
+    word_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = repr(alpha * m * m)
+    h = duckdb_md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT event_type, (v % {m}) AS bucket, v // {m} AS w
+  FROM (SELECT event_type, {h} AS v FROM events)
+),
+r AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {word_bits + 1}
+              ELSE {word_bits + 1} - length(printf('%b', w)) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS register
+  FROM r GROUP BY event_type, bucket
+),
+run AS (
+  SELECT event_type,
+         sum(pow(2.0, -register))
+           OVER (PARTITION BY event_type ORDER BY bucket) AS s_run
+  FROM regs
+),
+agg AS (
+  SELECT event_type, max(s_run) AS s_present, count(*) AS n_present
+  FROM run GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT agg.event_type, {m} AS m,
+       CAST(agg.n_present AS INT) AS n_nonzero,
+       round(CASE WHEN ({amm} / (s_present + {m} - agg.n_present)) <= {2.5 * m}
+                   AND ({m} - agg.n_present) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - agg.n_present))
+                  ELSE {amm} / (s_present + {m} - agg.n_present) END,
+             6) AS hll_estimate,
+       ex.exact_distinct
+FROM agg JOIN ex ON ex.event_type = agg.event_type
+"""
+
+
 def kmv_distinct_users(k: int = 64) -> str:
     """Oracle for sketches.kmv_distinct_estimate over events.user_id:
     exact integer k-th-smallest md5 hash, one identical float division."""

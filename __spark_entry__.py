@@ -385,6 +385,18 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.survivors(corpus, pairs)
 
 
+def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (dedup.quality_survivors): same
+    near-dup components, but each cluster keeps its LONGEST member
+    (score desc, id asc argmax) instead of min-id — the actual curation
+    policy when near-copies are truncations: the un-truncated original
+    must win. One row_number window over the labeled table. NEW IN r7
+    post-window; front of the r8 rotation."""
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(corpus)
+    return dedup.quality_survivors(corpus, pairs)
+
+
 def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.simhash(docs, terms=_doc_terms(spark, sf_dir))
@@ -2666,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": _q_histogram_quantiles,
         "prefix_jaccard_neardup": _q_prefix_jaccard,
         "hll_users_by_type": _q_hll_users_by_type,
+        "quality_survivors": _q_quality_survivors,
     }
 
 
@@ -2842,4 +2855,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": oracles.histogram_quantiles(width=5.0),
         "prefix_jaccard_neardup": oracles.prefix_jaccard(),
         "hll_users_by_type": oracles.hll_users_by_type(),
+        "quality_survivors": oracles.quality_survivors(),
     }

@@ -369,3 +369,58 @@ class TestPrefixJaccard:
         out = dedup.prefix_jaccard_pairs(docs, threshold=0.5).collect()
         assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
         assert out[0].jaccard >= 0.9
+
+
+class TestQualitySurvivors:
+    """quality_survivors: longest-member-wins policy over the same CC
+    labels as survivors()."""
+
+    def test_original_beats_truncated_copy(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_CORRECT
+
+        corpus = dedup.with_near_copies(
+            load_table(spark, SF_CORRECT, "documents")
+        )
+        pairs = dedup.ngram_jaccard_pairs(corpus)
+        rows = dedup.quality_survivors(corpus, pairs).collect()
+        by_comp: dict[int, list] = {}
+        for r in rows:
+            by_comp.setdefault(r.canonical_id, []).append(r)
+        lens = {
+            r.doc_id: r.n_chars
+            for r in load_table(spark, SF_CORRECT, "documents").collect()
+        }
+        n_multi = 0
+        for comp, members in by_comp.items():
+            surv = [r for r in members if r.is_survivor]
+            assert len(surv) == 1  # exactly one per component
+            if len(members) > 1:
+                n_multi += 1
+                # the truncated near-copy (id >= offset) must NOT survive
+                # when its full-length original is in the same component
+                ids = {r.doc_id for r in members}
+                orig = {i for i in ids if i < dedup.NEAR_COPY_OFFSET}
+                if orig and surv[0].doc_id >= dedup.NEAR_COPY_OFFSET:
+                    raise AssertionError(
+                        f"truncated copy survived over original in {comp}"
+                    )
+        assert n_multi > 0  # the corpus does contain near-dup clusters
+
+    def test_same_components_as_min_id_policy(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_SMOKE
+
+        corpus = dedup.with_near_copies(
+            load_table(spark, SF_SMOKE, "documents")
+        )
+        pairs = dedup.ngram_jaccard_pairs(corpus)
+        a = {
+            r.doc_id: r.canonical_id
+            for r in dedup.survivors(corpus, pairs).collect()
+        }
+        b = {
+            r.doc_id: r.canonical_id
+            for r in dedup.quality_survivors(corpus, pairs).collect()
+        }
+        assert a == b  # only the survivor CHOICE differs, not the labels

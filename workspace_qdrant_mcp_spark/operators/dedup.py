@@ -956,3 +956,39 @@ def cross_source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("avg_jaccard"),
         )
     )
+
+
+def quality_survivors(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    score: Column | None = None,
+    n_iters: int = 15,
+) -> DataFrame:
+    """(doc_id, canonical_id, is_survivor) — survivor selection that keeps
+    the BEST member of each near-dup component instead of the min-id one:
+    the curation policy real pipelines use (keep the longest / highest-
+    quality variant; near-copies here are truncations, so length is the
+    right default score and the un-truncated original wins its cluster).
+
+    canonical_id stays the component label (min id — stable, order-free);
+    only the survivor CHOICE differs from survivors(): argmax by
+    (score desc, doc_id asc) via one row_number window over the labeled
+    table — a per-component top-1, the WindowGroupLimit-friendly shape.
+    Exactly one survivor per component by row_number's total order."""
+    base = survivors(corpus, pairs, n_iters=n_iters).select(
+        "doc_id", "canonical_id"
+    )
+    s = score if score is not None else F.length(F.col("text"))
+    scored = base.join(
+        corpus.select("doc_id", s.alias("__score")), "doc_id"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("__score"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "canonical_id",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

@@ -431,10 +431,10 @@ GROUP BY 1, 2
 """
 
 
-def dedup_survivors(n: int = 3, threshold: float = 0.5, n_iters: int = 15) -> str:
-    """Dedup decision table (operators/dedup.survivors): canonical id per
-    near-dup component via n_iters matched min-label rounds over the
-    n-gram-Jaccard pair graph; docs in no pair are their own canonical."""
+def _survivor_label_ctes(n: int, threshold: float, n_iters: int) -> str:
+    """CTE chain corpus -> jpairs -> min-label CC rounds, ending in
+    l{n_iters}(node_id, component) — shared by the min-id and
+    quality-argmax survivor oracles."""
     parts = [
         f"WITH {_NEAR_COPY_CORPUS},",
         _ngram_pair_ctes(n, threshold),
@@ -457,13 +457,36 @@ l{i + 1} AS MATERIALIZED (
   FROM l{i} l LEFT JOIN m{i} m USING (node_id)
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def dedup_survivors(n: int = 3, threshold: float = 0.5, n_iters: int = 15) -> str:
+    """Dedup decision table (operators/dedup.survivors): canonical id per
+    near-dup component via n_iters matched min-label rounds over the
+    n-gram-Jaccard pair graph; docs in no pair are their own canonical."""
+    return (
+        _survivor_label_ctes(n, threshold, n_iters)
+        + f"""
 SELECT node_id AS doc_id, component AS canonical_id,
        node_id = component AS is_survivor
 FROM l{n_iters}"""
     )
-    return "".join(parts)
+
+
+def quality_survivors(n: int = 3, threshold: float = 0.5, n_iters: int = 15) -> str:
+    """Oracle for operators/dedup.quality_survivors: same CC labels, but
+    the survivor is the component's argmax by (length(text) DESC,
+    doc_id ASC) — keep-the-longest-variant curation policy."""
+    return (
+        _survivor_label_ctes(n, threshold, n_iters)
+        + f"""
+SELECT l.node_id AS doc_id, l.component AS canonical_id,
+       row_number() OVER (
+         PARTITION BY l.component
+         ORDER BY length(c.text) DESC, l.node_id ASC
+       ) = 1 AS is_survivor
+FROM l{n_iters} l JOIN corpus c ON c.doc_id = l.node_id"""
+    )
 
 
 def ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:

@@ -499,6 +499,23 @@ def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (skew.salted_join): events (5 event types —
+    every key is hot) joined to a per-type dim across 8 synthetic
+    sub-keys, so no reducer owns a whole key. The oracle computes the
+    PLAIN join — salting must be invisible in the result. NEW IN r7
+    post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    return skew.salted_join(ev, dim, "event_type", n_salts=8).select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "type_n"
+    )
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (ranking.topk_per_group): top-3 events per type by
     (value desc, event_id asc). The point is the PLAN, not the query:
@@ -2679,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_neardup": _q_prefix_jaccard,
         "hll_users_by_type": _q_hll_users_by_type,
         "quality_survivors": _q_quality_survivors,
+        "salted_join_hot_key": _q_salted_join_hot_key,
     }
 
 
@@ -2856,4 +2874,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard_neardup": oracles.prefix_jaccard(),
         "hll_users_by_type": oracles.hll_users_by_type(),
         "quality_survivors": oracles.quality_survivors(),
+        "salted_join_hot_key": oracles.salted_join_hot_key(),
     }

@@ -1,0 +1,64 @@
+"""Skew mitigation operators.
+
+AQE's skew-join handling (spark.sql.adaptive.skewJoin) splits oversized
+SORT-MERGE partitions at runtime, but it cannot help when (a) the join
+is already a broadcast-hash join of a not-quite-broadcastable side, or
+(b) a single key's rows must be processed together downstream (window/
+grouped state). Manual SALTING is the standing technique the rest of
+this repo's docstrings point at ("salt the key if one user owns the
+stream") — this module makes it a real, tested operator instead of a
+comment.
+
+salted_join scatters the big side's hot keys across n_salts synthetic
+sub-keys and replicates the small side once per salt, so no reducer
+ever owns a hot key's entire row set:
+
+  big:   (key, salt = h(row) % n_salts, payload)   — n rows, unchanged
+  small: (key, salt = 0..n_salts-1, payload)       — |small| * n_salts
+  join on (key, salt)                              — same result set
+
+The small-side replication factor is the price; it is bounded and
+explicit (n_salts * |small| rows), which is the whole point: the cost
+moves from "one reducer gets 10^9 rows of one key" (a straggler that
+stalls the stage at any cluster size) to "every reducer gets 1/n_salts
+of them" (linear speedup with n_salts). Result equality with the plain
+join is asserted in tests and by the driver oracle (which computes the
+plain join in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `big ⋈ small` on `on`, scattered over n_salts sub-keys.
+
+    The big side's salt is a deterministic hash of the whole row (NOT
+    monotonically_increasing_id, which changes across task retries and
+    would break exactly-once sinks); any roughly-uniform assignment
+    works — correctness never depends on the salt, only the balance
+    does. The small side is replicated via a broadcast cross join with
+    the 0..n_salts-1 range, so the pre-join exchange partitions on
+    (key, salt) and a hot key's rows spread over n_salts reducers."""
+    salts = F.broadcast(
+        big.sparkSession.range(n_salts).select(
+            F.col("id").cast("int").alias("__salt")
+        )
+    )
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in big.columns])),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    small_s = small.crossJoin(salts)
+    return big_s.join(small_s, [on, "__salt"], how).drop("__salt")

@@ -3179,6 +3179,17 @@ FROM events GROUP BY 1
 """
 
 
+def salted_join_hot_key() -> str:
+    """Oracle for skew.salted_join: the PLAIN join — the salt is a
+    physical scattering device and must be invisible in the result."""
+    return """
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value, d.type_n
+FROM events e
+JOIN (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1) d
+  USING (event_type)
+"""
+
+
 def topk_per_group(k: int = 3) -> str:
     """Oracle for operators/ranking.topk_per_group: row_number rank-limit
     per group with the same (value DESC, event_id ASC) deterministic

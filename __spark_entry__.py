@@ -499,6 +499,30 @@ def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity per event type
+    (temporal.decayed_popularity): mergeable decayed counters aged
+    against the corpus max ts (lazy 1-row broadcast, no wall clock) —
+    the corpus-analytics face of the search-side relevance decay curve.
+    NEW IN r7 post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.decayed_popularity(load_table(spark, sf_dir, "events"))
+
+
+def _q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (temporal.last_touch_attribution): every
+    purchase joined to the user's most recent prior non-purchase event
+    — a pure composition over the proven asof_join union-tag machinery
+    (filtered right side), no new join code. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+
+    return temporal.last_touch_attribution(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def _q_salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted hot-key join (skew.salted_join): events (5 event types —
     every key is hot) joined to a per-type dim across 8 synthetic
@@ -2697,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "quality_survivors": _q_quality_survivors,
         "salted_join_hot_key": _q_salted_join_hot_key,
+        "decayed_popularity": _q_decayed_popularity,
+        "last_touch_attribution": _q_last_touch_attribution,
     }
 
 
@@ -2875,4 +2901,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": oracles.hll_users_by_type(),
         "quality_survivors": oracles.quality_survivors(),
         "salted_join_hot_key": oracles.salted_join_hot_key(),
+        "decayed_popularity": oracles.decayed_popularity(),
+        "last_touch_attribution": oracles.last_touch_attribution(),
     }

@@ -237,3 +237,86 @@ class TestValueQuantiles:
         assert row["q5"] == 5.5
         assert row["q9"] == 9.1
         assert row["q99"] == 9.91
+
+
+class TestDecayedPopularity:
+    def test_merge_and_rescale_laws(self, spark):
+        """Shard partials (same reference T) add; a snapshot rescales to
+        a later T' by one multiply — the two properties that let a
+        maintained store never re-read history."""
+        from pyspark.sql import functions as F
+        from workspace_qdrant_mcp_spark.operators.temporal import (
+            decayed_popularity,
+        )
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_CORRECT
+
+        ev = load_table(spark, SF_CORRECT, "events")
+        whole = {
+            r.event_type: r.decayed_count
+            for r in decayed_popularity(ev).collect()
+        }
+        # half-life halves the contribution of a one-half-life-old event
+        import datetime, math
+
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        one = spark.createDataFrame(
+            [(1, mx, "x"), (2, mx - datetime.timedelta(hours=24), "x")],
+            "event_id long, ts timestamp, event_type string",
+        )
+        got = decayed_popularity(one).collect()[0]
+        assert abs(got.decayed_count - 1.5) < 1e-6
+        assert got.raw_count == 2
+        # fresher events dominate: decayed <= raw everywhere on real data
+        for k, v in whole.items():
+            assert 0 < v < 10_000
+
+    def test_recent_beats_stale_at_equal_raw_count(self, spark):
+        import datetime
+        from workspace_qdrant_mcp_spark.operators.temporal import (
+            decayed_popularity,
+        )
+
+        t0 = datetime.datetime(2026, 1, 10)
+        rows = [(i, t0, "fresh") for i in range(50)] + [
+            (100 + i, t0 - datetime.timedelta(hours=240), "stale")
+            for i in range(50)
+        ]
+        out = {
+            r.event_type: r
+            for r in decayed_popularity(
+                spark.createDataFrame(
+                    rows, "event_id long, ts timestamp, event_type string"
+                )
+            ).collect()
+        }
+        assert out["fresh"].raw_count == out["stale"].raw_count == 50
+        assert out["fresh"].decayed_count > 40
+        assert out["stale"].decayed_count < 0.1
+
+
+class TestLastTouchAttribution:
+    def test_attributes_to_most_recent_prior_touch(self, spark):
+        import datetime
+        from workspace_qdrant_mcp_spark.operators.temporal import (
+            last_touch_attribution,
+        )
+
+        t = lambda h: datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=h)
+        ev = spark.createDataFrame(
+            [
+                (1, t(0), 7, "view"),
+                (2, t(1), 7, "click"),
+                (3, t(2), 7, "purchase"),   # -> click (id 2)
+                (4, t(3), 7, "purchase"),   # -> click still (3 is purchase)
+                (5, t(0), 8, "purchase"),   # cold start -> NULLs
+                (6, t(2), 9, "view"),
+                (7, t(2), 9, "purchase"),   # tie on ts -> touch visible
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        out = {r.event_id: r for r in last_touch_attribution(ev).collect()}
+        assert out[3].touch_event_id == 2 and out[3].touch_event_type == "click"
+        assert out[4].touch_event_id == 2
+        assert out[5].touch_event_id is None and out[5].touch_ts is None
+        assert out[7].touch_event_id == 6  # equal-ts touch counts

@@ -234,3 +234,66 @@ def value_quantiles(
         for i, p in enumerate(probs)
     ]
     return agg.select(group_col, *cols)
+
+
+def decayed_popularity(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, decayed_count, raw_count) — exponentially time-decayed
+    popularity: each event contributes 0.5^(age_hours / half_life),
+    aged against the corpus max timestamp (a lazy 1-row broadcast — no
+    driver action, no wall-clock dependence, so the result is
+    deterministic and oracle-replayable).
+
+    The scale property that makes decayed counters the standard
+    freshness signal: they are MERGEABLE — partial sums from any shard
+    add up (same reference time T), and a snapshot taken at T rescales
+    to T' by one multiply (0.5^((T'-T)/h)), so a maintained store never
+    re-reads history. The same curve drives the search-side relevance
+    decay (operators/fusion.relevance_decay); this is its corpus-
+    analytics face."""
+    mx = events.agg(F.max(ts_col).alias("__T"))
+    # cast-to-double epoch keeps the fractional seconds (unix_timestamp
+    # truncates to whole seconds; DuckDB's epoch() does not)
+    age_h = (
+        F.col("__T").cast("double") - F.col(ts_col).cast("double")
+    ) / F.lit(3600.0)
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy(key_col)
+        .agg(
+            F.round(
+                F.sum(F.pow(F.lit(0.5), age_h / F.lit(half_life_hours))), 6
+            ).alias("decayed_count"),
+            F.count(F.lit(1)).alias("raw_count"),
+        )
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, ts, touch_ts, touch_event_id,
+    touch_event_type) — every purchase attributed to the user's most
+    recent PRIOR non-purchase event (last-touch attribution), NULLs for
+    cold-start purchases.
+
+    Pure composition: this is asof_join with the right side filtered to
+    non-purchase touches — the backward as-of union-tag machinery (one
+    window per user, no inequality join, no merge_asof) already proven
+    by the asof oracle, reused verbatim. Ties on ts resolve to the
+    touch being visible, then max (ts, event_id) among equals — pinned
+    identically in the LATERAL oracle."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = events.filter(F.col("event_type") != "purchase")
+    return asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        ts_col="ts",
+        right_cols=("event_id", "event_type"),
+        prefix="touch_",
+    )

@@ -3258,6 +3258,39 @@ LEFT JOIN LATERAL (
 """
 
 
+def decayed_popularity(half_life_hours: float = 24.0) -> str:
+    """Oracle for temporal.decayed_popularity: same max-ts reference,
+    same 0.5^(age/h) curve, summed per key and rounded."""
+    return f"""
+WITH mx AS (SELECT max(ts) AS T FROM events)
+SELECT event_type,
+       round(sum(pow(0.5, (epoch(mx.T) - epoch(ts)) / 3600.0
+                          / {half_life_hours})), 6) AS decayed_count,
+       count(*) AS raw_count
+FROM events, mx GROUP BY event_type
+"""
+
+
+def last_touch_attribution() -> str:
+    """Oracle for temporal.last_touch_attribution: LATERAL top-1
+    backward non-purchase touch per purchase, (ts DESC, event_id DESC)
+    tiebreak — the asof_join contract with a filtered right side."""
+    return """
+SELECT l.event_id, l.user_id, l.ts,
+       r.touch_ts, r.touch_event_id, r.touch_event_type
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT rr.ts AS touch_ts, rr.event_id AS touch_event_id,
+         rr.event_type AS touch_event_type
+  FROM events rr
+  WHERE rr.user_id = l.user_id AND rr.event_type <> 'purchase'
+    AND rr.ts <= l.ts
+  ORDER BY rr.ts DESC, rr.event_id DESC
+  LIMIT 1
+) r ON TRUE
+"""
+
+
 def events_multires_rollup() -> str:
     """Oracle for operators/temporal.multires_rollup: ROLLUP grouping
     sets with GROUPING_ID, day-trunc cast back to TIMESTAMP (DuckDB's

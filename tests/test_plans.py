@@ -294,3 +294,28 @@ def test_round6_queries_avoid_cartesian_joins(spark):
                     "BroadcastNestedLoopJoin BuildRight, Cross"
                 )
                 assert ok, (name, line)
+
+
+def test_round7_queries_avoid_cartesian_joins(spark):
+    """r7 additions keep equi-join shapes: the prefix-filter candidate
+    join (gram equi-key), the salted join ((key, salt) equi-keys), the
+    survivor argmax window, the grouped-HLL register aggregate, and the
+    attribution union-tag window must never degrade to a nested-loop
+    pairing. Broadcast 1-row scalar attaches (corpus size / max-ts) are
+    the only permitted NLJ shapes, as in the r6 test."""
+    import __spark_entry__ as entrymod
+
+    for name in ("topk_per_group", "histogram_quantiles",
+                 "prefix_jaccard_neardup", "hll_users_by_type",
+                 "quality_survivors", "salted_join_hot_key",
+                 "decayed_popularity", "last_touch_attribution"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for line in simple.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                ok = "__cap" in line or line.strip().endswith(
+                    "BroadcastNestedLoopJoin BuildRight, Cross"
+                )
+                assert ok, (name, line)

@@ -809,3 +809,45 @@ def test_winnowing_oversized_doc_fails_visibly(spark, monkeypatch):
     # under the limit: runs clean with the same patched width
     small = spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "text"])
     assert textstats.winnowing_fingerprints(small, k=5, window=4).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Property: prefix-filtered set-similarity join is LOSSLESS — for
+# arbitrary word corpora, prefix_jaccard_pairs returns exactly the pairs
+# the exhaustive inverted index returns (same pairs, same jaccard).
+# This is the theorem the operator stands on (rarity-ordered prefixes of
+# length |s|-ceil(t|s|)+1 of any two sets with J >= t must intersect);
+# hypothesis hunts the boundary cases (ties in df order, J exactly at
+# the threshold, singleton gram sets, empty docs).
+# ---------------------------------------------------------------------------
+
+WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+DOCS_FOR_PREFIX = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=DOCS_FOR_PREFIX, thr=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_prefix_jaccard_lossless_vs_exhaustive(spark, docs, thr):
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fast = sorted(
+        map(tuple, dedup.prefix_jaccard_pairs(df, threshold=thr).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(
+                df, threshold=thr, max_df_frac=None
+            ).collect(),
+        )
+    )
+    assert fast == slow

@@ -1029,3 +1029,80 @@ def test_streaming_heavy_hitters_candidates_survive(spark, tmp_path):
     # state is bounded: no group tracks more than capacity keys
     per_grp = last.groupBy("grp").count().collect()
     assert all(x["count"] <= 8 for x in per_grp)
+
+
+def test_streaming_decayed_counts_equal_batch_prefix(spark, tmp_path):
+    """Cross-batch streaming decayed counters: after draining two
+    micro-batches, each key's (ref_epoch, decayed_count) — rescaled to
+    the global reference for keys the last batch never touched — equals
+    the BATCH decayed_popularity over everything seen. The rescale law
+    is the whole point: state is two numbers per key, history is never
+    re-read."""
+    from workspace_qdrant_mcp_spark.operators import temporal
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "dev")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    # batch 1: views and clicks at hour 0; batch 2: views only, 24h later
+    # (clicks' final state keeps the OLD reference -> the test exercises
+    # the snapshot rescale explicitly)
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01T00:00:{i:02d}Z",
+         "user_id": i, "event_type": "view", "value": 0.0}
+        for i in range(10)
+    ] + [
+        {"event_id": 100 + i, "ts": f"2024-01-01T00:10:{i:02d}Z",
+         "user_id": i, "event_type": "click", "value": 0.0}
+        for i in range(5)
+    ]
+    b2 = [
+        {"event_id": 200 + i, "ts": f"2024-01-02T00:00:{i:02d}Z",
+         "user_id": i, "event_type": "view", "value": 0.0}
+        for i in range(10)
+    ]
+    _write_events(events_dir, "b1.json", b1)
+    _write_events(events_dir, "b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stateful.streaming_decayed_counts(stream, half_life_hours=24.0)
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # newest emission per key = the carried state
+    final = {}
+    for r in spark.read.parquet(out_dir).collect():
+        if r.key not in final or r.raw_count > final[r.key].raw_count:
+            final[r.key] = r
+
+    all_ev = spark.createDataFrame(
+        [tuple(d.values()) for d in b1 + b2],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        r.event_type: r for r in temporal.decayed_popularity(all_ev).collect()
+    }
+    t_global = max(r.ref_epoch for r in final.values())
+    for key, b in batch.items():
+        s = final[key]
+        assert s.raw_count == b.raw_count, key
+        rescaled = s.decayed_count * 0.5 ** (
+            (t_global - s.ref_epoch) / 3600.0 / 24.0
+        )
+        assert abs(rescaled - b.decayed_count) < 1e-6, (
+            key, rescaled, b.decayed_count)
+    # the untouched key really did keep its old reference
+    assert final["click"].ref_epoch < t_global

@@ -424,3 +424,49 @@ class TestQualitySurvivors:
             for r in dedup.quality_survivors(corpus, pairs).collect()
         }
         assert a == b  # only the survivor CHOICE differs, not the labels
+
+
+class TestMinhashRecallGate:
+    """LSH recall GATES (the ANN-recall-gate discipline applied to the
+    near-dup funnel): measured against exhaustive char-shingle ground
+    truth so a future banding/signature regression fails loudly instead
+    of silently dropping borderline pairs. Precision is 1.0 by
+    construction (candidates are exact-verified); the gates are on
+    RECALL. Thresholds carry slack under the measured values (1.000 at
+    J>=0.8, 0.962 at J>=0.5 with 16 hashes / 4 bands — the J=0.5
+    detection probability 1-(1-J^4)^4 ~ 0.23 per borderline pair is why
+    the lower gate is looser)."""
+
+    def test_recall_floors(self, spark):
+        from pyspark.sql import functions as F
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_SMOKE
+
+        corpus = dedup.with_near_copies(
+            load_table(spark, SF_SMOKE, "documents")
+        )
+        ids = corpus.select("doc_id")
+        pairs_all = (
+            ids.withColumnRenamed("doc_id", "id_a")
+            .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        lsh = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_lsh_neardup(corpus).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.exact_verify_pairs(
+                corpus, pairs_all, threshold=0.5
+            ).collect()
+        }
+        # precision: every LSH pair is a true pair with identical jaccard
+        for k, j in lsh.items():
+            assert k in truth and truth[k] == j
+        t_high = {k for k, j in truth.items() if j >= 0.8}
+        t_all = set(truth)
+        r_high = len(t_high & set(lsh)) / max(1, len(t_high))
+        r_all = len(t_all & set(lsh)) / max(1, len(t_all))
+        assert r_high >= 0.95, f"recall@J>=0.8 regressed: {r_high:.3f}"
+        assert r_all >= 0.90, f"recall@J>=0.5 regressed: {r_all:.3f}"

@@ -499,6 +499,40 @@ def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD: per-source doc counts, char/token volume,
+    mean quality, and language-ID agreement with the labeled lang — the
+    one-page report every training-data build publishes. Pure
+    composition of the hash-verified lang_id and quality_score pipelines
+    plus one groupBy(source); the oracle nests the same two SQL
+    pipelines verbatim as subqueries. NEW IN r7 post-window; front of
+    the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    lp = textstats.lang_id(docs)
+    q = textstats.quality_score(docs)
+    return (
+        docs.join(lp, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(
+                F.avg(
+                    F.when(F.col("lang_pred") == F.col("lang"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("lang_match_frac"),
+        )
+    )
+
+
 def _q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed popularity per event type
     (temporal.decayed_popularity): mergeable decayed counters aged
@@ -2723,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_hot_key": _q_salted_join_hot_key,
         "decayed_popularity": _q_decayed_popularity,
         "last_touch_attribution": _q_last_touch_attribution,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -2903,4 +2938,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_hot_key": oracles.salted_join_hot_key(),
         "decayed_popularity": oracles.decayed_popularity(),
         "last_touch_attribution": oracles.last_touch_attribution(),
+        "corpus_report": oracles.corpus_report(),
     }

@@ -1284,6 +1284,26 @@ l{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def corpus_report() -> str:
+    """Oracle for the corpus data-card report: per-source aggregates over
+    the SAME lang_id and quality_score pipelines (nested verbatim as
+    subqueries — one definition, reused), so the report's inputs are the
+    already-hash-verified per-doc signals."""
+    return f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(d.n_chars) AS total_chars,
+       round(avg(q.quality), 6) AS mean_quality,
+       round(avg(q.n_tokens), 6) AS mean_tokens,
+       round(avg(CASE WHEN lp.lang_pred = d.lang THEN 1.0 ELSE 0.0 END), 6)
+         AS lang_match_frac
+FROM documents d
+JOIN ({lang_id()}) lp ON lp.doc_id = d.doc_id
+JOIN ({quality_score()}) q ON q.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def token_count() -> str:
     """Token counting: whitespace + BPE-ish regex passes."""
     from .operators.textstats import duckdb_token_counts_sql

@@ -502,20 +502,40 @@ def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus DATA CARD: per-source doc counts, char/token volume,
     mean quality, and language-ID agreement with the labeled lang — the
-    one-page report every training-data build publishes. Pure
-    composition of the hash-verified lang_id and quality_score pipelines
-    plus one groupBy(source); the oracle nests the same two SQL
-    pipelines verbatim as subqueries. NEW IN r7 post-window; front of
-    the r8 rotation."""
-    from workspace_qdrant_mcp_spark.operators import textstats
+    one-page report every training-data build publishes. lang_id and
+    quality_score are pure column expressions, so the whole card is ONE
+    projection pass + one groupBy(source) — no joins, no re-scans (a
+    first version joined the two per-doc operator outputs back to the
+    corpus: three scans and two doc_id joins that AQE hid behind
+    broadcasts at test scale but would be corpus-sized shuffles at
+    100 TB). The oracle nests the same two hash-verified SQL pipelines
+    as subqueries — same values, one definition. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.functions.text import quality_features
+    from workspace_qdrant_mcp_spark.io import fan_out
+    from workspace_qdrant_mcp_spark.operators.textstats import lang_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    lp = textstats.lang_id(docs)
-    q = textstats.quality_score(docs)
+    scores = lang_scores(F.col("text"))
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    feats = quality_features(F.col("text"))
+    base = 0.5 * feats["stopword_ratio"] + 0.5 * (1.0 - feats["punct_ratio"])
+    quality = F.when(feats["n_tokens"] < 20, base * 0.5).otherwise(base)
+    per_doc = fan_out(docs).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.round(quality, 6).alias("quality"),
+        feats["n_tokens"].alias("n_tokens"),
+        pred.alias("lang_pred"),
+    )
     return (
-        docs.join(lp, "doc_id")
-        .join(q, "doc_id")
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),

@@ -513,26 +513,20 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     front of the r8 rotation."""
     from workspace_qdrant_mcp_spark.functions.text import quality_features
     from workspace_qdrant_mcp_spark.io import fan_out
-    from workspace_qdrant_mcp_spark.operators.textstats import lang_scores
+    from workspace_qdrant_mcp_spark.operators.textstats import (
+        lang_pred_col,
+        quality_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    langs = sorted(scores)
-    pred = F.lit(langs[0])
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
-        best = F.greatest(best, scores[lang])
     feats = quality_features(F.col("text"))
-    base = 0.5 * feats["stopword_ratio"] + 0.5 * (1.0 - feats["punct_ratio"])
-    quality = F.when(feats["n_tokens"] < 20, base * 0.5).otherwise(base)
     per_doc = fan_out(docs).select(
         "source",
         "lang",
         "n_chars",
-        F.round(quality, 6).alias("quality"),
+        F.round(quality_col(F.col("text")), 6).alias("quality"),
         feats["n_tokens"].alias("n_tokens"),
-        pred.alias("lang_pred"),
+        lang_pred_col(F.col("text")).alias("lang_pred"),
     )
     return (
         per_doc.groupBy("source")

@@ -139,7 +139,16 @@ def main() -> None:
                     time.perf_counter() - t0, 2
                 )
                 ckpt.clear_unpinned(spark)
-            except Exception:
+            except Exception as exc:
+                # Loud fallback: the audit-inclusive query timing is the
+                # number the comment above says is WRONG for the gate,
+                # so say so when it is all we have.
+                print(
+                    "bench: dedicated clustering timing failed "
+                    f"({exc}); community_detection_sec falls back to "
+                    "the audit-inclusive leiden_communities timing",
+                    file=sys.stderr,
+                )
                 baseline_mapped["community_detection_sec"] = timings[
                     "leiden_communities"
                 ]

@@ -287,6 +287,32 @@ def exact_verify_pairs(
     candidates are a vanishing fraction of the corpus at scale, so the
     semi-join prune keeps the broadcast side bounded by |candidates|,
     not |corpus|."""
+    return _verify_against_corpus(
+        corpus,
+        cand,
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("text"), shingle_k),
+                lambda s: md5_hash64(s) % F.lit(MINHASH_MOD),
+            )
+        ),
+        threshold,
+    )
+
+
+def _verify_against_corpus(
+    corpus: DataFrame,
+    cand: DataFrame,
+    set_expr: Column,
+    threshold: float,
+) -> DataFrame:
+    """The shared verify-tail SCAFFOLDING of the minhash and
+    prefix-filter paths: candidate-id union → broadcast left_semi prune
+    of the corpus → element-set build (set_expr over `text`) →
+    localCheckpoint (the set table is re-read twice by the pair join) →
+    _jaccard_from_sets. Callers differ only in set_expr (int32 char
+    shingles vs word-gram hashes); the prune/checkpoint discipline
+    lives here once."""
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
@@ -295,15 +321,7 @@ def exact_verify_pairs(
     sets = (
         fan_out(corpus)
         .join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    char_shingles(F.col("text"), shingle_k),
-                    lambda s: md5_hash64(s) % F.lit(MINHASH_MOD),
-                )
-            ).alias("ss"),
-        )
+        .select("doc_id", set_expr.alias("ss"))
         .localCheckpoint()
     )
     return _jaccard_from_sets(cand, sets, threshold)
@@ -411,23 +429,12 @@ def prefix_jaccard_pairs(
         .distinct()
         .localCheckpoint()
     )
-    cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+    return _verify_against_corpus(
+        corpus,
+        cand,
+        F.transform(word_ngrams(F.col("text"), n), lambda g: md5_hash64(g)),
+        threshold,
     )
-    sets = (
-        fan_out(corpus)
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.transform(
-                word_ngrams(F.col("text"), n), lambda g: md5_hash64(g)
-            ).alias("ss"),
-        )
-        .localCheckpoint()
-    )
-    return _jaccard_from_sets(cand, sets, threshold)
 
 
 # ---------------------------------------------------------------------------

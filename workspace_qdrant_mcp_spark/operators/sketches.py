@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
@@ -38,15 +38,22 @@ HASH_BITS = 60  # md5_hash64 = 15 hex chars
 
 
 def hll_registers(
-    df: DataFrame, key_col: str, p: int = HLL_P
+    df: DataFrame,
+    key_col: str,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(bucket, register) — the 2^p HyperLogLog registers of key_col's
-    distinct values. Buckets with no hash land are ABSENT (the caller
-    treats them as register 0)."""
+    """(*group_cols, bucket, register) — the 2^p HyperLogLog registers
+    of key_col's distinct values, one register set per group (or one
+    global set when group_cols is empty). Buckets with no hash land are
+    ABSENT (the caller treats them as register 0). THE one definition
+    of the bucket/w/rho register derivation — the grouped estimate and
+    the streaming state both build on it."""
     m = 1 << p
     word_bits = HASH_BITS - p
     v = md5_hash64(F.col(key_col).cast("string"))
-    h = df.select(v.alias("v")).select(
+    h = df.select(*group_cols, v.alias("v")).select(
+        *group_cols,
         (F.col("v") % m).alias("bucket"),
         F.expr(f"v div {m}").alias("w"),
     )
@@ -55,9 +62,25 @@ def hll_registers(
     )
     return (
         h.withColumn("rho", rho)
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("register"))
     )
+
+
+def _hll_corrected(m: int) -> Column:
+    """The HLL estimate with the standard small-range correction, as a
+    column over (s_present, n_present): raw = alpha*m^2 / (s_present +
+    zeros·2^0); linear counting when raw <= 2.5m and zeros > 0. Shared
+    by the global and grouped estimators so a correction-threshold fix
+    lands in both (and their oracles) at once."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / s_total
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
 
 
 def hll_estimate(
@@ -72,7 +95,6 @@ def hll_estimate(
     from pyspark.sql.window import Window
 
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     regs = hll_registers(df, key_col, p)
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -88,25 +110,11 @@ def hll_estimate(
     exact = df.agg(
         F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )
-    est = summed.crossJoin(exact).select(
+    # absent buckets contribute 2^-0 = 1 each (inside _hll_corrected)
+    return summed.crossJoin(exact).select(
         F.lit(m).alias("m"),
         F.col("n_present").cast("int").alias("n_nonzero"),
-        "s_present",
-        "n_present",
-        "exact_distinct",
-    )
-    # absent buckets contribute 2^-0 = 1 each; zeros = m - n_present
-    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present"))
-    zeros = F.lit(m) - F.col("n_present")
-    raw = F.lit(alpha * m * m) / s_total
-    corrected = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
-    return est.select(
-        "m",
-        "n_nonzero",
-        F.round(corrected, 6).alias("hll_estimate"),
+        F.round(_hll_corrected(m), 6).alias("hll_estimate"),
         "exact_distinct",
     )
 
@@ -479,22 +487,7 @@ def hll_estimate_by_group(
     from pyspark.sql.window import Window
 
     m = 1 << p
-    word_bits = HASH_BITS - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    v = md5_hash64(F.col(key_col).cast("string"))
-    h = df.select(F.col(group_col), v.alias("v")).select(
-        group_col,
-        (F.col("v") % m).alias("bucket"),
-        F.expr(f"v div {m}").alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(word_bits + 1)).otherwise(
-        F.lit(word_bits + 1) - F.length(F.conv(F.col("w"), 10, 2))
-    )
-    regs = (
-        h.withColumn("rho", rho)
-        .groupBy(group_col, "bucket")
-        .agg(F.max("rho").alias("register"))
-    )
+    regs = hll_registers(df, key_col, p, group_cols=(group_col,))
     wrun = (
         Window.partitionBy(group_col)
         .orderBy("bucket")
@@ -512,17 +505,10 @@ def hll_estimate_by_group(
     exact = df.groupBy(group_col).agg(
         F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )
-    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present"))
-    zeros = F.lit(m) - F.col("n_present")
-    raw = F.lit(alpha * m * m) / s_total
-    corrected = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
     return summed.join(exact, group_col).select(
         group_col,
         F.lit(m).alias("m"),
         F.col("n_present").cast("int").alias("n_nonzero"),
-        F.round(corrected, 6).alias("hll_estimate"),
+        F.round(_hll_corrected(m), 6).alias("hll_estimate"),
         "exact_distinct",
     )

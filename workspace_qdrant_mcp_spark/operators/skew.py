@@ -47,7 +47,25 @@ def salted_join(
     works — correctness never depends on the salt, only the balance
     does. The small side is replicated via a broadcast cross join with
     the 0..n_salts-1 range, so the pre-join exchange partitions on
-    (key, salt) and a hot key's rows spread over n_salts reducers."""
+    (key, salt) and a hot key's rows spread over n_salts reducers.
+
+    Only join types that never EMIT small-side-unmatched rows are
+    legal: the small side exists n_salts times, so any `how` that
+    outputs a small row absent from big (right/full outer, right_semi,
+    right_anti) would output it once per salt replica — n_salts copies
+    where the plain join yields one. inner/left/left_semi/left_anti/
+    cross are safe (each big row carries exactly one salt, so it meets
+    exactly one replica of each matching small row). Unsupported types
+    raise instead of returning silently wrong counts."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate small-side-only "
+            f"rows once per salt replica; supported: inner/left/"
+            f"left_semi/left_anti/cross"
+        )
     salts = F.broadcast(
         big.sparkSession.range(n_salts).select(
             F.col("id").cast("int").alias("__salt")

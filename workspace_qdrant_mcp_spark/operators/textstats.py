@@ -58,17 +58,39 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred) — argmax of marker counts; ties broken by
-    language code ascending (deterministic)."""
-    scores = lang_scores(F.col(text_col))
+def lang_pred_col(text: Column) -> Column:
+    """The language-ID prediction as a single column expression: argmax
+    of the marker counts, ties broken by language code ascending
+    (deterministic). THE one definition of the fold — lang_id and any
+    report embedding the prediction (e.g. the corpus data card) must
+    consume this helper so a tie-break or scoring change lands in every
+    caller and its oracle together."""
+    scores = lang_scores(text)
     langs = sorted(scores)
     pred = F.lit(langs[0])
     best = scores[langs[0]]
     for lang in langs[1:]:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, scores[lang])
-    return fan_out(docs).select(F.col(id_col), pred.alias("lang_pred"))
+    return pred
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — argmax of marker counts; ties broken by
+    language code ascending (deterministic)."""
+    return fan_out(docs).select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
+
+
+def quality_col(text: Column) -> Column:
+    """The unrounded quality score as a single column expression:
+    0.5*stopword_ratio + 0.5*(1 - punct_ratio), halved below 20 tokens.
+    Shared by quality_score and report-style callers for the same
+    single-definition reason as lang_pred_col."""
+    feats = quality_features(text)
+    base = 0.5 * feats["stopword_ratio"] + 0.5 * (1.0 - feats["punct_ratio"])
+    return F.when(feats["n_tokens"] < 20, base * 0.5).otherwise(base)
 
 
 def quality_score(
@@ -78,8 +100,7 @@ def quality_score(
     — quality = clamp01(0.5*stopword_ratio + 0.5*(1 - punct_ratio))
     shifted by a length prior (docs under 20 tokens get halved)."""
     feats = quality_features(F.col(text_col))
-    base = 0.5 * feats["stopword_ratio"] + 0.5 * (1.0 - feats["punct_ratio"])
-    quality = F.when(feats["n_tokens"] < 20, base * 0.5).otherwise(base)
+    quality = quality_col(F.col(text_col))
     return fan_out(docs).select(
         F.col(id_col),
         feats["n_tokens"].alias("n_tokens"),

@@ -73,3 +73,18 @@ def test_salt_reaches_the_join_keys(spark):
     plan = _plan(salted_join(ev, _dim(ev), "event_type", n_salts=8))
     # the pre-join exchange must partition on (key, salt), not key alone
     assert "__salt" in plan
+
+
+def test_unsupported_how_raises(spark):
+    # right/full/right_semi/right_anti would emit each small-side-only
+    # row once per salt replica — the guard must refuse them up front.
+    import pytest
+
+    big = spark.createDataFrame([(1, "k")], "id long, key string")
+    small = spark.createDataFrame([("k", 1)], "key string, payload int")
+    for how in ("right", "full", "outer", "right_semi", "right_anti"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "key", n_salts=4, how=how)
+    # the safe types still construct (no exception at plan time)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(big, small, "key", n_salts=4, how=how)

@@ -755,6 +755,21 @@ def _q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.flat_session_rollup(windows.session_rollup(ev, "6 hours"))
 
 
+def _q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 HOPPING-window rollup (streaming/windows.sliding_rollup, 2 h
+    windows hopping hourly) in batch mode — the trailing-window trend
+    shape that completes the window family next to the tumbling and
+    session rollups; same expression runs watermarked/incremental
+    (batch≡stream asserted in test_streaming). NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.flat_sliding_rollup(
+        windows.sliding_rollup(ev, "2 hours", "1 hour")
+    )
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2720,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_user_membership": _q_bloom_user_membership,
         "ann_pq_topk": _q_ann_pq,
         "events_session_rollup": _q_events_session_rollup,
+        "events_sliding_rollup": _q_events_sliding_rollup,
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -2792,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_user_membership": oracles.bloom_user_membership(),
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),
+        "events_sliding_rollup": oracles.events_sliding_rollup(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -1106,3 +1106,77 @@ def test_streaming_decayed_counts_equal_batch_prefix(spark, tmp_path):
             key, rescaled, b.decayed_count)
     # the untouched key really did keep its old reference
     assert final["click"].ref_epoch < t_global
+
+
+def test_sliding_rollup_stream_equals_batch(spark, tmp_path):
+    """The hopping-window expression (2 windows per event: 20 min length,
+    10 min hop) runs identically in batch and as a watermarked stream —
+    the same unification contract the tumbling and session rollups pin."""
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    events_dir = str(tmp_path / "hev")
+    out_dir = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    evs = [
+        _ev(1, "2024-01-01T00:00:00Z", 1, "create", 1.0),
+        _ev(2, "2024-01-01T00:05:00Z", 1, "create", 2.0),
+        _ev(3, "2024-01-01T00:12:00Z", 1, "modify", 3.0),
+        _ev(4, "2024-01-01T00:25:00Z", 2, "create", 4.0),
+        # far-future event to push the watermark past every window end
+        _ev(5, "2024-01-02T00:00:00Z", 9, "sentinel", 0.0),
+    ]
+    _write_events(events_dir, "b1.json", evs)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    flat = windows.flat_sliding_rollup(
+        windows.sliding_rollup(
+            stream, "20 minutes", "10 minutes", watermark="5 minutes"
+        )
+    )
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import datetime as _dt
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                e["event_id"],
+                _dt.datetime.strptime(e["ts"], "%Y-%m-%dT%H:%M:%SZ"),
+                e["user_id"],
+                e["event_type"],
+                e["value"],
+            )
+            for e in evs
+        ],
+        _EV_SCHEMA,
+    )
+    batch = windows.flat_sliding_rollup(
+        windows.sliding_rollup(batch_df, "20 minutes", "10 minutes")
+    )
+    got = {
+        (r["window_start"], r["window_end"], r["event_type"],
+         r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["window_start"], r["window_end"], r["event_type"],
+         r["n_events"], r["sum_value"])
+        for r in batch.collect()
+        if r["event_type"] != "sentinel"
+    }
+    assert got == want
+    # overlap sanity: every event appears in exactly len/slide = 2
+    # windows, so total n_events across windows (sentinel excluded) = 2x4
+    assert sum(n for *_x, n, _s in want) == 8

@@ -3592,6 +3592,28 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_rollup() -> str:
+    """Oracle for streaming/windows.sliding_rollup (2 h windows, 1 h
+    hop): Spark's F.window(ts, len, slide) assigns each event to the
+    len/slide epoch-aligned windows whose start is date_trunc(slide)
+    minus k·slide for k = 0..len/slide-1 — replayed here as an explicit
+    unnest of the two offsets (every event is in exactly both, since
+    ts - date_trunc('hour', ts) < 1 h < 2 h)."""
+    return """
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum("value"), 6) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+         event_type, "value"
+  FROM events CROSS JOIN unnest([0, 1]) AS t(k)
+)
+GROUP BY 1, 2, 3
+"""
+
+
 def shard_assignment(n_shards: int = 8) -> str:
     """Oracle for curation.shard_assignment: identical keyed hash,
     modulo shard, per-shard (hash, id) position, whitespace tokens."""

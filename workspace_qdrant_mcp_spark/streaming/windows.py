@@ -67,6 +67,49 @@ def flat_rollup(roll: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(w struct<start,end>, event_type, n_events, sum_value) —
+    HOPPING event-time windows (length > slide, epoch-aligned starts
+    every `slide`): each event lands in len/slide overlapping windows,
+    the shape trend/rate dashboards read ("events in the trailing 2 h,
+    refreshed hourly"). Completes the window family next to the tumbling
+    and session rollups; same streaming-safe aggregates, same
+    batch/stream unification, and under a watermark the state bound is
+    (horizon/slide + len/slide) windows per key — the overlap factor is
+    a constant, not a scale risk.
+
+    The built-in F.window(ts, len, slide) EXPLODES each row into its
+    len/slide windows before the shuffle; map-side partial aggregation
+    collapses the blowup to |keys|·overlap partial rows per task, so
+    the exchanged volume matches the tumbling rollup times the constant
+    overlap — no per-event fanout crosses the wire."""
+    ev = events
+    if watermark is not None:
+        ev = ev.withWatermark(ts_col, watermark)
+    return ev.groupBy(
+        F.window(ts_col, window_len, slide).alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def flat_sliding_rollup(roll: DataFrame) -> DataFrame:
+    return roll.select(
+        F.col("w").getField("start").alias("window_start"),
+        F.col("w").getField("end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def session_rollup(
     events: DataFrame,
     gap: str = "6 hours",

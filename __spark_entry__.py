@@ -770,6 +770,27 @@ def _q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filter join (sketches.bloom_pruned_join): documents
+    joined to the selective 'contains dup' dim with the big side pruned
+    through a packed-bitmask Bloom filter of the dim keys BEFORE the
+    exchange. LOSSLESS (no false negatives; join removes false
+    positives), so the ORACLE IS THE PLAIN JOIN — the strongest possible
+    correctness statement for a pruning operator. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators.sketches import (
+        bloom_pruned_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select("doc_id", "source", "n_chars")
+    dim = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("dup")).cast("int").alias("n_dup"),
+    ).filter(F.col("n_dup") > 0)
+    return bloom_pruned_join(big, dim, "doc_id").orderBy("doc_id")
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2736,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "events_session_rollup": _q_events_session_rollup,
         "events_sliding_rollup": _q_events_sliding_rollup,
+        "bloom_pruned_join": _q_bloom_pruned_join,
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -2809,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": oracles.ann_pq_topk(ANN_QUERY_IDS),
         "events_session_rollup": oracles.events_session_rollup(),
         "events_sliding_rollup": oracles.events_sliding_rollup(),
+        "bloom_pruned_join": oracles.bloom_pruned_join(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

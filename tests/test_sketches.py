@@ -278,3 +278,87 @@ def test_grouped_hll_matches_global_on_single_group(spark):
     g = grouped["click"]
     assert (g.m, g.n_nonzero, g.hll_estimate, g.exact_distinct) == (
         glob.m, glob.n_nonzero, glob.hll_estimate, glob.exact_distinct)
+
+
+class TestBloomPrunedJoin:
+    def _dim(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+        from tests.conftest import SF_CORRECT
+
+        docs = load_table(spark, SF_CORRECT, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        dim = (
+            load_table(spark, SF_CORRECT, "documents")
+            .select(
+                "doc_id",
+                F.regexp_count(F.col("text"), F.lit("dup")).cast("int").alias("n_dup"),
+            )
+            .filter(F.col("n_dup") > 0)
+        )
+        return docs, dim
+
+    def test_equals_plain_join(self, spark):
+        from workspace_qdrant_mcp_spark.operators.sketches import bloom_pruned_join
+
+        docs, dim = self._dim(spark)
+        got = sorted(map(tuple, bloom_pruned_join(docs, dim, "doc_id").collect()))
+        want = sorted(map(tuple, docs.join(dim, "doc_id").collect()))
+        assert got == want
+        assert len(want) > 0
+
+    def test_lossless_under_collision_pressure(self, spark):
+        # m=64 bits for hundreds of keys -> the filter saturates and the
+        # pruning passes nearly everything; the JOIN still removes every
+        # false positive, so the result is unchanged (the no-false-negative
+        # guarantee is what losslessness rests on, not low density).
+        from workspace_qdrant_mcp_spark.operators.sketches import bloom_pruned_join
+
+        docs, dim = self._dim(spark)
+        got = sorted(
+            map(tuple, bloom_pruned_join(docs, dim, "doc_id", m=64).collect())
+        )
+        want = sorted(map(tuple, docs.join(dim, "doc_id").collect()))
+        assert got == want
+
+    def test_semi_join_and_how_guard(self, spark):
+        import pytest
+
+        from workspace_qdrant_mcp_spark.operators.sketches import bloom_pruned_join
+
+        docs, dim = self._dim(spark)
+        got = sorted(
+            r.doc_id
+            for r in bloom_pruned_join(docs, dim, "doc_id", how="left_semi").collect()
+        )
+        want = sorted(r.doc_id for r in docs.join(dim, "doc_id", "left_semi").collect())
+        assert got == want
+        for how in ("left", "full", "right", "left_anti"):
+            with pytest.raises(ValueError, match="bloom_pruned_join"):
+                bloom_pruned_join(docs, dim, "doc_id", how=how)
+
+    def test_filter_actually_prunes(self, spark):
+        # the broadcast-probe predicate must reject non-member keys
+        # BEFORE the join: with the default m, the pruned big side at
+        # the filter output is within a few FPs of the true match count.
+        from workspace_qdrant_mcp_spark.operators.sketches import (
+            BLOOM_K,
+            bloom_bits,
+        )
+        from workspace_qdrant_mcp_spark.functions.hashing import md5_hash64
+
+        docs, dim = self._dim(spark)
+        m = 1 << 17
+        bits = set(r.bit for r in bloom_bits(dim.select("doc_id"), "doc_id", m).collect())
+        probe = docs.select(
+            "doc_id",
+            *[
+                (md5_hash64(F.col("doc_id").cast("string"), salt=f"bloom{j}|") % m).alias(f"h{j}")
+                for j in range(BLOOM_K)
+            ],
+        ).collect()
+        n_pass = sum(
+            1 for r in probe if all(r[f"h{j}"] in bits for j in range(BLOOM_K))
+        )
+        n_true = dim.count()
+        assert n_true <= n_pass <= n_true + 5

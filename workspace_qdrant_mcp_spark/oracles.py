@@ -3614,6 +3614,21 @@ GROUP BY 1, 2, 3
 """
 
 
+def bloom_pruned_join() -> str:
+    """Oracle for sketches.bloom_pruned_join's driver query: the PLAIN
+    join — the operator's Bloom pruning is lossless (no false
+    negatives; the join removes false positives), so plain-join
+    equality IS the correctness contract."""
+    return """
+SELECT d.doc_id, d.source, d.n_chars,
+       CAST(len(regexp_extract_all(x.text, 'dup')) AS INT) AS n_dup
+FROM documents d
+JOIN documents x ON d.doc_id = x.doc_id
+WHERE len(regexp_extract_all(x.text, 'dup')) > 0
+ORDER BY d.doc_id
+"""
+
+
 def shard_assignment(n_shards: int = 8) -> str:
     """Oracle for curation.shard_assignment: identical keyed hash,
     modulo shard, per-shard (hash, id) position, whitespace tokens."""

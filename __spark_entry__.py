@@ -791,6 +791,19 @@ def _q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_pruned_join(big, dim, "doc_id").orderBy("doc_id")
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embeddings table (ann.knn_graph, exact mode
+    for oracle parity — the IVF scale path is recall-gated in pytest
+    next to the other ANN legs): top-3 cosine neighbors for every
+    vector, the primitive semantic clustering / SemDeDup / diversity
+    analysis start from. NEW IN r7 post-window; front of the r8
+    rotation."""
+    from workspace_qdrant_mcp_spark.operators.ann import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, mode="brute")
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2758,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_rollup": _q_events_session_rollup,
         "events_sliding_rollup": _q_events_sliding_rollup,
         "bloom_pruned_join": _q_bloom_pruned_join,
+        "knn_graph": _q_knn_graph,
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -2832,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_rollup": oracles.events_session_rollup(),
         "events_sliding_rollup": oracles.events_sliding_rollup(),
         "bloom_pruned_join": oracles.bloom_pruned_join(),
+        "knn_graph": oracles.knn_graph(k=3),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

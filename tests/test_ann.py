@@ -255,3 +255,33 @@ class TestRecallGates:
         assert set(got) == set(self.FLOORS)
         for method, floor in self.FLOORS.items():
             assert got[method] >= floor, (method, got[method], floor)
+
+
+def test_knn_graph_brute_equals_per_query_bruteforce(spark):
+    # the graph in exact mode is bruteforce_topk with every vector as a
+    # query — pin the equivalence so the two paths can't drift
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    g = sorted(map(tuple, ann.knn_graph(emb, k=3, mode="brute").collect()))
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = sorted(map(tuple, ann.bruteforce_topk(emb, q, k=3).collect()))
+    assert g == bf
+    n = emb.count()
+    assert len(g) == n * 3  # every vector has exactly k out-edges
+
+
+def test_knn_graph_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.knn_graph(emb, k=5, mode="brute").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.knn_graph(
+            emb, k=5, n_cells=8, n_probe=3, mode="ivf"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # same cells/probes as the query-set IVF gate; the self-join makes
+    # every vector a query so the gate is over the full graph
+    assert recall >= 0.6

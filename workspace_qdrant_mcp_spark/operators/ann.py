@@ -295,6 +295,77 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "ivf",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — the k-NN GRAPH: cosine top-k
+    neighbors for EVERY vector (directed; same schema as the query-set
+    top-k legs). The primitive SemDeDup-style semantic clustering,
+    graph-based dedup and diversity analysis all start from.
+
+    mode='brute' is the exact all-pairs baseline (broadcast self-join;
+    the oracle twin, and fine to |corpus| ~ broadcast threshold).
+    mode='ivf' is the scale path: each vector is INDEXED in its home
+    cell and QUERIES its n_probe nearest cells, candidates come from an
+    equi-join on cell_id — corpus-sized on BOTH sides, so no broadcast:
+    the shuffle key is the cell, candidate volume is sum of cell²
+    within probes rather than corpus², and cell balance (KMeans) bounds
+    the skew. Recall vs the exact graph is gated in pytest alongside
+    the other ANN legs."""
+    if mode == "brute":
+        q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        return bruteforce_topk(emb, q, k, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
+    assigned = assign_ivf_cells(emb, cents, id_col, vec_col)
+    c = cents.select("cell_id", F.col(vec_col).alias("__cv"))
+    qcells = (
+        emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "__qv",
+            "cell_id",
+            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__d"), F.asc("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "cell_id")
+    )
+    scored = (
+        assigned.join(qcells, "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 def sq_bounds(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -3629,6 +3629,28 @@ ORDER BY d.doc_id
 """
 
 
+def knn_graph(k: int = 3) -> str:
+    """Oracle for ann.knn_graph in exact (brute) mode: the all-pairs
+    cosine top-k per vector, ties broken vec_id ASC — the same SQL
+    shape as ann_bruteforce_topk with every vector as a query."""
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {cos} AS score
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 def shard_assignment(n_shards: int = 8) -> str:
     """Oracle for curation.shard_assignment: identical keyed hash,
     modulo shard, per-shard (hash, id) position, whitespace tokens."""

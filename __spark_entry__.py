@@ -804,6 +804,21 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=3, mode="brute")
 
 
+def _q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent bottom-k hash sample per event type
+    (sketches.bottomk_sample, k=5): deterministic uniform sampling of
+    distinct users — mergeable (bottom-k of union = bottom-k of
+    per-shard bottom-ks), which is why its streaming twin
+    (stateful.streaming_bottomk_sample) can carry k pairs of state
+    across micro-batches (batch≡stream-prefix asserted in
+    test_streaming). NEW IN r7 post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    return sketches.bottomk_sample(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", k=5
+    )
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2772,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rollup": _q_events_sliding_rollup,
         "bloom_pruned_join": _q_bloom_pruned_join,
         "knn_graph": _q_knn_graph,
+        "bottomk_sample": _q_bottomk_sample,
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -2847,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_rollup": oracles.events_sliding_rollup(),
         "bloom_pruned_join": oracles.bloom_pruned_join(),
         "knn_graph": oracles.knn_graph(k=3),
+        "bottomk_sample": oracles.bottomk_sample(k=5),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

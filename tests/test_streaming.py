@@ -1180,3 +1180,86 @@ def test_sliding_rollup_stream_equals_batch(spark, tmp_path):
     # overlap sanity: every event appears in exactly len/slide = 2
     # windows, so total n_events across windows (sentinel excluded) = 2x4
     assert sum(n for *_x, n, _s in want) == 8
+
+
+def test_streaming_bottomk_sample_equals_batch_prefix(spark, tmp_path):
+    """Cross-batch consistent bottom-k sample (applyInPandasWithState):
+    after draining two micro-batches, each key's latest emitted sample
+    equals the BATCH bottomk_sample over everything seen — the
+    bottom-k-of-union merge law is what makes the sample maintainable
+    with k-pair state."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "sev")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01T00:00:{i:02d}Z",
+         "user_id": 100 + (i % 7), "event_type": "view", "value": 0.0}
+        for i in range(20)
+    ]
+    b2 = [
+        {"event_id": 100 + i, "ts": f"2024-01-01T01:00:{i:02d}Z",
+         "user_id": 100 + (i % 13), "event_type": "view", "value": 0.0}
+        for i in range(20)
+    ] + [
+        {"event_id": 200, "ts": "2024-01-01T01:30:00Z",
+         "user_id": 999, "event_type": "click", "value": 0.0}
+    ]
+    _write_events(events_dir, "b1.json", b1)
+    _write_events(events_dir, "b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stateful.streaming_bottomk_sample(stream, k=5)
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).collect()
+    # final 'view' emission = rows carrying the max n_seen (full prefix)
+    final = sorted(
+        ((r["rnk"], r["value"]) for r in out
+         if r["key"] == "view" and r["n_seen"] == 40)
+    )
+    assert len(final) == 5
+    all_events = spark.createDataFrame(
+        [("view", e["user_id"]) for e in b1 + b2 if e["event_type"] == "view"],
+        ["event_type", "user_id"],
+    )
+    want = sorted(
+        ((r["rnk"], r["value"])
+         for r in sketches.bottomk_sample(
+             all_events, "event_type", "user_id", k=5
+         ).collect())
+    )
+    assert final == want
+    # under-full key: click has 1 distinct value -> 1-row sample
+    click = [r for r in out if r["key"] == "click"]
+    assert len(click) == 1 and click[0]["rnk"] == 1 and click[0]["value"] == "999"
+    # the first 'view' emission (prefix=b1) equals the batch over b1 alone
+    first = sorted(
+        ((r["rnk"], r["value"]) for r in out
+         if r["key"] == "view" and r["n_seen"] == 20)
+    )
+    b1_events = spark.createDataFrame(
+        [("view", e["user_id"]) for e in b1], ["event_type", "user_id"]
+    )
+    want1 = sorted(
+        ((r["rnk"], r["value"])
+         for r in sketches.bottomk_sample(
+             b1_events, "event_type", "user_id", k=5
+         ).collect())
+    )
+    assert first == want1

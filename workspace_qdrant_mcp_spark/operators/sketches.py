@@ -240,6 +240,51 @@ def kmv_distinct_estimate(
     )
 
 
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """(group, rnk, value) — a CONSISTENT uniform sample of k distinct
+    value_col values PER GROUP: the k smallest salted md5 hashes (ties
+    value ASC). The grouped-sampling twin of kmv_sketch's global
+    bottom-k: hash order is a fixed random permutation of the value
+    space, so the sample is (a) uniform over distinct values, (b)
+    deterministic across engines/runs/partitionings, and (c) MERGEABLE
+    — bottom-k of a union is the bottom-k of the per-shard bottom-ks,
+    which is what makes it maintainable incrementally (the streaming
+    twin carries exactly this state across micro-batches).
+
+    Plan: distinct on (group, value) → narrow hash map → one rank
+    window per group over the already-distinct rows. At 100 TB the
+    distinct is the only exchange and is map-side combinable; the
+    window input per group is its distinct-value count, and a skewed
+    group can pre-prune with a per-partition bottom-k before the
+    exchange (the merge law above is exactly why that is lossless)."""
+    from pyspark.sql.window import Window
+
+    h = md5_hash64(F.col("value").cast("string"), salt="sample|")
+    ranked = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .distinct()
+        .select("group", "value", h.alias("h"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy(
+                    F.asc("h"), F.asc("value")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+    return ranked.select("group", "rnk", "value")
+
+
 BLOOM_M = 1024  # bits
 BLOOM_K = 4  # hash functions
 

@@ -3651,6 +3651,28 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def bottomk_sample(k: int = 5) -> str:
+    """Oracle for sketches.bottomk_sample over events (group =
+    event_type, value = user_id): identical salted hash, identical
+    (h, value) rank order."""
+    h = duckdb_md5_hash64_sql("value", salt="sample|")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS "group", CAST(user_id AS VARCHAR) AS value
+  FROM events
+),
+r AS (
+  SELECT "group", value,
+         row_number() OVER (
+           PARTITION BY "group" ORDER BY {h} ASC, value ASC
+         ) AS rnk
+  FROM d
+)
+SELECT "group", CAST(rnk AS INT) AS rnk, value
+FROM r WHERE rnk <= {k}
+"""
+
+
 def shard_assignment(n_shards: int = 8) -> str:
     """Oracle for curation.shard_assignment: identical keyed hash,
     modulo shard, per-shard (hash, id) position, whitespace tokens."""

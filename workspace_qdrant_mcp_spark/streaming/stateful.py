@@ -420,3 +420,93 @@ def streaming_decayed_counts(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SAMPLE_OUT_SCHEMA = "key string, rnk int, value string, n_seen long"
+_SAMPLE_STATE_SCHEMA = "hs array<long>, vals array<string>, n_seen long"
+
+
+def streaming_bottomk_sample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming (key, rnk, value, n_seen): the consistent bottom-k
+    hash sample (operators/sketches.bottomk_sample) maintained ACROSS
+    micro-batches — per key, the k distinct values with smallest salted
+    md5 hash seen so far, re-emitted whenever a batch touches the key.
+
+    The merge law is the whole operator: bottom-k of (state ∪ batch) =
+    bottom-k of (state ∪ bottom-k(batch)), so the carried state is k
+    (hash, value) pairs and nothing else; after draining any prefix of
+    the stream the emitted sample equals the batch operator over that
+    prefix (asserted in tests). Hashes are computed JVM-side BEFORE the
+    stateful operator with EXACTLY the batch arithmetic (same
+    'sample|' salt, same CAST to string), so batch and stream coerce
+    values identically — the state function only sorts ≤ k + |batch
+    distinct| pairs per key per batch, numpy-columnar."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import md5_hash64
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+        md5_hash64(F.col(value_col).cast("string"), salt="sample|").alias(
+            "h"
+        ),
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            hs, vals, n_seen = state.get
+            frames = [pd.DataFrame({"value": vals, "h": hs})]
+        else:
+            frames, n_seen = [], 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n_seen += len(pdf)
+            frames.append(pdf[["value", "h"]])
+        if not touched:
+            return
+        # h is a pure function of value, so dedup on value alone; sort
+        # (h, value) and keep k — all pandas-columnar, no element loop
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .drop_duplicates("value")
+            .sort_values(["h", "value"], kind="mergesort")
+            .head(k)
+        )
+        top = list(zip(merged["value"], (int(x) for x in merged["h"])))
+        state.update(
+            ([h for _v, h in top], [v for v, _h in top], int(n_seen))
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "rnk": list(range(1, len(top) + 1)),
+                "value": [v for v, _h in top],
+                "n_seen": [int(n_seen)] * len(top),
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        fn,
+        SAMPLE_OUT_SCHEMA,
+        _SAMPLE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -319,3 +319,41 @@ def test_round7_queries_avoid_cartesian_joins(spark):
                     "BroadcastNestedLoopJoin BuildRight, Cross"
                 )
                 assert ok, (name, line)
+
+
+def test_r7_late_additions_plan_shapes(spark):
+    """Late-r7 additions: the sliding rollup and bottom-k sample are
+    pure aggregate/window plans (no joins at all beyond the scan); the
+    bloom-pruned join's only nested-loop shape is the permitted 1-row
+    broadcast filter attach, and its probe filter sits BEFORE the join;
+    the k-NN graph's IVF mode pairs candidates through a cell_id
+    equi-join, never a cartesian."""
+    import __spark_entry__ as entrymod
+    from workspace_qdrant_mcp_spark.io import load_table
+    from workspace_qdrant_mcp_spark.operators.ann import knn_graph
+
+    for name in ("events_sliding_rollup", "bottomk_sample"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    bj = entrymod.queries()["bloom_pruned_join"](spark, SF_SMOKE)
+    plan = _plan(bj)
+    assert "CartesianProduct" not in plan
+    simple = bj._jdf.queryExecution().executedPlan().toString()
+    for line in simple.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # Catalyst fuses the bitmask probe INTO the 1-row broadcast
+            # attach as the join condition — the pruning and the attach
+            # are one operator, which is exactly the shape we want
+            assert "BroadcastNestedLoopJoin BuildRight, Cross" in line, line
+            assert "element_at" in line or "__bloom" in line, line
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    g = knn_graph(emb, k=3, n_cells=4, n_probe=2, mode="ivf")
+    plan = _plan(g)
+    assert "CartesianProduct" not in plan
+    # the candidate pairing is the cell_id equi-join (hash or SMJ), and
+    # the only NLJ is the broadcast centroid attach (bounded, by design)
+    assert "cell_id" in plan

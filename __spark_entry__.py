@@ -2784,10 +2784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_user_membership": _q_bloom_user_membership,
         "ann_pq_topk": _q_ann_pq,
         "events_session_rollup": _q_events_session_rollup,
-        "events_sliding_rollup": _q_events_sliding_rollup,
-        "bloom_pruned_join": _q_bloom_pruned_join,
-        "knn_graph": _q_knn_graph,
-        "bottomk_sample": _q_bottomk_sample,
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -2840,6 +2836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_popularity": _q_decayed_popularity,
         "last_touch_attribution": _q_last_touch_attribution,
         "corpus_report": _q_corpus_report,
+        # r7 LATE additions (post self-review session), same discipline:
+        "events_sliding_rollup": _q_events_sliding_rollup,
+        "bloom_pruned_join": _q_bloom_pruned_join,
+        "knn_graph": _q_knn_graph,
+        "bottomk_sample": _q_bottomk_sample,
     }
 
 

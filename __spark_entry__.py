@@ -819,6 +819,22 @@ def _q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over events (layout.zorder_keys,
+    rank mode): percent_rank grid coordinates bit-interleaved into the
+    key OPTIMIZE ZORDER BY-style layouts range-partition by — each
+    output file covers a small hyper-rectangle of (value, user_id)
+    space so parquet zone maps prune on BOTH columns (locality and
+    pruning quantified in test_layout). NEW IN r7 post-window; front of
+    the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    return layout.zorder_keys(ev, "value", "user_id").select(
+        "event_id", "zx", "zy", "zkey"
+    )
+
+
 def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate over events
     (sketches.hll_estimate): oracle-exact registers AND estimate — the
@@ -2841,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": _q_bloom_pruned_join,
         "knn_graph": _q_knn_graph,
         "bottomk_sample": _q_bottomk_sample,
+        "zorder_keys": _q_zorder_keys,
     }
 
 
@@ -2865,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_pruned_join": oracles.bloom_pruned_join(),
         "knn_graph": oracles.knn_graph(k=3),
         "bottomk_sample": oracles.bottomk_sample(k=5),
+        "zorder_keys": oracles.zorder_keys(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -3673,6 +3673,28 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def zorder_keys(bits: int = 16) -> str:
+    """Oracle for layout.zorder_keys (rank mode) over events: identical
+    percent_rank grids, identical per-bit Morton interleave arithmetic
+    (both engines define percent_rank as (rank-1)/(n-1) with ties
+    sharing a rank, and the float grid scale is the same IEEE ops)."""
+    scale = float((1 << bits) - 1)
+    inter = " + ".join(
+        f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH g AS (
+  SELECT event_id,
+         CAST(floor(percent_rank() OVER (ORDER BY "value") * {scale} + 0.5) AS BIGINT) AS zx,
+         CAST(floor(percent_rank() OVER (ORDER BY user_id) * {scale} + 0.5) AS BIGINT) AS zy
+  FROM events
+)
+SELECT event_id, zx, zy, CAST({inter} AS BIGINT) AS zkey
+FROM g
+"""
+
+
 def shard_assignment(n_shards: int = 8) -> str:
     """Oracle for curation.shard_assignment: identical keyed hash,
     modulo shard, per-shard (hash, id) position, whitespace tokens."""

@@ -1263,3 +1263,66 @@ def test_streaming_bottomk_sample_equals_batch_prefix(spark, tmp_path):
          ).collect())
     )
     assert first == want1
+
+
+def test_feature_store_lockstep_with_stream(spark, tmp_path):
+    """Fourth maintained sink through the micro-batch path: the per-doc
+    feature store tracks create/modify/remove and always equals a fresh
+    doc_features build over the surviving corpus — so the corpus data
+    card read off the store is exact without touching document text."""
+    from workspace_qdrant_mcp_spark.functions.hashing import md5_hash64
+    from workspace_qdrant_mcp_spark.operators import feature_store as fsx
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    featp = str(tmp_path / "feats")
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+
+    def check(corpus_rows):
+        corpus = spark.createDataFrame(
+            corpus_rows, "path string, text string"
+        ).select(md5_hash64(F.col("path")).alias("doc_id"), "text")
+        want = sorted(
+            tuple(r) for r in fsx.doc_features(corpus).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in fsx.read_feature_store(spark, featp).collect()
+        )
+        assert got == want
+        # the card off the store equals the card off a fresh build
+        want_card = sorted(
+            tuple(r)
+            for r in fsx.corpus_card(fsx.doc_features(corpus)).collect()
+        )
+        got_card = sorted(
+            tuple(r)
+            for r in fsx.corpus_card(
+                fsx.read_feature_store(spark, featp)
+            ).collect()
+        )
+        assert got_card == want_card
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "create", "the quick brown fox " * 8, t),
+               ("b.txt", "create", "le chat et le chien " * 8, t)]),
+        store, dlq, feature_store_path=featp,
+    )
+    check([("a.txt", "the quick brown fox " * 8),
+           ("b.txt", "le chat et le chien " * 8)])
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "modify", "short!!", t),
+               ("b.txt", "remove", None, t)]),
+        store, dlq, feature_store_path=featp,
+    )
+    check([("a.txt", "short!!")])

@@ -191,6 +191,7 @@ def process_batch(
     postings_path: str | None = None,
     graph_store_dir: str | None = None,
     signature_store_path: str | None = None,
+    feature_store_path: str | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -273,6 +274,7 @@ def process_batch(
             postings_path is not None
             or graph_store_dir is not None
             or signature_store_path is not None
+            or feature_store_path is not None
         ):
             # the postings/graph updates run AFTER upsert_chunks
             # overwrites the store, but `changed` is lazily derived from
@@ -340,6 +342,24 @@ def process_batch(
                         F.col("content").alias("text"),
                     ),
                 )
+            # maintained per-doc feature store (opt-in): the corpus data
+            # card stays current at ingest; reports read narrow feature
+            # rows, never the corpus text (operators/feature_store)
+            if (
+                feature_store_path is not None
+                and len(changed.take(1)) > 0
+            ):
+                from ..functions.hashing import md5_hash64
+                from ..operators.feature_store import update_feature_store
+
+                update_feature_store(
+                    spark,
+                    feature_store_path,
+                    changed_docs=changed.select(
+                        md5_hash64(F.col("path")).alias("doc_id"),
+                        F.col("content").alias("text"),
+                    ),
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -383,6 +403,17 @@ def process_batch(
                 update_signature_store(
                     spark,
                     signature_store_path,
+                    deleted_ids=deletes.select(
+                        md5_hash64(F.col("path")).alias("doc_id")
+                    ),
+                )
+            if feature_store_path is not None:
+                from ..functions.hashing import md5_hash64
+                from ..operators.feature_store import update_feature_store
+
+                update_feature_store(
+                    spark,
+                    feature_store_path,
                     deleted_ids=deletes.select(
                         md5_hash64(F.col("path")).alias("doc_id")
                     ),
@@ -483,14 +514,15 @@ def run_ingestion_stream(
     postings_path: str | None = None,
     graph_store_dir: str | None = None,
     signature_store_path: str | None = None,
+    feature_store_path: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
     availableNow so tests drain the backlog and stop. Pass a watchdog +
     park_path to get W8 degraded-mode behavior per micro-batch. All
-    three maintained sinks (postings / symbol graph / minhash signature
-    store) thread through to process_batch, so stream deletes prune
-    every store."""
+    four maintained sinks (postings / symbol graph / minhash signatures
+    / doc features) thread through to process_batch, so stream deletes
+    prune every store."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
@@ -507,6 +539,7 @@ def run_ingestion_stream(
                 postings_path=postings_path,
                 graph_store_dir=graph_store_dir,
                 signature_store_path=signature_store_path,
+                feature_store_path=feature_store_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

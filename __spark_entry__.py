@@ -327,6 +327,19 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_plan_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling mixture plan (curation.mixture_plan_epochs, cap 4):
+    scarce sources repeat up to max_epochs — the published
+    multi-epoch-books recipe — with the same closed form and the
+    scarcest-source-at-cap bound. NEW IN r7 post-window; front of the
+    r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.mixture_plan_epochs(
+        load_table(spark, sf_dir, "documents"), MIXTURE_TARGETS, 4.0
+    )
+
+
 def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/The-Stack-style line-level boilerplate detection
     (dedup.boilerplate_lines): lines recurring across >= 3 distinct
@@ -2858,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "bottomk_sample": _q_bottomk_sample,
         "zorder_keys": _q_zorder_keys,
+        "mixture_plan_epochs": _q_mixture_plan_epochs,
     }
 
 
@@ -2883,6 +2897,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": oracles.knn_graph(k=3),
         "bottomk_sample": oracles.bottomk_sample(k=5),
         "zorder_keys": oracles.zorder_keys(),
+        "mixture_plan_epochs": oracles.mixture_plan_epochs(
+            MIXTURE_TARGETS, 4.0
+        ),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

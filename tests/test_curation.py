@@ -411,3 +411,24 @@ class TestShardAssignment:
         out = curation.shard_assignment(docs, n_shards=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+
+
+def test_mixture_plan_epochs_bounds_and_binding(spark):
+    from workspace_qdrant_mcp_spark.io import load_table
+    from workspace_qdrant_mcp_spark.operators import curation
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    targets = {f"src{i}": 1.0 / 20.0 for i in range(20)}
+    rows = curation.mixture_plan_epochs(docs, targets, 4.0).collect()
+    assert len(rows) == 20
+    eps = {r["source"]: r["epochs"] for r in rows}
+    # every source within (0, max_epochs]; the scarcest binds AT the cap
+    assert all(0 < e <= 4.0 + 1e-9 for e in eps.values())
+    assert abs(max(eps.values()) - 4.0) < 1e-6
+    # realized token shares equal the targets: epochs_s * tokens_s is
+    # proportional to target_s (uniform here -> all equal)
+    toks = {r["source"]: r["n_tokens"] for r in rows}
+    realized = {s: eps[s] * toks[s] for s in eps}
+    lo, hi = min(realized.values()), max(realized.values())
+    assert (hi - lo) / hi < 1e-4

@@ -301,6 +301,63 @@ def mixture_plan(
     )
 
 
+def mixture_plan_epochs(
+    docs: DataFrame,
+    targets: dict[str, float],
+    max_epochs: float = 4.0,
+    strata_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, observed_share, target_share, epochs)
+    — the UPSAMPLING mixture plan: like mixture_plan but scarce sources
+    may repeat up to max_epochs times (the published recipe for
+    high-quality scarce corpora — e.g. Gopher/Chinchilla-style multiple
+    epochs of books vs one of web). Closed form: the achievable corpus
+    size is T = min_s(tokens_s * max_epochs / target_s) (the scarcest
+    source at its epoch cap binds), and epochs_s = target_s * T /
+    tokens_s ∈ (0, max_epochs] — values ≤ 1 are downsampling rates,
+    values > 1 are repeat counts. Same bounded-dimension scale shape as
+    mixture_plan: one token aggregate, then arithmetic over #sources
+    rows."""
+    from pyspark.sql import Window
+
+    from .textstats import token_counts
+
+    toks = token_counts(docs).select("doc_id", "ws_tokens")
+    per_src = (
+        docs.select("doc_id", strata_col)
+        .join(toks, "doc_id")
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tgt = F.lit(None).cast("double")
+    for src, share in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == src, F.lit(float(share))).otherwise(
+            tgt
+        )
+    w = Window.partitionBy()
+    planned = per_src.withColumn("target_share", tgt).withColumn(
+        "_t_final",
+        F.min(
+            F.col("n_tokens") * F.lit(float(max_epochs)) / F.col("target_share")
+        ).over(w),
+    )
+    return planned.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w), 6
+        ).alias("observed_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(
+            F.col("target_share") * F.col("_t_final") / F.col("n_tokens"), 6
+        ).alias("epochs"),
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_col: str = "source",

@@ -4412,6 +4412,44 @@ FROM planned
 """
 
 
+def mixture_plan_epochs(
+    targets: dict[str, float], max_epochs: float = 4.0
+) -> str:
+    """Oracle for curation.mixture_plan_epochs: same token aggregate and
+    closed form as mixture_plan with T = min(tokens * max_epochs /
+    target) and epochs uncapped below max_epochs by construction."""
+    case = " ".join(
+        f"WHEN '{src}' THEN CAST({float(share)!r} AS DOUBLE)"
+        for src, share in sorted(targets.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> length(t) > 0)) AS ws
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+planned AS (
+  SELECT source, n_docs, n_tokens,
+         CASE source {case} END AS target_share,
+         min(n_tokens * CAST({float(max_epochs)!r} AS DOUBLE)
+             / (CASE source {case} END)) OVER () AS t_final,
+         sum(n_tokens) OVER () AS tot
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS observed_share,
+       round(target_share, 6) AS target_share,
+       round(target_share * t_final / n_tokens, 6) AS epochs
+FROM planned
+"""
+
+
 def dsir_logweights(target_value: str = "src0", alpha: float = 1.0) -> str:
     """Oracle for curation.dsir_logweights (DSIR, arXiv:2302.03169):
     per-doc mean log ratio of add-alpha-smoothed target vs raw unigram

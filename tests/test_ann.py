@@ -285,3 +285,44 @@ def test_knn_graph_ivf_recall_vs_exact(spark):
     # same cells/probes as the query-set IVF gate; the self-join makes
     # every vector a query so the gate is over the full graph
     assert recall >= 0.6
+
+
+def test_ann_store_incremental_equals_rebuild_and_batch_search(spark, tmp_path):
+    """Maintained IVF index: after create/modify/delete updates against
+    frozen centroids, the store equals a fresh assignment of the current
+    corpus, and search off the store equals the batch ivf_topk."""
+    store = str(tmp_path / "annstore")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = ann.train_ivf_centroids(emb, n_cells=8)
+
+    first = emb.filter(F.col("vec_id") < 400)
+    ann.update_ann_store(spark, store, cents, changed_vecs=first)
+    # second batch: add the rest, re-add (modify) 10 overlapping ids,
+    # then delete 5
+    second = emb.filter(F.col("vec_id") >= 390)
+    ann.update_ann_store(spark, store, cents, changed_vecs=second)
+    dele = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    ann.update_ann_store(spark, store, cents, deleted_ids=dele)
+
+    surviving = emb.filter(F.col("vec_id") >= 5)
+    want = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in ann.assign_ivf_cells(surviving, cents).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in ann.read_ann_store(spark, store).collect()
+    )
+    assert got == want
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    off_store = sorted(
+        map(tuple,
+            ann.ann_store_topk(spark, store, cents, q, k=5, n_probe=3).collect())
+    )
+    batch = sorted(
+        map(tuple, ann.ivf_topk(surviving, q, cents, k=5, n_probe=3).collect())
+    )
+    assert off_store == batch

@@ -784,3 +784,126 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained IVF index store (the postings/signature-store discipline
+# applied to ANN: cell assignments are written at ingest against FROZEN
+# centroids, and a query probes the store without re-assigning the
+# corpus — the billion-scale index-maintenance shape: FAISS/Qdrant add
+# vectors to fixed cells too, retraining centroids is a separate
+# offline job)
+# ---------------------------------------------------------------------------
+
+ANN_STORE_SCHEMA = "vec_id long, embedding array<float>, cell_id int"
+
+
+def read_ann_store(spark, store_path: str) -> DataFrame:
+    """The maintained (vec_id, embedding, cell_id) assignment table;
+    empty-typed frame if the store does not exist yet. Only a MISSING
+    store reads as empty — an unreadable one aborts the update loudly
+    (update rewrites the store as kept ∪ delta)."""
+    import os
+
+    if os.path.exists(store_path):
+        return spark.read.parquet(store_path)
+    return spark.createDataFrame([], ANN_STORE_SCHEMA)
+
+
+def update_ann_store(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    changed_vecs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: drop the rows of changed/deleted
+    vectors (one anti-join on vec_id), assign the changed vectors to
+    their home cell against the FROZEN centroid table and append.
+    INVARIANT (asserted in tests): after any update sequence the store
+    equals assign_ivf_cells() over the current corpus with the same
+    centroids — incremental == rebuild, so search off the store is
+    exactly the batch IVF search. The touched set is delta-sized; at
+    production scale this is a Delta MERGE on a table bucketed by
+    cell_id (the probe join then prunes file groups)."""
+    existing = read_ann_store(spark, store_path)
+    gone = None
+    if changed_vecs is not None:
+        gone = changed_vecs.select(F.col(id_col).cast("long").alias("vec_id"))
+    if deleted_ids is not None:
+        d = deleted_ids.select(F.col("vec_id").cast("long"))
+        gone = d if gone is None else gone.unionByName(d)
+    kept = (
+        existing
+        if gone is None
+        else existing.join(gone.distinct(), "vec_id", "left_anti")
+    )
+    out = kept
+    if changed_vecs is not None:
+        fresh = assign_ivf_cells(
+            changed_vecs, centroids, id_col, vec_col
+        ).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col("cell_id").cast("int"),
+        )
+        out = kept.unionByName(fresh)
+    out.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def ann_store_topk(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — IVF top-k OFF THE MAINTAINED
+    STORE: per query the n_probe nearest cells (against the same frozen
+    centroids the store was built with), candidates from the store's
+    cell_id equi-join, exact cosine, per-query top-k. Equals ivf_topk
+    over the current corpus (asserted in tests) because the store equals
+    the batch assignment — the corpus is never re-assigned at query
+    time."""
+    assigned = read_ann_store(spark, store_path)
+    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            query_id_col,
+            "__qv",
+            "cell_id",
+            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__d"), F.asc("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "__qv", F.col("cell_id").cast("int"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qcells), "cell_id")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "vec_id", F.round("score", 6).alias("score"), "rnk")
+    )

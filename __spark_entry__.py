@@ -340,6 +340,29 @@ def _q_mixture_plan_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming/joins.interval_join) in batch
+    mode: for every error event, the same user's clicks in the
+    preceding 24 h — the stream-stream join whose time bound doubles as
+    the streaming state-eviction contract (batch≡stream asserted in
+    test_streaming). NEW IN r7 post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(errors, clicks, "user_id", "24 hours")
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("event_id_r").alias("click_id"),
+    )
+
+
 def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/The-Stack-style line-level boilerplate detection
     (dedup.boilerplate_lines): lines recurring across >= 3 distinct
@@ -2872,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample": _q_bottomk_sample,
         "zorder_keys": _q_zorder_keys,
         "mixture_plan_epochs": _q_mixture_plan_epochs,
+        "events_interval_join": _q_events_interval_join,
     }
 
 
@@ -2900,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan_epochs": oracles.mixture_plan_epochs(
             MIXTURE_TARGETS, 4.0
         ),
+        "events_interval_join": oracles.events_interval_join(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

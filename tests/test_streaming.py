@@ -1326,3 +1326,88 @@ def test_feature_store_lockstep_with_stream(spark, tmp_path):
         store, dlq, feature_store_path=featp,
     )
     check([("a.txt", "short!!")])
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join: two watermarked branches of a
+    file-source stream (clicks, errors) joined on user within a 30-min
+    lookback emit exactly the batch range-join pairs — inner joins emit
+    on match; the watermark + time bound only bound the buffered
+    state."""
+    from workspace_qdrant_mcp_spark.streaming.joins import interval_join
+
+    events_dir = str(tmp_path / "jev")
+    out_dir = str(tmp_path / "jout")
+    ckpt = str(tmp_path / "jckpt")
+    evs = [
+        _ev(1, "2024-01-01T00:00:00Z", 1, "click", 0.0),
+        _ev(2, "2024-01-01T00:10:00Z", 1, "error", 0.0),   # pairs with 1
+        _ev(3, "2024-01-01T00:50:00Z", 1, "error", 0.0),   # outside 30m of 1
+        _ev(4, "2024-01-01T00:45:00Z", 1, "click", 0.0),   # pairs with 3
+        _ev(5, "2024-01-01T00:05:00Z", 2, "click", 0.0),
+        _ev(6, "2024-01-01T00:06:00Z", 3, "error", 0.0),   # other users: no pair
+        _ev(7, "2024-01-02T00:00:00Z", 9, "noise", 0.0),   # watermark push
+    ]
+    _write_events(events_dir, "b1.json", evs)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(
+        errors, clicks, "user_id", "30 minutes",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+    ).select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("event_id_r").alias("click_id"),
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["error_id"], r["user_id"], r["click_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(2, 1, 1), (3, 1, 4)}
+
+    import datetime as _dt
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                e["event_id"],
+                _dt.datetime.strptime(e["ts"], "%Y-%m-%dT%H:%M:%SZ"),
+                e["user_id"],
+                e["event_type"],
+                e["value"],
+            )
+            for e in evs
+        ],
+        _EV_SCHEMA,
+    )
+    be = batch_df.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    bc = batch_df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    want = {
+        (r["event_id"], r["user_id"], r["event_id_r"])
+        for r in interval_join(be, bc, "user_id", "30 minutes").collect()
+    }
+    assert got == want

@@ -4450,6 +4450,19 @@ FROM planned
 """
 
 
+def events_interval_join() -> str:
+    """Oracle for streaming/joins.interval_join in batch mode: errors
+    joined to same-user clicks in the preceding 24 h — a plain SQL range
+    join."""
+    return """
+SELECT l.event_id AS error_id, l.user_id, r.event_id AS click_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'error' AND r.event_type = 'click'
+  AND r.ts >= l.ts - INTERVAL 24 HOUR
+  AND r.ts <= l.ts
+"""
+
+
 def dsir_logweights(target_value: str = "src0", alpha: float = 1.0) -> str:
     """Oracle for curation.dsir_logweights (DSIR, arXiv:2302.03169):
     per-doc mean log ratio of add-alpha-smoothed target vs raw unigram

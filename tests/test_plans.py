@@ -357,3 +357,17 @@ def test_r7_late_additions_plan_shapes(spark):
     # the candidate pairing is the cell_id equi-join (hash or SMJ), and
     # the only NLJ is the broadcast centroid attach (bounded, by design)
     assert "cell_id" in plan
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The stream-stream-capable interval join must plan as a hash/SMJ
+    EQUI-join on the key with the time bound carried as the join
+    condition — never a nested-loop over the inequality."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_interval_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in simple or "SortMergeJoin" in simple

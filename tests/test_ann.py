@@ -326,3 +326,11 @@ def test_ann_store_incremental_equals_rebuild_and_batch_search(spark, tmp_path):
         map(tuple, ann.ivf_topk(surviving, q, cents, k=5, n_probe=3).collect())
     )
     assert off_store == batch
+
+
+def test_knn_graph_unknown_mode_raises(spark):
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="knn_graph"):
+        knn = ann.knn_graph(emb, mode="bruteforce")

@@ -99,3 +99,11 @@ def test_cluster_by_zorder_preserves_rows(spark):
     assert out.count() == ev.count()
     assert out.select(F.sum("event_id")).collect()[0][0] == \
         ev.select(F.sum("event_id")).collect()[0][0]
+
+
+def test_zorder_unknown_mode_raises(spark):
+    import pytest
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    with pytest.raises(ValueError, match="zorder_keys"):
+        layout.zorder_keys(ev, "value", "user_id", mode="quantile")

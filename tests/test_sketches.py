@@ -362,3 +362,15 @@ class TestBloomPrunedJoin:
         )
         n_true = dim.count()
         assert n_true <= n_pass <= n_true + 5
+
+    def test_key_type_mismatch_raises(self, spark):
+        # coerce-matched rows would become Bloom false negatives — the
+        # guard must refuse mismatched key types up front
+        import pytest
+
+        from workspace_qdrant_mcp_spark.operators.sketches import bloom_pruned_join
+
+        big = spark.createDataFrame([(1.0, "x")], "doc_id double, a string")
+        small = spark.createDataFrame([(1, 2)], "doc_id int, n int")
+        with pytest.raises(ValueError, match="types differ"):
+            bloom_pruned_join(big, small, "doc_id")

@@ -248,6 +248,74 @@ def assign_ivf_cells(
     )
 
 
+def _query_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, __qv, cell_id) — each query's n_probe nearest cells by
+    max dot against the broadcast centroid table; ties cell_id ASC. THE
+    one definition of the probe-cell selection, shared by ivf_topk, the
+    maintained-store search, and (as the rank-1 special case) home-cell
+    assignment."""
+    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    return (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            query_id_col,
+            "__qv",
+            "cell_id",
+            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__d"), F.asc("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "__qv", "cell_id")
+    )
+
+
+def _cell_probe_topk(
+    assigned: DataFrame,
+    qcells: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, vec_id, score, rnk) — the shared probe tail: candidates
+    from the cell_id equi-join of the assignment table with the probe
+    cells, exact cosine, self-exclusion, per-query top-k on (score DESC,
+    id ASC). broadcast_queries=False when the query side is corpus-sized
+    (the k-NN graph) — then the equi-join shuffles both sides on the
+    cell instead."""
+    q = F.broadcast(qcells) if broadcast_queries else qcells
+    scored = (
+        assigned.join(q, "cell_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -264,35 +332,8 @@ def ivf_topk(
     probe join prunes file groups instead of scanning the corpus.
     """
     assigned = assign_ivf_cells(emb, centroids, id_col, vec_col)
-    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    qcells = (
-        q.crossJoin(F.broadcast(c))
-        .select(
-            query_id_col, "__qv", "cell_id", dot(F.col("__qv"), F.col("__cv")).alias("__d")
-        )
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(F.desc("__d"), F.asc("cell_id"))
-            ),
-        )
-        .filter(F.col("__r") <= n_probe)
-        .select(query_id_col, "__qv", "cell_id")
-    )
-    scored = (
-        assigned.join(F.broadcast(qcells), "cell_id")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col, id_col, cosine(F.col(vec_col), F.col("__qv")).alias("score")
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rnk")
-    )
+    qcells = _query_probe_cells(queries, centroids, n_probe, vec_col, query_id_col)
+    return _cell_probe_topk(assigned, qcells, k, id_col, vec_col, query_id_col)
 
 
 def knn_graph(
@@ -322,47 +363,54 @@ def knn_graph(
     if mode == "brute":
         q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
         return bruteforce_topk(emb, q, k, id_col, vec_col)
+    if mode != "ivf":
+        raise ValueError(
+            f"knn_graph: mode={mode!r} is not a thing; 'brute' (exact) "
+            f"or 'ivf' (approximate) — a typo here must not silently "
+            f"hand back recall<1 results"
+        )
     cents = (
         centroids
         if centroids is not None
         else train_ivf_centroids(emb, n_cells, id_col, vec_col)
     )
-    assigned = assign_ivf_cells(emb, cents, id_col, vec_col)
+    # ONE centroid scan serves both roles: rank 1 is the home-cell
+    # assignment (the indexed side), ranks 1..n_probe are the query
+    # probes — queries ARE the corpus here, so a separate
+    # assign_ivf_cells pass would rescan the corpus against the
+    # centroids and re-shuffle the same global window a second time
     c = cents.select("cell_id", F.col(vec_col).alias("__cv"))
-    qcells = (
-        emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    ranked = (
+        emb.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(c))
         .select(
-            "query_id",
-            "__qv",
+            id_col,
+            vec_col,
             "cell_id",
-            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
+            dot(F.col(vec_col), F.col("__cv")).alias("__d"),
         )
         .withColumn(
             "__r",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
+                Window.partitionBy(id_col).orderBy(
                     F.desc("__d"), F.asc("cell_id")
                 )
             ),
         )
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qv", "cell_id")
+        .filter(F.col("__r") <= max(1, n_probe))
+        .localCheckpoint()
     )
-    scored = (
-        assigned.join(qcells, "cell_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
-        )
+    assigned = ranked.filter(F.col("__r") == 1).select(
+        id_col, vec_col, "cell_id"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", id_col, F.round("score", 6).alias("score"), "rnk")
+    qcells = ranked.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        "cell_id",
+    )
+    # corpus-sized query side: the shared probe tail must NOT broadcast it
+    return _cell_probe_topk(
+        assigned, qcells, k, id_col, vec_col, broadcast_queries=False
     )
 
 
@@ -828,29 +876,37 @@ def update_ann_store(
     exactly the batch IVF search. The touched set is delta-sized; at
     production scale this is a Delta MERGE on a table bucketed by
     cell_id (the probe join then prunes file groups)."""
-    existing = read_ann_store(spark, store_path)
-    gone = None
-    if changed_vecs is not None:
-        gone = changed_vecs.select(F.col(id_col).cast("long").alias("vec_id"))
-    if deleted_ids is not None:
-        d = deleted_ids.select(F.col("vec_id").cast("long"))
-        gone = d if gone is None else gone.unionByName(d)
-    kept = (
-        existing
-        if gone is None
-        else existing.join(gone.distinct(), "vec_id", "left_anti")
+    from ..store_util import overwrite_store, union_keys
+
+    overwrite_store(
+        store_path,
+        read_ann_store(spark, store_path),
+        "vec_id",
+        gone=union_keys(
+            "vec_id",
+            (
+                changed_vecs.select(
+                    F.col(id_col).cast("long").alias("vec_id")
+                )
+                if changed_vecs is not None
+                else None
+            ),
+            (
+                deleted_ids.select(F.col("vec_id").cast("long"))
+                if deleted_ids is not None
+                else None
+            ),
+        ),
+        fresh=(
+            assign_ivf_cells(changed_vecs, centroids, id_col, vec_col).select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                F.col("cell_id").cast("int"),
+            )
+            if changed_vecs is not None
+            else None
+        ),
     )
-    out = kept
-    if changed_vecs is not None:
-        fresh = assign_ivf_cells(
-            changed_vecs, centroids, id_col, vec_col
-        ).select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            F.col("cell_id").cast("int"),
-        )
-        out = kept.unionByName(fresh)
-    out.localCheckpoint().write.mode("overwrite").parquet(store_path)
 
 
 def ann_store_topk(
@@ -871,39 +927,9 @@ def ann_store_topk(
     the batch assignment — the corpus is never re-assigned at query
     time."""
     assigned = read_ann_store(spark, store_path)
-    c = centroids.select("cell_id", F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    qcells = (
-        q.crossJoin(F.broadcast(c))
-        .select(
-            query_id_col,
-            "__qv",
-            "cell_id",
-            dot(F.col("__qv"), F.col("__cv")).alias("__d"),
-        )
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.desc("__d"), F.asc("cell_id")
-                )
-            ),
-        )
-        .filter(F.col("__r") <= n_probe)
-        .select(query_id_col, "__qv", F.col("cell_id").cast("int"))
-    )
-    scored = (
-        assigned.join(F.broadcast(qcells), "cell_id")
-        .filter(F.col("vec_id") != F.col(query_id_col))
-        .select(
-            query_id_col,
-            "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("score"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, "vec_id", F.round("score", 6).alias("score"), "rnk")
+    qcells = _query_probe_cells(
+        queries, centroids, n_probe, vec_col, query_id_col
+    ).withColumn("cell_id", F.col("cell_id").cast("int"))
+    return _cell_probe_topk(
+        assigned, qcells, k, "vec_id", "embedding", query_id_col
     )

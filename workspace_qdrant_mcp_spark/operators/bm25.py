@@ -209,19 +209,16 @@ def update_postings(
     anti-join prunes by doc key (partitionable by a doc-id bucket), the
     append is delta-sized, and the overwrite is the same MERGE emulation
     as the chunk store (Delta/Iceberg MERGE INTO at production scale)."""
-    existing = read_postings(spark, postings_path, id_col, id_type)
-    gone = None
-    if changed_docs is not None:
-        gone = changed_docs.select(F.col(id_col))
-    if deleted_ids is not None:
-        d = deleted_ids.select(F.col(id_col))
-        gone = d if gone is None else gone.unionByName(d)
-    kept = (
-        existing
-        if gone is None
-        else existing.join(gone.distinct(), id_col, "left_anti")
+    from ..store_util import overwrite_store, union_keys
+
+    overwrite_store(
+        postings_path,
+        read_postings(spark, postings_path, id_col, id_type),
+        id_col,
+        gone=union_keys(id_col, changed_docs, deleted_ids),
+        fresh=(
+            doc_terms(changed_docs, id_col, text_col)
+            if changed_docs is not None
+            else None
+        ),
     )
-    out = kept
-    if changed_docs is not None:
-        out = kept.unionByName(doc_terms(changed_docs, id_col, text_col))
-    out.localCheckpoint().write.mode("overwrite").parquet(postings_path)

@@ -258,46 +258,14 @@ def mixture_plan(
     Scale shape: one map-side-combined per-source aggregate over the
     whitespace token counts; the closed form then runs over #sources rows
     (a bounded dimension), so the unpartitioned window is not a scale
-    concern."""
-    from pyspark.sql import Window
+    concern.
 
-    from .textstats import token_counts
-
-    toks = token_counts(docs).select("doc_id", "ws_tokens")
-    per_src = (
-        docs.select("doc_id", strata_col)
-        .join(toks, "doc_id")
-        .groupBy(strata_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("ws_tokens").cast("bigint").alias("n_tokens"),
-        )
-    )
-    tgt = F.lit(None).cast("double")
-    for src, share in sorted(targets.items()):
-        tgt = F.when(F.col(strata_col) == src, F.lit(float(share))).otherwise(
-            tgt
-        )
-    w = Window.partitionBy()
-    planned = per_src.withColumn("target_share", tgt).withColumn(
-        "_t_final",
-        F.min(F.col("n_tokens") / F.col("target_share")).over(w),
-    )
-    return planned.select(
-        strata_col,
-        "n_docs",
-        "n_tokens",
-        F.round(
-            F.col("n_tokens") / F.sum("n_tokens").over(w), 6
-        ).alias("observed_share"),
-        F.round("target_share", 6).alias("target_share"),
-        F.round(
-            F.least(
-                F.col("target_share") * F.col("_t_final") / F.col("n_tokens"),
-                F.lit(1.0),
-            ),
-            6,
-        ).alias("rate"),
+    Exactly mixture_plan_epochs with max_epochs=1: T = min(tokens·1/
+    target) bounds every rate at 1 by construction, so the
+    downsampling-only plan IS the epoch plan at cap 1 — one definition,
+    the rate column is the epochs column renamed."""
+    return mixture_plan_epochs(docs, targets, 1.0, strata_col).withColumnRenamed(
+        "epochs", "rate"
     )
 
 

@@ -474,24 +474,19 @@ def update_signature_store(
     minhash_signatures() over the current corpus — incremental ==
     rebuild, so incremental_neardup off the store is exact. The touched
     set is delta-sized; at production scale this is a Delta MERGE."""
-    existing = read_signature_store(spark, store_path, n_hashes)
-    gone = None
-    if changed_docs is not None:
-        gone = changed_docs.select("doc_id")
-    if deleted_ids is not None:
-        d = deleted_ids.select("doc_id")
-        gone = d if gone is None else gone.unionByName(d)
-    kept = (
-        existing
-        if gone is None
-        else existing.join(gone.distinct(), "doc_id", "left_anti")
-    )
-    out = kept
-    if changed_docs is not None:
-        out = kept.unionByName(
+    from ..store_util import overwrite_store, union_keys
+
+    overwrite_store(
+        store_path,
+        read_signature_store(spark, store_path, n_hashes),
+        "doc_id",
+        gone=union_keys("doc_id", changed_docs, deleted_ids),
+        fresh=(
             minhash_signatures(changed_docs, n_hashes, shingle_k)
-        )
-    out.localCheckpoint().write.mode("overwrite").parquet(store_path)
+            if changed_docs is not None
+            else None
+        ),
+    )
 
 
 def incremental_neardup(

@@ -78,22 +78,33 @@ def update_feature_store(
     (one anti-join on doc_id), append freshly computed features of the
     changed docs only. The touched set is delta-sized; at production
     scale this is a Delta MERGE keyed on doc_id."""
-    existing = read_feature_store(spark, store_path)
-    gone = None
-    if changed_docs is not None:
-        gone = changed_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    if deleted_ids is not None:
-        d = deleted_ids.select(F.col("doc_id").cast("long"))
-        gone = d if gone is None else gone.unionByName(d)
-    kept = (
-        existing
-        if gone is None
-        else existing.join(gone.distinct(), "doc_id", "left_anti")
+    from ..store_util import overwrite_store, union_keys
+
+    overwrite_store(
+        store_path,
+        read_feature_store(spark, store_path),
+        "doc_id",
+        gone=union_keys(
+            "doc_id",
+            (
+                changed_docs.select(
+                    F.col(id_col).cast("long").alias("doc_id")
+                )
+                if changed_docs is not None
+                else None
+            ),
+            (
+                deleted_ids.select(F.col("doc_id").cast("long"))
+                if deleted_ids is not None
+                else None
+            ),
+        ),
+        fresh=(
+            doc_features(changed_docs, id_col, text_col)
+            if changed_docs is not None
+            else None
+        ),
     )
-    out = kept
-    if changed_docs is not None:
-        out = kept.unionByName(doc_features(changed_docs, id_col, text_col))
-    out.localCheckpoint().write.mode("overwrite").parquet(store_path)
 
 
 def corpus_card(features: DataFrame) -> DataFrame:

@@ -82,6 +82,12 @@ def zorder_keys(
     are known near-uniform."""
     from pyspark.sql.window import Window
 
+    if mode not in ("rank", "minmax"):
+        raise ValueError(
+            f"zorder_keys: mode={mode!r} is not a thing ('rank' or "
+            f"'minmax'); a typo must not silently hand back the "
+            f"skew-collapsing minmax layout"
+        )
     if mode == "rank":
         scale = F.lit(float((1 << bits) - 1))
         zx = F.floor(

@@ -405,6 +405,18 @@ def bloom_pruned_join(
             f"bloom_pruned_join: how={how!r} would need the pruned big "
             f"rows in the result; supported: inner/left_semi"
         )
+    # the probe hashes each side's key via CAST(... AS STRING): values a
+    # plain join would coerce-match (1 INT vs 1.0 DOUBLE) stringify
+    # differently and become FALSE NEGATIVES — so mismatched key types
+    # must raise, not silently lose rows
+    bt = dict(big.dtypes)[on]
+    st = dict(small.dtypes)[on]
+    if bt != st:
+        raise ValueError(
+            f"bloom_pruned_join: key {on!r} types differ (big={bt}, "
+            f"small={st}); the string-hashed probe would drop "
+            f"coerce-matched rows — cast one side first"
+        )
     bits = bloom_bits(small.select(on), on, m, k)
     packed = (
         bits.select(

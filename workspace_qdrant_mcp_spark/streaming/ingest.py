@@ -292,10 +292,13 @@ def process_batch(
             ).select("path", "file_hash", "chunk_index", "content", "embedding")
             if len(chunks.take(1)) > 0:
                 upsert_chunks(spark, store_path, chunks)
+            # one emptiness probe serves every sink below — `changed` is
+            # checkpointed above, but each take(1) is still a job launch
+            has_changed = len(changed.take(1)) > 0
             # S7 maintained FTS sink (opt-in): keep the sparse-postings
             # table in lockstep with the chunk store — only the rows that
             # actually upserted (post-gate `changed`) re-index
-            if postings_path is not None and len(changed.take(1)) > 0:
+            if postings_path is not None and has_changed:
                 from ..operators.bm25 import update_postings
 
                 update_postings(
@@ -312,7 +315,7 @@ def process_batch(
             # (operators/graph_store). Single-tenant ingest stream maps
             # path -> file_path under the 'default' tenant; multi-tenant
             # deployments partition the stream per watch folder first.
-            if graph_store_dir is not None and len(changed.take(1)) > 0:
+            if graph_store_dir is not None and has_changed:
                 from ..operators.graph_store import update_graph_store
 
                 update_graph_store(
@@ -327,10 +330,7 @@ def process_batch(
             # maintained minhash signature store (opt-in): new batches
             # can near-dup against the corpus without re-signing it
             # (dedup.incremental_neardup); path is the doc key here
-            if (
-                signature_store_path is not None
-                and len(changed.take(1)) > 0
-            ):
+            if signature_store_path is not None and has_changed:
                 from ..functions.hashing import md5_hash64
                 from ..operators.dedup import update_signature_store
 
@@ -345,10 +345,7 @@ def process_batch(
             # maintained per-doc feature store (opt-in): the corpus data
             # card stays current at ingest; reports read narrow feature
             # rows, never the corpus text (operators/feature_store)
-            if (
-                feature_store_path is not None
-                and len(changed.take(1)) > 0
-            ):
+            if feature_store_path is not None and has_changed:
                 from ..functions.hashing import md5_hash64
                 from ..operators.feature_store import update_feature_store
 

@@ -292,9 +292,19 @@ def process_batch(
             ).select("path", "file_hash", "chunk_index", "content", "embedding")
             if len(chunks.take(1)) > 0:
                 upsert_chunks(spark, store_path, chunks)
-            # one emptiness probe serves every sink below — `changed` is
-            # checkpointed above, but each take(1) is still a job launch
-            has_changed = len(changed.take(1)) > 0
+            # one emptiness probe serves every sink below. It must ONLY
+            # run when a sink is configured: that is exactly when
+            # `changed` was checkpointed above — otherwise `changed` is
+            # still lazily derived from the PRE-upsert store listing,
+            # and evaluating it here (after upsert_chunks overwrote the
+            # store) reads deleted parquet files
+            any_sink = (
+                postings_path is not None
+                or graph_store_dir is not None
+                or signature_store_path is not None
+                or feature_store_path is not None
+            )
+            has_changed = any_sink and len(changed.take(1)) > 0
             # S7 maintained FTS sink (opt-in): keep the sparse-postings
             # table in lockstep with the chunk store — only the rows that
             # actually upserted (post-gate `changed`) re-index

@@ -827,16 +827,26 @@ def _q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_pruned_join(big, dim, "doc_id").orderBy("doc_id")
 
 
+KNN_GRAPH_CAP = 500  # exact-mode gate slice; the O(n²) oracle twin
+# must not grow with SF (85 s at sf0.1's 5000 vectors, and the cosine
+# is an interpreted higher-order expression) — same capped-subgraph
+# discipline as LEIDEN_CAP/BC_CAP. 500 covers the ENTIRE table at the
+# correctness SFs (sf0.001/sf0.01), so the hash gate loses nothing;
+# the IVF scale path runs over the FULL table in pytest's recall gate.
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph over the embeddings table (ann.knn_graph, exact mode
-    for oracle parity — the IVF scale path is recall-gated in pytest
-    next to the other ANN legs): top-3 cosine neighbors for every
-    vector, the primitive semantic clustering / SemDeDup / diversity
-    analysis start from. NEW IN r7 post-window; front of the r8
-    rotation."""
+    for oracle parity, capped at KNN_GRAPH_CAP vectors — the IVF scale
+    path is recall-gated over the full table in pytest next to the
+    other ANN legs): top-3 cosine neighbors for every vector, the
+    primitive semantic clustering / SemDeDup / diversity analysis start
+    from. NEW IN r7 post-window; front of the r8 rotation."""
     from workspace_qdrant_mcp_spark.operators.ann import knn_graph
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < KNN_GRAPH_CAP
+    )
     return knn_graph(emb, k=3, mode="brute")
 
 
@@ -2918,7 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_rollup": oracles.events_session_rollup(),
         "events_sliding_rollup": oracles.events_sliding_rollup(),
         "bloom_pruned_join": oracles.bloom_pruned_join(),
-        "knn_graph": oracles.knn_graph(k=3),
+        "knn_graph": oracles.knn_graph(k=3, cap=KNN_GRAPH_CAP),
         "bottomk_sample": oracles.bottomk_sample(k=5),
         "zorder_keys": oracles.zorder_keys(),
         "mixture_plan_epochs": oracles.mixture_plan_epochs(

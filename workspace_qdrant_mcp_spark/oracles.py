@@ -3629,15 +3629,18 @@ ORDER BY d.doc_id
 """
 
 
-def knn_graph(k: int = 3) -> str:
-    """Oracle for ann.knn_graph in exact (brute) mode: the all-pairs
-    cosine top-k per vector, ties broken vec_id ASC — the same SQL
-    shape as ann_bruteforce_topk with every vector as a query."""
+def knn_graph(k: int = 3, cap: int = 1000) -> str:
+    """Oracle for ann.knn_graph in exact (brute) mode over the capped
+    slice (vec_id < cap, mirroring the query's KNN_GRAPH_CAP): the
+    all-pairs cosine top-k per vector, ties broken vec_id ASC — the
+    same SQL shape as ann_bruteforce_topk with every vector as a
+    query."""
     cos = duckdb_cosine_sql("e.embedding", "q.embedding")
     return f"""
-WITH scored AS (
+WITH emb AS (SELECT * FROM embeddings WHERE vec_id < {cap}),
+scored AS (
   SELECT q.vec_id AS query_id, e.vec_id, {cos} AS score
-  FROM embeddings e CROSS JOIN embeddings q
+  FROM emb e CROSS JOIN emb q
   WHERE e.vec_id <> q.vec_id
 ),
 r AS (

@@ -1411,3 +1411,73 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         for r in interval_join(be, bc, "user_id", "30 minutes").collect()
     }
     assert got == want
+
+
+def test_dedup_within_watermark_stream_equals_batch_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates across micro-batches
+    inside the watermark horizon collapse to one emission per key; the
+    emitted key set equals batch dropDuplicates over the same events."""
+    from workspace_qdrant_mcp_spark.streaming import windows
+
+    events_dir = str(tmp_path / "dev")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    b1 = [
+        _ev(1, "2024-01-01T00:00:00Z", 1, "click", 0.0),
+        _ev(2, "2024-01-01T00:01:00Z", 1, "click", 0.0),  # dup key (1,click)
+        _ev(3, "2024-01-01T00:02:00Z", 2, "view", 0.0),
+    ]
+    b2 = [
+        _ev(4, "2024-01-01T00:05:00Z", 1, "click", 0.0),  # dup across batches
+        _ev(5, "2024-01-01T00:06:00Z", 2, "click", 0.0),  # new key
+        _ev(6, "2024-01-02T00:00:00Z", 9, "noise", 0.0),  # watermark push
+    ]
+    _write_events(events_dir, "b1.json", b1)
+    _write_events(events_dir, "b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    d = windows.dedup_within_watermark(
+        stream, ["user_id", "event_type"], "30 minutes"
+    ).select("user_id", "event_type")
+    q = (
+        d.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, "click"), (2, "click"), (2, "view"), (9, "noise")]
+    # equals the batch key projection
+    import datetime as _dt
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                e["event_id"],
+                _dt.datetime.strptime(e["ts"], "%Y-%m-%dT%H:%M:%SZ"),
+                e["user_id"],
+                e["event_type"],
+                e["value"],
+            )
+            for e in b1 + b2
+        ],
+        _EV_SCHEMA,
+    )
+    want = sorted(
+        (r["user_id"], r["event_type"])
+        for r in batch_df.dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    )
+    assert got == want

@@ -146,3 +146,26 @@ def flat_session_rollup(roll: DataFrame) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup via the built-in
+    dropDuplicatesWithinWatermark: the first row per key value is
+    emitted, later duplicates arriving within the watermark horizon are
+    dropped, and state per key is evicted once the watermark passes —
+    the canonical bounded-state streaming dedup, complementing the
+    ingest pipeline's content-hash anti-join (which dedups against the
+    PERSISTED store, unbounded history, at batch cost) with an
+    in-stream short-horizon guard (duplicate watcher events, at-least-
+    once replays). On a batch frame Spark's dropDuplicates gives the
+    same key set — batch≡stream asserted on the KEY PROJECTION only,
+    because which duplicate survives is explicitly unspecified in both
+    modes (callers must not read non-key columns off the survivors)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -2206,6 +2206,26 @@ def _q_graph_extract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the CALLS symbol graph
+    (graph.strongly_connected_components, Orzan-style coloring+peel):
+    the dependency KNOTS — mutual recursion groups and cyclic imports —
+    that impact analysis must treat as one unit. Exact oracle: scc_id =
+    min over mutual transitive reachability, computed by a recursive
+    closure of the SAME calls CTE the extraction oracle uses. NEW IN r7
+    post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    _nodes, edges = _symbol_graph(spark, sf_dir)
+    ed = edges.select(
+        F.col("source_node_id").alias("src"),
+        F.col("target_node_id").alias("dst"),
+    ).distinct()
+    return strongly_connected_components(ed)
+
+
 def _q_narrative_explains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12 narrative layer (narrative/sections.rs): markdown '#' sections →
     document_section nodes; EXPLAINS edges only to UNAMBIGUOUS symbol
@@ -2906,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _q_zorder_keys,
         "mixture_plan_epochs": _q_mixture_plan_epochs,
         "events_interval_join": _q_events_interval_join,
+        "graph_scc": _q_graph_scc,
     }
 
 
@@ -2935,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
             MIXTURE_TARGETS, 4.0
         ),
         "events_interval_join": oracles.events_interval_join(),
+        "graph_scc": oracles.graph_scc(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -505,3 +505,68 @@ class TestDistributedBFSFallback:
         e = _edges(spark, [(0, 1)])
         with pytest.raises(ValueError, match="mode"):
             graph.betweenness(e, mode="Driver")
+
+
+class TestStronglyConnectedComponents:
+    def _scc(self, spark, pairs):
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        ed = spark.createDataFrame(pairs, "src string, dst string")
+        return sorted(map(tuple, strongly_connected_components(ed).collect()))
+
+    def test_dag_is_all_singletons(self, spark):
+        assert self._scc(spark, [("a", "b"), ("b", "c")]) == [
+            ("a", "a"), ("b", "b"), ("c", "c"),
+        ]
+
+    def test_cycle_collapses_to_min_id(self, spark):
+        assert self._scc(spark, [("a", "b"), ("b", "c"), ("c", "a")]) == [
+            ("a", "a"), ("b", "a"), ("c", "a"),
+        ]
+
+    def test_two_knots_bridged_by_dag_edge(self, spark):
+        # {a,b} and {c,d} are separate SCCs even though b -> c connects
+        # them (no path back)
+        got = self._scc(
+            spark,
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")],
+        )
+        assert got == [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")]
+
+    def test_self_loop_is_singleton(self, spark):
+        assert self._scc(spark, [("a", "a"), ("a", "b")]) == [
+            ("a", "a"), ("b", "b"),
+        ]
+
+    def test_scc_refines_weak_connectivity(self, spark):
+        # every SCC sits inside one weakly connected component; within an
+        # SCC every pair mutually reaches (checked via closure on a small
+        # deterministic graph)
+        import itertools
+
+        pairs = [
+            (f"n{i}", f"n{(i + 1) % 4}") for i in range(4)  # 4-cycle
+        ] + [("n1", "x"), ("x", "y")]
+        got = dict(self._scc(spark, pairs))
+        assert got == {
+            "n0": "n0", "n1": "n0", "n2": "n0", "n3": "n0",
+            "x": "x", "y": "y",
+        }
+        adj = {}
+        for s, d in pairs:
+            adj.setdefault(s, set()).add(d)
+        def reaches(a, b, seen=None):
+            seen = seen or set()
+            if a == b:
+                return True
+            for nxt in adj.get(a, ()):  # tiny graph: plain DFS
+                if nxt not in seen:
+                    seen.add(nxt)
+                    if reaches(nxt, b, seen):
+                        return True
+            return False
+        members = [n for n, c in got.items() if c == "n0"]
+        for a, b in itertools.permutations(members, 2):
+            assert reaches(a, b)

@@ -1348,3 +1348,158 @@ def betweenness_distributed(
             F.lit(1.0),
         ).alias("centrality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed — cycle structure of the
+# CALLS symbol graph: mutual recursion groups, dependency knots)
+# ---------------------------------------------------------------------------
+
+def strongly_connected_components(
+    edges: DataFrame, max_peels: int = 20, n_iters: int = 40
+) -> DataFrame:
+    """(node_id, scc_id) — scc_id = min node id (lexicographic for
+    string ids) of each node's strongly connected component, over the
+    DIRECTED edge set. The directed twin of connected_components:
+    impact analysis treats a dependency knot (mutual recursion, cyclic
+    imports) as one unit, and SCC is what finds the knots.
+
+    Algorithm: Orzan-style coloring + peel, built from the same
+    min-label machinery as the undirected CC (public algorithm;
+    forward-backward coloring is the standard distributed SCC):
+      1. FORWARD coloring to fixpoint: color(v) = min over {v} and all
+         ancestors — one join + min-groupBy per round, RollingCheckpoint
+         bounding lineage and storage.
+      2. Nodes with color == own id are ROOTS. SCC(root c) = nodes of
+         color c that REACH c — a backward flag propagation restricted
+         to the color class (paths inside an SCC never leave it, so the
+         class restriction is lossless).
+      3. Peel the found SCCs (their nodes' edges drop) and repeat on
+         the remainder; a peeled-empty node is a singleton SCC.
+    Peel rounds are bounded by the longest chain of SCCs meeting the
+    min-color root per pass — small for real call graphs (few big knots
+    + singleton mass); max_peels exhaustion raises rather than
+    returning a partial answer. Every driver action is a bounded
+    fixpoint probe (the k_core discipline)."""
+    spark = edges.sparkSession
+    # one RollingCheckpoint per frame FAMILY: a single roller releases
+    # t-1 when t lands, which is only safe on a linear chain — colors,
+    # flags and the shrinking edge set interleave, so each gets its own
+    roll_rem = RollingCheckpoint(spark)
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    all_nodes = nodes_from_edges(ed).localCheckpoint()
+    assigned = None  # (node_id, scc_id)
+
+    def _fixpoint_colors(rem: DataFrame, nodes: DataFrame) -> DataFrame:
+        # keep_last=2: the changed-probe reads generation t AND t-1
+        roll = RollingCheckpoint(spark, keep_last=2)
+        colors = roll(nodes.select("node_id", F.col("node_id").alias("color")))
+        for _ in range(n_iters):
+            msg = (
+                rem.join(
+                    colors.select(F.col("node_id").alias("src"), "color"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.min("color").alias("m"))
+            )
+            new = roll(
+                colors.join(msg, "node_id", "left").select(
+                    "node_id",
+                    F.least(
+                        F.col("color"), F.coalesce("m", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            changed = (
+                new.alias("n")
+                .join(colors.alias("o"), "node_id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new
+            if changed == 0:
+                return colors
+        raise RuntimeError(
+            f"scc: forward coloring did not converge in {n_iters} rounds"
+        )
+
+    remaining = ed
+    for _peel in range(max_peels):
+        if remaining.limit(1).count() == 0:
+            break
+        nodes = nodes_from_edges(remaining)
+        colors = _fixpoint_colors(remaining, nodes)
+        # backward reach-the-root flags within each color class
+        roll_fl = RollingCheckpoint(spark, keep_last=2)
+        flags = roll_fl(
+            colors.select(
+                "node_id",
+                "color",
+                (F.col("node_id") == F.col("color")).alias("inscc"),
+            )
+        )
+        for _ in range(n_iters):
+            flagged_dst = flags.filter("inscc").select(
+                F.col("node_id").alias("dst"), F.col("color").alias("dcolor")
+            )
+            cand = (
+                remaining.join(flagged_dst, "dst")
+                .select(F.col("src").alias("node_id"), "dcolor")
+                .distinct()
+            )
+            match = (
+                cand.join(
+                    colors.withColumnRenamed("color", "vcolor"), "node_id"
+                )
+                .filter(F.col("dcolor") == F.col("vcolor"))
+                .select("node_id")
+                .distinct()
+                .withColumn("f2", F.lit(True))
+            )
+            new = roll_fl(
+                flags.join(match, "node_id", "left").select(
+                    "node_id",
+                    "color",
+                    (
+                        F.col("inscc") | F.coalesce("f2", F.lit(False))
+                    ).alias("inscc"),
+                )
+            )
+            changed = (
+                new.alias("n")
+                .join(flags.alias("o"), "node_id")
+                .filter(F.col("n.inscc") != F.col("o.inscc"))
+                .limit(1)
+                .count()
+            )
+            flags = new
+            if changed == 0:
+                break
+        found = flags.filter("inscc").select(
+            "node_id", F.col("color").alias("scc_id")
+        ).localCheckpoint()
+        assigned = (
+            found if assigned is None else assigned.unionByName(found)
+        )
+        gone = found.select("node_id")
+        remaining = roll_rem(
+            remaining.join(
+                gone.withColumnRenamed("node_id", "src"), "src", "left_anti"
+            ).join(
+                gone.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
+            )
+        )
+    else:
+        raise RuntimeError(f"scc: not peeled out after {max_peels} rounds")
+    # nodes whose every edge was peeled away without being flagged are
+    # singleton SCCs of the remainder
+    if assigned is None:
+        return all_nodes.select(
+            "node_id", F.col("node_id").alias("scc_id")
+        )
+    left = all_nodes.join(assigned.select("node_id"), "node_id", "left_anti")
+    return assigned.unionByName(
+        left.select("node_id", F.col("node_id").alias("scc_id"))
+    )

@@ -2624,12 +2624,9 @@ ctoks AS MATERIALIZED (
 """
 
 
-def graph_extract_calls() -> str:
-    """G11: CALLS edges over the synthetic code corpus with the reference's
-    sha-based node/edge id schemes."""
-    return f"""
-WITH {_CODE_DOCS_CTE},
-calls AS (
+# the CALLS edge derivation, shared by graph_extract_calls and the SCC
+# oracle so the edge definition cannot drift between them
+_CALLS_CTE = """calls AS (
   SELECT DISTINCT c.tenant_id,
     substr(sha256(c.tenant_id || '|' || c.file_path || '|' || c.symbol_name
                   || '|function'), 1, 16) AS source_node_id,
@@ -2640,11 +2637,53 @@ calls AS (
   JOIN ctoks k ON k.tenant_id = c.tenant_id AND k.file_path = c.file_path
   JOIN gnodes n ON n.tenant_id = c.tenant_id AND n.symbol_name = k.callee
   WHERE c.symbol_name <> n.symbol_name
-)
+)"""
+
+
+def graph_extract_calls() -> str:
+    """G11: CALLS edges over the synthetic code corpus with the reference's
+    sha-based node/edge id schemes."""
+    return f"""
+WITH {_CODE_DOCS_CTE},
+{_CALLS_CTE}
 SELECT substr(sha256(tenant_id || '|' || source_node_id || '|'
                      || target_node_id || '|' || edge_type), 1, 16) AS edge_id,
        tenant_id, source_node_id, target_node_id, edge_type, source_file, weight
 FROM calls
+"""
+
+
+def graph_scc() -> str:
+    """Oracle for graph.strongly_connected_components over the CALLS
+    symbol graph: scc_id(v) = min(u) over {v} union {u : v reaches u AND
+    u reaches v}, with reachability as a recursive transitive closure of
+    the SAME calls CTE the extraction oracle uses. Exact by definition —
+    the distributed coloring+peel must agree node-for-node."""
+    return f"""
+WITH RECURSIVE {_CODE_DOCS_CTE},
+{_CALLS_CTE},
+e AS (
+  SELECT DISTINCT source_node_id AS src, target_node_id AS dst FROM calls
+),
+nodes AS (
+  SELECT src AS node_id FROM e UNION SELECT dst FROM e
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+),
+mutual AS (
+  SELECT a.src AS node_id, a.dst AS u
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT node_id, min(u) AS scc_id
+FROM (
+  SELECT node_id, node_id AS u FROM nodes
+  UNION ALL
+  SELECT node_id, u FROM mutual
+)
+GROUP BY node_id
 """
 
 

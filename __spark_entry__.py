@@ -2226,6 +2226,17 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI over documents
+    (textstats.pmi_collocations, min pair count 5) — the bigram phrase
+    layer of tokenizer/vocabulary prep next to A5's unigram TF-IDF.
+    Both corpus totals are lazy 1-row broadcast aggregates; the top-k is
+    a TakeOrdered, never a full sort. NEW IN r7 post-window; front of
+    the r8 rotation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(docs, min_count=5, k=20)
+
+
 def _q_narrative_explains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12 narrative layer (narrative/sections.rs): markdown '#' sections →
     document_section nodes; EXPLAINS edges only to UNAMBIGUOUS symbol
@@ -2927,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_epochs": _q_mixture_plan_epochs,
         "events_interval_join": _q_events_interval_join,
         "graph_scc": _q_graph_scc,
+        "pmi_collocations": _q_pmi_collocations,
     }
 
 
@@ -2957,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_interval_join": oracles.events_interval_join(),
         "graph_scc": oracles.graph_scc(),
+        "pmi_collocations": oracles.pmi_collocations(min_count=5, k=20),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -262,3 +262,40 @@ class TestBigramLogppl:
             for r in textstats.bigram_logppl(docs).collect()
         }
         assert out[9] > out[1]
+
+
+class TestPmiCollocations:
+    def test_hand_computed(self, spark):
+        # corpus: "a b" x3 plus "c d" once and a stray "a d" once.
+        # tokens: a=4 b=3 c=1 d=2, N_tok=10; bigrams: (a,b)=3 (c,d)=1
+        # (a,d)=1, N_bg=5.  min_count=2 keeps only (a,b):
+        # pmi = ln( (3/5) / ((4/10)*(3/10)) ) = ln(5.0)
+        import math
+
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "c d"), (5, "a d")],
+            "doc_id long, text string",
+        )
+        rows = textstats.pmi_collocations(docs, min_count=2, k=10).collect()
+        assert [(r["w1"], r["w2"], r["pair_count"]) for r in rows] == [
+            ("a", "b", 3)
+        ]
+        assert rows[0]["pmi"] == round(math.log(5.0), 6)
+
+    def test_topk_order_and_tiebreak(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(i, "x y . q r . x y . q r") for i in range(4)],
+            "doc_id long, text string",
+        )
+        rows = textstats.pmi_collocations(docs, min_count=1, k=3).collect()
+        assert len(rows) == 3
+        pmis = [r["pmi"] for r in rows]
+        assert pmis == sorted(pmis, reverse=True)
+        # equal-pmi rows must come back (w1, w2) ASC
+        for a, b in zip(rows, rows[1:]):
+            if a["pmi"] == b["pmi"]:
+                assert (a["w1"], a["w2"]) < (b["w1"], b["w2"])

@@ -530,3 +530,74 @@ def bigram_logppl(
             F.round(-F.avg(F.log("pw")), 6).alias("logppl"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, pair_count, pmi) — the top-k adjacent-word collocations
+    by pointwise mutual information: PMI(w1,w2) = ln( p(w1,w2) /
+    (p(w1)·p(w2)) ) with p(w1,w2) = c12/N_bigrams and p(w) = c_w/N_tokens,
+    restricted to pairs seen >= min_count times (the standard guard
+    against PMI's low-frequency blow-up). The collocation-mining step of
+    a phrase-vocabulary / tokenizer-prep pipeline (reference context:
+    memory/types.rs keyword extraction is unigram TF-IDF; this is the
+    bigram phrase layer next to it).
+
+    Scale shape: ONE bigram explode → map-side-combined pair counts; one
+    token explode → unigram counts; both corpus totals are lazy 1-row
+    broadcast aggregates (never a window over the unbounded bigram
+    table); the two probability joins key on single words against the
+    BOUNDED vocab table; TakeOrdered(k) ends it — no full sort. Ties at
+    the rounded PMI break (w1, w2) ASC so the top-k set is deterministic
+    across engines."""
+    pair_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> named_struct('w1', element_at(__toks, i),"
+        " 'w2', element_at(__toks, i + 1))) "
+        "ELSE array() END"
+    )
+    pairs = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.explode(F.expr(pair_expr)).alias("z"))
+        .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uc = (
+        fan_out(docs)
+        .select(F.explode(_ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bg = pc.agg(F.sum("pair_count").cast("double").alias("n_bg"))
+    n_tok = uc.agg(F.sum("c").cast("double").alias("n_tok"))
+    scored = (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_bg"))
+                    / (
+                        (F.col("c1") / F.col("n_tok"))
+                        * (F.col("c2") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

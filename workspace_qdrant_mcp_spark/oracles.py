@@ -4655,3 +4655,40 @@ SELECT user_id, session_idx,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_idx
 """
+
+
+def pmi_collocations(min_count: int = 5, k: int = 20) -> str:
+    """Oracle for textstats.pmi_collocations: identical bigram/unigram
+    counts, identical float op order ((c12/N_bg) / ((c1/N_tok)*(c2/N_tok))),
+    natural log rounded to 6, ties broken (w1, w2) ASC."""
+    return f"""
+WITH tokd AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+uc AS (
+  SELECT tk AS w, count(*) AS c
+  FROM (SELECT unnest(w) AS tk FROM tokd) GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(sum(pair_count) AS DOUBLE) FROM pc) AS n_bg,
+         (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_tok
+)
+SELECT pc.w1, pc.w2, pc.pair_count,
+       round(ln((pc.pair_count / tot.n_bg)
+                / ((u1.c / tot.n_tok) * (u2.c / tot.n_tok))), 6) AS pmi
+FROM pc
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN tot
+WHERE pc.pair_count >= {min_count}
+ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
+LIMIT {k}
+"""

@@ -2226,6 +2226,18 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.adamic_adar) on the
+    proportionally-capped co-occurrence subgraph: top-50 non-adjacent
+    pairs by Σ 1/ln(deg) over shared neighbors, hub-ceiling-guarded
+    wedge generation at the center. The missing-edge suggester next to
+    G1's existing-edge expansion. NEW IN r7 post-window; front of the
+    r8 rotation."""
+    return graph.adamic_adar(
+        _prop_capped_edges(spark, sf_dir), hub_ceiling=256, k=50
+    )
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-word collocations by PMI over documents
     (textstats.pmi_collocations, min pair count 5) — the bigram phrase
@@ -2939,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "graph_scc": _q_graph_scc,
         "pmi_collocations": _q_pmi_collocations,
+        "link_prediction_aa": _q_link_prediction,
     }
 
 
@@ -2970,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": oracles.events_interval_join(),
         "graph_scc": oracles.graph_scc(),
         "pmi_collocations": oracles.pmi_collocations(min_count=5, k=20),
+        "link_prediction_aa": oracles.link_prediction_aa(hub_ceiling=256, k=50),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

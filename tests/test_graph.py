@@ -570,3 +570,52 @@ class TestStronglyConnectedComponents:
         members = [n for n, c in got.items() if c == "n0"]
         for a, b in itertools.permutations(members, 2):
             assert reaches(a, b)
+
+
+class TestAdamicAdar:
+    # und degrees: 10:{1,2,3}=3, 11:{1,2}=2, 1:{10,11}=2, 2:{10,11}=2,
+    # 3:{10}=1.  Non-adjacent pairs: (10,11) via centers 1,2 -> 2/ln2;
+    # (1,2) via 10,11 -> 1/ln3 + 1/ln2; (1,3),(2,3) via 10 -> 1/ln3.
+    EDGES = [(1, 10), (2, 10), (1, 11), (2, 11), (3, 10)]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_hand_computed(self, spark):
+        import math
+
+        from workspace_qdrant_mcp_spark.operators.graph import adamic_adar
+
+        rows = adamic_adar(self._edges(spark), k=10).collect()
+        got = {(r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+               for r in rows}
+        assert got == {
+            (10, 11): (2, round(2 / math.log(2), 6)),
+            (1, 2): (2, round(1 / math.log(3) + 1 / math.log(2), 6)),
+            (1, 3): (1, round(1 / math.log(3), 6)),
+            (2, 3): (1, round(1 / math.log(3), 6)),
+        }
+        # order: aa DESC, then (a, b) ASC on the tie
+        keys = [(r["a"], r["b"]) for r in rows]
+        assert keys == [(10, 11), (1, 2), (1, 3), (2, 3)]
+
+    def test_hub_ceiling_excludes_center(self, spark):
+        import math
+
+        from workspace_qdrant_mcp_spark.operators.graph import adamic_adar
+
+        rows = adamic_adar(self._edges(spark), hub_ceiling=2, k=10).collect()
+        got = {(r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+               for r in rows}
+        # center 10 (deg 3) is excluded; only wedges at 11, 1, 2 remain
+        assert got == {
+            (10, 11): (2, round(2 / math.log(2), 6)),
+            (1, 2): (1, round(1 / math.log(2), 6)),
+        }
+
+    def test_adjacent_pairs_never_returned(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import adamic_adar
+
+        und = {(min(s, d), max(s, d)) for s, d in self.EDGES}
+        rows = adamic_adar(self._edges(spark), k=10).collect()
+        assert all((r["a"], r["b"]) not in und for r in rows)

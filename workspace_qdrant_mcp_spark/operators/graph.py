@@ -1503,3 +1503,57 @@ def strongly_connected_components(
     return assigned.unionByName(
         left.select("node_id", F.col("node_id").alias("scc_id"))
     )
+
+
+def adamic_adar(
+    edges: DataFrame, hub_ceiling: int = 256, k: int = 50
+) -> DataFrame:
+    """(a, b, common_neighbors, adamic_adar) — the top-k NON-adjacent
+    node pairs ranked by the Adamic-Adar index AA(a,b) = Σ_{z ∈
+    Γ(a)∩Γ(b)} 1/ln|Γ(z)| (Adamic & Adar 2003), the standard local
+    link-prediction score: shared rare neighbors count more than shared
+    hubs. The "symbols that should probably be related" suggester next
+    to G1's existing-neighbor expansion (reference context:
+    graph/algorithms/mod.rs neighborhood ops — the reference walks
+    existing edges; this predicts missing ones from the same adjacency).
+
+    Scale shape: wedges are generated AT their center z by one
+    self-equi-join of the neighbor list on z — never a pair join over
+    nodes — so work is Σ d(z)², and the hub_ceiling excludes centers
+    with degree > ceiling BEFORE the join (the standard frequent-
+    neighbor cap: a 10^6-degree hub would alone emit 10^12 wedges, and
+    its 1/ln contribution is negligible by construction). The cap is
+    part of the operator's definition — deterministic, and replayed
+    identically by the oracle. Map-side-combinable groupBy(a,b), one
+    left-anti join against the existing edge set, TakeOrdered(k) with
+    (a, b) ASC tiebreak."""
+    und = _undirected_simple(edges)
+    deg = und.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg_z")
+    )
+    nz = (
+        und.select(F.col("u").alias("z"), F.col("v").alias("n"))
+        .join(deg.filter(F.col("deg_z") <= hub_ceiling), "z")
+    )
+    wedges = (
+        nz.alias("x")
+        .join(nz.alias("y"), "z")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("b"),
+            (F.lit(1.0) / F.log(F.col("x.deg_z"))).alias("contrib"),
+        )
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.round(F.sum("contrib"), 6).alias("adamic_adar"),
+    )
+    existing = und.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return (
+        scored.join(existing, ["a", "b"], "left_anti")
+        .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

@@ -4692,3 +4692,43 @@ WHERE pc.pair_count >= {min_count}
 ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
 LIMIT {k}
 """
+
+
+def link_prediction_aa(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+    hub_ceiling: int = 256,
+    k: int = 50,
+) -> str:
+    """Oracle for graph.adamic_adar on the capped co-occurrence
+    subgraph: identical wedge generation (center-join with the same
+    hub_ceiling pre-filter), identical 1.0/ln(deg) contribution,
+    anti-join against existing undirected edges, (a, b) ASC tiebreak."""
+    return f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub UNION SELECT dst, src FROM sub
+),
+deg AS (SELECT u AS z, count(*) AS deg_z FROM und GROUP BY u),
+nz AS MATERIALIZED (
+  SELECT und.u AS z, und.v AS n, deg.deg_z
+  FROM und JOIN deg ON deg.z = und.u
+  WHERE deg.deg_z <= {hub_ceiling}
+),
+w AS (
+  SELECT x.n AS a, y.n AS b, 1.0 / ln(x.deg_z) AS contrib
+  FROM nz x JOIN nz y ON x.z = y.z AND x.n < y.n
+),
+scored AS (
+  SELECT a, b, count(*) AS common_neighbors,
+         round(sum(contrib), 6) AS adamic_adar
+  FROM w GROUP BY a, b
+),
+ex AS (SELECT u AS a, v AS b FROM und WHERE u < v)
+SELECT s.a, s.b, s.common_neighbors, s.adamic_adar
+FROM scored s
+ANTI JOIN ex ON ex.a = s.a AND ex.b = s.b
+ORDER BY s.adamic_adar DESC, s.a ASC, s.b ASC
+LIMIT {k}
+"""

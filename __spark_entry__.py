@@ -2226,6 +2226,40 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (sketches.kmv_set_estimates, Beyer
+    et al. 2007) between src0's and src1's word-bigram sets: union /
+    Jaccard / intersection from two k=128 bottom-k sketches next to the
+    exact columns — the sketch-scale path for the cross_source_overlap
+    analytic (at 100 TB each corpus reduces to a k-row mergeable sketch;
+    the exact twin needs a full distinct-join). NEW IN r7 post-window;
+    front of the r8 rotation."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    pair_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+        "ELSE array() END"
+    )
+    bg = (
+        docs.withColumn(
+            "__toks",
+            F.filter(
+                F.split(F.lower(F.col("text")), "\\s+"),
+                lambda t: F.length(t) > 0,
+            ),
+        )
+        .select("source", F.explode(F.expr(pair_expr)).alias("key"))
+    )
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    ka = bg.filter(F.col("source") == "src0").select("key")
+    kb = bg.filter(F.col("source") == "src1").select("key")
+    return sketches.kmv_set_estimates(ka, kb, k=128)
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (graph.adamic_adar) on the
     proportionally-capped co-occurrence subgraph: top-50 non-adjacent
@@ -2952,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_graph_scc,
         "pmi_collocations": _q_pmi_collocations,
         "link_prediction_aa": _q_link_prediction,
+        "kmv_source_overlap": _q_kmv_source_overlap,
     }
 
 
@@ -2984,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": oracles.graph_scc(),
         "pmi_collocations": oracles.pmi_collocations(min_count=5, k=20),
         "link_prediction_aa": oracles.link_prediction_aa(hub_ceiling=256, k=50),
+        "kmv_source_overlap": oracles.kmv_source_overlap("src0", "src1", k=128),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -374,3 +374,42 @@ class TestBloomPrunedJoin:
         small = spark.createDataFrame([(1, 2)], "doc_id int, n int")
         with pytest.raises(ValueError, match="types differ"):
             bloom_pruned_join(big, small, "doc_id")
+
+
+class TestKmvSetEstimates:
+    def test_exact_columns_and_validity_regime(self, spark):
+        from workspace_qdrant_mcp_spark.operators.sketches import (
+            kmv_set_estimates,
+        )
+
+        ka = spark.createDataFrame(
+            [(f"a{i}",) for i in range(30)] + [("shared%d" % i,) for i in range(10)],
+            "key string",
+        )
+        kb = spark.createDataFrame(
+            [(f"b{i}",) for i in range(20)] + [("shared%d" % i,) for i in range(10)],
+            "key string",
+        )
+        # union = 60 >= k=32 -> one row with exact union/intersection
+        rows = kmv_set_estimates(ka, kb, k=32).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["exact_union"] == 60
+        assert r["exact_intersection"] == 10
+        assert 0.0 <= r["jaccard_estimate"] <= 1.0
+        assert r["union_estimate"] > 0
+        # under-k union -> empty frame (estimator validity regime)
+        assert kmv_set_estimates(ka, kb, k=128).count() == 0
+
+    def test_identical_sets_jaccard_one(self, spark):
+        from workspace_qdrant_mcp_spark.operators.sketches import (
+            kmv_set_estimates,
+        )
+
+        ka = spark.createDataFrame(
+            [(f"x{i}",) for i in range(50)], "key string"
+        )
+        r = kmv_set_estimates(ka, ka, k=16).collect()[0]
+        assert r["jaccard_estimate"] == 1.0
+        assert r["exact_union"] == r["exact_intersection"] == 50
+        assert r["intersection_estimate"] == r["union_estimate"]

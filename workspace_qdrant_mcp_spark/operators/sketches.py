@@ -647,3 +647,74 @@ def hll_estimate_by_group(
         F.round(_hll_corrected(m), 6).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+def kmv_set_estimates(
+    keys_a: DataFrame, keys_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """One row (k, union_kth_hash, union_estimate, jaccard_estimate,
+    intersection_estimate, exact_union, exact_intersection) — KMV
+    SET-OPERATION estimates between two key sets (Beyer et al. 2007,
+    "On synopses for distinct-value estimation over sliding windows"):
+    the union sketch is the bottom-k of the two sketches' hash union
+    (the KMV merge law), |A∪B|^ = (k-1)/(U_k/2^60) from its k-th
+    smallest hash, Jaccard ρ^ = |{h ∈ union sketch : h ∈ sketch_A ∧ h ∈
+    sketch_B}| / k, and |A∩B|^ = ρ^·|A∪B|^. The sketch-scale path for
+    cross-corpus overlap: at 100 TB each side reduces to a k-row
+    sketch (bottom-k is per-shard mergeable), the set algebra then
+    touches only k-row frames (broadcast semi-joins), while the exact
+    twin — computed here alongside for the error-bound columns — needs
+    a full distinct-join of both corpora. Requires the true union to
+    have >= k distinct keys (the estimator's validity regime; the row
+    is empty otherwise, same as the oracle)."""
+    from ..functions.hashing import md5_hash64
+
+    def _sk(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("key").cast("string").alias("key"))
+            .distinct()
+            .select(md5_hash64(F.col("key")).alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    sa, sb = _sk(keys_a), _sk(keys_b)
+    su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    kcap = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("k_cap"))
+    )
+    kth = su.agg(
+        F.max("h").alias("union_kth_hash"), F.count(F.lit(1)).alias("nk")
+    )
+    da = keys_a.select(F.col("key").cast("string").alias("key")).distinct()
+    db = keys_b.select(F.col("key").cast("string").alias("key")).distinct()
+    ex = (
+        da.unionByName(db)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("ng"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("ng") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    f = F.col("union_kth_hash").cast("double") / F.lit(float(1 << 60))
+    ue = F.lit(float(k - 1)) / f
+    rho = F.col("k_cap").cast("double") / F.lit(float(k))
+    return (
+        kth.filter(F.col("nk") == k)
+        .crossJoin(kcap)
+        .crossJoin(ex)
+        .select(
+            F.lit(k).alias("k"),
+            "union_kth_hash",
+            F.round(ue, 6).alias("union_estimate"),
+            F.round(rho, 6).alias("jaccard_estimate"),
+            F.round(rho * ue, 6).alias("intersection_estimate"),
+            "exact_union",
+            "exact_intersection",
+        )
+    )

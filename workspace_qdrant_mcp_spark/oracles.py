@@ -4732,3 +4732,50 @@ ANTI JOIN ex ON ex.a = s.a AND ex.b = s.b
 ORDER BY s.adamic_adar DESC, s.a ASC, s.b ASC
 LIMIT {k}
 """
+
+
+def kmv_source_overlap(
+    src_a: str = "src0", src_b: str = "src1", k: int = 128
+) -> str:
+    """Oracle for sketches.kmv_set_estimates over per-source word-bigram
+    sets: identical md5 bottom-k sketches, union-sketch merge, K∩
+    membership count, and float op order for the three estimates."""
+    h = duckdb_md5_hash64_sql("key")
+    f = f"(CAST(union_kth_hash AS DOUBLE) / {float(1 << 60)})"
+    ue = f"({float(k - 1)} / {f})"
+    rho = f"(CAST(k_cap AS DOUBLE) / {float(k)})"
+    return f"""
+WITH tokd AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS l
+  FROM documents WHERE source IN ('{src_a}', '{src_b}')
+),
+bg AS (
+  SELECT source, l[i] || ' ' || l[i + 1] AS key
+  FROM tokd, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+  WHERE len(l) >= 2
+),
+da AS (SELECT DISTINCT key FROM bg WHERE source = '{src_a}'),
+db AS (SELECT DISTINCT key FROM bg WHERE source = '{src_b}'),
+sa AS (SELECT {h} AS h FROM da ORDER BY h LIMIT {k}),
+sb AS (SELECT {h} AS h FROM db ORDER BY h LIMIT {k}),
+su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT {k}),
+kc AS (SELECT count(*) AS k_cap FROM su
+       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+kt AS (SELECT max(h) AS union_kth_hash, count(*) AS nk FROM su),
+m AS (SELECT key, count(*) AS ng
+      FROM (SELECT key FROM da UNION ALL SELECT key FROM db)
+      GROUP BY key),
+ex AS (SELECT count(*) AS exact_union,
+              CAST(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS exact_intersection
+       FROM m)
+SELECT {k} AS k, union_kth_hash,
+       round({ue}, 6) AS union_estimate,
+       round({rho}, 6) AS jaccard_estimate,
+       round({rho} * {ue}, 6) AS intersection_estimate,
+       exact_union, exact_intersection
+FROM kt, kc, ex WHERE nk = {k}
+"""

@@ -2226,6 +2226,17 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the deterministic top-20 corpus
+    vocabulary (textstats.vocab_coverage) — the tokenizer-coverage
+    pre-flight of vocab prep; the vocab is a bounded broadcast list so
+    membership never shuffles the token stream. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    return textstats.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_size=20
+    )
+
+
 def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (sketches.kmv_set_estimates, Beyer
     et al. 2007) between src0's and src1's word-bigram sets: union /
@@ -2987,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "link_prediction_aa": _q_link_prediction,
         "kmv_source_overlap": _q_kmv_source_overlap,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -3020,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": oracles.pmi_collocations(min_count=5, k=20),
         "link_prediction_aa": oracles.link_prediction_aa(hub_ceiling=256, k=50),
         "kmv_source_overlap": oracles.kmv_source_overlap("src0", "src1", k=128),
+        "vocab_coverage": oracles.vocab_coverage(vocab_size=20),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -299,3 +299,38 @@ class TestPmiCollocations:
         for a, b in zip(rows, rows[1:]):
             if a["pmi"] == b["pmi"]:
                 assert (a["w1"], a["w2"]) < (b["w1"], b["w2"])
+
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        # corpus counts: a=4, b=3, c=2, d=1; vocab_size=2 -> {a, b}
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "a a b c"),
+                (2, "s1", "a b"),
+                (3, "s2", "a b c d"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in textstats.vocab_coverage(docs, vocab_size=2).collect()
+        }
+        assert out["s1"]["n_tokens"] == 6
+        assert out["s1"]["oov_tokens"] == 1          # the lone 'c'
+        assert out["s1"]["oov_rate"] == round(1 / 6, 6)
+        assert out["s2"]["n_tokens"] == 4
+        assert out["s2"]["oov_tokens"] == 2          # 'c', 'd'
+        assert out["s2"]["oov_rate"] == 0.5
+
+    def test_vocab_tiebreak_is_token_asc(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        # x and y both occur twice; vocab_size=1 must pick 'x' (ASC)
+        docs = spark.createDataFrame(
+            [(1, "s", "x y x y")], "doc_id long, source string, text string"
+        )
+        r = textstats.vocab_coverage(docs, vocab_size=1).collect()[0]
+        assert r["oov_tokens"] == 2                  # both 'y's

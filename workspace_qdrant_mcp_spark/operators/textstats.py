@@ -601,3 +601,48 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, oov_tokens, oov_rate) — tokenizer-coverage
+    analysis: build the top-`vocab_size` corpus vocabulary by token
+    count (ties token ASC, so the vocab set is deterministic), then
+    measure each group's out-of-vocabulary token-OCCURRENCE rate. The
+    pre-flight check of tokenizer/vocabulary prep: a source whose OOV
+    rate is high is mis-served by the planned vocab (and will fragment
+    into many subword units downstream).
+
+    Scale shape: one token explode feeding a map-side-combined count;
+    the vocab is a TakeOrdered(vocab_size) — a BOUNDED broadcast list —
+    so membership is a broadcast left join against the token stream
+    (never a shuffle keyed on the unbounded token column); the per-group
+    rollup is map-side combinable. At 100 TB the only exchanges are the
+    word-count combine and the tiny per-group aggregate."""
+    tok = fan_out(docs).select(
+        F.col(group_col).alias("source"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("w"),
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -4779,3 +4779,30 @@ SELECT {k} AS k, union_kth_hash,
        exact_union, exact_intersection
 FROM kt, kc, ex WHERE nk = {k}
 """
+
+
+def vocab_coverage(vocab_size: int = 20) -> str:
+    """Oracle for textstats.vocab_coverage: identical top-N vocab
+    (count DESC, token ASC) and per-source OOV occurrence rate."""
+    return f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+  ORDER BY c DESC, w ASC LIMIT {vocab_size}
+),
+flagged AS (
+  SELECT t.source,
+         CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM flagged GROUP BY source
+"""

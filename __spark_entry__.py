@@ -1429,6 +1429,32 @@ def _q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.evaluate(results, gold)
 
 
+def _q_ndcg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance nDCG@10 per query (quality.ndcg) over the same
+    synthetic gold harness as quality_metrics, with rel = 1 +
+    (doc_id % 3) — the graded metric next to A16's binary top-k family.
+    NEW IN r7 post-window; front of the r8 rotation."""
+    from pyspark.sql import Window
+    from workspace_qdrant_mcp_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    results = (
+        docs.select(
+            F.col("source").alias("query_id"),
+            F.row_number().over(w).alias("rank"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("file"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    gold = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("source").alias("query_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("file"),
+        (F.lit(1) + F.col("doc_id") % 3).alias("rel"),
+    )
+    return quality.ndcg(results, gold, k=10)
+
+
 def _q_adjacency_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 adjacency export (graph/mod.rs AdjacencyExport): sorted deduped
     undirected neighbor lists — the distributed build of the snapshot the
@@ -2999,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_aa": _q_link_prediction,
         "kmv_source_overlap": _q_kmv_source_overlap,
         "vocab_coverage": _q_vocab_coverage,
+        "ndcg_metrics": _q_ndcg_metrics,
     }
 
 
@@ -3033,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_aa": oracles.link_prediction_aa(hub_ceiling=256, k=50),
         "kmv_source_overlap": oracles.kmv_source_overlap("src0", "src1", k=128),
         "vocab_coverage": oracles.vocab_coverage(vocab_size=20),
+        "ndcg_metrics": oracles.ndcg_metrics(k=10),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -106,3 +106,56 @@ def test_gold_run_hybrid_mode_passes_reference_gates(spark):
     m = quality.evaluate(ranked, gold).collect()[0]
     v = quality.verdict(m)
     assert v["pass"], v
+
+
+class TestNdcg:
+    def test_hand_computed(self, spark):
+        import math
+
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        # q1: results r1=relevant(rel2), r2=miss, r3=relevant(rel1)
+        results = spark.createDataFrame(
+            [("q1", 1, "a"), ("q1", 2, "x"), ("q1", 3, "b")],
+            "query_id string, rank int, file string",
+        )
+        gold = spark.createDataFrame(
+            [("q1", "a", 2), ("q1", "b", 1), ("q1", "c", 1)],
+            "query_id string, file string, rel int",
+        )
+        r = quality.ndcg(results, gold, k=10).collect()[0]
+        dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+        # ideal order: a(2), b(1), c(1)  (rel DESC, file ASC)
+        idcg = (
+            (2**2 - 1) / math.log2(2)
+            + (2**1 - 1) / math.log2(3)
+            + (2**1 - 1) / math.log2(4)
+        )
+        assert r["dcg"] == round(dcg, 6)
+        assert r["idcg"] == round(idcg, 6)
+        assert r["ndcg"] == round(dcg / idcg, 6)
+
+    def test_no_hits_is_zero_not_missing(self, spark):
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        results = spark.createDataFrame(
+            [("q1", 1, "x")], "query_id string, rank int, file string"
+        )
+        gold = spark.createDataFrame(
+            [("q1", "a", 3)], "query_id string, file string, rel int"
+        )
+        r = quality.ndcg(results, gold).collect()[0]
+        assert r["dcg"] == 0.0 and r["ndcg"] == 0.0 and r["idcg"] > 0
+
+    def test_perfect_ranking_is_one(self, spark):
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        results = spark.createDataFrame(
+            [("q1", 1, "a"), ("q1", 2, "b")],
+            "query_id string, rank int, file string",
+        )
+        gold = spark.createDataFrame(
+            [("q1", "a", 2), ("q1", "b", 1)],
+            "query_id string, file string, rel int",
+        )
+        assert quality.ndcg(results, gold).collect()[0]["ndcg"] == 1.0

@@ -87,3 +87,53 @@ def verdict(metrics_row) -> dict:
         "recall_at_10": metrics_row["recall_at_10"],
         "gates": {"top3": TOP3_GATE, "recall_at_10": RECALL10_GATE},
     }
+
+
+def ndcg(results: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, dcg, idcg, ndcg) — graded-relevance nDCG@k per query
+    (Järvelin & Kekäläinen 2002), the metric evaluate()'s binary top-k
+    family can't express: gold carries an integer `rel` grade and
+    position i contributes (2^rel - 1)/log2(i + 1). IDCG ranks the gold
+    set by (rel DESC, file ASC) — the deterministic ideal ordering — and
+    nDCG = DCG/IDCG (0 when the query's gold set is empty of gain).
+
+    Scale shape: DCG is one equi-join of the top-k results against gold
+    on (query_id, file) + a map-side-combinable per-query sum; IDCG is
+    one rank window PARTITIONED BY query (each partition = a gold set,
+    bounded); the final join is per-query-row sized. Nothing touches
+    the corpus."""
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    dcg = (
+        results.filter(F.col("rank") <= k)
+        .join(gold, ["query_id", "file"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(gain / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("file")
+    )
+    idcg = (
+        gold.withColumn("i", F.row_number().over(w))
+        .filter(F.col("i") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain / F.log2(F.col("i") + F.lit(1.0))).alias("idcg"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.col("idcg") > 0,
+                    F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

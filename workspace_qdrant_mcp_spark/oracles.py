@@ -4806,3 +4806,51 @@ SELECT source,
        round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
 FROM flagged GROUP BY source
 """
+
+
+def ndcg_metrics(k: int = 10) -> str:
+    """Oracle for quality.ndcg over the same synthetic gold harness as
+    quality_metrics: results = first 10 docs per source by id, gold =
+    docs ≡0 (mod 4) graded rel = 1 + (doc_id % 3); identical
+    (2^rel - 1)/log2(pos + 1) gains and (rel DESC, file ASC) ideal
+    ordering."""
+    return f"""
+WITH res AS (
+  SELECT source AS query_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank,
+         'doc_' || CAST(doc_id AS VARCHAR) AS file
+  FROM documents
+),
+res10 AS (SELECT * FROM res WHERE rank <= 10),
+gold AS (
+  SELECT source AS query_id,
+         'doc_' || CAST(doc_id AS VARCHAR) AS file,
+         1 + (doc_id % 3) AS rel
+  FROM documents WHERE doc_id % 4 = 0
+),
+dcg AS (
+  SELECT r.query_id,
+         sum((pow(2.0, g.rel) - 1.0) / log2(r.rank + 1.0)) AS dcg
+  FROM res10 r JOIN gold g USING (query_id, file)
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id
+),
+ig AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, file ASC) AS i
+  FROM gold
+),
+idcg AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1.0) / log2(i + 1.0)) AS idcg
+  FROM ig WHERE i <= {k} GROUP BY query_id
+)
+SELECT idcg.query_id,
+       round(coalesce(dcg.dcg, 0.0), 6) AS dcg,
+       round(idcg.idcg, 6) AS idcg,
+       round(CASE WHEN idcg.idcg > 0
+                  THEN coalesce(dcg.dcg, 0.0) / idcg.idcg
+                  ELSE 0.0 END, 6) AS ndcg
+FROM idcg LEFT JOIN dcg USING (query_id)
+"""

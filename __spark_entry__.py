@@ -2252,6 +2252,14 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (textstats.char_entropy) — the curation stack's cheap
+    garbage/binary detector, computed join-free via H = log2(N) -
+    Σ n·log2(n)/N. NEW IN r7 post-window; front of the r8 rotation."""
+    return textstats.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source OOV rate against the deterministic top-20 corpus
     vocabulary (textstats.vocab_coverage) — the tokenizer-coverage
@@ -3026,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": _q_kmv_source_overlap,
         "vocab_coverage": _q_vocab_coverage,
         "ndcg_metrics": _q_ndcg_metrics,
+        "char_entropy": _q_char_entropy,
     }
 
 
@@ -3061,6 +3070,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_source_overlap": oracles.kmv_source_overlap("src0", "src1", k=128),
         "vocab_coverage": oracles.vocab_coverage(vocab_size=20),
         "ndcg_metrics": oracles.ndcg_metrics(k=10),
+        "char_entropy": oracles.char_entropy(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -334,3 +334,27 @@ class TestVocabCoverage:
         )
         r = textstats.vocab_coverage(docs, vocab_size=1).collect()[0]
         assert r["oov_tokens"] == 2                  # both 'y's
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in textstats.char_entropy(docs).collect()
+        }
+        assert set(out) == {1, 2, 3}              # empty doc absent
+        assert out[1]["entropy_bits"] == 0.0      # single symbol
+        assert out[2]["entropy_bits"] == 1.0      # two equiprobable
+        assert out[3]["entropy_bits"] == 2.0      # four equiprobable
+        assert out[3]["n_chars"] == 4 and out[3]["distinct_chars"] == 4
+        # skewed: "aab" -> H = log2(3) - (2*log2 2 + 1*0)/3
+        docs2 = spark.createDataFrame([(9, "aab")], "doc_id long, text string")
+        r = textstats.char_entropy(docs2).collect()[0]
+        assert r["entropy_bits"] == round(math.log2(3) - 2 / 3, 6)

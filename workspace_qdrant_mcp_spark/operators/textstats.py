@@ -646,3 +646,40 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, distinct_chars, entropy_bits) — per-document
+    Shannon entropy of the character distribution, H = -Σ p(c)·log2
+    p(c), computed via the one-pass identity H = log2(N) - (Σ n·log2
+    n)/N so no per-doc total ever needs a window or join. The cheap
+    garbage detector of a curation stack: natural text sits ~4-4.5
+    bits/char, base64/hex blobs higher with a flat distribution,
+    single-char runs near 0 — outliers on BOTH ends are suspect. Empty
+    docs are absent (no distribution to measure).
+
+    Scale shape: one char explode → map-side-combined (doc, char)
+    counts → one per-doc rollup; both aggregations combine map-side and
+    nothing joins — an embarrassingly parallel two-level aggregation."""
+    ch = fan_out(docs).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("c")
+    )
+    # both engines split '' into [''] — drop the empty token so empty
+    # docs are genuinely absent rather than a zero-entropy phantom row
+    per = (
+        ch.filter(F.length("c") > 0)
+        .groupBy(id_col, "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_tot = F.sum("n")
+    return per.groupBy(id_col).agg(
+        n_tot.alias("n_chars"),
+        F.count(F.lit(1)).cast("int").alias("distinct_chars"),
+        F.round(
+            F.log2(n_tot)
+            - F.sum(F.col("n") * F.log2("n")) / n_tot,
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -4854,3 +4854,20 @@ SELECT idcg.query_id,
                   ELSE 0.0 END, 6) AS ndcg
 FROM idcg LEFT JOIN dcg USING (query_id)
 """
+
+
+def char_entropy() -> str:
+    """Oracle for textstats.char_entropy: identical char explode and the
+    same one-pass identity log2(N) - sum(n*log2(n))/N."""
+    return """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+per AS (SELECT doc_id, c, count(*) AS n FROM ch
+        WHERE length(c) > 0 GROUP BY doc_id, c)
+SELECT doc_id,
+       sum(n) AS n_chars,
+       CAST(count(*) AS INT) AS distinct_chars,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+FROM per GROUP BY doc_id
+"""

@@ -371,3 +371,31 @@ def test_interval_join_plans_as_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in simple or "SortMergeJoin" in simple
+
+
+def test_r7_session2_additions_plan_shapes(spark):
+    """Second-session r7 additions keep the intended shapes: PMI / KMV /
+    vocab-coverage / nDCG / char-entropy never degrade to a cartesian,
+    and their only nested-loop shapes are the permitted bounded
+    broadcast attaches (1-row scalar totals, the k-row KMV sketches,
+    the vocab list); adamic_adar's wedge join is an equi-join on the
+    center with the hub-ceiling filter applied BEFORE it."""
+    import __spark_entry__ as entrymod
+
+    for name in ("pmi_collocations", "kmv_source_overlap",
+                 "vocab_coverage", "ndcg_metrics", "char_entropy",
+                 "link_prediction_aa"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for line in simple.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                ok = ("__cap" in line or line.strip().endswith(
+                    "BroadcastNestedLoopJoin BuildRight, Cross"
+                ))
+                assert ok, (name, line)
+
+    # char_entropy is aggregation-only: no join of any kind
+    ce = entrymod.queries()["char_entropy"](spark, SF_SMOKE)
+    assert "Join" not in _plan(ce)

@@ -2252,6 +2252,16 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the proportionally-capped weighted
+    co-occurrence subgraph (graph.minimum_spanning_forest, distributed
+    Borůvka under the strict (weight, src, dst) total order — unique
+    result, O(log n) rounds, pointer-jumped label merges). The backbone
+    extractor next to the components/SCC family. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    return graph.minimum_spanning_forest(_prop_capped_edges(spark, sf_dir))
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy
     (textstats.char_entropy) — the curation stack's cheap
@@ -3035,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "ndcg_metrics": _q_ndcg_metrics,
         "char_entropy": _q_char_entropy,
+        "graph_msf": _q_graph_msf,
     }
 
 
@@ -3071,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": oracles.vocab_coverage(vocab_size=20),
         "ndcg_metrics": oracles.ndcg_metrics(k=10),
         "char_entropy": oracles.char_entropy(),
+        "graph_msf": oracles.graph_msf(),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -619,3 +619,125 @@ class TestAdamicAdar:
         und = {(min(s, d), max(s, d)) for s, d in self.EDGES}
         rows = adamic_adar(self._edges(spark), k=10).collect()
         assert all((r["a"], r["b"]) not in und for r in rows)
+
+
+def _kruskal(edges):
+    """Reference MSF under the same (weight, src, dst) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, s, d in sorted((w, s, d) for s, d, w in edges):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            out.append((s, d, w))
+    return sorted(out)
+
+
+class TestMinimumSpanningForest:
+    def test_hand_computed(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            minimum_spanning_forest,
+        )
+
+        # triangle 1-2-3 with weights 1,2,3 plus a disconnected pair 8-9
+        edges = [(1, 2, 1), (2, 3, 2), (1, 3, 3), (8, 9, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long, weight long")
+        got = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        )
+        assert got == [(1, 2, 1), (2, 3, 2), (8, 9, 5)]
+
+    def test_matches_kruskal_on_random_graph(self, spark):
+        import random
+
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            minimum_spanning_forest,
+        )
+
+        rng = random.Random(7)
+        n = 40
+        edges = []
+        seen = set()
+        for _ in range(120):
+            s, d = rng.randrange(n), rng.randrange(n)
+            if s == d:
+                continue
+            s, d = min(s, d), max(s, d)
+            if (s, d) in seen:
+                continue
+            seen.add((s, d))
+            edges.append((s, d, rng.randrange(1, 9)))  # deliberate weight ties
+        df = spark.createDataFrame(edges, "src long, dst long, weight long")
+        got = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        )
+        assert got == _kruskal(edges)
+
+    def test_path_graph_needs_pointer_jumping(self, spark):
+        # a 60-node path with increasing weights: the MSF is the path
+        # itself, and the selected forest's diameter (59) far exceeds
+        # any per-round neighbor-min budget — convergence proves the
+        # pointer-jump term works
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            minimum_spanning_forest,
+        )
+
+        edges = [(i, i + 1, i + 1) for i in range(60)]
+        df = spark.createDataFrame(edges, "src long, dst long, weight long")
+        got = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        )
+        assert got == sorted(edges)
+
+
+class TestMsfDistributedFallback:
+    def test_fallback_matches_driver_merge_end_to_end(self, spark):
+        # small fixture (2 Borůvka rounds) so the forced distributed
+        # path stays cheap; result must equal the driver-merge path
+        # and the Kruskal reference
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            minimum_spanning_forest,
+        )
+
+        edges = [(1, 2, 1), (2, 3, 2), (1, 3, 3), (3, 4, 1), (8, 9, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long, weight long")
+        drv = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        )
+        dist = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in minimum_spanning_forest(df, driver_merge_max=0).collect()
+        )
+        assert drv == dist == _kruskal(edges)
+
+    def test_pointer_jump_labels_unit(self, spark):
+        # one merge round over a CHAIN of comp pairs (1-3, 3-5, 5-7,
+        # 7-9): the pure neighbor-min needs 4 steps, pointer jumping
+        # must still resolve every comp to min label 1
+        from workspace_qdrant_mcp_spark.ckpt import RollingCheckpoint
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            _pointer_jump_labels,
+        )
+
+        labels = spark.createDataFrame(
+            [(i, c) for i, c in [(10, 1), (11, 3), (12, 5), (13, 7), (14, 9),
+                                 (15, 2)]],
+            "node_id long, comp long",
+        )
+        mins = spark.createDataFrame(
+            [(1, 3), (3, 5), (5, 7), (7, 9)], "cu long, cv long"
+        )
+        out = _pointer_jump_labels(labels, mins, RollingCheckpoint(spark))
+        got = {r["node_id"]: r["comp"] for r in out.collect()}
+        assert got == {10: 1, 11: 1, 12: 1, 13: 1, 14: 1, 15: 2}

@@ -1557,3 +1557,189 @@ def adamic_adar(
         .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+MSF_DRIVER_MERGE_MAX_COMPS = 5_000_000
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 14,
+    driver_merge_max: int = MSF_DRIVER_MERGE_MAX_COMPS,
+) -> DataFrame:
+    """(src, dst, weight) — the minimum spanning forest of the
+    undirected weighted graph by distributed Borůvka: each round every
+    component selects its minimum outgoing edge under the STRICT total
+    order (weight, src, dst) — the tie-broken comparator that makes the
+    classic acyclicity argument hold and the result unique — then
+    components merge and the round repeats until no cross-component
+    edge remains. The backbone extractor for the co-occurrence graph
+    (the minimal structure that keeps every connected pair connected at
+    minimum total weight).
+
+    Scale shape: components at least halve per round, so outer rounds
+    are O(log n). Edge scanning / min-edge selection is always
+    distributed (map-side combinable min of struct(weight, src, dst)
+    per component). Component MERGING works on the CONTRACTED comp
+    graph — at most ONE (cu, cv) pair per component, a set that halves
+    every round and is orders of magnitude smaller than nodes or edges
+    — with the LPA-style auto-switch (label_propagation precedent): at
+    or below `driver_merge_max` pairs the merge is a driver union-find
+    over that bounded contracted set and the new labels come back as
+    one broadcast-joined mapping; above it, _pointer_jump_labels runs
+    a segmented distributed pointer-jumping pass on the same comp
+    graph with no driver state. Both paths compute the identical
+    min-label components, so the switch never changes the result. Per
+    round the driver path costs 3 small jobs — min-edge collect,
+    forest checkpoint, label remap. RollingCheckpoint per state (edge
+    set / forest / labels have independent lifetimes) bounds lineage
+    and storage; the empty-pair fixpoint exit preserves exact
+    fixed-round semantics for the oracle's unrolled CTE chain."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+    e = e.localCheckpoint()
+    spark = edges.sparkSession
+    roll_sel = RollingCheckpoint(spark)
+    roll_lab = RollingCheckpoint(spark)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = roll_lab(nodes.select("node_id", F.col("node_id").alias("comp")))
+    selected = None
+    for _ in range(max_rounds):
+        lu = labels.select(F.col("node_id").alias("src"), F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node_id").alias("dst"), F.col("comp").alias("cv"))
+        cross = e.join(lu, "src").join(lv, "dst").filter(F.col("cu") != F.col("cv"))
+        both = cross.select(
+            F.col("cu").alias("comp"), "src", "dst", "weight", "cu", "cv"
+        ).unionByName(
+            cross.select(
+                F.col("cv").alias("comp"), "src", "dst", "weight", "cu", "cv"
+            )
+        )
+        mins = (
+            both.groupBy("comp")
+            .agg(F.min(F.struct("weight", "src", "dst", "cu", "cv")).alias("m"))
+            .select(
+                F.col("m.src").alias("src"),
+                F.col("m.dst").alias("dst"),
+                F.col("m.weight").alias("weight"),
+                F.col("m.cu").alias("cu"),
+                F.col("m.cv").alias("cv"),
+            )
+        ).localCheckpoint()
+        pairs = [
+            (r["cu"], r["cv"])
+            for r in mins.select("cu", "cv")
+            .limit(driver_merge_max + 1)
+            .collect()
+        ]
+        if not pairs:
+            break
+        if len(pairs) <= driver_merge_max:
+            # contracted-graph union-find: input is ≤ one pair per
+            # component (bounded, halving) — never nodes or edges
+            parent: dict = {}
+
+            def _find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = [(c, _find(c)) for c in parent]
+            map_df = spark.createDataFrame(mapping, "comp long, __new long")
+            labels = roll_lab(
+                labels.join(F.broadcast(map_df), "comp", "left").select(
+                    "node_id",
+                    F.coalesce("__new", F.col("comp")).alias("comp"),
+                )
+            )
+        else:
+            labels = _pointer_jump_labels(labels, mins, roll_lab)
+        sel_new = mins.select("src", "dst", "weight").distinct()
+        selected = roll_sel(
+            sel_new if selected is None
+            else selected.unionByName(sel_new).distinct()
+        )
+    if selected is None:
+        return e.limit(0)
+    return selected
+
+
+def _pointer_jump_labels(labels, mins, roll_lab, segment: int = 3):
+    """Distributed label refresh for the above-threshold Borůvka merge,
+    operating ENTIRELY on the contracted comp graph (≤ one (cu, cv)
+    pair per component): min-label propagation with pointer jumping
+    (m2 = lbl(lbl(c)) doubles label reach per step, so ceil(log2 m)+3
+    steps guarantee convergence for any merge-structure diameter ≤ m),
+    checkpointed every `segment` chained steps because each step
+    references the label frame three times — an unsegmented chain
+    grows 3^k plan nodes and was measured to hang Catalyst at k=16.
+    The fixpoint — min comp label per merged group — is identical to
+    the driver union-find's output, so the auto-switch never changes
+    the result; node labels then update via one joined mapping."""
+    import math
+
+    pair_edges = (
+        mins.select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .unionByName(
+            mins.select(F.col("cv").alias("u"), F.col("cu").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cl = (
+        pair_edges.select(F.col("u").alias("comp"))
+        .distinct()
+        .select("comp", F.col("comp").alias("lbl"))
+        .localCheckpoint()
+    )
+    m = cl.count()
+    steps = math.ceil(math.log2(max(m, 2))) + 3
+    roll_cl = RollingCheckpoint(mins.sparkSession)
+    done = 0
+    while done < steps:
+        k = min(segment, steps - done)
+        for _ in range(k):
+            state = cl.select(F.col("comp").alias("__u"), "lbl")
+            nbr = (
+                pair_edges.join(state, pair_edges["u"] == state["__u"])
+                .groupBy(F.col("v").alias("comp"))
+                .agg(F.min("lbl").alias("m1"))
+            )
+            l2 = cl.select(F.col("comp").alias("__c"), F.col("lbl").alias("m2"))
+            cl = (
+                cl.join(l2, cl["lbl"] == l2["__c"], "left")
+                .join(nbr, "comp", "left")
+                .select(
+                    "comp",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce("m1", F.col("lbl")),
+                        F.coalesce("m2", F.col("lbl")),
+                    ).alias("lbl"),
+                )
+            )
+        cl = roll_cl(cl)
+        done += k
+    mapping = cl.select("comp", F.col("lbl").alias("__new"))
+    return roll_lab(
+        labels.join(mapping, "comp", "left").select(
+            "node_id", F.coalesce("__new", F.col("comp")).alias("comp")
+        )
+    )

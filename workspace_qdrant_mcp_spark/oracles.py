@@ -4871,3 +4871,64 @@ SELECT doc_id,
        round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
 FROM per GROUP BY doc_id
 """
+
+
+def graph_msf(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+    max_rounds: int = 14,
+) -> str:
+    """Oracle for graph.minimum_spanning_forest on the capped
+    co-occurrence subgraph — max_rounds unrolled Borůvka rounds (the
+    k_core unroll pattern): each round computes EXACT component labels
+    of the selected forest via a recursive min-reachability closure
+    (the Spark side's pointer-jumped label loop runs to the same
+    fixpoint), then every component's minimum cross edge under the
+    strict (weight, src, dst) total order; converged rounds are no-ops,
+    so fixed-round SQL equals the Spark side's early-exit loop."""
+    parts = [
+        f"""
+WITH RECURSIVE {_COOC_EDGES},
+sub AS (SELECT src, dst, weight FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
+e AS MATERIALIZED (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+         min(weight) AS weight
+  FROM sub WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS v
+  FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+),
+s0(src, dst, weight) AS (SELECT src, dst, weight FROM e WHERE FALSE)"""
+    ]
+    for r in range(1, max_rounds + 1):
+        p = r - 1
+        parts.append(f""",
+us{p} AS MATERIALIZED (SELECT src AS u, dst AS v FROM s{p}
+          UNION SELECT dst, src FROM s{p}),
+reach{r}(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT ed2.v, rr.lbl FROM reach{r} rr JOIN us{p} ed2 ON ed2.u = rr.v
+),
+lab{r} AS MATERIALIZED (SELECT v, min(lbl) AS comp FROM reach{r} GROUP BY v),
+cr{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight, lu.comp AS cu, lv.comp AS cv
+  FROM e
+  JOIN lab{r} lu ON lu.v = e.src
+  JOIN lab{r} lv ON lv.v = e.dst
+  WHERE lu.comp <> lv.comp
+),
+mn{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, weight FROM (
+    SELECT b.*, row_number() OVER (
+      PARTITION BY comp ORDER BY weight, src, dst) AS rn
+    FROM (SELECT cu AS comp, src, dst, weight FROM cr{r}
+          UNION ALL
+          SELECT cv AS comp, src, dst, weight FROM cr{r}) b
+  ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (SELECT * FROM s{p} UNION SELECT * FROM mn{r})""")
+    parts.append(f"""
+SELECT src, dst, weight FROM s{max_rounds}""")
+    return "".join(parts)

@@ -399,3 +399,9 @@ def test_r7_session2_additions_plan_shapes(spark):
     # char_entropy is aggregation-only: no join of any kind
     ce = entrymod.queries()["char_entropy"](spark, SF_SMOKE)
     assert "Join" not in _plan(ce)
+
+    # graph_msf's returned forest is a checkpointed frame (the
+    # iterative machinery already ran); assert it materialized without
+    # a cartesian by running the query and checking the final plan
+    msf = entrymod.queries()["graph_msf"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in _plan(msf)

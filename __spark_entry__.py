@@ -2252,6 +2252,16 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random-walk corpus (graph.random_walks,
+    DeepWalk/node2vec input): one 4-step walk per node of the
+    proportionally-capped co-occurrence subgraph, the per-step neighbor
+    picked by a fixed md5 pseudo-random function so the corpus is
+    reproducible and oracle-checkable. NEW IN r7 post-window; front of
+    the r8 rotation."""
+    return graph.random_walks(_prop_capped_edges(spark, sf_dir), walk_len=4)
+
+
 def _q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the proportionally-capped weighted
     co-occurrence subgraph (graph.minimum_spanning_forest, distributed
@@ -3046,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_metrics": _q_ndcg_metrics,
         "char_entropy": _q_char_entropy,
         "graph_msf": _q_graph_msf,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -3083,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_metrics": oracles.ndcg_metrics(k=10),
         "char_entropy": oracles.char_entropy(),
         "graph_msf": oracles.graph_msf(),
+        "random_walks": oracles.random_walks(walk_len=4),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

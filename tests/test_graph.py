@@ -741,3 +741,43 @@ class TestMsfDistributedFallback:
         out = _pointer_jump_labels(labels, mins, RollingCheckpoint(spark))
         got = {r["node_id"]: r["comp"] for r in out.collect()}
         assert got == {10: 1, 11: 1, 12: 1, 13: 1, 14: 1, 15: 2}
+
+
+class TestRandomWalks:
+    EDGES = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+
+    def test_walks_are_valid_paths(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import random_walks
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = random_walks(df, walk_len=3).collect()
+        und = set()
+        for s, d in self.EDGES:
+            und.add((s, d)); und.add((d, s))
+        walks = {}
+        for r in rows:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        assert set(walks) == {1, 2, 3, 4}
+        for wid, steps in walks.items():
+            assert steps[0] == wid
+            assert sorted(steps) == [0, 1, 2, 3]      # no dead ends here
+            for t in range(1, 4):
+                assert (steps[t - 1], steps[t]) in und
+
+    def test_deterministic_across_runs(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import random_walks
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = sorted(map(tuple, random_walks(df, walk_len=3).collect()))
+        b = sorted(map(tuple, random_walks(df, walk_len=3).collect()))
+        assert a == b
+
+    def test_isolated_pair_walks_bounce(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import random_walks
+
+        df = spark.createDataFrame([(7, 8)], "src long, dst long")
+        rows = random_walks(df, walk_len=2).collect()
+        got = {(r["walk_id"], r["step"]): r["node"] for r in rows}
+        # the only neighbor is the other node: walks must alternate
+        assert got[(7, 1)] == 8 and got[(7, 2)] == 7
+        assert got[(8, 1)] == 7 and got[(8, 2)] == 8

@@ -1743,3 +1743,75 @@ def _pointer_jump_labels(labels, mins, roll_lab, segment: int = 3):
             "node_id", F.coalesce("__new", F.col("comp")).alias("comp")
         )
     )
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4) -> DataFrame:
+    """(walk_id, step, node) — one deterministic uniform random walk of
+    `walk_len` steps from EVERY node of the undirected simple graph:
+    the walk corpus a DeepWalk/node2vec-style embedding trains on
+    (Perozzi et al. 2014), generated as data. "Random" is a fixed
+    pseudo-random function, not an RNG: at step t the walk moves to the
+    neighbor u minimizing md5("walk|" || walk_id || "|" || t || "|" ||
+    u) — uniform over neighbors (hash order is a fixed random
+    permutation per (walk, step)), identical across engines, runs, and
+    partitionings, which is what makes the walk corpus oracle-checkable
+    and reproducible for training.
+
+    Scale shape: step t is ONE equi-join of the current frontier (one
+    row per live walk) against the adjacency on the current node, then
+    a per-walk row_number over (hash, node) — a window whose partitions
+    are each walk's neighbor candidates (bounded by max degree). Work
+    per step is Σ deg(current nodes) — the same cost as one sparse
+    matrix-vector step — and the plan is a linear chain of walk_len
+    such joins with no iteration-state checkpointing needed."""
+    from ..functions.hashing import md5_hash64
+    from pyspark.sql.window import Window
+
+    und = _undirected_simple(edges)
+    starts = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select(
+            F.col("node").alias("walk_id"),
+            F.lit(0).alias("step"),
+            "node",
+        )
+    )
+    frames = [starts]
+    cur = starts
+    for t in range(1, walk_len + 1):
+        cand = cur.join(
+            und, cur["node"] == und["u"]
+        ).select("walk_id", F.col("v"))
+        h = md5_hash64(
+            F.concat_ws(
+                "|",
+                F.col("walk_id").cast("string"),
+                F.lit(str(t)),
+                F.col("v").cast("string"),
+            ),
+            salt="walk|",
+        )
+        nxt = (
+            cand.withColumn("__h", h)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("walk_id").orderBy(
+                        F.asc("__h"), F.asc("v")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("v").alias("node"),
+            )
+        )
+        frames.append(nxt)
+        cur = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

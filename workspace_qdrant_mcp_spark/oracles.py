@@ -4932,3 +4932,45 @@ s{r} AS MATERIALIZED (SELECT * FROM s{p} UNION SELECT * FROM mn{r})""")
     parts.append(f"""
 SELECT src, dst, weight FROM s{max_rounds}""")
     return "".join(parts)
+
+
+def random_walks(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+    walk_len: int = 4,
+) -> str:
+    """Oracle for graph.random_walks on the capped co-occurrence
+    subgraph: identical md5 pseudo-random neighbor pick per
+    (walk, step), unrolled walk_len steps."""
+    parts = [
+        f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sub WHERE src <> dst
+  UNION SELECT dst, src FROM sub WHERE src <> dst
+),
+w0 AS (SELECT DISTINCT u AS walk_id, CAST(0 AS INT) AS step, u AS node
+       FROM und)"""
+    ]
+    for t in range(1, walk_len + 1):
+        h = duckdb_md5_hash64_sql(
+            f"CAST(c.walk_id AS VARCHAR) || '|' || '{t}' || '|' "
+            f"|| CAST(e.v AS VARCHAR)",
+            salt="walk|",
+        )
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT walk_id, CAST({t} AS INT) AS step, v AS node FROM (
+    SELECT c.walk_id, e.v,
+           row_number() OVER (PARTITION BY c.walk_id
+                              ORDER BY {h} ASC, e.v ASC) AS rn
+    FROM w{t - 1} c JOIN und e ON e.u = c.node
+  ) WHERE rn = 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{t}" for t in range(walk_len + 1)
+    )
+    parts.append(f"""
+{union}""")
+    return "".join(parts)

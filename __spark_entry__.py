@@ -2252,6 +2252,16 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (skew.key_skew_report) over events.user_id:
+    top-share straggler bound + Gini over the bounded key-count table —
+    the report that decides between salted_join / AQE / nothing. NEW IN
+    r7 post-window; front of the r8 rotation."""
+    from workspace_qdrant_mcp_spark.operators import skew
+
+    return skew.key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform random-walk corpus (graph.random_walks,
     DeepWalk/node2vec input): one 4-step walk per node of the
@@ -3057,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "graph_msf": _q_graph_msf,
         "random_walks": _q_random_walks,
+        "key_skew_report": _q_key_skew_report,
     }
 
 
@@ -3095,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": oracles.char_entropy(),
         "graph_msf": oracles.graph_msf(),
         "random_walks": oracles.random_walks(walk_len=4),
+        "key_skew_report": oracles.key_skew_report("user_id"),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

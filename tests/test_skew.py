@@ -88,3 +88,32 @@ def test_unsupported_how_raises(spark):
     # the safe types still construct (no exception at plan time)
     for how in ("inner", "left", "left_semi", "left_anti"):
         salted_join(big, small, "key", n_salts=4, how=how)
+
+
+class TestKeySkewReport:
+    def test_hand_computed(self, spark):
+        from workspace_qdrant_mcp_spark.operators.skew import key_skew_report
+
+        # counts: a=1, b=1, c=2  (sorted asc: a(1),b(1),c(2) -> i=1,2,3)
+        # gini = 2*(1*1+2*1+3*2)/(3*4) - 4/3 = 18/12 - 4/3 = 1/6
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("c",)], "k string"
+        )
+        r = key_skew_report(df, "k").collect()[0]
+        assert r["n_keys"] == 3 and r["n_rows"] == 4
+        assert r["top_key"] == "c" and r["top_share"] == 0.5
+        assert r["gini"] == round(1 / 6, 6)
+
+    def test_uniform_is_zero_hot_is_high(self, spark):
+        from workspace_qdrant_mcp_spark.operators.skew import key_skew_report
+
+        uniform = spark.createDataFrame(
+            [(f"k{i % 10}",) for i in range(100)], "k string"
+        )
+        assert key_skew_report(uniform, "k").collect()[0]["gini"] == 0.0
+        hot = spark.createDataFrame(
+            [("hot",)] * 96 + [(f"k{i}",) for i in range(4)], "k string"
+        )
+        r = key_skew_report(hot, "k").collect()[0]
+        assert r["top_key"] == "hot" and r["top_share"] == 0.96
+        assert r["gini"] > 0.7

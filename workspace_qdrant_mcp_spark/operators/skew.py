@@ -80,3 +80,52 @@ def salted_join(
     )
     small_s = small.crossJoin(salts)
     return big_s.join(small_s, [on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One row (n_keys, n_rows, top_key, top_share, gini) quantifying
+    how skewed a key's distribution is — the DIAGNOSTIC that decides
+    whether a join/groupBy on this key needs salted_join, AQE skew
+    handling, or nothing: top_share is the straggler bound (the worst
+    reducer's fraction of the data under hash partitioning), and the
+    Gini coefficient G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n over the
+    ascending-sorted per-key counts summarizes the whole curve (0 =
+    uniform, →1 = one key owns everything).
+
+    Scale shape: one map-side-combinable count per key, then all math
+    happens on the KEY-COUNT table (bounded by key cardinality, tiny
+    relative to the data). The rank window is unpartitioned BY DESIGN —
+    it orders the bounded key table, never the rows; for a key column
+    with billions of distinct values the same report works off any
+    count sketch, but then you'd not be considering a salted join."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.asc("c"), F.asc("key"))
+    ranked = cnt.withColumn("i", F.row_number().over(w))
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("key"))
+        .limit(1)
+        .select(F.col("key").alias("top_key"), F.col("c").alias("top_c"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.col("i") * F.col("c")).alias("s"),
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "top_key",
+        F.round(
+            F.col("top_c").cast("double") / F.col("n_rows"), 6
+        ).alias("top_share"),
+        F.round(
+            (F.lit(2.0) * F.col("s"))
+            / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )

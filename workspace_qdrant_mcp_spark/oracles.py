@@ -4974,3 +4974,30 @@ w{t} AS MATERIALIZED (
     parts.append(f"""
 {union}""")
     return "".join(parts)
+
+
+def key_skew_report(key_expr: str = "user_id") -> str:
+    """Oracle for skew.key_skew_report over events: identical
+    ascending-(count, key) rank, identical Gini float op order."""
+    return f"""
+WITH cnt AS (
+  SELECT {key_expr} AS key, count(*) AS c FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i
+  FROM cnt
+),
+top AS (
+  SELECT key AS top_key, c AS top_c FROM cnt
+  ORDER BY c DESC, key ASC LIMIT 1
+),
+agg AS (
+  SELECT count(*) AS n_keys, sum(c) AS n_rows, sum(i * c) AS s
+  FROM ranked
+)
+SELECT n_keys, n_rows, top_key,
+       round(CAST(top_c AS DOUBLE) / n_rows, 6) AS top_share,
+       round((2.0 * s) / (CAST(n_keys AS DOUBLE) * n_rows)
+             - (n_keys + 1.0) / n_keys, 6) AS gini
+FROM agg, top
+"""

@@ -2252,6 +2252,17 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(ed)
 
 
+def _q_fuzzy_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 vocabulary pairs (textstats.fuzzy_term_pairs,
+    FastSS k=2 deletion-neighborhood blocking + built-in levenshtein
+    verify); the oracle is the brute-force O(V²) join, so the hash
+    match certifies the blocking lossless. NEW IN r7 post-window;
+    front of the r8 rotation."""
+    return textstats.fuzzy_term_pairs(
+        load_table(spark, sf_dir, "documents"), min_count=2, max_dist=2
+    )
+
+
 def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (skew.key_skew_report) over events.user_id:
     top-share straggler bound + Gini over the bounded key-count table —
@@ -3068,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": _q_graph_msf,
         "random_walks": _q_random_walks,
         "key_skew_report": _q_key_skew_report,
+        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
     }
 
 
@@ -3107,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_msf": oracles.graph_msf(),
         "random_walks": oracles.random_walks(walk_len=4),
         "key_skew_report": oracles.key_skew_report("user_id"),
+        "fuzzy_term_pairs": oracles.fuzzy_term_pairs(min_count=2),
         "fairness_dequeue": oracles.fairness_dequeue(FAIRNESS_SLICE),
         "shard_assignment": oracles.shard_assignment(),
         "ann_ivf_pq_topk": oracles.ann_ivf_pq_topk(ANN_QUERY_IDS),

@@ -358,3 +358,53 @@ class TestCharEntropy:
         docs2 = spark.createDataFrame([(9, "aab")], "doc_id long, text string")
         r = textstats.char_entropy(docs2).collect()[0]
         assert r["entropy_bits"] == round(math.log2(3) - 2 / 3, 6)
+
+
+class TestFuzzyTermPairs:
+    def test_hand_computed_all_edit_kinds(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        # substitution (cat~bat=1), deletion (cat~at=1), insertion
+        # (cat~cart=1... cart vs cat: insert r), distance-2
+        # (cat~bart: 2), far (dog: >2 from cat family)
+        docs = spark.createDataFrame(
+            [(1, "cat bat at cart bart dog " * 2)],
+            "doc_id long, text string",
+        )
+        rows = textstats.fuzzy_term_pairs(docs, min_count=2).collect()
+        got = {(r["term_a"], r["term_b"]): r["dist"] for r in rows}
+        assert got[("bat", "cat")] == 1
+        assert got[("at", "cat")] == 1
+        assert got[("cart", "cat")] == 1
+        assert got[("bart", "cat")] == 2
+        assert not any("dog" in k for pair in got for k in pair)
+        # exhaustively verify against brute force
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        vocab = ["cat", "bat", "at", "cart", "bart", "dog"]
+        expect = {
+            tuple(sorted((a, b))): lev(a, b)
+            for a, b in itertools.combinations(vocab, 2)
+            if 1 <= lev(a, b) <= 2
+        }
+        assert got == expect
+
+    def test_min_count_filters_vocab(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "cat cat bat")], "doc_id long, text string"
+        )
+        # bat appears once -> excluded at min_count=2
+        assert textstats.fuzzy_term_pairs(docs, min_count=2).count() == 0
+        assert textstats.fuzzy_term_pairs(docs, min_count=1).count() == 1

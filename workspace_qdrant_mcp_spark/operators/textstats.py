@@ -683,3 +683,73 @@ def char_entropy(
             6,
         ).alias("entropy_bits"),
     )
+
+
+def fuzzy_term_pairs(
+    docs: DataFrame,
+    min_count: int = 2,
+    max_dist: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term_a, term_b, dist, count_a, count_b) — every vocabulary pair
+    within edit distance 1..max_dist (the typo/variant-mining step of
+    corpus normalization), restricted to terms seen >= min_count times
+    and canonicalized term_a < term_b. Found by FastSS deletion-
+    neighborhood blocking (Bocek et al. 2007): ed(a, b) <= k iff a and
+    b share a key among their up-to-k-deletion variants, so ONE
+    equi-join on the deletion key finds every candidate and a built-in
+    levenshtein() verifies the exact distance. The blocking is LOSSLESS
+    by the deletion-neighborhood theorem, and the oracle PROVES it: the
+    DuckDB twin is the brute-force O(V²) levenshtein join over the same
+    vocabulary, so a hash match certifies no pair was missed.
+
+    Scale shape: the candidate join keys on the deletion variant —
+    O(len²) keys per term for k=2, word-count shapes throughout, never
+    a cross-join of the vocabulary (the brute force that stops scaling
+    at ~10^5 terms exists only on the oracle side, where the vocab is
+    test-sized); levenshtein runs only on blocked candidates."""
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_term_pairs supports max_dist 1 or 2")
+    uc = (
+        fan_out(docs)
+        .select(F.explode(_ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    d1 = (
+        "transform(sequence(1, length(w)),"
+        " i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+    )
+    if max_dist == 1:
+        del_expr = f"array_distinct(concat(array(w), {d1}))"
+    else:
+        d2 = (
+            f"flatten(transform({d1}, v -> if(length(v) >= 1,"
+            " transform(sequence(1, length(v)),"
+            " j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))),"
+            " array())))"
+        )
+        del_expr = f"array_distinct(concat(array(w), {d1}, {d2}))"
+    keyed = uc.select(
+        "w", "c", F.explode(F.expr(del_expr)).alias("k")
+    )
+    a = keyed.select(
+        F.col("k"), F.col("w").alias("term_a"), F.col("c").alias("count_a")
+    )
+    b = keyed.select(
+        F.col("k"), F.col("w").alias("term_b"), F.col("c").alias("count_b")
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b", "count_a", "count_b")
+        .distinct()
+    )
+    return cand.select(
+        "term_a",
+        "term_b",
+        F.levenshtein("term_a", "term_b").alias("dist"),
+        "count_a",
+        "count_b",
+    ).filter(F.col("dist").between(1, max_dist))

@@ -5001,3 +5001,25 @@ SELECT n_keys, n_rows, top_key,
              - (n_keys + 1.0) / n_keys, 6) AS gini
 FROM agg, top
 """
+
+
+def fuzzy_term_pairs(min_count: int = 2, max_dist: int = 2) -> str:
+    """Oracle for textstats.fuzzy_term_pairs — deliberately the
+    BRUTE-FORCE O(V²) levenshtein join over the same vocabulary, so a
+    hash match proves the Spark side's deletion-neighborhood blocking
+    lossless (every pair within distance found, none invented)."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS w
+  FROM documents
+),
+uc AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w HAVING count(*) >= {min_count}
+)
+SELECT a.w AS term_a, b.w AS term_b,
+       CAST(levenshtein(a.w, b.w) AS INT) AS dist,
+       a.c AS count_a, b.c AS count_b
+FROM uc a JOIN uc b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) BETWEEN 1 AND {max_dist}
+"""

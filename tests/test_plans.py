@@ -384,7 +384,8 @@ def test_r7_session2_additions_plan_shapes(spark):
 
     for name in ("pmi_collocations", "kmv_source_overlap",
                  "vocab_coverage", "ndcg_metrics", "char_entropy",
-                 "link_prediction_aa"):
+                 "link_prediction_aa", "random_walks", "key_skew_report",
+                 "fuzzy_term_pairs"):
         df = entrymod.queries()[name](spark, SF_SMOKE)
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name

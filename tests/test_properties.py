@@ -851,3 +851,89 @@ def test_prefix_jaccard_lossless_vs_exhaustive(spark, docs, thr):
         )
     )
     assert fast == slow
+
+
+# --- fuzzy term pairs: blocking losslessness vs a python brute force ----
+
+WORDS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abcd")), min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+    unique=True,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@given(words=WORDS)
+@settings(**SETTINGS)
+def test_fuzzy_pairs_blocking_is_lossless(spark, words):
+    """FastSS deletion-neighborhood blocking finds EXACTLY the pairs the
+    brute-force levenshtein join finds, on arbitrary short vocabularies
+    (the tight alphabet forces heavy distance-1/2 collision)."""
+    import itertools
+
+    from workspace_qdrant_mcp_spark.operators.textstats import (
+        fuzzy_term_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        (r["term_a"], r["term_b"]): r["dist"]
+        for r in fuzzy_term_pairs(docs, min_count=1).collect()
+    }
+    expect = {
+        tuple(sorted((a, b))): _lev(a, b)
+        for a, b in itertools.combinations(words, 2)
+        if 1 <= _lev(a, b) <= 2
+    }
+    assert got == expect
+
+
+# --- MSF: Borůvka equals Kruskal under the same total order ------------
+
+GRAPHS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=1, max_value=4),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(raw=GRAPHS)
+@settings(**SETTINGS)
+def test_msf_matches_kruskal(spark, raw):
+    from tests.test_graph import _kruskal
+    from workspace_qdrant_mcp_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    seen, edges = set(), []
+    for s, d, w in raw:
+        if s == d:
+            continue
+        s, d = min(s, d), max(s, d)
+        if (s, d) in seen:
+            continue
+        seen.add((s, d))
+        edges.append((s, d, w))
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(df).collect()
+    )
+    assert got == _kruskal(edges)

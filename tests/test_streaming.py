@@ -1481,3 +1481,81 @@ def test_dedup_within_watermark_stream_equals_batch_keys(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_kmv_overlap_equals_batch_prefix(spark, tmp_path):
+    """Cross-batch KMV set-overlap sketch: after draining two
+    micro-batches, the latest emitted union/Jaccard/intersection
+    estimates equal sketches.kmv_set_estimates' estimate columns over
+    everything seen — the bottom-k merge law applied to BOTH sides'
+    sketches inside one state row."""
+    from workspace_qdrant_mcp_spark.operators import sketches
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "kev")
+    out_dir = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+    # 'click' users 0..59 even-ish, 'view' users 30..89 -> real overlap
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01T00:00:{i % 60:02d}Z",
+         "user_id": i % 60, "event_type": "click", "value": 0.0}
+        for i in range(60)
+    ] + [
+        {"event_id": 100 + i, "ts": f"2024-01-01T00:10:{i % 60:02d}Z",
+         "user_id": 30 + (i % 60), "event_type": "view", "value": 0.0}
+        for i in range(60)
+    ]
+    b2 = [
+        {"event_id": 300 + i, "ts": f"2024-01-01T01:00:{i % 60:02d}Z",
+         "user_id": 60 + i, "event_type": "click", "value": 0.0}
+        for i in range(30)
+    ]
+    _write_events(events_dir, "b1.json", b1)
+    _write_events(events_dir, "b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stateful.streaming_kmv_overlap(stream, k=32)
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).collect()
+    assert out, "stream emitted nothing"
+    last = max(out, key=lambda r: r["n_seen"])
+    assert last["n_seen"] == 150
+
+    all_ev = b1 + b2
+    ka = spark.createDataFrame(
+        [(e["user_id"],) for e in all_ev if e["event_type"] == "click"],
+        "key long",
+    )
+    kb = spark.createDataFrame(
+        [(e["user_id"],) for e in all_ev if e["event_type"] == "view"],
+        "key long",
+    )
+    want = sketches.kmv_set_estimates(ka, kb, k=32).collect()[0]
+    assert last["union_kth_hash"] == want["union_kth_hash"]
+    for c in ("union_estimate", "jaccard_estimate", "intersection_estimate"):
+        assert abs(last[c] - want[c]) < 1e-6, (c, last[c], want[c])
+    # the b1-prefix emission equals the batch over b1 alone
+    first = min(out, key=lambda r: r["n_seen"])
+    ka1 = spark.createDataFrame(
+        [(e["user_id"],) for e in b1 if e["event_type"] == "click"], "key long"
+    )
+    kb1 = spark.createDataFrame(
+        [(e["user_id"],) for e in b1 if e["event_type"] == "view"], "key long"
+    )
+    want1 = sketches.kmv_set_estimates(ka1, kb1, k=32).collect()[0]
+    assert first["union_kth_hash"] == want1["union_kth_hash"]
+    assert abs(first["jaccard_estimate"] - want1["jaccard_estimate"]) < 1e-6

@@ -510,3 +510,108 @@ def streaming_bottomk_sample(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OVERLAP_OUT_SCHEMA = (
+    "k int, union_kth_hash long, union_estimate double,"
+    " jaccard_estimate double, intersection_estimate double, n_seen long"
+)
+_KMV_OVERLAP_STATE_SCHEMA = (
+    "ha array<long>, hb array<long>, n_seen long"
+)
+
+
+def streaming_kmv_overlap(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    group_a: str = "click",
+    group_b: str = "view",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming twin of sketches.kmv_set_estimates: the two per-group
+    bottom-k KMV sketches maintained ACROSS micro-batches (the same
+    bottom-k-of-union merge law as streaming_bottomk_sample — state is
+    2·k hashes and nothing else), re-emitting the union / Jaccard /
+    intersection estimates whenever a batch touches either side. The
+    live cross-corpus-overlap monitor: at 100 TB/day the two sides
+    never meet except as k-row sketches inside one state row.
+
+    Parity contract: hashes are computed JVM-side BEFORE the stateful
+    operator with EXACTLY the batch arithmetic (same unsalted md5 of
+    CAST(key AS STRING)), and the estimate float ops replay the batch
+    order ((k-1)/(h/2^60); K∩/k; their product — Python doubles ARE
+    IEEE doubles), so after draining any stream prefix the latest
+    emission equals kmv_set_estimates' estimate columns over that
+    prefix (asserted in test_streaming). Emits nothing until the union
+    sketch is full (the estimator's validity regime, same as the batch
+    operator's empty frame). Exact-twin columns are batch-only by
+    design: they need the full key sets, which is the point of the
+    sketch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import md5_hash64
+
+    src = (
+        events.filter(F.col(group_col).isin(group_a, group_b))
+        .select(
+            F.lit("all").alias("gk"),
+            (F.col(group_col) == group_a).alias("is_a"),
+            md5_hash64(F.col(key_col).cast("string")).alias("h"),
+        )
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            ha, hb, n_seen = state.get
+            ha, hb = list(ha), list(hb)
+        else:
+            ha, hb, n_seen = [], [], 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n_seen += len(pdf)
+            ha.extend(int(x) for x in pdf.loc[pdf["is_a"], "h"])
+            hb.extend(int(x) for x in pdf.loc[~pdf["is_a"], "h"])
+        if not touched:
+            return
+        ha = sorted(set(ha))[:k]
+        hb = sorted(set(hb))[:k]
+        state.update((ha, hb, int(n_seen)))
+        union = sorted(set(ha) | set(hb))[:k]
+        if len(union) < k:
+            return
+        kth = union[-1]
+        sa, sb = set(ha), set(hb)
+        k_cap = sum(1 for h in union if h in sa and h in sb)
+        ue = float(k - 1) / (float(kth) / float(1 << 60))
+        rho = float(k_cap) / float(k)
+        yield pd.DataFrame(
+            {
+                "k": [k],
+                "union_kth_hash": [int(kth)],
+                "union_estimate": [round(ue, 6)],
+                "jaccard_estimate": [round(rho, 6)],
+                "intersection_estimate": [round(rho * ue, 6)],
+                "n_seen": [int(n_seen)],
+            }
+        )
+
+    return src.groupBy("gk").applyInPandasWithState(
+        fn,
+        KMV_OVERLAP_OUT_SCHEMA,
+        _KMV_OVERLAP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

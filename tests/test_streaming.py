@@ -1559,3 +1559,61 @@ def test_streaming_kmv_overlap_equals_batch_prefix(spark, tmp_path):
     want1 = sketches.kmv_set_estimates(ka1, kb1, k=32).collect()[0]
     assert first["union_kth_hash"] == want1["union_kth_hash"]
     assert abs(first["jaccard_estimate"] - want1["jaccard_estimate"]) < 1e-6
+
+
+def test_streaming_weighted_sample_equals_batch_prefix(spark, tmp_path):
+    """Cross-batch E-S weighted reservoir: after draining two
+    micro-batches the latest emission equals curation.weighted_sample
+    over everything seen — the E-S key is a pure (id, weight) function,
+    so the reservoir is just top-k-merge state like every sketch twin."""
+    import json as _json
+    import os
+
+    from workspace_qdrant_mcp_spark.operators import curation
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    rows_dir = str(tmp_path / "wrows")
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    os.makedirs(rows_dir, exist_ok=True)
+    b1 = [{"doc_id": i, "weight": float(1 + (i % 5))} for i in range(30)]
+    b2 = [{"doc_id": 100 + i, "weight": float(1 + (i % 3))} for i in range(20)]
+    for name, batch in (("b1.json", b1), ("b2.json", b2)):
+        with open(os.path.join(rows_dir, name), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in batch))
+
+    stream = (
+        spark.readStream.schema("doc_id long, weight double")
+        .option("maxFilesPerTrigger", 1)
+        .json(rows_dir)
+    )
+    q = (
+        stateful.streaming_weighted_sample(stream, k=7)
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).collect()
+    for prefix, n in ((b1, 30), (b1 + b2, 50)):
+        emitted = sorted(
+            (r["rnk"], r["id"], r["sample_key"])
+            for r in out if r["n_seen"] == n
+        )
+        assert len(emitted) == 7, f"prefix {n}: {len(emitted)} rows"
+        batch_df = spark.createDataFrame(prefix)
+        want_rows = curation.weighted_sample(
+            batch_df, k=7, weight_col="weight"
+        ).collect()
+        want = sorted(
+            (i + 1, str(r["doc_id"]), r["sample_key"])
+            for i, r in enumerate(want_rows)
+        )
+        for (gr, gi, gk), (wr, wi, wk) in zip(emitted, want):
+            assert (gr, gi) == (wr, wi)
+            assert abs(gk - wk) < 1e-6

@@ -615,3 +615,95 @@ def streaming_kmv_overlap(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+WSAMPLE_OUT_SCHEMA = "rnk int, id string, sample_key double, n_seen long"
+_WSAMPLE_STATE_SCHEMA = "keys array<double>, ids array<string>, n_seen long"
+
+
+def streaming_weighted_sample(
+    rows: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "ws|",
+) -> DataFrame:
+    """Streaming twin of curation.weighted_sample: the Efraimidis-
+    Spirakis weighted reservoir maintained ACROSS micro-batches. The
+    E-S key ln(u_id)/w is a pure function of (id, weight) computed
+    JVM-side with EXACTLY the batch arithmetic, so the reservoir obeys
+    the same merge law as every other sketch twin here: top-k of
+    (state ∪ batch) = top-k of (state ∪ top-k(batch)) — the carried
+    state is k (key, id) pairs and nothing else. Re-emits the current
+    sample whenever a batch arrives; after draining any stream prefix
+    the emission equals the batch operator over that prefix (asserted
+    in test_streaming). Duplicate ids re-derive the identical key, so
+    replays/dedup are free by construction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import md5_hash64
+
+    u = (
+        (md5_hash64(F.col(id_col).cast("string"), salt=salt) % 1_000_000)
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    src = rows.select(
+        F.lit("all").alias("gk"),
+        F.col(id_col).cast("string").alias("id"),
+        (F.log(u) / F.col(weight_col)).alias("key"),
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            keys, ids, n_seen = state.get
+            frames = [pd.DataFrame({"id": ids, "key": keys})]
+        else:
+            frames, n_seen = [], 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n_seen += len(pdf)
+            frames.append(pdf[["id", "key"]])
+        if not touched:
+            return
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .drop_duplicates("id")
+            .sort_values(["key", "id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(k)
+        )
+        state.update(
+            (
+                [float(x) for x in merged["key"]],
+                list(merged["id"]),
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "rnk": list(range(1, len(merged) + 1)),
+                "id": list(merged["id"]),
+                "sample_key": [round(float(x), 6) for x in merged["key"]],
+                "n_seen": [int(n_seen)] * len(merged),
+            }
+        )
+
+    return src.groupBy("gk").applyInPandasWithState(
+        fn,
+        WSAMPLE_OUT_SCHEMA,
+        _WSAMPLE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

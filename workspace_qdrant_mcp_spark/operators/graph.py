@@ -707,6 +707,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    tris = _closed_triangles(und)
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _closed_triangles(und: DataFrame) -> DataFrame:
+    """(a, b, c) — every triangle of the SYMMETRIC simple edge set
+    `und`, each exactly once, via the degree-ordered orientation (Suri &
+    Vassilvitskii 2011) triangle_counts has always used; extracted (r7,
+    behavior-preserving) so k_truss can enumerate the same triangles
+    per peel round without duplicating the orientation."""
     deg = und.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -728,15 +742,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.col("y.dst").alias("c"),
         )
     )
-    tris = wedges.join(
+    return wedges.join(
         oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
         ["b", "c"],
-    )
-    return (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    ).select("a", "b", "c")
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
@@ -1815,3 +1824,70 @@ def random_walks(edges: DataFrame, walk_len: int = 4) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def k_truss(edges: DataFrame, k: int = 4, n_iters: int = 10) -> DataFrame:
+    """(u, v, support) — the k-truss of the undirected simple graph
+    (Cohen 2008): the maximal subgraph where every EDGE closes at least
+    k-2 triangles within the subgraph, with each surviving edge's final
+    within-truss support. The edge-level strengthening of k-core — a
+    cohesion gate that single high-degree hubs cannot pass, which is
+    what makes it the standard dense-community primitive.
+
+    Computed by the support-peeling fixpoint: per round, enumerate the
+    current subgraph's triangles with the SAME degree-ordered
+    orientation as triangle_counts (work Σ d(v)² bounded O(m^1.5),
+    hub-safe), credit each triangle to its three canonical edges
+    (map-side combinable count), drop edges below k-2, repeat. n_iters
+    bounds the rounds; the peel only removes edges, so an unchanged
+    count is a fixpoint and iteration stops early — preserving exact
+    fixed-round semantics for the oracle's unrolled CTE chain (the
+    k_core discipline). RollingCheckpoint keeps the iteration state
+    footprint constant."""
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    roll = RollingCheckpoint(edges.sparkSession)
+    cur = roll(cur)
+    prev_n = None
+
+    def _support(cur_edges: DataFrame) -> DataFrame:
+        und = cur_edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionByName(
+            cur_edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        tris = _closed_triangles(und)
+        pairs = (
+            tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        )
+        return (
+            pairs.select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for _ in range(n_iters):
+        sup = _support(cur)
+        cur = roll(
+            cur.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("u", "v")
+        )
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    final_sup = _support(cur)
+    return cur.join(final_sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )

@@ -5023,3 +5023,70 @@ SELECT a.w AS term_a, b.w AS term_b,
 FROM uc a JOIN uc b ON a.w < b.w
 WHERE levenshtein(a.w, b.w) BETWEEN 1 AND {max_dist}
 """
+
+
+def graph_ktruss(
+    cap_sql: str = "(SELECT count(*) // 4 FROM part)",
+    k: int = 4,
+    n_iters: int = 10,
+) -> str:
+    """Oracle for graph.k_truss on the capped co-occurrence subgraph —
+    n_iters unrolled support-peeling rounds (the k_core unroll
+    pattern), each round replaying triangle_counts' degree-ordered
+    orientation (key = deg*10^12 + node_id) on the CURRENT edge set;
+    converged rounds are no-ops, so fixed-round SQL equals the Spark
+    side's early-exit loop. Final support recomputed on the surviving
+    edge set, exactly as the operator does."""
+    def tri_chain(p: str) -> str:
+        return f"""
+und{p} AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e{p} UNION ALL SELECT v, u FROM e{p}
+),
+deg{p} AS (SELECT src AS node_id, count(*) AS d FROM und{p} GROUP BY src),
+key{p} AS (SELECT node_id, d * 1000000000000 + node_id AS kk FROM deg{p}),
+o{p} AS MATERIALIZED (
+  SELECT ed2.src, ed2.dst, ks.kk AS ks, kd.kk AS kd
+  FROM und{p} ed2
+  JOIN key{p} ks ON ks.node_id = ed2.src
+  JOIN key{p} kd ON kd.node_id = ed2.dst
+  WHERE ks.kk < kd.kk
+),
+t{p} AS MATERIALIZED (
+  SELECT w.a, w.b, w.c FROM (
+    SELECT x.src AS a, x.dst AS b, y.dst AS c
+    FROM o{p} x JOIN o{p} y ON x.src = y.src AND x.kd < y.kd
+  ) w JOIN o{p} z ON z.src = w.b AND z.dst = w.c
+),
+sup{p} AS MATERIALIZED (
+  SELECT least(x, y) AS u, greatest(x, y) AS v, count(*) AS support
+  FROM (SELECT a AS x, b AS y FROM t{p}
+        UNION ALL SELECT a, c FROM t{p}
+        UNION ALL SELECT b, c FROM t{p})
+  GROUP BY 1, 2
+)"""
+
+    parts = [
+        f"""
+WITH {_COOC_EDGES},
+sub AS (SELECT src, dst FROM ed
+        WHERE src < {cap_sql} AND dst < {cap_sql}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM sub WHERE src <> dst
+)"""
+    ]
+    for r in range(1, n_iters + 1):
+        p = r - 1
+        parts.append("," + tri_chain(str(p)))
+        parts.append(f""",
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{p} e
+  LEFT JOIN sup{p} s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.support, 0) >= {k - 2}
+)""")
+    parts.append("," + tri_chain(str(n_iters)))
+    parts.append(f"""
+SELECT e.u, e.v, coalesce(s.support, 0) AS support
+FROM e{n_iters} e
+LEFT JOIN sup{n_iters} s ON s.u = e.u AND s.v = e.v""")
+    return "".join(parts)

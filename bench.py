@@ -206,16 +206,31 @@ def main() -> None:
     }
 
     # Full copy (with row counts) to disk first, so a clipped stdout capture
-    # is always recoverable.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
-    )
+    # is always recoverable. bench_out.json is COMMITTED (un-gitignored in
+    # r8, VERDICT r7 #3): the per-round recorder keeps only a ~2 KB stdout
+    # tail, which lost 148 of r7's 163 per-query timings; the disk artifact
+    # is the durable record. bench_history.jsonl additionally APPENDS one
+    # line per run, so a later local run cannot clobber the round's
+    # driver-run numbers.
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "bench_out.json")
     try:
         with open(out_path, "w") as f:
             json.dump(full, f, indent=1)
             f.write("\n")
     except Exception as exc:
         _log(f"# bench_out.json write error: {exc}")
+    try:
+        with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {"ts": round(time.time()), **full},
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+    except Exception as exc:
+        _log(f"# bench_history.jsonl write error: {exc}")
 
     sys.stdout.flush()
     line = json.dumps(summary, separators=(",", ":"))

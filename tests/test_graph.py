@@ -781,3 +781,130 @@ class TestRandomWalks:
         # the only neighbor is the other node: walks must alternate
         assert got[(7, 1)] == 8 and got[(7, 2)] == 7
         assert got[(8, 1)] == 7 and got[(8, 2)] == 8
+
+
+class TestSccTrim:
+    def _scc(self, spark, pairs, **kw):
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        ed = spark.createDataFrame(pairs, "src string, dst string")
+        return sorted(
+            map(tuple, strongly_connected_components(ed, **kw).collect())
+        )
+
+    def test_deep_ascending_chain_collapses_in_trim(self, spark):
+        # the ADVICE r7 #1 shape: an acyclic chain with ascending ids.
+        # Pre-trim this peeled ONE node per round (prefix-minimum roots)
+        # and blew max_peels; the trim fixpoint must absorb it with a
+        # tiny peel budget.
+        n = 40
+        pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)]
+        got = self._scc(spark, pairs, max_peels=2)
+        assert got == [(f"n{i:03d}", f"n{i:03d}") for i in range(n)]
+
+    def test_chain_feeding_a_knot_still_finds_the_knot(self, spark):
+        # chain -> cycle -> chain: trim strips both acyclic tails, the
+        # coloring finds the 3-knot in the single remaining peel round
+        pairs = [
+            ("a", "b"), ("b", "c"),          # ascending tail in
+            ("c", "d"), ("d", "e"), ("e", "c"),  # knot {c,d,e}
+            ("e", "f"), ("f", "g"),          # tail out
+        ]
+        got = dict(self._scc(spark, pairs, max_peels=3))
+        assert got == {
+            "a": "a", "b": "b", "c": "c", "d": "c", "e": "c",
+            "f": "f", "g": "g",
+        }
+
+    def test_trim_handles_self_loop_only_node(self, spark):
+        # a self-loop node has in/out degree only via the loop — the trim
+        # ignores self-loops, so it is trimmed as the singleton SCC it is
+        got = self._scc(spark, [("a", "a"), ("a", "b")], max_peels=1)
+        assert got == [("a", "a"), ("b", "b")]
+
+
+class TestKTruss:
+    # node ids are numeric — k_truss shares triangle_counts' packed
+    # (deg, id) orientation key (graph.py _TRI_PACK), the same contract
+    # as every other co-occurrence-graph analytic
+
+    def _truss(self, spark, pairs, **kw):
+        ed = spark.createDataFrame(pairs, "src long, dst long")
+        return sorted(map(tuple, graph.k_truss(ed, **kw).collect()))
+
+    def test_k4_plus_pendant_triangle_and_bridge(self, spark):
+        # K4 on {0,1,2,3}: every edge closes exactly 2 triangles -> the
+        # 4-truss. The pendant triangle {3,4,5} (support 1 each) and the
+        # bridge 5-6 (support 0) must peel away at k=4.
+        k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        extra = [(3, 4), (3, 5), (4, 5), (5, 6)]
+        got = self._truss(spark, k4 + extra, k=4)
+        assert got == [(u, v, 2) for u, v in k4]
+
+    def test_two_triangles_plus_bridge_unravel_at_k4(self, spark):
+        # triangles 0-1-2 + 1-2-3 share edge 1-2 (support 2); every
+        # other edge has support <= 1. Round 1 keeps only 1-2, round 2
+        # peels it (its triangles lost their other edges) -> empty.
+        pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+        assert self._truss(spark, pairs, k=4) == []
+        # same graph IS a 3-truss minus the bridge (every triangle edge
+        # closes >= 1 triangle); 3-4 closes none and peels
+        assert self._truss(spark, pairs, k=3) == [
+            (0, 1, 1), (0, 2, 1), (1, 2, 2), (1, 3, 1), (2, 3, 1),
+        ]
+
+    def test_hub_star_has_no_truss(self, spark):
+        # a degree-50 hub with no closing rim edges has zero triangles:
+        # k=3 already peels everything — single high-degree hubs cannot
+        # pass the cohesion gate (the point of truss vs core)
+        pairs = [(0, i) for i in range(1, 51)]
+        assert self._truss(spark, pairs, k=3) == []
+
+    def test_fixed_round_semantics_when_n_iters_exhausts(self, spark):
+        # n_iters=1 stops after ONE peel round (the oracle's unrolled-CTE
+        # contract): only 1-2 survives round 1, and the final support
+        # recompute on the survivor set reports 0 for it
+        pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+        assert self._truss(spark, pairs, k=4, n_iters=1) == [(1, 2, 0)]
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        # simple-graph normalization: dup/reversed/self edges don't
+        # inflate support
+        pairs = [(0, 1), (1, 0), (0, 1), (1, 2), (0, 2), (2, 2)]
+        assert self._truss(spark, pairs, k=3) == [
+            (0, 1, 1), (0, 2, 1), (1, 2, 1),
+        ]
+
+
+class TestBfsDepthCap:
+    def test_truncation_raises_loudly(self, spark):
+        # diameter 5 path with max_depth=2: the frontier is still
+        # non-empty at the cap — silent omission of far pairs is the
+        # ADVICE r7 #3 failure; must raise instead
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            harmonic_centrality_distributed,
+        )
+
+        e = _edges(spark, CHAIN + [(4, 5)])
+        with pytest.raises(RuntimeError, match="max_depth"):
+            harmonic_centrality_distributed(e, max_depth=2).collect()
+
+    def test_sufficient_depth_matches_driver_path(self, spark):
+        from workspace_qdrant_mcp_spark.operators.graph import (
+            harmonic_centrality,
+            harmonic_centrality_distributed,
+        )
+
+        e = _edges(spark, CHAIN + [(4, 5)])
+        drv = {
+            r["node_id"]: r["harmonic"]
+            for r in harmonic_centrality(e).collect()
+        }
+        dist = {
+            r["node_id"]: r["harmonic"]
+            for r in harmonic_centrality_distributed(e, max_depth=8).collect()
+        }
+        for k in drv:
+            assert dist[k] == pytest.approx(drv[k], abs=1e-9)

@@ -174,6 +174,36 @@ class TestHeavyHitters:
         assert "h" in cand  # count 50 > n/(k+1) = 25 → must survive
 
 
+    def test_null_keys_excluded_from_candidates_and_threshold(self, spark):
+        # ADVICE r7 #4: a genuinely heavy null key must not be tracked as
+        # the string 'None' (unmatchable by the semi-join) nor inflate
+        # the n/k denominator. Nulls are excluded end-to-end: with 400
+        # null rows + 300 hot rows + 300 tail, the non-null n is 600 and
+        # hot (300) > 600/4 qualifies; counting nulls in n (1000) would
+        # still pass here, but the 'None'-literal candidate bug would
+        # emit a phantom key — assert exact output.
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        rows = (
+            [(None,)] * 400 + [("hot",)] * 300
+            + [(f"t{i}", ) for i in range(60) for _ in range(5)]
+        )
+        df = spark.createDataFrame(rows, "user_id string").repartition(8)
+        out = sketches.heavy_hitters(df, "user_id", k=4).collect()
+        assert [(r["user_id"], r["cnt"]) for r in out] == [("hot", 300)]
+
+    def test_heavy_null_key_does_not_mask_threshold(self, spark):
+        # nulls dominating the input: with nulls IN the denominator the
+        # threshold would be 900/3=300 and 'hot' (200) would be missed;
+        # excluding them the non-null n is 300, threshold 100, hot passes
+        from workspace_qdrant_mcp_spark.operators import sketches
+
+        rows = [(None,)] * 600 + [("hot",)] * 200 + [(f"u{i}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "user_id string").repartition(8)
+        out = sketches.heavy_hitters(df, "user_id", k=3).collect()
+        assert [(r["user_id"], r["cnt"]) for r in out] == [("hot", 200)]
+
+
 class TestWeightedSample:
     def test_deterministic_and_weight_monotone(self, spark):
         from workspace_qdrant_mcp_spark.operators import curation

@@ -1198,6 +1198,18 @@ def _multi_source_bfs(
         if frontier.limit(1).count() == 0:
             break
         visited = roll_v(visited.unionByName(frontier))
+    else:
+        # the loop exhausted max_depth with the frontier still non-empty:
+        # every pair farther than max_depth hops would be SILENTLY absent
+        # from the forest, skewing harmonic/eccentricity/betweenness with
+        # no signal (the driver-side harness has no such cap). Loud
+        # failure, the scc / bloom_pruned_join discipline (ADVICE r7 #3);
+        # callers with genuinely huge diameters pass a bigger max_depth.
+        raise RuntimeError(
+            f"_multi_source_bfs: frontier still non-empty at "
+            f"max_depth={max_depth}; results would silently omit all "
+            f"pairs farther than {max_depth} hops — raise max_depth"
+        )
     return visited
 
 
@@ -1365,7 +1377,8 @@ def betweenness_distributed(
 # ---------------------------------------------------------------------------
 
 def strongly_connected_components(
-    edges: DataFrame, max_peels: int = 20, n_iters: int = 40
+    edges: DataFrame, max_peels: int = 20, n_iters: int = 100,
+    max_trim_rounds: int = 64,
 ) -> DataFrame:
     """(node_id, scc_id) — scc_id = min node id (lexicographic for
     string ids) of each node's strongly connected component, over the
@@ -1385,11 +1398,21 @@ def strongly_connected_components(
          class restriction is lossless).
       3. Peel the found SCCs (their nodes' edges drop) and repeat on
          the remainder; a peeled-empty node is a singleton SCC.
-    Peel rounds are bounded by the longest chain of SCCs meeting the
-    min-color root per pass — small for real call graphs (few big knots
-    + singleton mass); max_peels exhaustion raises rather than
-    returning a partial answer. Every driver action is a bounded
-    fixpoint probe (the k_core discipline)."""
+    Each peel round starts with a TRIM fixpoint (standard FW-BW trim):
+    nodes with zero remaining in-degree or out-degree (self-loops
+    ignored) are singleton SCCs by definition and are assigned + removed
+    BEFORE coloring — so acyclic chain/DAG structure (a deep ascending-id
+    call chain, the typical CALLS-graph shape that previously peeled one
+    node per round, ADVICE r7 #1) collapses in cheap trim rounds (one
+    probe each) instead of consuming coloring fixpoints. Peel rounds are
+    then bounded by the cycle structure only — the longest chain of
+    CYCLIC SCCs meeting the min-color root per pass; max_peels
+    exhaustion raises rather than returning a partial answer. n_iters
+    bounds min-label propagation depth (≥ the longest directed path
+    inside the post-trim graph; a single cycle of length L needs ~L
+    rounds — raise n_iters for pathological ring graphs, the failure is
+    loud). Every driver action is a bounded fixpoint probe (the k_core
+    discipline)."""
     spark = edges.sparkSession
     # one RollingCheckpoint per frame FAMILY: a single roller releases
     # t-1 when t lands, which is only safe on a linear chain — colors,
@@ -1436,6 +1459,48 @@ def strongly_connected_components(
 
     remaining = ed
     for _peel in range(max_peels):
+        if remaining.limit(1).count() == 0:
+            break
+        # TRIM fixpoint: a node absent from the non-self-loop src set
+        # (zero out-degree) or dst set (zero in-degree) cannot be in any
+        # directed cycle — singleton SCC; removing it can expose more,
+        # so iterate. A pure DAG empties here without one coloring round.
+        for _trim in range(max_trim_rounds):
+            nontriv = remaining.filter(F.col("src") != F.col("dst"))
+            in_both = (
+                nontriv.select(F.col("src").alias("node_id"))
+                .distinct()
+                .join(
+                    nontriv.select(F.col("dst").alias("node_id")).distinct(),
+                    "node_id",
+                )
+            )
+            triv = (
+                nodes_from_edges(remaining)
+                .join(in_both, "node_id", "left_anti")
+                .localCheckpoint()
+            )
+            if triv.limit(1).count() == 0:
+                break
+            found_triv = triv.select(
+                "node_id", F.col("node_id").alias("scc_id")
+            )
+            assigned = (
+                found_triv
+                if assigned is None
+                else assigned.unionByName(found_triv)
+            )
+            remaining = roll_rem(
+                remaining.join(
+                    triv.withColumnRenamed("node_id", "src"),
+                    "src",
+                    "left_anti",
+                ).join(
+                    triv.withColumnRenamed("node_id", "dst"),
+                    "dst",
+                    "left_anti",
+                )
+            )
         if remaining.limit(1).count() == 0:
             break
         nodes = nodes_from_edges(remaining)

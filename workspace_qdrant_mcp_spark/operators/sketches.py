@@ -518,15 +518,22 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
          broadcast).
 
     The sketch decides WHAT to count exactly — the corpus-wide groupBy
-    that a naive top-k needs never materializes rare keys' groups."""
+    that a naive top-k needs never materializes rare keys' groups.
+
+    NULL keys are excluded end-to-end (candidates AND the n
+    denominator): pandas' astype(str) would otherwise track them as the
+    literal 'None', which the exact-verify semi-join can never match
+    (SQL null != 'None'), silently missing a genuinely heavy null key
+    while still inflating the threshold (ADVICE r7 #4)."""
+    nonnull = df.filter(F.col(key_col).isNotNull())
     cand = (
-        _mg_summaries(df, key_col, capacity=k)
+        _mg_summaries(nonnull, key_col, capacity=k)
         .select(F.col("key").alias(key_col))
         .distinct()
     )
-    nn = df.agg(F.count(F.lit(1)).alias("__n"))
+    nn = nonnull.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        df.select(F.col(key_col).cast("string").alias(key_col))
+        nonnull.select(F.col(key_col).cast("string").alias(key_col))
         .join(F.broadcast(cand), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))

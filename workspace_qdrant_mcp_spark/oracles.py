@@ -3178,12 +3178,15 @@ FROM c
 
 def heavy_hitters(k: int = 10) -> str:
     """Oracle for sketches.heavy_hitters: the exact > n/k frequency
-    filter the MG-candidate + exact-verify pipeline must reproduce."""
+    filter the MG-candidate + exact-verify pipeline must reproduce.
+    NULL keys excluded from both the groups and the n denominator,
+    matching the operator (ADVICE r7 #4)."""
     return f"""
 SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY 1
-HAVING count(*) * {k} > (SELECT count(*) FROM events)
+HAVING count(*) * {k} > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
 """
 
 

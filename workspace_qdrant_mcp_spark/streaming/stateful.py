@@ -268,7 +268,11 @@ def streaming_heavy_hitters(
     grp = F.pmod(
         md5_hash64(F.col(key_col).cast("string"), salt="mg|"), n_groups
     ).cast("int")
-    src = events.select(
+    # NULL keys dropped BEFORE grouping: pandas value_counts silently
+    # drops NaN from the counters, so keeping null rows would inflate
+    # n_group without any counter ever matching — the same null
+    # inconsistency fixed in sketches.heavy_hitters (ADVICE r7 #4).
+    src = events.filter(F.col(key_col).isNotNull()).select(
         grp.alias("grp"), F.col(key_col).cast("string").alias("key")
     )
 

@@ -1125,6 +1125,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, q, cents)
 
 
+def _q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means topic assignment over the corpus
+    embeddings (ann.lloyd_kmeans: first-k init, 3 unrolled rounds,
+    round-6 centroid means — the oracle replays the identical chain).
+    The cluster-balanced-sampling / topic-data-card primitive next to
+    semdedup's static-assignment blocks; production twin =
+    train_ivf_centroids (seeded MLlib). NEW IN r8."""
+    return ann.lloyd_kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_rounds=3
+    )
+
+
 def _q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8 scalar quantization + exact rescore
     (operators/ann.sq_topk): the `quantization_config` pipeline of the
@@ -1199,6 +1211,61 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint(),
         )
     return _TERMS_CACHE[key]
+
+
+# Maintained-store pair for the INDEXED serving path (VERDICT r7 #7):
+# built once per (session, sf_dir) through the REAL incremental sinks —
+# update_postings (S7) and update_ann_store — then every
+# hybrid_search_indexed call reads the parquet stores, exactly the
+# deployment shape (the daemon serves off Qdrant/SQLite indexes built at
+# ingest, flow_collect.rs:104-179; it never re-derives them per query).
+_IDX_STORES_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _indexed_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IDX_STORES_CACHE:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="wqm_idx_stores_")
+        postings_path = os.path.join(base, "postings")
+        ann_path = os.path.join(base, "ann_cells")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bm25.update_postings(spark, postings_path, changed_docs=docs)
+        emb = load_table(spark, sf_dir, "embeddings")
+        ann.update_ann_store(
+            spark, ann_path, _ivf_frozen_centroids(spark, sf_dir),
+            changed_vecs=emb,
+        )
+        _IDX_STORES_CACHE[key] = (postings_path, ann_path)
+    return _IDX_STORES_CACHE[key]
+
+
+def _ivf_frozen_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-10-vectors centroid convention every IVF query here uses
+    (deterministic and SQL-replayable, unlike a trained KMeans model)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
+    )
+
+
+def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2+R3+R8 SERVED OFF THE MAINTAINED STORES: sparse leg reads the
+    incremental postings table, dense candidates come from the maintained
+    IVF cell store's probe-cell equi-join (never a corpus scan). The
+    oracle is the BRUTE-FORCE hybrid SQL — the hash match certifies the
+    indexed path exact at this corpus/n_probe (test_ann additionally
+    pins indexed == brute-force DataFrame parity at two SFs). NEW IN r8
+    (VERDICT r7 #7)."""
+    postings_path, ann_path = _indexed_stores(spark, sf_dir)
+    return search_pipeline.hybrid_search_indexed(
+        spark, sf_dir, QUERY_TERMS,
+        postings_path=postings_path, ann_store_path=ann_path,
+        centroids=_ivf_frozen_centroids(spark, sf_dir),
+        query_vec_id=QUERY_VEC_ID, n_probe=3,
+    )
 
 
 # The reference persists graph_edges at ingest (graph.db; SURVEY §1.1) and
@@ -2906,7 +2973,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # behavior; slots 30-50 are the 21 stalest r5-green rows. Provenance
     # per CORRECTNESS_r01-r07.
     return {
-        # Slots 1-28: first driver evidence lands THIS round:
+        # Slots 1-29: first driver evidence lands THIS round
+        # (hybrid_search_indexed is NEW IN r8 — the maintained-store
+        # serving path, VERDICT r7 #7; its oracle is the brute-force
+        # hybrid SQL, so the row certifies indexed == brute-force):
+        "hybrid_search_indexed": _q_hybrid_search_indexed,
+        "kmeans_topics": _q_kmeans_topics,
         "topk_per_group": _q_topk_per_group,
         "histogram_quantiles": _q_histogram_quantiles,
         "prefix_jaccard_neardup": _q_prefix_jaccard,
@@ -2958,12 +3030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "dataset_split": _q_dataset_split,
         "mixture_sample": _q_mixture_sample,
-        "nested_chunks_brace": _q_nested_chunks_brace,
-        "taxonomy_tags": _q_taxonomy_tags,
         # ---- below the 50-row window: every row here is r5/r6/r7-green
         # (newest rows recorded against code unchanged since, except
         # where noted in per-query docstrings); they rotate back through
-        # future windows on the same stalest-first policy.
+        # future windows on the same stalest-first policy. taxonomy_tags
+        # yielded its window slot to hybrid_search_indexed and leads the
+        # r9 stale rotation, as does nested_chunks_brace (slot yielded
+        # to kmeans_topics).
+        "taxonomy_tags": _q_taxonomy_tags,
+        "nested_chunks_brace": _q_nested_chunks_brace,
         "concept_layer": _q_concept_layer,
         "doc_extraction": _q_doc_extraction,
         "tier1_tags": _q_tier1_tags,
@@ -3084,6 +3159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hybrid_search_rrf": oracles.hybrid_search_rrf(QUERY_TERMS, QUERY_VEC_ID),
+        # the INDEXED serving path must reproduce the brute-force result
+        # bit-for-bit — same oracle by design (VERDICT r7 #7):
+        "hybrid_search_indexed": oracles.hybrid_search_rrf(
+            QUERY_TERMS, QUERY_VEC_ID
+        ),
         "bm25_sparse_topk": oracles.bm25_sparse_topk(QUERY_TERMS),
         "dense_knn_cosine": oracles.dense_knn_cosine(QUERY_VEC_ID),
         "corpus_stats": oracles.corpus_stats(),
@@ -3116,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": oracles.char_entropy(),
         "graph_msf": oracles.graph_msf(),
         "graph_ktruss": oracles.graph_ktruss(k=KTRUSS_K),
+        "kmeans_topics": oracles.kmeans_topics(k=8, n_rounds=3),
         "random_walks": oracles.random_walks(walk_len=4),
         "key_skew_report": oracles.key_skew_report("user_id"),
         "fuzzy_term_pairs": oracles.fuzzy_term_pairs(min_count=2),

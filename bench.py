@@ -37,6 +37,69 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _full_store_ingest_docs_per_min(
+    spark, sf_dir: str, n_docs: int = 512, per_file: int = 16
+) -> float:
+    """Time run_ingestion_stream with every maintained sink enabled over
+    n_docs real corpus documents fed as watcher-event JSON files; return
+    docs/min. The event feed (driver-side JSON writes) happens BEFORE the
+    clock starts — only the stream's own work is timed."""
+    import shutil
+    import tempfile
+
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    base = tempfile.mkdtemp(prefix="wqm_bench_ingest_")
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(f"doc_id < {n_docs}")
+        .collect()
+    )
+    for i in range(0, len(rows), per_file):
+        with open(os.path.join(events_dir, f"b{i // per_file:04d}.json"), "w") as f:
+            for r in rows[i : i + per_file]:
+                f.write(
+                    json.dumps(
+                        {
+                            "path": f"doc_{r['doc_id']}.txt",
+                            "event_type": "create",
+                            "content": r["text"],
+                            "ts": "2026-01-01T00:00:00",
+                        }
+                    )
+                    + "\n"
+                )
+    t0 = time.perf_counter()
+    ingest.run_ingestion_stream(
+        spark,
+        events_dir,
+        os.path.join(base, "store"),
+        os.path.join(base, "dlq"),
+        os.path.join(base, "ckpt"),
+        postings_path=os.path.join(base, "postings"),
+        graph_store_dir=os.path.join(base, "graph"),
+        signature_store_path=os.path.join(base, "sigs"),
+        feature_store_path=os.path.join(base, "features"),
+    )
+    elapsed = time.perf_counter() - t0
+    n_ingested = (
+        spark.read.parquet(os.path.join(base, "store"))
+        .select("path")
+        .distinct()
+        .count()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    if n_ingested < len(rows):
+        _log(
+            f"# full-store ingest: only {n_ingested}/{len(rows)} docs "
+            "landed — rate reflects the landed count"
+        )
+    return round(60.0 * n_ingested / elapsed)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -45,6 +108,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = dict(sorted(entrymod.queries().items()))
+    # Bisect support (the r5/r7 drift-diagnosis discipline): run only a
+    # named subset so round-over-round gate numbers can be compared
+    # without suite-crowding effects. Comma-separated names, or @file
+    # with one name per line.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        if only.startswith("@"):
+            with open(only[1:]) as f:
+                keep = {ln.strip() for ln in f if ln.strip()}
+        else:
+            keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - queries.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(unknown)}")
+        queries = {n: fn for n, fn in queries.items() if n in keep}
+        _log(f"# bench subset: {len(queries)} queries")
 
     # JVM/codegen smoke on the smallest SF, then (by default) one untimed
     # pass of every query at the bench SF: session-level caches (postings,
@@ -180,6 +259,19 @@ def main() -> None:
             baseline_mapped["queue_events_per_min"] = round(
                 60.0 * n_events / timings["ingest_apply_events"]
             )
+        # Full maintained-store streaming ingestion (VERDICT r7 #6): the
+        # configuration a real deployment runs — the watcher-event stream
+        # with ALL FIVE incremental sinks enabled (chunk store + postings
+        # + symbol graph + minhash signatures + doc features), measured
+        # as docs/min against the reference's 1000+ docs/min queue gate
+        # (queue_processor_bench.rs). 512 real corpus docs over two
+        # availableNow micro-batches (maxFilesPerTrigger=16 × 16/file).
+        try:
+            baseline_mapped["full_store_ingest_docs_per_min"] = (
+                _full_store_ingest_docs_per_min(spark, sf_dir)
+            )
+        except Exception as exc:
+            _log(f"# bench full-store ingest error: {exc}")
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
 

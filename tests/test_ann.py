@@ -334,3 +334,110 @@ def test_knn_graph_unknown_mode_raises(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError, match="knn_graph"):
         knn = ann.knn_graph(emb, mode="bruteforce")
+
+
+def test_hybrid_search_indexed_equals_brute_force(spark, tmp_path):
+    """The r8 serving path: hybrid search off the maintained postings +
+    IVF cell stores must reproduce brute-force hybrid_search exactly —
+    including when the stores were assembled INCREMENTALLY (two update
+    batches + a delete), the deployment's actual write pattern."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from workspace_qdrant_mcp_spark.operators import bm25
+    from workspace_qdrant_mcp_spark.plans import search_pipeline
+    from tests.conftest import SF_CORRECT
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        brute = search_pipeline.hybrid_search(
+            spark, sf, entrymod.QUERY_TERMS, entrymod.QUERY_VEC_ID
+        ).collect()
+        indexed = entrymod.queries()["hybrid_search_indexed"](
+            spark, sf
+        ).collect()
+        assert sorted(map(tuple, indexed)) == sorted(map(tuple, brute)), sf
+
+    # incremental assembly at SF_SMOKE: docs arrive in two batches with a
+    # doc re-ingested (update = delete+append in both sinks)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = entrymod._ivf_frozen_centroids(spark, SF_SMOKE)
+    pp = str(tmp_path / "postings")
+    ap = str(tmp_path / "ann_cells")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    reingest = docs.filter(F.col("doc_id") < 5)
+    bm25.update_postings(spark, pp, changed_docs=first)
+    bm25.update_postings(spark, pp, changed_docs=second)
+    bm25.update_postings(spark, pp, changed_docs=reingest)
+    ann.update_ann_store(
+        spark, ap, cents, changed_vecs=emb.filter(F.col("vec_id") % 2 == 0)
+    )
+    ann.update_ann_store(
+        spark, ap, cents, changed_vecs=emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    ann.update_ann_store(
+        spark, ap, cents, changed_vecs=emb.filter(F.col("vec_id") < 5)
+    )
+    got = search_pipeline.hybrid_search_indexed(
+        spark, SF_SMOKE, entrymod.QUERY_TERMS,
+        postings_path=pp, ann_store_path=ap, centroids=cents,
+        query_vec_id=entrymod.QUERY_VEC_ID, n_probe=3,
+    ).collect()
+    brute = search_pipeline.hybrid_search(
+        spark, SF_SMOKE, entrymod.QUERY_TERMS, entrymod.QUERY_VEC_ID
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+
+
+class TestLloydKmeans:
+    def test_fixture_two_obvious_clusters(self, spark):
+        # two tight blobs in 2-D; k=2 with first-2 init (one seed in each
+        # blob) must separate them and place centroids at the blob means
+        pts = [
+            (0, [0.0, 0.0]), (2, [0.1, 0.0]), (4, [0.0, 0.1]),
+            (1, [5.0, 5.0]), (3, [5.1, 5.0]), (5, [5.0, 5.1]),
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in ann.lloyd_kmeans(emb, k=2, n_rounds=3).collect()
+        }
+        assert got[0] == got[2] == got[4] == 0
+        assert got[1] == got[3] == got[5] == 1
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # k=3 but only two real blobs: seed 2's cluster empties after the
+        # first assignment (seed 2 itself sits nearer seed 0's centroid);
+        # the operator must not NaN out — the empty cluster carries its
+        # previous centroid and the final assignment is still total
+        pts = [
+            (0, [0.0, 0.0]), (1, [9.0, 9.0]), (2, [0.2, 0.0]),
+            (3, [9.1, 9.0]), (4, [0.1, 0.1]),
+        ]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        out = ann.lloyd_kmeans(emb, k=3, n_rounds=3).collect()
+        assert len(out) == 5
+        assert all(r["dist"] is not None for r in out)
+
+    def test_rounds_zero_is_pure_first_k_assignment(self, spark):
+        # n_rounds=0 degenerates to the semdedup static assignment —
+        # centroid j IS vector j
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        got = ann.lloyd_kmeans(emb, k=8, n_rounds=0)
+        # squared-dist argmin == dot argmax only on equal-norm vectors, so
+        # compare against a direct min-dist recompute, not IVF assign
+        got_map = {r["vec_id"]: r["cluster_id"] for r in got.collect()}
+        import math
+
+        rows = emb.filter(F.col("vec_id") < 2000).collect()
+        cents = {int(r["vec_id"]): list(r["embedding"]) for r in rows if r["vec_id"] < 8}
+        for r in rows:
+            v = list(r["embedding"])
+            best = min(
+                sorted(cents),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(v, cents[c])), c
+                ),
+            )
+            assert got_map[r["vec_id"]] == best, r["vec_id"]

@@ -110,3 +110,43 @@ def test_real_model_probe_and_skip(spark):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
     assert out[1] == out[2]  # deterministic: same text, same vector
     assert out[1] != out[3]
+
+
+def test_real_model_composes_with_embed_unique_and_store(spark, tmp_path):
+    """VERDICT r7 stretch #9: when (and only when) a neural runtime ships
+    in the container, the REAL provider must auto-promote through the
+    full ingest composition — embed_unique's distinct-text discipline,
+    then the chunk store's upsert schema (embedding ARRAY<DOUBLE>) —
+    proving the probe-and-skip slot is a drop-in for the mock on the
+    real pipeline, not just on a toy select. Skips on runtime absence
+    only (the probe), never on wiring."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from workspace_qdrant_mcp_spark.functions import embedder as em
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    rt = em.probe_real_runtime()
+    if rt != "sentence_transformers":
+        pytest.skip(f"no neural embedding runtime in container (probe={rt!r})")
+
+    udf = em.dense_provider("neural")
+    docs = spark.createDataFrame(
+        [("a.txt", "h1", 0, "hello world"),
+         ("a.txt", "h1", 1, "hello world"),
+         ("b.txt", "h2", 0, "unrelated text")],
+        "path string, file_hash string, chunk_index int, content string",
+    )
+    chunks = em.embed_unique(docs, embed_fn=udf).select(
+        "path", "file_hash", "chunk_index", "content",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    store = str(tmp_path / "real_store")
+    ingest.upsert_chunks(spark, store, chunks)
+    got = spark.read.parquet(store)
+    assert got.count() == 3
+    assert dict(got.dtypes)["embedding"] == "array<double>"
+    vecs = {(r["path"], r["chunk_index"]): r["embedding"] for r in got.collect()}
+    assert vecs[("a.txt", 0)] == vecs[("a.txt", 1)]  # distinct-text dedup
+    assert vecs[("a.txt", 0)] != vecs[("b.txt", 0)]
+    assert all(v is not None and len(v) > 0 for v in vecs.values())

@@ -406,3 +406,33 @@ def test_r7_session2_additions_plan_shapes(spark):
     # a cartesian by running the query and checking the final plan
     msf = entrymod.queries()["graph_msf"](spark, SF_SMOKE)
     assert "CartesianProduct" not in _plan(msf)
+
+
+def test_hybrid_search_indexed_serves_off_stores(spark):
+    """The r8 indexed serving path (VERDICT r7 #7): the physical plan
+    must read BOTH maintained stores (postings parquet, ann-cells
+    parquet), route dense candidates through the cell_id probe
+    equi-join, and never re-derive either store from the corpus at
+    query time — documents' text column must be absent from every
+    ReadSchema (no tokenize at serve time; documents is scanned only
+    for the 1-row N aggregate), and no cartesian pairing anywhere."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["hybrid_search_indexed"](spark, SF_SMOKE)
+    postings_path, ann_path = entrymod._indexed_stores(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # both store scans present
+    assert postings_path.rsplit("/", 1)[-1] in plan
+    assert ann_path.rsplit("/", 1)[-1] in plan
+    # dense candidates come from the cell_id equi-join of the store
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "BroadcastHashJoin" in line and "cell_id" in line
+        for line in simple.splitlines()
+    ), "cell-probe equi-join missing"
+    # no serve-time tokenization: text never read
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m.group(1), m.group(0)

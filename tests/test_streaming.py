@@ -1617,3 +1617,57 @@ def test_streaming_weighted_sample_equals_batch_prefix(spark, tmp_path):
         for (gr, gi, gk), (wr, wi, wk) in zip(emitted, want):
             assert (gr, gi) == (wr, wi)
             assert abs(gk - wk) < 1e-6
+
+
+def test_stateful_family_state_rows_bounded_in_progress(spark, tmp_path):
+    """VERDICT r7 stretch #8: the cross-batch sketches' constant-size
+    state claims, asserted from the engine's own accounting rather than
+    by construction — StreamingQueryProgress.stateOperators reports the
+    state store's TOTAL ROW COUNT after each trigger; a state leak
+    (e.g. a per-event instead of per-group key) shows up here as
+    numRowsTotal tracking the input volume instead of the group count.
+    Three family members with three different structural bounds:
+      - streaming_heavy_hitters(n_groups=4): <= 4 state rows,
+      - streaming_hll over event_type: <= distinct types,
+      - streaming_kmv_overlap: exactly 1 state row (both sketches live
+        in the one aggregate-key row).
+    Each drains two micro-batches of 200 events (400 inputs vs <= 5
+    state rows — the gap IS the assertion)."""
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    def mk(eid0):
+        return [
+            {"event_id": eid0 + i, "ts": f"2024-01-01T00:00:{i % 60:02d}Z",
+             "user_id": i % 37, "event_type": ("click", "view", "scroll")[i % 3],
+             "value": float(i % 7)}
+            for i in range(200)
+        ]
+
+    cases = {
+        "hh": (lambda s: stateful.streaming_heavy_hitters(
+            s, capacity=8, n_groups=4), 4),
+        "hll": (lambda s: stateful.streaming_hll(s), 3),
+        "kmv": (lambda s: stateful.streaming_kmv_overlap(s, k=16), 1),
+    }
+    for tag, (build, bound) in cases.items():
+        events_dir = str(tmp_path / f"{tag}_ev")
+        _write_events(events_dir, "b1.json", mk(0))
+        _write_events(events_dir, "b2.json", mk(1000))
+        stream = (
+            spark.readStream.schema(_EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / f"{tag}_ck"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+        assert progresses, f"{tag}: no stateOperators progress recorded"
+        last = progresses[-1]["stateOperators"][0]
+        assert last["numRowsTotal"] <= bound, (tag, last["numRowsTotal"])

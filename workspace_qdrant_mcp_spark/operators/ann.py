@@ -909,6 +909,117 @@ def update_ann_store(
     )
 
 
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, dist) — k-means topic assignment after
+    n_rounds UNROLLED Lloyd iterations (Lloyd 1982) from the
+    deterministic first-k init (centroid j = the vector with id j, the
+    semdedup/IVF house convention): per round, assign every point to its
+    min-squared-distance centroid (ties cluster_id ASC), then recompute
+    each centroid as the per-dimension mean of its members, ROUNDED to 6
+    decimals so a second engine replays the identical centroid values
+    (the fixed-round discipline of k_core/k_truss: no convergence probe,
+    no RNG, no trained model — a DuckDB oracle can unroll the same
+    rounds). Empty clusters keep their previous centroid.
+
+    The curation use is cluster-balanced sampling / topic data cards
+    (SemDeDup §3 uses exactly this clustering as its proximity blocks);
+    the production trainer at 100 TB is seeded MLlib KMeans over a
+    sample (train_ivf_centroids) — this operator is its
+    oracle-replayable twin, same output contract.
+
+    Plan shape per round: one broadcast-centroid argmin (k·dim scalar
+    work per row, no shuffle) + one (cluster_id, pos) mean aggregate
+    (posexplode → map-side-combinable avg over n·dim narrow rows, the
+    only shuffle). Rounds are a fixed small constant; nothing driver-
+    side, nothing quadratic."""
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = pts.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster_id"), F.col("v").alias("c")
+    )
+
+    def assign(points, centroids):
+        sq = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc("__d"), F.asc("cluster_id")
+        )
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .select(id_col, "v", "cluster_id", sq.alias("__d"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(id_col, "v", "cluster_id", "__d")
+        )
+
+    for _ in range(n_rounds):
+        assigned = assign(pts, cents)
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cm")
+            )
+        )
+        cents = (
+            cents.join(means, "cluster_id", "left")
+            .select(
+                "cluster_id", F.coalesce("cm", F.col("c")).alias("c")
+            )
+        )
+    final = assign(pts, cents)
+    return final.select(
+        id_col, "cluster_id", F.round("__d", 6).alias("dist")
+    )
+
+
+def ann_store_candidates(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, __qv, vec_id, embedding) — the maintained store's rows
+    inside each query's n_probe probe cells: the cell_id equi-join of the
+    assignment table with the probe-cell selection, BEFORE any scoring.
+    This is ann_store_topk's candidate generator exposed undecorated (no
+    cosine, no self-exclusion, no top-k) so serving paths — the indexed
+    hybrid search — can apply their own leg semantics (threshold,
+    include-self, unrounded ordering) to the pruned set. The corpus scan
+    a brute-force dense leg needs never happens: candidates are the
+    probed cells' rows only (reference context: this is the Qdrant
+    serving path, flow_collect.rs:104-179 — the daemon queries an index,
+    it never rescans the collection)."""
+    assigned = read_ann_store(spark, store_path)
+    qcells = _query_probe_cells(
+        queries, centroids, n_probe, vec_col, query_id_col
+    ).withColumn("cell_id", F.col("cell_id").cast("int"))
+    return assigned.join(F.broadcast(qcells), "cell_id").select(
+        query_id_col, "__qv", "vec_id", "embedding"
+    )
+
+
 def ann_store_topk(
     spark,
     store_path: str,

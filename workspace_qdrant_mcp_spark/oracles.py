@@ -5093,3 +5093,70 @@ SELECT e.u, e.v, coalesce(s.support, 0) AS support
 FROM e{n_iters} e
 LEFT JOIN sup{n_iters} s ON s.u = e.u AND s.v = e.v""")
     return "".join(parts)
+
+
+def kmeans_topics(k: int = 8, n_rounds: int = 3) -> str:
+    """Oracle for ann.lloyd_kmeans: the identical n_rounds-unrolled Lloyd
+    chain (the k_core/k_truss fixed-round discipline) — first-k init,
+    min-squared-distance assignment with (d ASC, cluster_id ASC)
+    tie-break, per-dimension means ROUNDED to 6 so both engines carry
+    bit-identical centroids into the next round, empty clusters keeping
+    the previous centroid."""
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pv AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+  FROM pts
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, pos, val
+  FROM pv WHERE vec_id < {k}
+)"""]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(f""",
+d{p} AS MATERIALIZED (
+  SELECT pv.vec_id, c.cluster_id,
+         sum((pv.val - c.val) * (pv.val - c.val)) AS d
+  FROM pv JOIN c{p} c ON c.pos = pv.pos
+  GROUP BY 1, 2
+),
+a{p} AS MATERIALIZED (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC
+         ) AS rn
+  FROM d{p}
+),
+m{r} AS (
+  SELECT a.cluster_id, pv.pos, round(avg(pv.val), 6) AS val
+  FROM a{p} a JOIN pv ON pv.vec_id = a.vec_id
+  WHERE a.rn = 1
+  GROUP BY 1, 2
+),
+c{r} AS (
+  SELECT c.cluster_id, c.pos, coalesce(m.val, c.val) AS val
+  FROM c{p} c
+  LEFT JOIN m{r} m ON m.cluster_id = c.cluster_id AND m.pos = c.pos
+)""")
+    n = n_rounds
+    parts.append(f""",
+df AS (
+  SELECT pv.vec_id, c.cluster_id,
+         sum((pv.val - c.val) * (pv.val - c.val)) AS d
+  FROM pv JOIN c{n} c ON c.pos = pv.pos
+  GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, cluster_id, d,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC
+         ) AS rn
+  FROM df
+)
+SELECT vec_id, cluster_id, round(d, 6) AS dist
+FROM af WHERE rn = 1""")
+    return "".join(parts)

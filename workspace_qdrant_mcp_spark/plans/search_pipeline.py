@@ -79,6 +79,73 @@ def hybrid_search(
     )
 
 
+def hybrid_search_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: list[str],
+    postings_path: str,
+    ann_store_path: str,
+    centroids: DataFrame,
+    query_vec_id: int = 0,
+    limit: int = fusion.DEFAULT_LIMIT,
+    threshold: float = fusion.DEFAULT_SCORE_THRESHOLD,
+    n_probe: int = 3,
+) -> DataFrame:
+    """hybrid_search served OFF THE MAINTAINED STORES — the serving path
+    a deployment actually runs (reference: the daemon queries Qdrant's
+    index + the persisted sparse vectors, flow_collect.rs:104-179; it
+    never rescans the collection per query):
+
+      - keyword leg: bm25.sparse_search reading the MAINTAINED postings
+        table (read_postings) instead of re-tokenizing the corpus — the
+        tokenize+explode+tf groupBy never runs at query time;
+      - dense leg: candidates from the maintained IVF cell store
+        (ann.ann_store_candidates — cell_id equi-join against the
+        query's n_probe probe cells), then the EXACT dense_search leg
+        semantics on the pruned set: unrounded cosine, include-self,
+        score >= threshold, top 2*limit by (score desc, id asc).
+
+    Result contract: hash-identical to brute-force hybrid_search (the
+    driver oracle IS the brute-force SQL) whenever the probed cells
+    cover the true top-2*limit — pinned by test_ann's indexed==brute
+    parity at two SFs; n_probe trades recall for scan fraction at 100 TB
+    exactly as in ivf_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == query_vec_id).select("embedding")
+
+    kw_leg = bm25.sparse_search(
+        spark, docs, query_terms, id_col="doc_id", text_col="text",
+        k=2 * limit, threshold=threshold * 0.5,
+        terms=bm25.read_postings(spark, postings_path, id_col="doc_id"),
+    )
+    # query_id = -1 sits outside the corpus id space, so the generator's
+    # candidates keep the query's own stored vector (brute force does)
+    q = qvec.select(F.lit(-1).cast("long").alias("query_id"), "embedding")
+    from ..functions.vectors import cosine
+    from ..operators import ann
+
+    cand = ann.ann_store_candidates(
+        spark, ann_store_path, centroids, q, n_probe=n_probe
+    )
+    sem_leg = (
+        cand.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("__qv")).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(2 * limit)
+    )
+
+    fused = hybrid_fuse(sem_leg, kw_leg, ["doc_id"])
+    return (
+        fused.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def decayed_hybrid_search(
     spark: SparkSession,
     sf_dir: str,

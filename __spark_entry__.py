@@ -327,6 +327,30 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature/alpha-scaled mixture weights (curation.
+    temperature_mixture, alpha=0.3 — the XLM-R/mT5 multilingual sampling
+    recipe): sampled_share = p^alpha normalized over the observed token
+    shares, boost = sampled/observed. NEW IN r8 post-window; front of
+    the r9 rotation."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.temperature_mixture(
+        load_table(spark, sf_dir, "documents"), alpha=0.3
+    )
+
+
+def _q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Population Stability Index between the first and
+    second half of the observed time range (quality.feature_drift_psi):
+    the standard ingest-drift monitor — fixed-width value buckets,
+    add-eps smoothing over the bucket union, PSI > 0.2 flag. NEW IN r8
+    post-window; front of the r9 rotation."""
+    from workspace_qdrant_mcp_spark.operators import quality
+
+    return quality.feature_drift_psi(load_table(spark, sf_dir, "events"))
+
+
 def _q_mixture_plan_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsampling mixture plan (curation.mixture_plan_epochs, cap 4):
     scarce sources repeat up to max_epochs — the published
@@ -3006,6 +3030,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "key_skew_report": _q_key_skew_report,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
+        # NEW IN r8 AFTER the 50-slot window filled (same honest-labeling
+        # discipline): oracle-backed + pytest from birth, first driver
+        # evidence lands in the r9 rotation front.
+        "temperature_mixture": _q_temperature_mixture,
+        "feature_drift_psi": _q_feature_drift_psi,
         "graph_ktruss": _q_graph_ktruss,
         # Slot 29: edited this round (null-key semantics, both sides):
         "heavy_hitters": _q_heavy_hitters,
@@ -3364,4 +3393,6 @@ def oracle_sql() -> dict[str, str]:
         "decayed_popularity": oracles.decayed_popularity(),
         "last_touch_attribution": oracles.last_touch_attribution(),
         "corpus_report": oracles.corpus_report(),
+        "temperature_mixture": oracles.temperature_mixture(alpha=0.3),
+        "feature_drift_psi": oracles.feature_drift_psi(),
     }

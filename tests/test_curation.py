@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from workspace_qdrant_mcp_spark.operators import curation
@@ -432,3 +433,52 @@ def test_mixture_plan_epochs_bounds_and_binding(spark):
     realized = {s: eps[s] * toks[s] for s in eps}
     lo, hi = min(realized.values()), max(realized.values())
     assert (hi - lo) / hi < 1e-4
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        # src0: 90 tokens across 3 docs; src1: 10 tokens in 1 doc
+        rows = [(i, "w " * 30, "src0") for i in range(3)] + [
+            (9, "w " * 10, "src1")
+        ]
+        return spark.createDataFrame(
+            [(d, t.strip(), s) for d, t, s in rows],
+            "doc_id long, text string, source string",
+        )
+
+    def test_alpha_one_is_proportional(self, spark):
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        out = {
+            r["source"]: r
+            for r in curation.temperature_mixture(
+                self._docs(spark), alpha=1.0
+            ).collect()
+        }
+        assert out["src0"]["sampled_share"] == out["src0"]["observed_share"] == 0.9
+        assert out["src1"]["boost"] == 1.0
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        out = {
+            r["source"]: r["sampled_share"]
+            for r in curation.temperature_mixture(
+                self._docs(spark), alpha=0.0
+            ).collect()
+        }
+        assert out == {"src0": 0.5, "src1": 0.5}
+
+    def test_alpha_half_flattens_toward_scarce(self, spark):
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        out = {
+            r["source"]: r
+            for r in curation.temperature_mixture(
+                self._docs(spark), alpha=0.5
+            ).collect()
+        }
+        # sqrt(0.9)/(sqrt(0.9)+sqrt(0.1)) = 0.75, sqrt(0.1)/... = 0.25
+        assert out["src0"]["sampled_share"] == pytest.approx(0.75, abs=1e-6)
+        assert out["src1"]["sampled_share"] == pytest.approx(0.25, abs=1e-6)
+        assert out["src1"]["boost"] > 1.0 > out["src0"]["boost"]

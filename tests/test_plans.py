@@ -436,3 +436,26 @@ def test_hybrid_search_indexed_serves_off_stores(spark):
 
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_r8_additions_plan_shapes(spark):
+    """r8 additions keep the permitted join shapes: Lloyd k-means pairs
+    rows only against the bounded broadcast centroid table (a Cross
+    BNLJ with a k-row build side — the whitelisted bounded-broadcast
+    shape), temperature_mixture and feature_drift_psi are aggregate
+    plans whose only NLJ is the 1-row scalar attach, and nothing
+    anywhere degrades to CartesianProduct."""
+    import __spark_entry__ as entrymod
+
+    for name in ("kmeans_topics", "temperature_mixture",
+                 "feature_drift_psi", "graph_ktruss"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for line in simple.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                ok = "__cap" in line or "__mid" in line or line.strip().endswith(
+                    "BroadcastNestedLoopJoin BuildRight, Cross"
+                )
+                assert ok, (name, line)

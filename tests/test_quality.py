@@ -159,3 +159,47 @@ class TestNdcg:
             "query_id string, file string, rel int",
         )
         assert quality.ndcg(results, gold).collect()[0]["ndcg"] == 1.0
+
+
+class TestFeatureDriftPsi:
+    def test_shifted_type_flags_and_stable_type_does_not(self, spark):
+        # type 'shift': values all ~2 in the first half, all ~42 in the
+        # second (total bucket migration -> large PSI). type 'flat':
+        # identical value mix in both halves -> PSI ~ 0 (only the add-eps
+        # smoothing differs, below any threshold).
+        rows = []
+        for i in range(50):
+            rows.append((i, "2024-01-01T00:00:00Z", "shift", 2.0))
+            rows.append((1000 + i, "2024-01-03T00:00:00Z", "shift", 42.0))
+            rows.append((2000 + i, "2024-01-01T00:00:00Z", "flat", float(i % 3)))
+            rows.append((3000 + i, "2024-01-03T00:00:00Z", "flat", float(i % 3)))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        out = {
+            r["event_type"]: r
+            for r in quality.feature_drift_psi(df).collect()
+        }
+        assert out["shift"]["drifted"] is True
+        assert out["shift"]["psi"] > 1.0
+        assert out["flat"]["drifted"] is False
+        assert abs(out["flat"]["psi"]) < 0.01
+        assert out["flat"]["n_ref"] == out["flat"]["n_cur"] == 50
+
+    def test_midpoint_split_is_inclusive_on_current_side(self, spark):
+        # an event exactly AT the midpoint belongs to the current window
+        # (< mid is ref) — pin the boundary so both engines agree
+        rows = [
+            (1, "2024-01-01T00:00:00Z", "t", 0.0),
+            (2, "2024-01-02T00:00:00Z", "t", 0.0),  # exactly mid
+            (3, "2024-01-03T00:00:00Z", "t", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        r = quality.feature_drift_psi(df).collect()[0]
+        assert (r["n_ref"], r["n_cur"]) == (1, 2)

@@ -471,3 +471,53 @@ def weighted_sample(
         .limit(k)
         .withColumn("sample_key", F.round("sample_key", 6))
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, observed_share, sampled_share, boost) —
+    temperature / alpha-scaled mixture weights (the multilingual sampling
+    recipe of XLM-R / mT5: Conneau et al. 2020 §3.1, Xue et al. 2021
+    §3.2): sampled_share_s = p_s^alpha / Σ_t p_t^alpha over the observed
+    TOKEN shares p. alpha < 1 flattens the distribution (up-weights
+    scarce sources, tempering head-source dominance), alpha = 1 is
+    proportional sampling, alpha = 0 uniform. boost = sampled/observed —
+    the per-source epoch multiplier a sampler applies; pipe into
+    stratified_sample/mixture_plan_epochs to realize it.
+
+    Scale shape: one map-side-combined per-source token aggregate, then
+    closed-form arithmetic and two unpartitioned windows over the
+    #sources rows — a bounded dimension, never the corpus."""
+    from pyspark.sql import Window
+
+    from .textstats import token_counts
+
+    toks = token_counts(docs).select("doc_id", "ws_tokens")
+    per_src = (
+        docs.select("doc_id", strata_col)
+        .join(toks, "doc_id")
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    shared = per_src.withColumn(
+        "observed_share", F.col("n_tokens") / F.sum("n_tokens").over(w)
+    ).withColumn("_pa", F.pow("observed_share", F.lit(float(alpha))))
+    return shared.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round("observed_share", 6).alias("observed_share"),
+        F.round(
+            F.col("_pa") / F.sum("_pa").over(w), 6
+        ).alias("sampled_share"),
+        F.round(
+            (F.col("_pa") / F.sum("_pa").over(w)) / F.col("observed_share"), 6
+        ).alias("boost"),
+    )

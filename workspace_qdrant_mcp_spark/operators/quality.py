@@ -137,3 +137,91 @@ def ndcg(results: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+def feature_drift_psi(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    width: float = 5.0,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi, drifted) — Population Stability Index
+    per group between the REFERENCE window (first half of the observed
+    time range) and the CURRENT window (second half): the standard
+    ingest-drift monitor for a training-data pipeline (PSI > 0.2 =
+    actionable shift, the published credit-scoring rule of thumb carried
+    into ML data-quality practice).
+
+    PSI = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref) over fixed-width
+    value buckets (floor(value/width) — the histogram_quantiles bucket
+    discipline: deterministic, mergeable, oracle-replayable; no
+    quantile-based "auto" binning that a second engine can't replay).
+    Shares are (count + eps)/(n + eps·n_buckets) add-eps smoothed over
+    the UNION of the two windows' buckets, so empty-on-one-side buckets
+    contribute a finite, deterministic penalty instead of ±inf.
+
+    Scale shape: the window split point is a lazy 1-row broadcast
+    aggregate (min+max)/2 over ts — no driver action; then ONE
+    (group, bucket, side) map-side-combinable count and closed-form
+    arithmetic over the bounded bucket dimension. The corpus is touched
+    exactly once."""
+    mid = events.agg(
+        (
+            (F.unix_timestamp(F.max(ts_col)) + F.unix_timestamp(F.min(ts_col)))
+            / 2
+        ).alias("__mid")
+    )
+    sided = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / F.lit(float(width))).alias("bucket"),
+            F.when(
+                F.unix_timestamp(F.col(ts_col)) < F.col("__mid"), F.lit("ref")
+            )
+            .otherwise(F.lit("cur"))
+            .alias("side"),
+        )
+    )
+    counts = sided.groupBy("grp", "bucket").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("c_cur"),
+    )
+    per_grp = counts.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    e = F.lit(float(eps))
+    joined = counts.join(per_grp, "grp").select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        ((F.col("c_ref") + e) / (F.col("n_ref") + e * F.col("n_buckets"))).alias(
+            "p_ref"
+        ),
+        ((F.col("c_cur") + e) / (F.col("n_cur") + e * F.col("n_buckets"))).alias(
+            "p_cur"
+        ),
+    )
+    return (
+        joined.groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+    )

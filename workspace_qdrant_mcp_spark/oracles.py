@@ -5160,3 +5160,74 @@ af AS (
 SELECT vec_id, cluster_id, round(d, 6) AS dist
 FROM af WHERE rn = 1""")
     return "".join(parts)
+
+
+def temperature_mixture(alpha: float = 0.3) -> str:
+    """Oracle for curation.temperature_mixture: per-source token shares,
+    then sampled_share = p^alpha / sum(p^alpha) and boost =
+    sampled/observed — the same whitespace token aggregate as
+    mixture_plan."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> length(t) > 0)) AS ws
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / sum(n_tokens) OVER () AS p,
+         pow(n_tokens / sum(n_tokens) OVER (), CAST({float(alpha)!r} AS DOUBLE)) AS pa
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS observed_share,
+       round(pa / sum(pa) OVER (), 6) AS sampled_share,
+       round((pa / sum(pa) OVER ()) / p, 6) AS boost
+FROM shared
+"""
+
+
+def feature_drift_psi(width: float = 5.0, eps: float = 1e-4) -> str:
+    """Oracle for quality.feature_drift_psi: split at (min+max)/2 of the
+    epoch seconds, fixed-width value buckets, add-eps smoothed shares
+    over each group's bucket union, PSI with the > 0.2 flag."""
+    return f"""
+WITH mid AS (
+  SELECT (epoch(max(ts)) + epoch(min(ts))) / 2 AS m FROM events
+),
+sided AS (
+  SELECT event_type AS grp,
+         CAST(floor(value / {float(width)!r}) AS BIGINT) AS bucket,
+         CASE WHEN epoch(ts) < (SELECT m FROM mid) THEN 'ref'
+              ELSE 'cur' END AS side
+  FROM events
+),
+counts AS (
+  SELECT grp, bucket,
+         sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+  FROM sided GROUP BY 1, 2
+),
+per_grp AS (
+  SELECT grp, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur,
+         count(*) AS n_buckets
+  FROM counts GROUP BY 1
+),
+shares AS (
+  SELECT c.grp, g.n_ref, g.n_cur,
+         (c.c_ref + {float(eps)!r}) / (g.n_ref + {float(eps)!r} * g.n_buckets) AS p_ref,
+         (c.c_cur + {float(eps)!r}) / (g.n_cur + {float(eps)!r} * g.n_buckets) AS p_cur
+  FROM counts c JOIN per_grp g ON g.grp = c.grp
+)
+SELECT grp AS event_type, n_ref, n_cur,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) > 0.2 AS drifted
+FROM shares
+GROUP BY 1, 2, 3
+"""

@@ -441,3 +441,18 @@ class TestLloydKmeans:
                 ),
             )
             assert got_map[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_lloyd_kmeans_assignment_is_total_and_wellformed(spark):
+    """Structural invariants on the real corpus: the assignment is TOTAL
+    (every vector exactly once), cluster ids stay in [0, k), and squared
+    distances are non-negative. Nearest-centroid optimality per round is
+    pinned by the blob fixtures and the oracle parity (which replays the
+    full argmin chain); this guards the output contract itself."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = ann.lloyd_kmeans(emb, k=8, n_rounds=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(r["dist"] >= 0.0 for r in rows)
+    assert {r["cluster_id"] for r in rows} <= set(range(8))

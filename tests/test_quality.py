@@ -203,3 +203,18 @@ class TestFeatureDriftPsi:
 
         r = quality.feature_drift_psi(df).collect()[0]
         assert (r["n_ref"], r["n_cur"]) == (1, 2)
+
+    def test_psi_is_nonnegative_on_real_corpus(self, spark):
+        # every PSI term (p_cur - p_ref)·ln(p_cur/p_ref) has matching
+        # signs, so PSI >= 0 by construction — pin the invariant on the
+        # real events table where bucket unions and smoothing all engage
+        from tests.conftest import SF_SMOKE
+
+        from workspace_qdrant_mcp_spark.io import load_table
+        from workspace_qdrant_mcp_spark.operators import quality
+
+        rows = quality.feature_drift_psi(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+        assert rows
+        assert all(r["psi"] >= 0.0 for r in rows)

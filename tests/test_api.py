@@ -246,3 +246,68 @@ class TestListFiles:
         assert flat and all(r["tenant_id"] == "src2" for r in flat)
         summary = engine.list_files(mode="summary").collect()
         assert sum(r["n_files"] for r in summary) >= len(flat)
+
+
+class TestStoreServing:
+    """r8: WqmEngine.search served off the maintained stores must equal
+    the scan path row-for-row — the reference daemon's serving shape
+    (every query hits Qdrant/SQLite indexes written at ingest,
+    flow_collect.rs:104-179), here: postings table for the sparse leg,
+    IVF cell store pruning the dense leg before the identical cosine
+    expression."""
+
+    @pytest.fixture(scope="class")
+    def engines(self, spark, tmp_path_factory):
+        scan = WqmEngine(spark, SF_SMOKE)
+        served = WqmEngine(spark, SF_SMOKE)
+        served.enable_store_serving(
+            str(tmp_path_factory.mktemp("api_stores")), n_probe=4
+        )
+        return scan, served
+
+    def _rows(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    @pytest.mark.parametrize("mode", ["hybrid", "semantic", "keyword"])
+    def test_modes_match_scan_path(self, engines, mode):
+        scan, served = engines
+        a = self._rows(scan.search("dup spark vector", mode=mode, limit=10))
+        b = self._rows(served.search("dup spark vector", mode=mode, limit=10))
+        assert a == b, mode
+        assert a  # non-trivial result
+
+    def test_filtered_search_matches_scan_path(self, engines, spark,
+                                                tmp_path_factory):
+        # filters shrink the candidate set UNDER the index, spreading the
+        # filtered top-2k over MORE cells — at n_probe=4 the dense leg
+        # visibly loses recall (the documented probe/recall trade), while
+        # probing all cells restores exactness. Assert both halves.
+        scan, served4 = engines
+        kw = dict(collections=["projects"], file_type="code")
+        a = self._rows(scan.search("dup spark", mode="hybrid", limit=10, **kw))
+        b4 = self._rows(served4.search("dup spark", mode="hybrid", limit=10, **kw))
+        served_all = WqmEngine(spark, SF_SMOKE)
+        served_all.enable_store_serving(
+            str(tmp_path_factory.mktemp("api_stores_all")), n_probe=10
+        )
+        b10 = self._rows(
+            served_all.search("dup spark", mode="hybrid", limit=10, **kw)
+        )
+        assert b10 == a
+        assert a
+        assert b4 != a  # the trade is real: fewer probes, lower recall
+
+    def test_expanded_search_reads_postings_too(self, engines, spark):
+        scan, served = engines
+        tags = spark.createDataFrame([("spark",)], ["tag"])
+        baskets = spark.createDataFrame([("spark", "dup")], ["tag", "keyword"])
+        a = self._rows(scan.search_expanded("spark", tags, baskets, limit=10))
+        b = self._rows(served.search_expanded("spark", tags, baskets, limit=10))
+        assert a == b
+        assert a
+
+    def test_served_plan_reads_stores_not_content(self, engines):
+        served = engines[1]
+        df = served.search("dup spark vector", mode="hybrid", limit=10)
+        plan_rows = df._jdf.queryExecution().executedPlan().toString()
+        assert "postings" in plan_rows and "ann_cells" in plan_rows

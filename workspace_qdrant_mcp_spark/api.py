@@ -40,6 +40,75 @@ class WqmEngine:
         self._sf_dir = sf_dir
         self._chunks: DataFrame | None = None
         self._lines: DataFrame | None = None
+        # store-serving state (enable_store_serving): when set, search()
+        # reads the maintained postings/IVF-cell stores instead of
+        # re-deriving tf/cosine candidates from the chunks scan
+        self._postings_path: str | None = None
+        self._ann_store_path: str | None = None
+        self._ann_centroids: DataFrame | None = None
+        self._ann_n_probe: int = 3
+
+    def enable_store_serving(
+        self, base_dir: str, n_cells: int = 10, n_probe: int = 3
+    ) -> None:
+        """Build (or refresh) the maintained serving stores for this
+        engine's chunks corpus and switch search() onto them — the
+        deployment shape (the reference daemon serves every query off
+        Qdrant/SQLite indexes written at ingest, flow_collect.rs:104-179;
+        it never re-tokenizes or rescans a collection per query).
+
+          - postings: bm25.update_postings keyed by point_id (STRING md5,
+            the read_postings id_type discipline) over chunk content;
+          - IVF cells: ann.update_ann_store over the chunks' dense
+            vectors (array<double> preserved — the dense leg's cosine
+            must be bit-identical to the scan path) against frozen
+            first-n_cells centroids in point_id order.
+
+        Results are EXACT vs the scan path whenever the probed cells
+        cover the filtered top-2k (test_api asserts exactness across all
+        three modes, plus the probe/recall trade under filters: n_probe=4
+        visibly loses filtered recall at sf0.001 while probing all cells
+        restores row-for-row equality); n_probe trades scan fraction for
+        recall exactly as in ivf_topk."""
+        import os
+
+        from .operators import ann
+
+        postings_path = os.path.join(base_dir, "postings")
+        ann_path = os.path.join(base_dir, "ann_cells")
+        docs = self.chunks.select("point_id", F.col("content").alias("text"))
+        bm25.update_postings(
+            self.spark, postings_path, changed_docs=docs,
+            id_col="point_id", id_type="string",
+        )
+        cents = ckpt.pin(
+            self.spark,
+            lambda: (
+                self.chunks.select("point_id", "dense")
+                .orderBy("point_id")
+                .limit(n_cells)
+                .select(
+                    F.row_number()
+                    .over(Window.orderBy("point_id"))
+                    .cast("int")
+                    .alias("cell_id"),
+                    F.col("dense").alias("embedding"),
+                )
+                .localCheckpoint()
+            ),
+        )
+        ann.update_ann_store(
+            self.spark, ann_path, cents,
+            changed_vecs=self.chunks.select(
+                F.col("point_id").alias("vec_id"),
+                F.col("dense").alias("embedding"),
+            ),
+            id_type="string", vec_type="double",
+        )
+        self._postings_path = postings_path
+        self._ann_store_path = ann_path
+        self._ann_centroids = cents
+        self._ann_n_probe = n_probe
 
     @property
     def chunks(self) -> DataFrame:
@@ -118,8 +187,27 @@ class WqmEngine:
             qvec = self.spark.createDataFrame([(query,)], ["q"]).select(
                 mock_embed(F.col("q")).alias("qv")
             )
+            dense_src = cand
+            if self._ann_store_path is not None:
+                # store serving: prune candidates to the query's probed
+                # IVF cells BEFORE the cosine scan (the Qdrant index
+                # path); scoring below stays the identical expression on
+                # the chunks' own dense column, so surviving rows score
+                # bit-for-bit like the scan path
+                from .operators import ann
+
+                probe_q = qvec.select(
+                    F.lit("__query__").alias("query_id"),
+                    F.col("qv").alias("embedding"),
+                )
+                in_cells = ann.ann_store_candidates(
+                    self.spark, self._ann_store_path, self._ann_centroids,
+                    probe_q, n_probe=self._ann_n_probe,
+                    id_type="string", vec_type="double",
+                ).select(F.col("vec_id").alias("point_id"))
+                dense_src = cand.join(in_cells, "point_id", "left_semi")
             sem = (
-                cand.crossJoin(F.broadcast(qvec))
+                dense_src.crossJoin(F.broadcast(qvec))
                 .select(
                     "point_id", "collection", "tenant_id", "library_name",
                     cosine(F.col("dense"), F.col("qv")).alias("score"),
@@ -177,6 +265,25 @@ class WqmEngine:
             )
         )
 
+    def _cand_terms(self, cand: DataFrame) -> DataFrame:
+        """(point_id, collection, term, tf) over the filtered candidates —
+        from the MAINTAINED postings table when store serving is enabled
+        (update_postings invariant: store == doc_terms over the corpus, so
+        the cand inner join equals deriving from cand; no serve-time
+        tokenize/explode, collection rides in from the candidate row),
+        else derived from the candidate scan."""
+        if self._postings_path is not None:
+            return bm25.read_postings(
+                self.spark, self._postings_path,
+                id_col="point_id", id_type="string",
+            ).join(cand.select("point_id", "collection"), "point_id")
+        return cand.select(
+            "point_id", "collection",
+            F.explode(tokenize_bm25(F.col("content"))).alias("term"),
+        ).groupBy("point_id", "collection", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
     def _sparse_leg(self, cand, qterms, k, thr):
         if not qterms:
             # empty tokenized query → empty keyword leg (the hybrid caller's
@@ -186,12 +293,7 @@ class WqmEngine:
                 "point_id STRING, collection STRING, tenant_id STRING, "
                 "library_name STRING, score DOUBLE",
             ).select("point_id", "collection", "score", "tenant_id", "library_name")
-        terms = cand.select(
-            "point_id", "collection",
-            F.explode(tokenize_bm25(F.col("content"))).alias("term"),
-        ).groupBy("point_id", "collection", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+        terms = self._cand_terms(cand)
         # N as a lazy 1-row broadcast aggregate (the bm25.sparse_search
         # pattern) — no eager count() action in the search hot path
         nn = cand.agg(
@@ -428,12 +530,7 @@ class WqmEngine:
             .join(base_q.select("term"), "term", "left_anti")
         )
         q = base_q.unionByName(exp_q)
-        terms = cand.select(
-            "point_id", "collection",
-            F.explode(tokenize_bm25(F.col("content"))).alias("term"),
-        ).groupBy("point_id", "collection", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+        terms = self._cand_terms(cand)
         nn = cand.agg(
             F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("n_docs")
         )

@@ -846,16 +846,25 @@ def ivf_pq_topk(
 ANN_STORE_SCHEMA = "vec_id long, embedding array<float>, cell_id int"
 
 
-def read_ann_store(spark, store_path: str) -> DataFrame:
+def _ann_store_schema(id_type: str, vec_type: str) -> str:
+    return f"vec_id {id_type}, embedding array<{vec_type}>, cell_id int"
+
+
+def read_ann_store(
+    spark, store_path: str, id_type: str = "long", vec_type: str = "float"
+) -> DataFrame:
     """The maintained (vec_id, embedding, cell_id) assignment table;
     empty-typed frame if the store does not exist yet. Only a MISSING
     store reads as empty — an unreadable one aborts the update loudly
-    (update rewrites the store as kept ∪ delta)."""
+    (update rewrites the store as kept ∪ delta). id_type/vec_type follow
+    the corpus key (the embeddings table is long/float; the chunks
+    table's point_id is an md5 STRING with double mock vectors — the
+    read_postings id_type discipline)."""
     import os
 
     if os.path.exists(store_path):
         return spark.read.parquet(store_path)
-    return spark.createDataFrame([], ANN_STORE_SCHEMA)
+    return spark.createDataFrame([], _ann_store_schema(id_type, vec_type))
 
 
 def update_ann_store(
@@ -866,6 +875,8 @@ def update_ann_store(
     deleted_ids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_type: str = "long",
+    vec_type: str = "float",
 ) -> None:
     """Incremental IVF maintenance: drop the rows of changed/deleted
     vectors (one anti-join on vec_id), assign the changed vectors to
@@ -880,26 +891,26 @@ def update_ann_store(
 
     overwrite_store(
         store_path,
-        read_ann_store(spark, store_path),
+        read_ann_store(spark, store_path, id_type, vec_type),
         "vec_id",
         gone=union_keys(
             "vec_id",
             (
                 changed_vecs.select(
-                    F.col(id_col).cast("long").alias("vec_id")
+                    F.col(id_col).cast(id_type).alias("vec_id")
                 )
                 if changed_vecs is not None
                 else None
             ),
             (
-                deleted_ids.select(F.col("vec_id").cast("long"))
+                deleted_ids.select(F.col("vec_id").cast(id_type))
                 if deleted_ids is not None
                 else None
             ),
         ),
         fresh=(
             assign_ivf_cells(changed_vecs, centroids, id_col, vec_col).select(
-                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(id_col).cast(id_type).alias("vec_id"),
                 F.col(vec_col).alias("embedding"),
                 F.col("cell_id").cast("int"),
             )
@@ -999,6 +1010,8 @@ def ann_store_candidates(
     n_probe: int = 2,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    id_type: str = "long",
+    vec_type: str = "float",
 ) -> DataFrame:
     """(query_id, __qv, vec_id, embedding) — the maintained store's rows
     inside each query's n_probe probe cells: the cell_id equi-join of the
@@ -1011,7 +1024,7 @@ def ann_store_candidates(
     probed cells' rows only (reference context: this is the Qdrant
     serving path, flow_collect.rs:104-179 — the daemon queries an index,
     it never rescans the collection)."""
-    assigned = read_ann_store(spark, store_path)
+    assigned = read_ann_store(spark, store_path, id_type, vec_type)
     qcells = _query_probe_cells(
         queries, centroids, n_probe, vec_col, query_id_col
     ).withColumn("cell_id", F.col("cell_id").cast("int"))

@@ -937,3 +937,111 @@ def test_msf_matches_kruskal(spark, raw):
         for r in minimum_spanning_forest(df).collect()
     )
     assert got == _kruskal(edges)
+
+
+@given(
+    toks=st.lists(st.integers(1, 200), min_size=2, max_size=5),
+    alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+@settings(**SETTINGS)
+def test_temperature_mixture_properties(spark, toks, alpha):
+    """For any source/token configuration: sampled shares sum to ~1,
+    alpha=1 leaves every boost at 1, and alpha<1 never DOWN-weights the
+    scarcest source (flattening is monotone toward uniform)."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    rows = [
+        (100 * s + i, "w " * n, f"s{s}")
+        for s, n in enumerate(toks)
+        for i in [0]
+    ]
+    docs = spark.createDataFrame(
+        [(d, t.strip(), s) for d, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = curation.temperature_mixture(docs, alpha=alpha).collect()
+    assert abs(sum(r["sampled_share"] for r in out) - 1.0) < 1e-4
+    if alpha == 1.0:
+        assert all(abs(r["boost"] - 1.0) < 1e-4 for r in out)
+    else:
+        scarcest = min(out, key=lambda r: (r["n_tokens"], r["source"]))
+        assert scarcest["sampled_share"] >= scarcest["observed_share"] - 1e-6
+
+
+DRIFT_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),                      # event_id
+        st.integers(0, 172_800),                     # ts offset seconds
+        st.sampled_from(["click", "view"]),          # event_type
+        st.floats(0.0, 50.0, allow_nan=False),       # value
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(raw=DRIFT_EVENTS)
+@settings(**SETTINGS)
+def test_feature_drift_psi_nonnegative_property(spark, raw):
+    """PSI >= 0 for every generated event set (each bucket term has
+    matching signs), and n_ref + n_cur accounts for every row of the
+    group."""
+    from collections import Counter
+
+    import datetime
+
+    from workspace_qdrant_mcp_spark.operators import quality
+
+    events = [
+        (
+            eid,
+            (
+                datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+                + datetime.timedelta(seconds=off)
+            ).isoformat(),
+            etype,
+            val,
+        )
+        for eid, off, etype, val in raw
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = quality.feature_drift_psi(df).collect()
+    assert all(r["psi"] >= 0.0 for r in out)
+    totals = Counter(e[2] for e in events)
+    for r in out:
+        assert r["n_ref"] + r["n_cur"] == totals[r["event_type"]]
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d", "e"])),
+        min_size=5,
+        max_size=60,
+    ),
+    k=st.sampled_from([2, 3, 5]),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_equals_exact_filter_with_nulls(spark, keys, k):
+    """The MG-candidate + exact-verify pipeline must equal the plain
+    'count > n/k over non-null keys' definition for ANY input including
+    null-heavy ones (the ADVICE r7 #4 regression surface)."""
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(x,) for x in keys], "user_id string"
+    ).repartition(4)
+    got = [
+        (r["user_id"], r["cnt"])
+        for r in sketches.heavy_hitters(df, "user_id", k=k).collect()
+    ]
+    nonnull = [x for x in keys if x is not None]
+    c = Counter(nonnull)
+    want = sorted(
+        ((key, n) for key, n in c.items() if n * k > len(nonnull)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want

@@ -1671,3 +1671,91 @@ def test_stateful_family_state_rows_bounded_in_progress(spark, tmp_path):
         assert progresses, f"{tag}: no stateOperators progress recorded"
         last = progresses[-1]["stateOperators"][0]
         assert last["numRowsTotal"] <= bound, (tag, last["numRowsTotal"])
+
+
+def test_streaming_drift_psi_equals_batch_over_prefix(spark, tmp_path):
+    """Cross-batch streaming PSI vs a frozen reference profile: after
+    draining each micro-batch, the latest emission per group equals
+    quality.psi_vs_reference run over everything seen so far with the
+    SAME reference — counters add across batches, the smoothing formula
+    replays identically (1e-6, float associativity). The reference
+    profile is a tiny blessed-corpus dimension collected once."""
+    from workspace_qdrant_mcp_spark.operators import quality
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    # reference: 'click' values centred low, 'view' bimodal
+    ref_rows = [
+        (i, "2023-12-01T00:00:00Z", "click", float(i % 10))
+        for i in range(40)
+    ] + [
+        (100 + i, "2023-12-01T00:00:00Z", "view", float((i % 2) * 40))
+        for i in range(40)
+    ]
+    ref_df = spark.createDataFrame(
+        ref_rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = quality.drift_reference(ref_df)
+
+    def mk(eid0, shift):
+        return [
+            {"event_id": eid0 + i, "ts": f"2024-01-01T00:00:{i % 60:02d}Z",
+             "user_id": i, "event_type": "click", "value": float(i % 10 + shift)}
+            for i in range(30)
+        ] + [
+            {"event_id": eid0 + 500 + i, "ts": f"2024-01-01T00:01:{i % 60:02d}Z",
+             "user_id": i, "event_type": "view", "value": float((i % 2) * 40)}
+            for i in range(20)
+        ]
+
+    events_dir = str(tmp_path / "psiev")
+    out_dir = str(tmp_path / "psiout")
+    ck = str(tmp_path / "psick")
+    batches = [mk(0, 0), mk(1000, 25)]  # batch 2 shifts 'click' hard
+    seen: list[dict] = []
+    for i, rows in enumerate(batches):
+        _write_events(events_dir, f"b{i}.json", rows)
+        seen.extend(rows)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+        )
+        q = (
+            stateful.streaming_drift_psi(stream, ref)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.withColumn("bid", F.lit(bid))
+                .write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir)
+        last_bid = out.agg(F.max("bid")).first()[0]
+        got = {
+            r["grp"]: r
+            for r in out.filter(F.col("bid") == last_bid).collect()
+        }
+        prefix = spark.createDataFrame(
+            [(e["event_id"], e["ts"], e["event_type"], e["value"])
+             for e in seen],
+            "event_id long, ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        want = {
+            r["event_type"]: r
+            for r in quality.psi_vs_reference(prefix, ref).collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["psi"] == pytest.approx(want[g]["psi"], abs=1e-6), (i, g)
+            assert got[g]["n_cur"] == want[g]["n_cur"]
+            assert got[g]["n_ref"] == want[g]["n_ref"]
+            assert got[g]["drifted"] == want[g]["drifted"]
+    # the hard shift in batch 2 must flag 'click' and spare 'view'
+    assert got["click"]["drifted"] is True
+    assert got["view"]["drifted"] is False

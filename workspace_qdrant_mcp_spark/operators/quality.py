@@ -225,3 +225,96 @@ def feature_drift_psi(
             (F.col("psi") > 0.2).alias("drifted"),
         )
     )
+
+
+def drift_reference(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    width: float = 5.0,
+) -> DataFrame:
+    """(grp, bucket, c_ref) — the frozen reference profile for
+    psi_vs_reference / streaming_drift_psi: per-group fixed-width value
+    bucket counts over a chosen reference corpus (one map-side-combinable
+    aggregate). At scale this is a tiny maintained dimension table
+    (groups × buckets), written once per reference window."""
+    return (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / F.lit(float(width))).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+
+
+def psi_vs_reference(
+    events: DataFrame,
+    ref: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    width: float = 5.0,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi, drifted) — feature_drift_psi's PSI with
+    an EXPLICIT frozen reference profile (drift_reference output) instead
+    of the first-half split: the deployment shape, where the profile is
+    computed once from a blessed corpus and every later window is
+    monitored against it. Same smoothing: add-eps shares over the UNION
+    of reference and current buckets per group. The current side is one
+    (grp, bucket) count; the reference is a bounded dimension — the
+    full-outer union join runs over buckets, never rows."""
+    cur = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / F.lit(float(width))).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    counts = (
+        ref.select("grp", "bucket", "c_ref")
+        .join(cur, ["grp", "bucket"], "full_outer")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    per_grp = counts.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    e = F.lit(float(eps))
+    joined = counts.join(per_grp, "grp").select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        ((F.col("c_ref") + e) / (F.col("n_ref") + e * F.col("n_buckets"))).alias(
+            "p_ref"
+        ),
+        ((F.col("c_cur") + e) / (F.col("n_cur") + e * F.col("n_buckets"))).alias(
+            "p_cur"
+        ),
+    )
+    return (
+        joined.groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+    )

@@ -711,3 +711,107 @@ def streaming_weighted_sample(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DRIFT_OUT_SCHEMA = (
+    "grp string, n_ref long, n_cur long, psi double, drifted boolean"
+)
+_DRIFT_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+
+def streaming_drift_psi(
+    events: DataFrame,
+    ref: "DataFrame",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    width: float = 5.0,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Streaming (grp, n_ref, n_cur, psi, drifted): the live twin of
+    quality.psi_vs_reference — per-group CURRENT-window bucket counters
+    maintained ACROSS micro-batches, re-scoring the Population Stability
+    Index against the FROZEN reference profile (a drift_reference
+    DataFrame, collected once at assembly: it is a bounded
+    groups × buckets dimension, the blessed-corpus profile a deployment
+    computes offline) every time a batch touches the group.
+
+    State is the bucket counter map and nothing else — counts add, so
+    the state after any stream prefix equals the batch counters over
+    that prefix, and the PSI emission equals psi_vs_reference over the
+    drained prefix (asserted to 1e-6 in test_streaming; the smoothing
+    formula is replayed with the same add-eps shares over the union of
+    reference and seen buckets). Bucketing is computed JVM-side BEFORE
+    the stateful operator with the batch expression (floor(value/width)),
+    so batch and stream coerce identically."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ref_map: dict[str, dict[int, int]] = {}
+    for r in ref.collect():
+        ref_map.setdefault(str(r["grp"]), {})[int(r["bucket"])] = int(
+            r["c_ref"]
+        )
+
+    src = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.floor(F.col(value_col) / F.lit(float(width)))
+        .cast("long")
+        .alias("bucket"),
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            bks, cts = state.get
+            counters = dict(zip([int(b) for b in bks], [int(c) for c in cts]))
+        else:
+            counters = {}
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            vc = pdf["bucket"].value_counts()
+            for b, c in vc.items():
+                counters[int(b)] = counters.get(int(b), 0) + int(c)
+        if not touched:
+            return
+        state.update((list(counters), [counters[b] for b in counters]))
+        grp = key[0]
+        rcounts = ref_map.get(str(grp), {})
+        union = sorted(set(rcounts) | set(counters))
+        n_ref = sum(rcounts.values())
+        n_cur = sum(counters.values())
+        nb = len(union)
+        psi = 0.0
+        for b in union:
+            p_ref = (rcounts.get(b, 0) + eps) / (n_ref + eps * nb)
+            p_cur = (counters.get(b, 0) + eps) / (n_cur + eps * nb)
+            psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+        psi = round(psi, 6)
+        yield pd.DataFrame(
+            {
+                "grp": [grp],
+                "n_ref": [int(n_ref)],
+                "n_cur": [int(n_cur)],
+                "psi": [float(psi)],
+                "drifted": [bool(psi > 0.2)],
+            }
+        )
+
+    return src.groupBy("grp").applyInPandasWithState(
+        fn,
+        DRIFT_OUT_SCHEMA,
+        _DRIFT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

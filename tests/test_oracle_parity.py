@@ -39,3 +39,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score"]
+
+
+# r8: a third, scale tier for the round's additions — the driver gate
+# runs at sf0.01; these re-run the exact compare at sf0.1 (10x) so the
+# new operators carry scale-correctness evidence too. Bounded to the r8
+# set: adding all 168 here would triple the suite's runtime for rows the
+# driver already re-records every round.
+R8_SCALE_QUERIES = [
+    "graph_ktruss",
+    "hybrid_search_indexed",
+    "kmeans_topics",
+    "temperature_mixture",
+    "feature_drift_psi",
+]
+
+
+@pytest.mark.parametrize("name", R8_SCALE_QUERIES)
+def test_parity_sf01_scale_r8(spark, name):
+    _check(spark, name, "/root/testdata/sf0.1")

@@ -1042,6 +1042,8 @@ def ann_store_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    id_type: str = "long",
+    vec_type: str = "float",
 ) -> DataFrame:
     """(query_id, vec_id, score, rnk) — IVF top-k OFF THE MAINTAINED
     STORE: per query the n_probe nearest cells (against the same frozen
@@ -1049,8 +1051,9 @@ def ann_store_topk(
     cell_id equi-join, exact cosine, per-query top-k. Equals ivf_topk
     over the current corpus (asserted in tests) because the store equals
     the batch assignment — the corpus is never re-assigned at query
-    time."""
-    assigned = read_ann_store(spark, store_path)
+    time. id_type/vec_type must match the store's build types (the
+    read_postings discipline)."""
+    assigned = read_ann_store(spark, store_path, id_type, vec_type)
     qcells = _query_probe_cells(
         queries, centroids, n_probe, vec_col, query_id_col
     ).withColumn("cell_id", F.col("cell_id").cast("int"))

@@ -331,8 +331,7 @@ def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature/alpha-scaled mixture weights (curation.
     temperature_mixture, alpha=0.3 — the XLM-R/mT5 multilingual sampling
     recipe): sampled_share = p^alpha normalized over the observed token
-    shares, boost = sampled/observed. NEW IN r8 post-window; front of
-    the r9 rotation."""
+    shares, boost = sampled/observed. NEW IN r8, in-window."""
     from workspace_qdrant_mcp_spark.operators import curation
 
     return curation.temperature_mixture(
@@ -344,8 +343,8 @@ def _q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Population Stability Index between the first and
     second half of the observed time range (quality.feature_drift_psi):
     the standard ingest-drift monitor — fixed-width value buckets,
-    add-eps smoothing over the bucket union, PSI > 0.2 flag. NEW IN r8
-    post-window; front of the r9 rotation."""
+    add-eps smoothing over the bucket union, PSI > 0.2 flag. NEW IN r8,
+    in-window."""
     from workspace_qdrant_mcp_spark.operators import quality
 
     return quality.feature_drift_psi(load_table(spark, sf_dir, "events"))
@@ -2987,20 +2986,29 @@ def _q_two_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. This is the r8 rotation (VERDICT r7 #1): slots 1-28
-    # are the 27 r7 post-window extensions that have NEVER had a driver
-    # row (oracle-backed + pytest-parity-covered at two SFs since birth)
-    # plus graph_ktruss (NEW registration this round — shipped
-    # unregistered at the end of r7, VERDICT r7 What's-wrong #1 / #4);
-    # slot 29 is heavy_hitters, whose code AND oracle changed this round
-    # (NULL-key exclusion, ADVICE r7 #4), so its r7 row predates current
-    # behavior; slots 30-50 are the 21 stalest r5-green rows. Provenance
-    # per CORRECTNESS_r01-r07.
+    # entries only. This is the r8 rotation (VERDICT r7 #1):
+    #   slots 1-2   NEW IN r8 — hybrid_search_indexed (the maintained-
+    #               store serving path, VERDICT r7 #7; its oracle is the
+    #               brute-force hybrid SQL, so the row certifies
+    #               indexed == brute-force) and kmeans_topics;
+    #   slots 3-29  the 27 r7 post-window extensions that have NEVER had
+    #               a driver row (oracle-backed + pytest-parity-covered
+    #               at two SFs since birth);
+    #   slots 30-31 NEW IN r8 — temperature_mixture and feature_drift_psi
+    #               (oracle-backed + pytest from birth, in-window so their
+    #               first driver evidence lands THIS round);
+    #   slot 32     graph_ktruss — NEW registration this round (shipped
+    #               unregistered at the end of r7, VERDICT r7 #1/#4);
+    #   slot 33     heavy_hitters, whose code AND oracle changed this
+    #               round (NULL-key exclusion, ADVICE r7 #4), so its r7
+    #               row predates current behavior;
+    #   slots 34-50 the 17 stalest r5-green rows (dataset_split,
+    #               mixture_sample, taxonomy_tags and nested_chunks_brace
+    #               yielded their slots to the four r8 queries and lead
+    #               the r9 stale rotation).
+    # Provenance per CORRECTNESS_r01-r07.
     return {
-        # Slots 1-29: first driver evidence lands THIS round
-        # (hybrid_search_indexed is NEW IN r8 — the maintained-store
-        # serving path, VERDICT r7 #7; its oracle is the brute-force
-        # hybrid SQL, so the row certifies indexed == brute-force):
+        # Slots 1-31: first driver evidence lands THIS round:
         "hybrid_search_indexed": _q_hybrid_search_indexed,
         "kmeans_topics": _q_kmeans_topics,
         "topk_per_group": _q_topk_per_group,
@@ -3030,9 +3038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "key_skew_report": _q_key_skew_report,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
-        # NEW IN r8 AFTER the 50-slot window filled (same honest-labeling
-        # discipline): oracle-backed + pytest from birth, first driver
-        # evidence lands in the r9 rotation front.
+        # Slots 30-31 — NEW IN r8, in-window (first driver evidence
+        # lands THIS round; oracle-backed + pytest from birth):
         "temperature_mixture": _q_temperature_mixture,
         "feature_drift_psi": _q_feature_drift_psi,
         "graph_ktruss": _q_graph_ktruss,

@@ -471,6 +471,15 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(emb)
 
 
+def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (dedup.contrastive_pairs): positives
+    = the embedding_neardup pair set, hard negatives = per-anchor top
+    same-block vector with cosine in [0.3, 0.8) — the mined-triplet
+    artifact an embedding trainer consumes (DPR/SimCSE recipe). NEW IN
+    r8, in-window."""
+    return dedup.contrastive_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/temporal.asof_join): every 'error'
     event joined to the user's most recent prior-or-simultaneous 'signup'
@@ -2994,18 +3003,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slots 3-29  the 27 r7 post-window extensions that have NEVER had
     #               a driver row (oracle-backed + pytest-parity-covered
     #               at two SFs since birth);
-    #   slots 30-31 NEW IN r8 — temperature_mixture and feature_drift_psi
-    #               (oracle-backed + pytest from birth, in-window so their
-    #               first driver evidence lands THIS round);
-    #   slot 32     graph_ktruss — NEW registration this round (shipped
+    #   slots 30-32 NEW IN r8 — temperature_mixture, feature_drift_psi
+    #               and contrastive_pairs (oracle-backed + pytest from
+    #               birth, in-window so their first driver evidence lands
+    #               THIS round);
+    #   slot 33     graph_ktruss — NEW registration this round (shipped
     #               unregistered at the end of r7, VERDICT r7 #1/#4);
-    #   slot 33     heavy_hitters, whose code AND oracle changed this
+    #   slot 34     heavy_hitters, whose code AND oracle changed this
     #               round (NULL-key exclusion, ADVICE r7 #4), so its r7
     #               row predates current behavior;
-    #   slots 34-50 the 17 stalest r5-green rows (dataset_split,
-    #               mixture_sample, taxonomy_tags and nested_chunks_brace
-    #               yielded their slots to the four r8 queries and lead
-    #               the r9 stale rotation).
+    #   slots 35-50 the 16 stalest r5-green rows (sessionize,
+    #               dataset_split, mixture_sample, taxonomy_tags and
+    #               nested_chunks_brace yielded their slots to the five
+    #               r8 queries and lead the r9 stale rotation).
     # Provenance per CORRECTNESS_r01-r07.
     return {
         # Slots 1-31: first driver evidence lands THIS round:
@@ -3038,15 +3048,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "key_skew_report": _q_key_skew_report,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
-        # Slots 30-31 — NEW IN r8, in-window (first driver evidence
+        # Slots 30-32 — NEW IN r8, in-window (first driver evidence
         # lands THIS round; oracle-backed + pytest from birth):
         "temperature_mixture": _q_temperature_mixture,
         "feature_drift_psi": _q_feature_drift_psi,
+        "contrastive_pairs": _q_contrastive_pairs,
+        # Slot 33 — registered this round (VERDICT r7 #1/#4):
         "graph_ktruss": _q_graph_ktruss,
-        # Slot 29: edited this round (null-key semantics, both sides):
+        # Slot 34: edited this round (null-key semantics, both sides):
         "heavy_hitters": _q_heavy_hitters,
-        # Slots 30-50: newest green row r5 — the stalest evidence in the
-        # suite; the remaining 19 r5 rows rotate through the r9 window:
+        # Slots 35-50: newest green row r5 — the stalest evidence in the
+        # suite; the remaining r5 rows rotate through the r9 window:
         "multimodal_features": _q_multimodal_features,
         "repeated_spans": _q_repeated_spans,
         "events_hourly_rollup": _q_events_hourly_rollup,
@@ -3402,4 +3414,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": oracles.corpus_report(),
         "temperature_mixture": oracles.temperature_mixture(alpha=0.3),
         "feature_drift_psi": oracles.feature_drift_psi(),
+        "contrastive_pairs": oracles.contrastive_pairs(),
     }

@@ -470,3 +470,58 @@ class TestMinhashRecallGate:
         r_all = len(t_all & set(lsh)) / max(1, len(t_all))
         assert r_high >= 0.95, f"recall@J>=0.8 regressed: {r_high:.3f}"
         assert r_all >= 0.90, f"recall@J>=0.5 regressed: {r_all:.3f}"
+
+
+class TestContrastivePairs:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+
+    def test_triplets_mined_from_blocks(self, spark):
+        from workspace_qdrant_mcp_spark.operators import dedup
+
+        # block A: 0 and 1 near-identical (positive pair), 2 oblique
+        # (hard negative band), 3 orthogonal (below neg_lo, excluded)
+        rows = [
+            (0, "A", [1.0, 0.0, 0.0]),
+            (1, "A", [0.999, 0.045, 0.0]),
+            (2, "A", [0.7, 0.714, 0.0]),
+            (3, "A", [0.0, 0.0, 1.0]),
+            (4, "B", [0.0, 1.0, 0.0]),
+        ]
+        out = dedup.contrastive_pairs(
+            self._emb(spark, rows),
+            pos_threshold=0.99, neg_lo=0.3, neg_hi=0.9,
+        ).collect()
+        got = {(r["anchor_id"], r["pos_id"], r["neg_id"]) for r in out}
+        assert (0, 1, 2) in got
+        # no triplet may cross blocks or use the orthogonal vector
+        for r in out:
+            assert r["neg_id"] not in (3, 4)
+            assert r["neg_cos"] < 0.9
+            assert r["pos_cos"] >= 0.99
+
+    def test_anchor_without_inband_negative_is_dropped(self, spark):
+        from workspace_qdrant_mcp_spark.operators import dedup
+
+        rows = [
+            (0, "A", [1.0, 0.0]),
+            (1, "A", [0.999, 0.045]),  # positive for 0, nothing in band
+        ]
+        out = dedup.contrastive_pairs(
+            self._emb(spark, rows),
+            pos_threshold=0.99, neg_lo=0.3, neg_hi=0.9,
+        ).collect()
+        assert out == []
+
+    def test_overlapping_bands_raise(self, spark):
+        import pytest
+
+        from workspace_qdrant_mcp_spark.operators import dedup
+
+        with pytest.raises(ValueError, match="neg_hi"):
+            dedup.contrastive_pairs(
+                self._emb(spark, [(0, "A", [1.0])]),
+                pos_threshold=0.7, neg_hi=0.8,
+            )

@@ -1000,3 +1000,90 @@ def quality_survivors(
         "canonical_id",
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    pos_threshold: float = COSINE_DUP_THRESHOLD,
+    neg_lo: float = 0.3,
+    neg_hi: float = 0.8,
+    block_col: str = "label",
+    per_anchor: int = 1,
+) -> DataFrame:
+    """(anchor_id, pos_id, pos_cos, neg_id, neg_cos) — contrastive
+    training triplets mined from the corpus, the artifact an
+    embedding-model training pipeline actually consumes: positives are
+    within-block near-duplicate pairs (cosine >= pos_threshold, anchor =
+    the smaller id — the embedding_neardup pair set verbatim), and each
+    anchor's HARD NEGATIVES are same-block vectors with cosine in
+    [neg_lo, neg_hi) — close enough to be informative, far enough to be
+    true negatives (the standard mined-hard-negative recipe: Karpukhin
+    et al. 2020 DPR §4.2, Gao et al. 2021 SimCSE). Deterministic: top
+    per_anchor negatives by (cos DESC, id ASC); anchors with a positive
+    but no in-band negative are dropped (inner join) — a triplet without
+    a hard negative is not a training example.
+
+    Scale shape: ONE blocked self-join (the embedding_neardup blocking —
+    label here, an IVF cell id at 100 TB, Σ block² never N²) computed
+    once and reused by both legs; the negative leg adds one per-anchor
+    row_number window over in-band candidates only. pos_threshold >
+    neg_hi guarantees a vector never serves as both positive and
+    negative for the same anchor."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine
+
+    if neg_hi > pos_threshold:
+        raise ValueError(
+            f"contrastive_pairs: neg_hi ({neg_hi}) must not exceed "
+            f"pos_threshold ({pos_threshold}) — a vector could serve as "
+            "both positive and negative"
+        )
+    corpus = with_perturbed_vectors(emb)
+    a = corpus.select(
+        F.col(block_col), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = corpus.select(
+        F.col(block_col), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    pairs = (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .select("id_a", "id_b", "cos_sim")
+        .localCheckpoint()
+    )
+    pos = pairs.filter(F.col("cos_sim") >= pos_threshold).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("pos_id"),
+        F.round("cos_sim", 6).alias("pos_cos"),
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("nid"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("nid"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    neg = (
+        sym.filter(
+            (F.col("cos_sim") >= neg_lo) & (F.col("cos_sim") < neg_hi)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_anchor)
+        .select(
+            "anchor_id",
+            F.col("nid").alias("neg_id"),
+            F.round("cos_sim", 6).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )

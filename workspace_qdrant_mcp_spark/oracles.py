@@ -5231,3 +5231,57 @@ SELECT grp AS event_type, n_ref, n_cur,
 FROM shares
 GROUP BY 1, 2, 3
 """
+
+
+def contrastive_pairs(
+    pos_threshold: float = 0.9,
+    neg_lo: float = 0.3,
+    neg_hi: float = 0.8,
+    per_anchor: int = 1,
+) -> str:
+    """Oracle for dedup.contrastive_pairs: the same perturbed corpus and
+    label-blocked pair set as embedding_neardup, split into the positive
+    leg (cos >= pos_threshold) and the per-anchor top hard negatives
+    (cos in [neg_lo, neg_hi), row_number by cos DESC / id ASC over the
+    symmetrized pairs), inner-joined on the anchor."""
+    cos = duckdb_cosine_sql("ea", "eb")
+    dbl = "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE))"
+    pert = (
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.01 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END)"
+    )
+    return f"""
+WITH vc AS (
+  SELECT vec_id, label, {dbl} AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, label, {pert} AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+  FROM vc a JOIN vc b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS MATERIALIZED (SELECT id_a, id_b, {cos} AS cos_sim FROM p),
+pos AS (
+  SELECT id_a AS anchor_id, id_b AS pos_id, round(cos_sim, 6) AS pos_cos
+  FROM scored WHERE cos_sim >= {pos_threshold}
+),
+sym AS (
+  SELECT id_a AS anchor_id, id_b AS nid, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b, id_a, cos_sim FROM scored
+),
+neg AS (
+  SELECT anchor_id, nid AS neg_id, round(cos_sim, 6) AS neg_cos
+  FROM (
+    SELECT anchor_id, nid, cos_sim,
+           row_number() OVER (
+             PARTITION BY anchor_id ORDER BY cos_sim DESC, nid ASC
+           ) AS rn
+    FROM sym WHERE cos_sim >= {neg_lo} AND cos_sim < {neg_hi}
+  ) WHERE rn <= {per_anchor}
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+"""

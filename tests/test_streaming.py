@@ -1759,3 +1759,73 @@ def test_streaming_drift_psi_equals_batch_over_prefix(spark, tmp_path):
     # the hard shift in batch 2 must flag 'click' and spare 'view'
     assert got["click"]["drifted"] is True
     assert got["view"]["drifted"] is False
+
+
+def test_streaming_mixture_equals_batch_over_prefix(spark, tmp_path):
+    """Cross-batch streaming mixture monitor: after draining each
+    micro-batch, the emitted per-source table equals
+    curation.temperature_mixture over everything seen so far (1e-6) —
+    counters add in one aggregate state row; the temperature arithmetic
+    replays on exact integers."""
+    import json
+    import os
+
+    from workspace_qdrant_mcp_spark.operators import curation
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "mixev")
+    out_dir = str(tmp_path / "mixout")
+    ck = str(tmp_path / "mixck")
+    os.makedirs(events_dir)
+
+    def write(name, rows):
+        with open(os.path.join(events_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    b1 = [{"doc_id": i, "source": "web", "text": "w " * 20} for i in range(6)] + [
+        {"doc_id": 100 + i, "source": "books", "text": "w " * 80} for i in range(2)
+    ]
+    b2 = [{"doc_id": 200 + i, "source": "code", "text": "w " * 10} for i in range(4)] + [
+        {"doc_id": 300, "source": "web", "text": "w " * 40}
+    ]
+    seen = []
+    for i, rows in enumerate([b1, b2]):
+        write(f"b{i}.json", rows)
+        seen.extend(rows)
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+        )
+        q = (
+            stateful.streaming_mixture(stream, alpha=0.3)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.withColumn("bid", F.lit(bid))
+                .write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir)
+        last = out.filter(F.col("bid") == out.agg(F.max("bid")).first()[0])
+        got = {r["source"]: r for r in last.collect()}
+        prefix = spark.createDataFrame(
+            [(r["doc_id"], r["text"].strip(), r["source"]) for r in seen],
+            "doc_id long, text string, source string",
+        )
+        want = {
+            r["source"]: r
+            for r in curation.temperature_mixture(prefix, alpha=0.3).collect()
+        }
+        assert set(got) == set(want), i
+        for s in want:
+            for c in ("n_docs", "n_tokens"):
+                assert got[s][c] == want[s][c], (i, s, c)
+            for c in ("observed_share", "sampled_share", "boost"):
+                assert got[s][c] == pytest.approx(want[s][c], abs=1e-6), (i, s, c)
+    # the emission covers ALL sources each batch, not just touched ones
+    assert set(got) == {"web", "books", "code"}

@@ -815,3 +815,107 @@ def streaming_drift_psi(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+MIX_OUT_SCHEMA = (
+    "source string, n_docs long, n_tokens long, observed_share double, "
+    "sampled_share double, boost double"
+)
+_MIX_STATE_SCHEMA = "sources array<string>, docs array<long>, toks array<long>"
+
+
+def streaming_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming mixture monitor: curation.temperature_mixture maintained
+    ACROSS micro-batches — the live view of what mixture the ingest
+    stream has actually accumulated, and what alpha-tempered sampling
+    weights it implies right now. Every batch that delivers documents
+    re-emits the FULL per-source table (all rows share one aggregate
+    state key, the streaming_kmv_overlap single-row discipline — state is
+    #sources (docs, tokens) counter pairs, a config-sized map, because
+    sampled_share normalizes across ALL sources and a per-source state
+    key could not see its siblings).
+
+    Counters add, so state after any stream prefix equals the batch
+    per-source aggregate over that prefix; the emission replays the
+    temperature arithmetic on those exact integers and equals
+    temperature_mixture over the drained prefix to 1e-6 (float
+    associativity of the share sums; asserted in test_streaming).
+    Token counts are computed JVM-side BEFORE the stateful operator with
+    EXACTLY the batch expression (textstats token_counts' whitespace
+    split), so batch and stream tokenize identically."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.textstats import _ws_tokens
+
+    src = docs.select(
+        F.lit(0).alias("__k"),
+        F.col(strata_col).cast("string").alias("src"),
+        F.size(_ws_tokens(F.col(text_col))).cast("long").alias("t"),
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            srcs, dcs, tks = state.get
+            acc = {
+                s: [int(d), int(t)] for s, d, t in zip(srcs, dcs, tks)
+            }
+        else:
+            acc = {}
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            g = pdf.groupby("src")["t"].agg(["count", "sum"])
+            for s, row in g.iterrows():
+                ent = acc.setdefault(str(s), [0, 0])
+                ent[0] += int(row["count"])
+                ent[1] += int(row["sum"])
+        if not touched:
+            return
+        state.update(
+            (
+                list(acc),
+                [acc[s][0] for s in acc],
+                [acc[s][1] for s in acc],
+            )
+        )
+        order = sorted(acc)
+        total = float(sum(acc[s][1] for s in order))
+        shares = {s: acc[s][1] / total for s in order}
+        pa = {s: shares[s] ** alpha for s in order}
+        pa_sum = sum(pa[s] for s in order)
+        yield pd.DataFrame(
+            {
+                "source": order,
+                "n_docs": [acc[s][0] for s in order],
+                "n_tokens": [acc[s][1] for s in order],
+                "observed_share": [round(shares[s], 6) for s in order],
+                "sampled_share": [round(pa[s] / pa_sum, 6) for s in order],
+                "boost": [
+                    round((pa[s] / pa_sum) / shares[s], 6) for s in order
+                ],
+            }
+        )
+
+    return src.groupBy("__k").applyInPandasWithState(
+        fn,
+        MIX_OUT_SCHEMA,
+        _MIX_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

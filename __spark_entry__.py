@@ -170,6 +170,21 @@ def _q_grep_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grep.grep_exact(lines, GREP_PATTERN)
 
 
+def _q_grep_indexed_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 cost-based engine switch, upgraded from n/a in r8: exact grep
+    served off the MAINTAINED trigram gram index (candidates = docs
+    containing ALL pattern n-grams, then the unchanged instr verify on
+    the pruned scan; short/case-folded queries take the scan arm). The
+    oracle is the FULL-SCAN grep SQL — the hash match certifies the
+    prefilter lossless (the fuzzy_term_pairs discipline). NEW IN r8
+    post-window; front of the r9 rotation."""
+    _, _, grams_path = _indexed_stores(spark, sf_dir)
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    return grep.grep_exact_indexed(
+        lines, grep.read_gram_index(spark, grams_path), GREP_PATTERN
+    )
+
+
 def _q_grep_regex_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
     return grep.grep_regex(lines, "sc[ae]n")
@@ -1245,16 +1260,17 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TERMS_CACHE[key]
 
 
-# Maintained-store pair for the INDEXED serving path (VERDICT r7 #7):
-# built once per (session, sf_dir) through the REAL incremental sinks —
-# update_postings (S7) and update_ann_store — then every
-# hybrid_search_indexed call reads the parquet stores, exactly the
+# Maintained-store trio for the INDEXED serving path (VERDICT r7 #7 +
+# the r8 T3 upgrade): built once per (session, sf_dir) through the REAL
+# incremental sinks — update_postings (S7), update_ann_store, and
+# update_gram_index (the grep trigram candidate index) — then every
+# indexed query reads the parquet stores, exactly the
 # deployment shape (the daemon serves off Qdrant/SQLite indexes built at
 # ingest, flow_collect.rs:104-179; it never re-derives them per query).
 _IDX_STORES_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
-def _indexed_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _indexed_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IDX_STORES_CACHE:
         import tempfile
@@ -1262,6 +1278,7 @@ def _indexed_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         base = tempfile.mkdtemp(prefix="wqm_idx_stores_")
         postings_path = os.path.join(base, "postings")
         ann_path = os.path.join(base, "ann_cells")
+        grams_path = os.path.join(base, "grams")
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         bm25.update_postings(spark, postings_path, changed_docs=docs)
         emb = load_table(spark, sf_dir, "embeddings")
@@ -1269,7 +1286,13 @@ def _indexed_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark, ann_path, _ivf_frozen_centroids(spark, sf_dir),
             changed_vecs=emb,
         )
-        _IDX_STORES_CACHE[key] = (postings_path, ann_path)
+        grep.update_gram_index(
+            spark, grams_path,
+            changed_lines=docsrc.code_lines(
+                load_table(spark, sf_dir, "documents")
+            ),
+        )
+        _IDX_STORES_CACHE[key] = (postings_path, ann_path, grams_path)
     return _IDX_STORES_CACHE[key]
 
 
@@ -1291,7 +1314,7 @@ def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed path exact at this corpus/n_probe (test_ann additionally
     pins indexed == brute-force DataFrame parity at two SFs). NEW IN r8
     (VERDICT r7 #7)."""
-    postings_path, ann_path = _indexed_stores(spark, sf_dir)
+    postings_path, ann_path, _ = _indexed_stores(spark, sf_dir)
     return search_pipeline.hybrid_search_indexed(
         spark, sf_dir, QUERY_TERMS,
         postings_path=postings_path, ann_store_path=ann_path,
@@ -3201,6 +3224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
+        # NEW IN r8 AFTER the window filled (honest labeling: oracle-backed
+        # + pytest from birth; first driver evidence lands in the r9
+        # rotation front):
+        "grep_indexed_lines": _q_grep_indexed_lines,
     }
 
 
@@ -3258,6 +3285,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_match_scoring": oracles.exact_match_scoring(GREP_PATTERN),
         "grep_count": oracles.grep_count(GREP_PATTERN),
         "grep_exact_lines": oracles.grep_exact_lines(GREP_PATTERN),
+        # indexed grep must reproduce the full scan — same oracle BY
+        # DESIGN (losslessness certificate):
+        "grep_indexed_lines": oracles.grep_exact_lines(GREP_PATTERN),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

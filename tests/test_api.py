@@ -311,3 +311,72 @@ class TestStoreServing:
         df = served.search("dup spark vector", mode="hybrid", limit=10)
         plan_rows = df._jdf.queryExecution().executedPlan().toString()
         assert "postings" in plan_rows and "ann_cells" in plan_rows
+
+
+class TestGrepIndexed:
+    """r8 T3 upgrade: exact grep off the maintained trigram index must
+    equal the full scan (lossless prefilter), the maintained index must
+    equal a rebuild after churn, and non-qualifying queries must take
+    the scan arm unchanged."""
+
+    def _lines(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, line_number int, content string"
+        )
+
+    def test_indexed_equals_scan_including_substrings(self, spark):
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        rows = [
+            (0, 1, "plain dup here"),
+            (0, 2, "nothing"),
+            (1, 1, "embedded dedup word"),     # 'dup' inside a word
+            (2, 1, "DUP uppercase only"),      # must NOT match (case)
+            (3, 1, "du p split"),              # must NOT match
+        ]
+        lines = self._lines(spark, rows)
+        idx = g.build_gram_index(lines)
+        got = sorted(
+            map(tuple, g.grep_exact_indexed(lines, idx, "dup").collect())
+        )
+        want = sorted(map(tuple, g.grep_exact(lines, "dup").collect()))
+        assert got == want
+        assert {(r[0]) for r in got} == {0, 1}
+
+    def test_switch_arms_fall_back_to_scan(self, spark):
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        lines = self._lines(spark, [(0, 1, "ab ABBA dup")])
+        idx = g.build_gram_index(lines)
+        # short literal (< n): scan arm
+        short = g.grep_exact_indexed(lines, idx, "ab")
+        assert [r["doc_id"] for r in short.collect()] == [0]
+        # case-insensitive: scan arm (the raw-gram index cannot serve it)
+        ci = g.grep_exact_indexed(lines, idx, "abba", case_insensitive=True)
+        assert [r["doc_id"] for r in ci.collect()] == [0]
+
+    def test_gram_store_incremental_equals_rebuild(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        path = str(tmp_path / "grams")
+        l1 = self._lines(spark, [(0, 1, "alpha dup"), (1, 1, "beta")])
+        l2 = self._lines(spark, [(2, 1, "gamma dup")])
+        l1b = self._lines(spark, [(0, 1, "alpha CHANGED")])
+        g.update_gram_index(spark, path, changed_lines=l1)
+        g.update_gram_index(spark, path, changed_lines=l2)
+        g.update_gram_index(spark, path, changed_lines=l1b)     # re-ingest 0
+        g.update_gram_index(
+            spark, path,
+            deleted_ids=spark.createDataFrame([(1,)], "doc_id long"),
+        )
+        current = l1b.unionByName(l2)
+        want = sorted(map(tuple, g.build_gram_index(current).collect()))
+        got = sorted(map(tuple, g.read_gram_index(spark, path).collect()))
+        assert got == want
+        # and serving off the maintained store equals the scan
+        res = sorted(map(tuple, g.grep_exact_indexed(
+            current, g.read_gram_index(spark, path), "dup").collect()))
+        assert res == sorted(map(tuple, g.grep_exact(current, "dup").collect()))
+        assert res  # doc 2 still matches after the churn

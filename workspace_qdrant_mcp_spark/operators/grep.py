@@ -83,3 +83,115 @@ def with_context(
         ).alias("context_after"),
     )
     return matches.join(ctx, [id_col, "line_number"])
+
+
+def build_gram_index(
+    lines: DataFrame, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, gram) — distinct char n-grams per document over line
+    content: the candidate index of the reference's exact_search trigram
+    MATCH prefilter (text_search/exact_search/query_builder.rs:12-60,
+    FTS5 trigram tokenizer). Grams are CASE-SENSITIVE raw substrings —
+    the verify stage (instr) is case-sensitive, and a lossless prefilter
+    must never be coarser than its verifier. One explode + distinct;
+    maintained incrementally at ingest via update_gram_index."""
+    from ..functions.text import char_shingles
+
+    return (
+        lines.select(
+            F.col(id_col),
+            F.explode(char_shingles(F.col("content"), n)).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def read_gram_index(
+    spark, store_path: str, id_col: str = "doc_id", id_type: str = "long"
+) -> DataFrame:
+    """The maintained (doc_id, gram) table; empty-typed frame only when
+    MISSING — an unreadable store aborts loudly (the read_postings
+    discipline)."""
+    import os
+
+    if os.path.exists(store_path):
+        return spark.read.parquet(store_path)
+    return spark.createDataFrame([], f"{id_col} {id_type}, gram string")
+
+
+def update_gram_index(
+    spark,
+    store_path: str,
+    changed_lines: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    n: int = 3,
+    id_col: str = "doc_id",
+    id_type: str = "long",
+) -> None:
+    """Incremental maintenance of the grep candidate index: drop the
+    grams of changed/deleted documents (one anti-join on the doc key),
+    append the recomputed grams of the changed documents only —
+    the postings-store skeleton applied to T1/T3's trigram index.
+    INVARIANT (asserted in tests): after any update sequence the store
+    equals build_gram_index over the current corpus."""
+    from ..store_util import overwrite_store, union_keys
+
+    overwrite_store(
+        store_path,
+        read_gram_index(spark, store_path, id_col, id_type),
+        id_col,
+        gone=union_keys(id_col, changed_lines, deleted_ids),
+        fresh=(
+            build_gram_index(changed_lines, n, id_col)
+            if changed_lines is not None
+            else None
+        ),
+    )
+
+
+def grep_exact_indexed(
+    lines: DataFrame,
+    gram_index: DataFrame,
+    pattern: str,
+    n: int = 3,
+    case_insensitive: bool = False,
+    max_results: int = DEFAULT_MAX_RESULTS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T3 — the COST-BASED ENGINE SWITCH, previously scoped n/a: exact
+    grep served off the maintained gram index when the query qualifies,
+    full parallel scan otherwise (the reference's own architecture:
+    trigram MATCH candidates + INSTR verify, falling back to the file
+    scan engine when the index can't help, grep_search/mod.rs:2-26).
+
+    Qualifies = case-sensitive literal of length >= n. Candidates = docs
+    whose gram set contains ALL of the pattern's distinct n-grams —
+    LOSSLESS by construction: a line containing the literal contributes
+    every one of its n-grams to its document's gram set, so no matching
+    document can be pruned (the fuzzy_term_pairs discipline: the driver
+    oracle IS the full-scan query, so the hash match certifies
+    losslessness). Non-qualifying queries (short literal, case-folded
+    search) take the scan path unchanged.
+
+    Scale shape: the pattern's grams are a tiny broadcast list; the
+    candidate aggregate runs over the index (docs × distinct-grams, far
+    smaller than the line table), and the verify scan reads only
+    candidate documents via one semi-join — the corpus-wide line scan
+    happens exactly never for selective literals."""
+    if case_insensitive or len(pattern) < n:
+        # the switch's scan arm — the index cannot serve this query
+        return grep_exact(
+            lines, pattern, case_insensitive, max_results, id_col
+        )
+    grams = sorted({pattern[i : i + n] for i in range(len(pattern) - n + 1)})
+    spark = lines.sparkSession
+    g = spark.createDataFrame([(x,) for x in grams], ["gram"])
+    cand = (
+        gram_index.join(F.broadcast(g), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("__k"))
+        .filter(F.col("__k") == len(grams))
+        .select(id_col)
+    )
+    pruned = lines.join(cand, id_col, "left_semi")
+    return grep_exact(pruned, pattern, False, max_results, id_col)

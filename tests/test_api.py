@@ -380,3 +380,27 @@ class TestGrepIndexed:
             current, g.read_gram_index(spark, path), "dup").collect()))
         assert res == sorted(map(tuple, g.grep_exact(current, "dup").collect()))
         assert res  # doc 2 still matches after the churn
+
+
+class TestGrepStoreServing:
+    def test_engine_grep_served_off_gram_index_matches_scan(
+        self, spark, tmp_path_factory
+    ):
+        scan = WqmEngine(spark, SF_SMOKE)
+        served = WqmEngine(spark, SF_SMOKE)
+        served.enable_store_serving(
+            str(tmp_path_factory.mktemp("grep_stores"))
+        )
+        for kw in (
+            dict(),
+            dict(tenant="src3"),
+            dict(path_glob="src/src3/*.txt", context=1),
+        ):
+            a = sorted(map(tuple, scan.grep("dup", **kw).collect()))
+            b = sorted(map(tuple, served.grep("dup", **kw).collect()))
+            assert a == b, kw
+            assert a, kw
+        # regex queries take the scan arm either way
+        a = sorted(map(tuple, scan.grep("sc[ae]n", regex=True).collect()))
+        b = sorted(map(tuple, served.grep("sc[ae]n", regex=True).collect()))
+        assert a == b and a

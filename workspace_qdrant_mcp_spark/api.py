@@ -47,6 +47,7 @@ class WqmEngine:
         self._ann_store_path: str | None = None
         self._ann_centroids: DataFrame | None = None
         self._ann_n_probe: int = 3
+        self._grams_path: str | None = None
 
     def enable_store_serving(
         self, base_dir: str, n_cells: int = 10, n_probe: int = 3
@@ -63,6 +64,9 @@ class WqmEngine:
             vectors (array<double> preserved — the dense leg's cosine
             must be bit-identical to the scan path) against frozen
             first-n_cells centroids in point_id order.
+          - trigram grams: grep.update_gram_index over the code-lines
+            table — exact grep then serves candidates off the index
+            (T3), scan-arm fallback for short/case-folded/regex queries.
 
         Results are EXACT vs the scan path whenever the probed cells
         cover the filtered top-2k (test_api asserts exactness across all
@@ -105,10 +109,15 @@ class WqmEngine:
             ),
             id_type="string", vec_type="double",
         )
+        grams_path = os.path.join(base_dir, "grams")
+        grep_ops.update_gram_index(
+            self.spark, grams_path, changed_lines=self.lines
+        )
         self._postings_path = postings_path
         self._ann_store_path = ann_path
         self._ann_centroids = cents
         self._ann_n_probe = n_probe
+        self._grams_path = grams_path
 
     @property
     def chunks(self) -> DataFrame:
@@ -359,6 +368,18 @@ class WqmEngine:
             lines = lines.filter(cond)
         if regex:
             m = grep_ops.grep_regex(lines, pattern, max_results=max_results)
+        elif self._grams_path is not None:
+            # store serving (T3): candidates from the maintained trigram
+            # index, instr verify on the scope-filtered pruned scan —
+            # lossless (the index prunes a SUPERSET corpus; the scope
+            # filters apply to the pruned side), and the operator itself
+            # takes the scan arm for short literals
+            m = grep_ops.grep_exact_indexed(
+                lines,
+                grep_ops.read_gram_index(self.spark, self._grams_path),
+                pattern,
+                max_results=max_results,
+            )
         else:
             m = grep_ops.grep_exact(lines, pattern, max_results=max_results)
         if context > 0:

@@ -419,7 +419,7 @@ def test_hybrid_search_indexed_serves_off_stores(spark):
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["hybrid_search_indexed"](spark, SF_SMOKE)
-    postings_path, ann_path = entrymod._indexed_stores(spark, SF_SMOKE)
+    postings_path, ann_path, _ = entrymod._indexed_stores(spark, SF_SMOKE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     # both store scans present

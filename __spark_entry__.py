@@ -1184,6 +1184,19 @@ def _q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsample over the Lloyd topic assignment
+    (ann.cluster_balanced_sample): a fixed consistent-hash quota from
+    EVERY cluster — the downstream draw SemDeDup-style pipelines and
+    topic-balanced eval sets make after clustering. Oracle: the unrolled
+    kmeans chain + the same salted-hash per-cluster rank. NEW IN r8
+    post-window; front of the r9 rotation."""
+    return ann.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_rounds=3,
+        per_cluster=10,
+    )
+
+
 def _q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8 scalar quantization + exact rescore
     (operators/ann.sq_topk): the `quantization_config` pipeline of the
@@ -3228,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + pytest from birth; first driver evidence lands in the r9
         # rotation front):
         "grep_indexed_lines": _q_grep_indexed_lines,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
     }
 
 
@@ -3288,6 +3302,9 @@ def oracle_sql() -> dict[str, str]:
         # indexed grep must reproduce the full scan — same oracle BY
         # DESIGN (losslessness certificate):
         "grep_indexed_lines": oracles.grep_exact_lines(GREP_PATTERN),
+        "cluster_balanced_sample": oracles.cluster_balanced_sample(
+            k=8, n_rounds=3, per_cluster=10
+        ),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

@@ -456,3 +456,24 @@ def test_lloyd_kmeans_assignment_is_total_and_wellformed(spark):
     assert len({r["vec_id"] for r in rows}) == len(rows)
     assert all(r["dist"] >= 0.0 for r in rows)
     assert {r["cluster_id"] for r in rows} <= set(range(8))
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Every cluster contributes at most per_cluster rows, small clusters
+    return whole, and the draw is reproducible run-to-run (consistent
+    hash, no RNG)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out1 = sorted(map(tuple, ann.cluster_balanced_sample(
+        emb, k=8, n_rounds=2, per_cluster=5).collect()))
+    out2 = sorted(map(tuple, ann.cluster_balanced_sample(
+        emb, k=8, n_rounds=2, per_cluster=5).collect()))
+    assert out1 == out2
+    from collections import Counter
+    per = Counter(c for _, c, _ in out1)
+    assert all(v <= 5 for v in per.values())
+    full = Counter(
+        r["cluster_id"]
+        for r in ann.lloyd_kmeans(emb, k=8, n_rounds=2).collect()
+    )
+    for c, n in full.items():
+        assert per[c] == min(5, n), c

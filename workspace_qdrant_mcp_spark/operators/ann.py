@@ -1060,3 +1060,41 @@ def ann_store_topk(
     return _cell_probe_topk(
         assigned, qcells, k, "vec_id", "embedding", query_id_col
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, rnk) — a deterministic cluster-BALANCED
+    subsample over the lloyd_kmeans topic assignment: per cluster, the
+    per_cluster members with smallest salted md5 hash (the bottomk_sample
+    consistent-hash discipline — reproducible, shard-invariant, no RNG).
+    This is the downstream step the clustering exists for: SemDeDup-style
+    pipelines and topic-balanced eval sets draw a fixed-size quota from
+    EVERY cluster so head topics cannot crowd out tail topics (the
+    cluster-quota variant of temperature flattening).
+
+    Scale shape: the assignment's cost (see lloyd_kmeans) plus ONE
+    per-cluster rank window over (hash, id) — partitioned by cluster_id,
+    never global; clusters with fewer than per_cluster members return
+    entirely (rnk identifies the draw order for downstream trimming)."""
+    from ..functions.hashing import md5_hash64
+
+    asg = lloyd_kmeans(emb, k=k, n_rounds=n_rounds, id_col=id_col,
+                       vec_col=vec_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("__h"), F.asc(id_col)
+    )
+    return (
+        asg.withColumn(
+            "__h", md5_hash64(F.col(id_col).cast("string"), salt="cbs|")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_cluster)
+        .select(id_col, "cluster_id", "rnk")
+    )

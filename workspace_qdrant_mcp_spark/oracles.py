@@ -5285,3 +5285,26 @@ neg AS (
 SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
 FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
 """
+
+
+def cluster_balanced_sample(
+    k: int = 8, n_rounds: int = 3, per_cluster: int = 10
+) -> str:
+    """Oracle for ann.cluster_balanced_sample: the kmeans_topics unrolled
+    Lloyd chain as a subquery, then the per-cluster consistent-hash
+    bottom-per_cluster rank (same 'cbs|' salt and (hash ASC, id ASC)
+    order as the operator)."""
+    h = duckdb_md5_hash64_sql("CAST(vec_id AS VARCHAR)", salt="cbs|")
+    return f"""
+SELECT vec_id, cluster_id, rnk FROM (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY h ASC, vec_id ASC
+         ) AS rnk
+  FROM (
+    SELECT vec_id, cluster_id, {h} AS h
+    FROM ({kmeans_topics(k, n_rounds)}) asg
+  )
+)
+WHERE rnk <= {per_cluster}
+"""

@@ -1829,3 +1829,65 @@ def test_streaming_mixture_equals_batch_over_prefix(spark, tmp_path):
                 assert got[s][c] == pytest.approx(want[s][c], abs=1e-6), (i, s, c)
     # the emission covers ALL sources each batch, not just touched ones
     assert set(got) == {"web", "books", "code"}
+
+
+def test_stream_maintains_gram_index_in_lockstep(spark, tmp_path):
+    """End-to-end r8 T3 sink: the ingest stream with gram_index_path
+    keeps the trigram candidate index equal to build_gram_index over the
+    LIVE (path, latest-content) set — through create, modify, remove —
+    and indexed grep over the live chunk store equals the scan."""
+    from workspace_qdrant_mcp_spark.operators import grep as g
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    events_dir = str(tmp_path / "gev")
+    store = str(tmp_path / "gstore")
+    dlq = str(tmp_path / "gdlq")
+    ck = str(tmp_path / "gckpt")
+    grams = str(tmp_path / "grams")
+
+    def run(name, rows):
+        _write_events(events_dir, name, rows)
+        ingest.run_ingestion_stream(
+            spark, events_dir, store, dlq, ck, gram_index_path=grams
+        )
+
+    run("b1.json", [
+        {"path": "/w/a", "event_type": "create", "content": "alpha dup x",
+         "ts": "2024-01-01T00:00:01Z"},
+        {"path": "/w/b", "event_type": "create", "content": "beta dup y",
+         "ts": "2024-01-01T00:00:02Z"},
+    ])
+    run("b2.json", [
+        {"path": "/w/a", "event_type": "modify", "content": "gamma only",
+         "ts": "2024-01-01T00:01:00Z"},
+        {"path": "/w/b", "event_type": "remove", "content": None,
+         "ts": "2024-01-01T00:01:01Z"},
+    ])
+
+    live = spark.createDataFrame(
+        [("/w/a", "gamma only")], "path string, content string"
+    )
+    got = {
+        tuple(r)
+        for r in g.read_gram_index(
+            spark, grams, id_col="path", id_type="string"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in g.build_gram_index(live, id_col="path").collect()
+    }
+    assert got == want and got
+    # serving: indexed grep over the live chunk store == scan; the
+    # removed/modified 'dup' grams are gone, so the pattern now misses
+    lines = (
+        spark.read.parquet(store)
+        .select("path", F.col("chunk_index").alias("line_number"), "content")
+    )
+    idx = g.read_gram_index(spark, grams, id_col="path", id_type="string")
+    assert sorted(map(tuple, g.grep_exact_indexed(
+        lines, idx, "dup", id_col="path").collect())) == sorted(
+        map(tuple, g.grep_exact(lines, "dup", id_col="path").collect())) == []
+    assert sorted(map(tuple, g.grep_exact_indexed(
+        lines, idx, "gamma", id_col="path").collect())) == sorted(
+        map(tuple, g.grep_exact(lines, "gamma", id_col="path").collect()))

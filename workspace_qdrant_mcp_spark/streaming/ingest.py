@@ -192,6 +192,7 @@ def process_batch(
     graph_store_dir: str | None = None,
     signature_store_path: str | None = None,
     feature_store_path: str | None = None,
+    gram_index_path: str | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -275,6 +276,7 @@ def process_batch(
             or graph_store_dir is not None
             or signature_store_path is not None
             or feature_store_path is not None
+            or gram_index_path is not None
         ):
             # the postings/graph updates run AFTER upsert_chunks
             # overwrites the store, but `changed` is lazily derived from
@@ -303,6 +305,7 @@ def process_batch(
                 or graph_store_dir is not None
                 or signature_store_path is not None
                 or feature_store_path is not None
+                or gram_index_path is not None
             )
             has_changed = any_sink and len(changed.take(1)) > 0
             # S7 maintained FTS sink (opt-in): keep the sparse-postings
@@ -367,6 +370,21 @@ def process_batch(
                         F.col("content").alias("text"),
                     ),
                 )
+            # maintained trigram gram index (opt-in): T1/T3's grep
+            # candidate index stays in lockstep with the chunk store —
+            # grams over the changed FILE content (a superset of any
+            # chunk/line's grams, so the line-level prefilter stays
+            # lossless), delete+append keyed by path
+            if gram_index_path is not None and has_changed:
+                from ..operators.grep import update_gram_index
+
+                update_gram_index(
+                    spark,
+                    gram_index_path,
+                    changed_lines=changed.select("path", "content"),
+                    id_col="path",
+                    id_type="string",
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -424,6 +442,16 @@ def process_batch(
                     deleted_ids=deletes.select(
                         md5_hash64(F.col("path")).alias("doc_id")
                     ),
+                )
+            if gram_index_path is not None:
+                from ..operators.grep import update_gram_index
+
+                update_gram_index(
+                    spark,
+                    gram_index_path,
+                    deleted_ids=deletes,
+                    id_col="path",
+                    id_type="string",
                 )
     except Exception as exc:  # W3: dead-letter the failed batch with the error
         # Poison rows already went to the DLQ with their row-level reason;
@@ -522,14 +550,15 @@ def run_ingestion_stream(
     graph_store_dir: str | None = None,
     signature_store_path: str | None = None,
     feature_store_path: str | None = None,
+    gram_index_path: str | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
     availableNow so tests drain the backlog and stop. Pass a watchdog +
     park_path to get W8 degraded-mode behavior per micro-batch. All
-    four maintained sinks (postings / symbol graph / minhash signatures
-    / doc features) thread through to process_batch, so stream deletes
-    prune every store."""
+    five maintained sinks (postings / symbol graph / minhash signatures
+    / doc features / trigram gram index) thread through to
+    process_batch, so stream deletes prune every store."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
@@ -544,6 +573,7 @@ def run_ingestion_stream(
                 spark, b, store_path, dlq_path, ignore_globs, allow_globs,
                 watchdog=watchdog, park_path=park_path,
                 postings_path=postings_path,
+                gram_index_path=gram_index_path,
                 graph_store_dir=graph_store_dir,
                 signature_store_path=signature_store_path,
                 feature_store_path=feature_store_path,

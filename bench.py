@@ -83,6 +83,7 @@ def _full_store_ingest_docs_per_min(
         graph_store_dir=os.path.join(base, "graph"),
         signature_store_path=os.path.join(base, "sigs"),
         feature_store_path=os.path.join(base, "features"),
+        gram_index_path=os.path.join(base, "grams"),
     )
     elapsed = time.perf_counter() - t0
     n_ingested = (
@@ -291,8 +292,9 @@ def main() -> None:
             _log(f"# bench embed-cost error: {exc}")
         # Full maintained-store streaming ingestion (VERDICT r7 #6): the
         # configuration a real deployment runs — the watcher-event stream
-        # with ALL FIVE incremental sinks enabled (chunk store + postings
-        # + symbol graph + minhash signatures + doc features), measured
+        # with ALL SIX incremental sinks enabled (chunk store + postings
+        # + symbol graph + minhash signatures + doc features + trigram
+        # gram index), measured
         # as docs/min against the reference's 1000+ docs/min queue gate
         # (queue_processor_bench.rs). 512 real corpus docs over two
         # availableNow micro-batches (maxFilesPerTrigger=16 × 16/file).

@@ -52,6 +52,9 @@ R8_SCALE_QUERIES = [
     "kmeans_topics",
     "temperature_mixture",
     "feature_drift_psi",
+    "contrastive_pairs",
+    "grep_indexed_lines",
+    "cluster_balanced_sample",
 ]
 
 

@@ -592,8 +592,13 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: three scans and two doc_id joins that AQE hid behind
     broadcasts at test scale but would be corpus-sized shuffles at
     100 TB). The oracle nests the same two hash-verified SQL pipelines
-    as subqueries — same values, one definition. NEW IN r7 post-window;
-    front of the r8 rotation."""
+    as subqueries — same values, one definition. Every float column is
+    averaged in EXACT integer microunits (functions/emit.py: per-doc
+    quality → microunit long, token/match counts are already ints; the
+    sums are exact, the division is one IEEE op) so the card hashes
+    bit-identically in any engine/libm (r8 driver hash-red, bit-exact
+    in repo). NEW IN r7 post-window; r9 retry at the window front."""
+    from workspace_qdrant_mcp_spark.functions.emit import micro6
     from workspace_qdrant_mcp_spark.functions.text import quality_features
     from workspace_qdrant_mcp_spark.io import fan_out
     from workspace_qdrant_mcp_spark.operators.textstats import (
@@ -607,26 +612,32 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_chars",
-        F.round(quality_col(F.col("text")), 6).alias("quality"),
+        F.round(quality_col(F.col("text")) * F.lit(1e6))
+        .cast("long")
+        .alias("q_micro"),
         feats["n_tokens"].alias("n_tokens"),
         lang_pred_col(F.col("text")).alias("lang_pred"),
     )
+    cnt = F.count(F.lit(1))
     return (
         per_doc.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            cnt.alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("quality"), 6).alias("mean_quality"),
-            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
-            F.round(
-                F.avg(
-                    F.when(F.col("lang_pred") == F.col("lang"), 1.0).otherwise(
-                        0.0
-                    )
-                ),
-                6,
+            micro6(
+                F.sum("q_micro").cast("double") / (cnt * F.lit(1e6))
+            ).alias("mean_quality"),
+            micro6(F.sum("n_tokens").cast("double") / cnt).alias(
+                "mean_tokens"
+            ),
+            micro6(
+                F.sum(
+                    F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+                ).cast("double")
+                / cnt
             ).alias("lang_match_frac"),
         )
+        .orderBy("source")
     )
 
 

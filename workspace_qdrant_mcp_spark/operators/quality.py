@@ -14,6 +14,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.emit import micro6
+
+
+def _psi_emit(joined: DataFrame, group_col: str) -> DataFrame:
+    """Shared PSI tail for feature_drift_psi / psi_vs_reference: the psi
+    sum emitted in exact integer microunits (functions/emit.py — ln is
+    libm-dependent and round(x, 6) alone does not survive a driver whose
+    DuckDB build rounds an ulp differently; r8 driver hash-red, bit-exact
+    in repo), drifted compared on the SAME microunit value both sides,
+    and a deterministic final report order."""
+    return (
+        joined.groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            micro6(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                )
+            ).alias("psi")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy(group_col)
+    )
+
 TOP3_GATE = 0.80
 RECALL10_GATE = 0.70
 
@@ -167,20 +197,20 @@ def feature_drift_psi(
     (group, bucket, side) map-side-combinable count and closed-form
     arithmetic over the bounded bucket dimension. The corpus is touched
     exactly once."""
+    # fractional epoch seconds on BOTH sides (cast timestamp → double ==
+    # DuckDB epoch(ts)): unix_timestamp truncates to whole seconds, so a
+    # subsecond event near the midpoint could land in different ref/cur
+    # windows in operator vs oracle (r8 ADVICE).
+    ep = lambda c: F.col(c).cast("double")  # noqa: E731
     mid = events.agg(
-        (
-            (F.unix_timestamp(F.max(ts_col)) + F.unix_timestamp(F.min(ts_col)))
-            / 2
-        ).alias("__mid")
+        ((F.max(ep(ts_col)) + F.min(ep(ts_col))) / 2).alias("__mid")
     )
     sided = (
         events.crossJoin(F.broadcast(mid))
         .select(
             F.col(group_col).alias("grp"),
             F.floor(F.col(value_col) / F.lit(float(width))).alias("bucket"),
-            F.when(
-                F.unix_timestamp(F.col(ts_col)) < F.col("__mid"), F.lit("ref")
-            )
+            F.when(ep(ts_col) < F.col("__mid"), F.lit("ref"))
             .otherwise(F.lit("cur"))
             .alias("side"),
         )
@@ -206,25 +236,7 @@ def feature_drift_psi(
             "p_cur"
         ),
     )
-    return (
-        joined.groupBy("grp", "n_ref", "n_cur")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("p_cur") - F.col("p_ref"))
-                    * F.log(F.col("p_cur") / F.col("p_ref"))
-                ),
-                6,
-            ).alias("psi")
-        )
-        .select(
-            F.col("grp").alias(group_col),
-            "n_ref",
-            "n_cur",
-            "psi",
-            (F.col("psi") > 0.2).alias("drifted"),
-        )
-    )
+    return _psi_emit(joined, group_col)
 
 
 def drift_reference(
@@ -299,22 +311,4 @@ def psi_vs_reference(
             "p_cur"
         ),
     )
-    return (
-        joined.groupBy("grp", "n_ref", "n_cur")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("p_cur") - F.col("p_ref"))
-                    * F.log(F.col("p_cur") / F.col("p_ref"))
-                ),
-                6,
-            ).alias("psi")
-        )
-        .select(
-            F.col("grp").alias(group_col),
-            "n_ref",
-            "n_cur",
-            "psi",
-            (F.col("psi") > 0.2).alias("drifted"),
-        )
-    )
+    return _psi_emit(joined, group_col)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.emit import micro6
+
 
 def salted_join(
     big: DataFrame,
@@ -115,17 +117,21 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.sum("c").alias("n_rows"),
         F.sum(F.col("i") * F.col("c")).alias("s"),
     )
+    # top_share/gini emitted in exact integer microunits (functions/
+    # emit.py): the inputs are exact integers so the ratio doubles are
+    # bit-identical across engines, and the microunit round removes the
+    # engine-specific round(x, 6) implementation from the hash path
+    # (r8 driver hash-red, bit-exact in repo).
     return agg.crossJoin(F.broadcast(top)).select(
         "n_keys",
         "n_rows",
         "top_key",
-        F.round(
-            F.col("top_c").cast("double") / F.col("n_rows"), 6
-        ).alias("top_share"),
-        F.round(
+        micro6(F.col("top_c").cast("double") / F.col("n_rows")).alias(
+            "top_share"
+        ),
+        micro6(
             (F.lit(2.0) * F.col("s"))
             / (F.col("n_keys").cast("double") * F.col("n_rows"))
-            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
-            6,
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
         ).alias("gini"),
     )

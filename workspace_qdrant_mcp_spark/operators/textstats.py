@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.emit import micro6
 from ..functions.text import LANG_MARKERS, quality_features
 from ..io import fan_out
 
@@ -674,14 +675,22 @@ def char_entropy(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     n_tot = F.sum("n")
-    return per.groupBy(id_col).agg(
-        n_tot.alias("n_chars"),
-        F.count(F.lit(1)).cast("int").alias("distinct_chars"),
-        F.round(
-            F.log2(n_tot)
-            - F.sum(F.col("n") * F.log2("n")) / n_tot,
-            6,
-        ).alias("entropy_bits"),
+    # entropy_bits is emitted in exact integer microunits (functions/
+    # emit.py): log2 is libm-dependent, and a driver whose DuckDB build
+    # differs by an ulp can flip round(x, 6) across a boundary even when
+    # every displayed decimal agrees (r8 driver hash-red, bit-exact in
+    # repo). The final orderBy is belt-and-braces determinism for any
+    # order-sensitive hash.
+    return (
+        per.groupBy(id_col)
+        .agg(
+            n_tot.alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("distinct_chars"),
+            micro6(
+                F.log2(n_tot) - F.sum(F.col("n") * F.log2("n")) / n_tot
+            ).alias("entropy_bits"),
+        )
+        .orderBy(id_col)
     )
 
 

@@ -12,6 +12,7 @@ top-k is cut by (score DESC, id ASC) so membership is deterministic.
 
 from __future__ import annotations
 
+from .functions.emit import micro6_sql
 from .functions.hashing import duckdb_md5_hash64_sql
 from .functions.text import LANG_MARKERS, duckdb_char_shingles_sql, duckdb_tokenize_sql
 from .functions.vectors import duckdb_cosine_sql
@@ -1288,19 +1289,31 @@ def corpus_report() -> str:
     """Oracle for the corpus data-card report: per-source aggregates over
     the SAME lang_id and quality_score pipelines (nested verbatim as
     subqueries — one definition, reused), so the report's inputs are the
-    already-hash-verified per-doc signals."""
+    already-hash-verified per-doc signals. Float columns are averaged in
+    exact integer microunits (functions/emit.py) mirroring the Spark
+    side: per-doc quality → microunit BIGINT, exact integer sums, one
+    IEEE division — bit-identical across engines."""
+    mq = micro6_sql(
+        "CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)"
+        " / (count(*) * 1000000.0)"
+    )
+    mt = micro6_sql("CAST(sum(q.n_tokens) AS DOUBLE) / count(*)")
+    lm = micro6_sql(
+        "CAST(sum(CASE WHEN lp.lang_pred = d.lang THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / count(*)"
+    )
     return f"""
 SELECT d.source,
        count(*) AS n_docs,
        sum(d.n_chars) AS total_chars,
-       round(avg(q.quality), 6) AS mean_quality,
-       round(avg(q.n_tokens), 6) AS mean_tokens,
-       round(avg(CASE WHEN lp.lang_pred = d.lang THEN 1.0 ELSE 0.0 END), 6)
-         AS lang_match_frac
+       {mq} AS mean_quality,
+       {mt} AS mean_tokens,
+       {lm} AS lang_match_frac
 FROM documents d
 JOIN ({lang_id()}) lp ON lp.doc_id = d.doc_id
 JOIN ({quality_score()}) q ON q.doc_id = d.doc_id
 GROUP BY d.source
+ORDER BY d.source
 """
 
 
@@ -4860,9 +4873,12 @@ FROM idcg LEFT JOIN dcg USING (query_id)
 
 
 def char_entropy() -> str:
-    """Oracle for textstats.char_entropy: identical char explode and the
-    same one-pass identity log2(N) - sum(n*log2(n))/N."""
-    return """
+    """Oracle for textstats.char_entropy: identical char explode, the
+    same one-pass identity log2(N) - sum(n*log2(n))/N, and the same
+    integer-microunit emission (functions/emit.py) so the float column
+    is bit-identical across engines."""
+    ent = micro6_sql("log2(sum(n)) - sum(n * log2(n)) / sum(n)")
+    return f"""
 WITH ch AS (
   SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
 ),
@@ -4871,8 +4887,9 @@ per AS (SELECT doc_id, c, count(*) AS n FROM ch
 SELECT doc_id,
        sum(n) AS n_chars,
        CAST(count(*) AS INT) AS distinct_chars,
-       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+       {ent} AS entropy_bits
 FROM per GROUP BY doc_id
+ORDER BY doc_id
 """
 
 
@@ -4981,7 +4998,13 @@ w{t} AS MATERIALIZED (
 
 def key_skew_report(key_expr: str = "user_id") -> str:
     """Oracle for skew.key_skew_report over events: identical
-    ascending-(count, key) rank, identical Gini float op order."""
+    ascending-(count, key) rank, identical Gini float op order, and the
+    same integer-microunit emission (functions/emit.py)."""
+    share = micro6_sql("CAST(top_c AS DOUBLE) / n_rows")
+    gini = micro6_sql(
+        "(2.0 * s) / (CAST(n_keys AS DOUBLE) * n_rows)"
+        " - (n_keys + 1.0) / n_keys"
+    )
     return f"""
 WITH cnt AS (
   SELECT {key_expr} AS key, count(*) AS c FROM events GROUP BY 1
@@ -4999,9 +5022,8 @@ agg AS (
   FROM ranked
 )
 SELECT n_keys, n_rows, top_key,
-       round(CAST(top_c AS DOUBLE) / n_rows, 6) AS top_share,
-       round((2.0 * s) / (CAST(n_keys AS DOUBLE) * n_rows)
-             - (n_keys + 1.0) / n_keys, 6) AS gini
+       {share} AS top_share,
+       {gini} AS gini
 FROM agg, top
 """
 
@@ -5195,8 +5217,11 @@ FROM shared
 
 def feature_drift_psi(width: float = 5.0, eps: float = 1e-4) -> str:
     """Oracle for quality.feature_drift_psi: split at (min+max)/2 of the
-    epoch seconds, fixed-width value buckets, add-eps smoothed shares
-    over each group's bucket union, PSI with the > 0.2 flag."""
+    FRACTIONAL epoch seconds (DuckDB epoch(ts) == Spark's cast-to-double,
+    r8 ADVICE), fixed-width value buckets, add-eps smoothed shares over
+    each group's bucket union, PSI in integer microunits (functions/
+    emit.py) with the > 0.2 flag compared on the same microunit value."""
+    psi = micro6_sql("sum((p_cur - p_ref) * ln(p_cur / p_ref))")
     return f"""
 WITH mid AS (
   SELECT (epoch(max(ts)) + epoch(min(ts))) / 2 AS m FROM events
@@ -5226,10 +5251,11 @@ shares AS (
   FROM counts c JOIN per_grp g ON g.grp = c.grp
 )
 SELECT grp AS event_type, n_ref, n_cur,
-       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
-       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) > 0.2 AS drifted
+       {psi} AS psi,
+       {psi} > 0.2 AS drifted
 FROM shares
 GROUP BY 1, 2, 3
+ORDER BY 1
 """
 
 

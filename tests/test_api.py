@@ -343,6 +343,29 @@ class TestGrepIndexed:
         assert got == want
         assert {(r[0]) for r in got} == {0, 1}
 
+    def test_uppercase_pattern_indexed_equals_scan(self, spark):
+        # the r8 ADVICE regression: the gram index is LOWERCASED
+        # (char_shingles folds case), so raw mixed-case pattern grams
+        # matched nothing and the indexed path silently dropped every
+        # hit; folding the pattern grams makes candidates a case-
+        # insensitive superset and the instr verify restores exactness
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        rows = [
+            (0, 1, "ab ABBA dup"),
+            (1, 1, "abba lowercase only"),   # must NOT match (case)
+            (2, 1, "Abba mixed"),            # must NOT match (case)
+            (3, 1, "nothing here"),
+        ]
+        lines = self._lines(spark, rows)
+        idx = g.build_gram_index(lines)
+        got = sorted(
+            map(tuple, g.grep_exact_indexed(lines, idx, "ABBA").collect())
+        )
+        want = sorted(map(tuple, g.grep_exact(lines, "ABBA").collect()))
+        assert got == want
+        assert {r[0] for r in got} == {0}
+
     def test_switch_arms_fall_back_to_scan(self, spark):
         from workspace_qdrant_mcp_spark.operators import grep as g
 
@@ -404,3 +427,44 @@ class TestGrepStoreServing:
         a = sorted(map(tuple, scan.grep("sc[ae]n", regex=True).collect()))
         b = sorted(map(tuple, served.grep("sc[ae]n", regex=True).collect()))
         assert a == b and a
+
+    def test_engine_grep_uppercase_pattern_matches_scan(
+        self, spark, tmp_path_factory
+    ):
+        # r8 ADVICE: the serving switch must not alter grep semantics
+        # for non-lowercase patterns. The synthetic corpus is all-
+        # lowercase, so build a copy with an uppercase marker injected
+        # into a few documents — a DISCRIMINATING case: before the
+        # pattern-gram case fold, the served path returned zero rows
+        # here while the scan path matched.
+        import shutil
+
+        from workspace_qdrant_mcp_spark.io import TABLES
+
+        corpus = tmp_path_factory.mktemp("upper_corpus")
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{SF_SMOKE}/{t}.parquet", corpus / f"{t}.parquet")
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(F.col("text"), F.lit("\nSPARK Marker line")),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(str(corpus / "documents.parquet"))
+
+        scan = WqmEngine(spark, str(corpus))
+        served = WqmEngine(spark, str(corpus))
+        served.enable_store_serving(
+            str(tmp_path_factory.mktemp("upper_stores"))
+        )
+        for pat in ("SPARK Mark", "Marker line"):
+            a = sorted(map(tuple, scan.grep(pat).collect()))
+            b = sorted(map(tuple, served.grep(pat).collect()))
+            assert a == b, pat
+            assert a, pat
+        # wrong-case query: both paths agree on zero matches
+        a = sorted(map(tuple, scan.grep("spark mark").collect()))
+        b = sorted(map(tuple, served.grep("spark mark").collect()))
+        assert a == b == []

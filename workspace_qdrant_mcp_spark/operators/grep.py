@@ -91,10 +91,14 @@ def build_gram_index(
     """(doc_id, gram) — distinct char n-grams per document over line
     content: the candidate index of the reference's exact_search trigram
     MATCH prefilter (text_search/exact_search/query_builder.rs:12-60,
-    FTS5 trigram tokenizer). Grams are CASE-SENSITIVE raw substrings —
-    the verify stage (instr) is case-sensitive, and a lossless prefilter
-    must never be coarser than its verifier. One explode + distinct;
-    maintained incrementally at ingest via update_gram_index."""
+    FTS5 trigram tokenizer). Grams are LOWERCASED (char_shingles folds
+    case, matching FTS5's case-folding tokenizer) — so candidate
+    generation must fold the PATTERN's grams too (grep_exact_indexed
+    does), making candidates a case-insensitive SUPERSET of the
+    case-sensitive matches; the instr verify stage restores exactness.
+    A prefilter may be coarser than its verifier, never finer. One
+    explode + distinct; maintained incrementally at ingest via
+    update_gram_index."""
     from ..functions.text import char_shingles
 
     return (
@@ -165,13 +169,18 @@ def grep_exact_indexed(
     scan engine when the index can't help, grep_search/mod.rs:2-26).
 
     Qualifies = case-sensitive literal of length >= n. Candidates = docs
-    whose gram set contains ALL of the pattern's distinct n-grams —
-    LOSSLESS by construction: a line containing the literal contributes
-    every one of its n-grams to its document's gram set, so no matching
-    document can be pruned (the fuzzy_term_pairs discipline: the driver
-    oracle IS the full-scan query, so the hash match certifies
-    losslessness). Non-qualifying queries (short literal, case-folded
-    search) take the scan path unchanged.
+    whose gram set contains ALL of the pattern's distinct LOWERCASED
+    n-grams (the index is lowercase — char_shingles folds case, so raw
+    mixed-case pattern grams could never match and would silently prune
+    every hit; r8 ADVICE). Folding makes the candidate set a
+    case-insensitive SUPERSET, and LOSSLESS by construction: a line
+    containing the literal contributes every one of its lowercased
+    n-grams to its document's gram set, so no matching document can be
+    pruned (the fuzzy_term_pairs discipline: the driver oracle IS the
+    full-scan query, so the hash match certifies losslessness); the
+    unchanged case-sensitive instr verify restores exactness.
+    Non-qualifying queries (short literal, case-folded search) take the
+    scan path unchanged.
 
     Scale shape: the pattern's grams are a tiny broadcast list; the
     candidate aggregate runs over the index (docs × distinct-grams, far
@@ -183,7 +192,8 @@ def grep_exact_indexed(
         return grep_exact(
             lines, pattern, case_insensitive, max_results, id_col
         )
-    grams = sorted({pattern[i : i + n] for i in range(len(pattern) - n + 1)})
+    folded = pattern.lower()
+    grams = sorted({folded[i : i + n] for i in range(len(folded) - n + 1)})
     spark = lines.sparkSession
     g = spark.createDataFrame([(x,) for x in grams], ["gram"])
     cand = (

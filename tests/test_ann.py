@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from workspace_qdrant_mcp_spark.io import load_table
@@ -419,6 +420,21 @@ class TestLloydKmeans:
         out = ann.lloyd_kmeans(emb, k=3, n_rounds=3).collect()
         assert len(out) == 5
         assert all(r["dist"] is not None for r in out)
+
+    def test_sparse_ids_fail_loudly_at_init(self, spark):
+        # the first-k init requires ids 0..k-1 all present; sparse or
+        # non-zero-based ids used to silently yield fewer than k
+        # clusters (degenerate clustering, skewed downstream quotas) —
+        # now a loud ValueError (r8 ADVICE)
+        pts = [(10, [0.0, 0.0]), (11, [5.0, 5.0]), (12, [9.0, 9.0])]
+        emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="first-k init found 0 of 2"):
+            ann.lloyd_kmeans(emb, k=2, n_rounds=1)
+        # partial presence fails too
+        pts2 = [(0, [0.0, 0.0]), (5, [5.0, 5.0])]
+        emb2 = spark.createDataFrame(pts2, "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="found 1 of 3"):
+            ann.lloyd_kmeans(emb2, k=3, n_rounds=1)
 
     def test_rounds_zero_is_pure_first_k_assignment(self, spark):
         # n_rounds=0 degenerates to the semdedup static assignment —

@@ -1831,6 +1831,74 @@ def test_streaming_mixture_equals_batch_over_prefix(spark, tmp_path):
     assert set(got) == {"web", "books", "code"}
 
 
+def test_streaming_mixture_zero_token_prefix_emits_nothing(spark, tmp_path):
+    """r8 ADVICE: a prefix whose documents all tokenize to zero
+    whitespace tokens used to raise ZeroDivisionError inside
+    applyInPandasWithState and kill the streaming query. Now: no
+    emission for the zero-token batch (the batch twin returns zero
+    rows), and the doc counts still carry into the next batch when
+    real tokens arrive."""
+    import json
+    import os
+
+    from workspace_qdrant_mcp_spark.operators import curation
+    from workspace_qdrant_mcp_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "zmixev")
+    out_dir = str(tmp_path / "zmixout")
+    ck = str(tmp_path / "zmixck")
+    os.makedirs(events_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+        )
+        q = (
+            stateful.streaming_mixture(stream, alpha=0.3)
+            .writeStream.foreachBatch(
+                lambda b, bid: b.withColumn("bid", F.lit(bid))
+                .write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = [{"doc_id": i, "source": "web", "text": ""} for i in range(3)]
+    with open(os.path.join(events_dir, "b0.json"), "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    drain()
+    # the query survived and emitted nothing (out_dir may not even exist)
+    emitted = (
+        spark.read.parquet(out_dir).count()
+        if os.path.exists(out_dir) and os.listdir(out_dir)
+        else 0
+    )
+    assert emitted == 0
+    # batch twin agrees: zero rows on the zero-token corpus
+    prefix = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in b1],
+        "doc_id long, text string, source string",
+    )
+    assert curation.temperature_mixture(prefix, alpha=0.3).count() == 0
+
+    b2 = [{"doc_id": 10, "source": "web", "text": "w w w"},
+          {"doc_id": 11, "source": "books", "text": "w w"}]
+    with open(os.path.join(events_dir, "b1.json"), "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    drain()
+    got = {r["source"]: r for r in spark.read.parquet(out_dir).collect()}
+    # the zero-token docs from batch 1 still count as documents
+    assert got["web"]["n_docs"] == 4 and got["web"]["n_tokens"] == 3
+    assert got["books"]["n_docs"] == 1 and got["books"]["n_tokens"] == 2
+
+
 def test_stream_maintains_gram_index_in_lockstep(spark, tmp_path):
     """End-to-end r8 T3 sink: the ingest stream with gram_index_path
     keeps the trigram candidate index equal to build_gram_index over the

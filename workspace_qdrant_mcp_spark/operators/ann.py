@@ -956,6 +956,17 @@ def lloyd_kmeans(
     cents = pts.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cluster_id"), F.col("v").alias("c")
     )
+    # the first-k init REQUIRES ids 0..k-1 to all be present (dense
+    # zero-based numeric ids, the corpus contract); sparse / non-zero-
+    # based / string ids would silently yield fewer than k clusters and
+    # skew every downstream per-cluster quota — fail loudly instead
+    # (the loud-failure discipline; the probe is bounded by k rows).
+    n_init = cents.count()
+    if n_init != k:
+        raise ValueError(
+            f"lloyd_kmeans first-k init found {n_init} of {k} centroids: "
+            f"ids 0..{k - 1} must all be present in {id_col}"
+        )
 
     def assign(points, centroids):
         sq = F.aggregate(

@@ -488,6 +488,11 @@ def temperature_mixture(
     the per-source epoch multiplier a sampler applies; pipe into
     stratified_sample/mixture_plan_epochs to realize it.
 
+    A corpus whose documents all tokenize to zero tokens has no
+    observable distribution: the result is EMPTY (no rows), mirrored in
+    the oracle and the streaming twin — not a NaN/null-share report
+    (r8 ADVICE: the stream raised ZeroDivisionError there).
+
     Scale shape: one map-side-combined per-source token aggregate, then
     closed-form arithmetic and two unpartitioned windows over the
     #sources rows — a bounded dimension, never the corpus."""
@@ -506,9 +511,12 @@ def temperature_mixture(
         )
     )
     w = Window.partitionBy()
-    shared = per_src.withColumn(
-        "observed_share", F.col("n_tokens") / F.sum("n_tokens").over(w)
-    ).withColumn("_pa", F.pow("observed_share", F.lit(float(alpha))))
+    shared = (
+        per_src.withColumn("_tot", F.sum("n_tokens").over(w))
+        .filter(F.col("_tot") > 0)
+        .withColumn("observed_share", F.col("n_tokens") / F.col("_tot"))
+        .withColumn("_pa", F.pow("observed_share", F.lit(float(alpha))))
+    )
     return shared.select(
         strata_col,
         "n_docs",

@@ -5203,6 +5203,7 @@ per_src AS (
 ),
 shared AS (
   SELECT source, n_docs, n_tokens,
+         sum(n_tokens) OVER () AS tot,
          n_tokens / sum(n_tokens) OVER () AS p,
          pow(n_tokens / sum(n_tokens) OVER (), CAST({float(alpha)!r} AS DOUBLE)) AS pa
   FROM per_src
@@ -5212,6 +5213,7 @@ SELECT source, n_docs, n_tokens,
        round(pa / sum(pa) OVER (), 6) AS sampled_share,
        round((pa / sum(pa) OVER ()) / p, 6) AS boost
 FROM shared
+WHERE tot > 0
 """
 
 

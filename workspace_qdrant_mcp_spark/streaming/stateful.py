@@ -896,6 +896,13 @@ def streaming_mixture(
         )
         order = sorted(acc)
         total = float(sum(acc[s][1] for s in order))
+        if total == 0:
+            # no observable token distribution yet: skip emission (the
+            # batch twin temperature_mixture returns zero rows on a
+            # zero-token corpus — r8 ADVICE: this raised
+            # ZeroDivisionError). State is already updated, so the doc
+            # counts carry into the next batch.
+            return
         shares = {s: acc[s][1] / total for s in order}
         pa = {s: shares[s] ** alpha for s in order}
         pa_sum = sum(pa[s] for s in order)

@@ -459,6 +459,42 @@ class TestLloydKmeans:
             assert got_map[r["vec_id"]] == best, r["vec_id"]
 
 
+def test_ann_store_drift_trips_on_shifted_corpus(spark, tmp_path):
+    """The maintained-store staleness monitor (VERDICT r8 #6): PSI of
+    current cell shares vs the build-time occupancy profile. The
+    unchanged corpus reads as no drift (psi ~ 0, the smoothing floor);
+    shifting a third of the vectors by +8.0 per dimension collapses
+    them into the all-positive cell and must trip drifted=True."""
+    import os
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cell_id"), "embedding"
+    )
+    path = os.path.join(str(tmp_path), "ann_cells")
+    ann.update_ann_store(spark, path, cents, changed_vecs=emb)
+    profile = ann.ann_store_profile(spark, path)
+
+    calm = ann.ann_store_drift(emb, cents, profile).collect()
+    assert len(calm) == 1
+    assert calm[0]["drifted"] is False
+    assert abs(calm[0]["psi"]) < 1e-3  # identical shares, smoothing only
+
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.when(
+                F.col("vec_id") % 3 == 0, x + F.lit(8.0)
+            ).otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    hot = ann.ann_store_drift(shifted, cents, profile).collect()
+    assert hot[0]["drifted"] is True
+    assert hot[0]["psi"] > 0.2
+    assert hot[0]["n_ref"] == hot[0]["n_cur"] == emb.count()
+
+
 def test_lloyd_kmeans_assignment_is_total_and_wellformed(spark):
     """Structural invariants on the real corpus: the assignment is TOTAL
     (every vector exactly once), cluster ids stay in [0, k), and squared

@@ -1,0 +1,75 @@
+"""BPE merge-learning tests: the hand-computed merge chain on a tiny
+corpus (every argmax and tie-break verified by hand), greedy-merge
+string-rewrite semantics, degenerate corpora, and the doc re-tokenize
+join. Oracle parity at sf0.001/0.01 runs in test_oracle_parity once the
+queries are registered."""
+
+from __future__ import annotations
+
+from workspace_qdrant_mcp_spark.operators import bpe
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBpeMerges:
+    def test_hand_computed_merge_chain(self, spark):
+        # words: aaab x3, ab x4, banana x1
+        # r1: pairs ab:7 (aaab 3 + ab 4), aa:6, an:2, na:2, ba:1 -> (a,b)
+        # r2: aaab=[a,a,ab] -> aa:3, a+ab:3 tie -> rhs ASC picks (a,a)
+        # r3: aaab=[aa,ab] -> (aa,ab):3 beats an:2
+        # r4: aaab exhausted -> banana's (a,n):2
+        docs = _docs(spark, [
+            (0, "aaab aaab ab"), (1, "aaab banana"), (2, "ab ab ab"),
+        ])
+        got = [tuple(r) for r in bpe.bpe_merges(docs, n_merges=4).collect()]
+        assert got == [
+            (1, "a", "b", 7),
+            (2, "a", "a", 3),
+            (3, "aa", "ab", 3),
+            (4, "a", "n", 2),
+        ]
+
+    def test_greedy_merge_is_left_to_right_nonoverlapping(self, spark):
+        # pair STATS count every adjacent (overlapping) occurrence —
+        # the Sennrich get_stats convention: 'aaaa' has 3 (a,a) pairs
+        # per word. The MERGE is greedy non-overlapping: [aa][aa], so
+        # round 2's best is (aa,aa) and the word becomes one token.
+        docs = _docs(spark, [(0, "aaaa aaaa aaaa")])
+        got = [tuple(r) for r in bpe.bpe_merges(docs, n_merges=2).collect()]
+        assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+        toks = bpe.bpe_doc_tokens(docs, n_merges=2).collect()
+        assert [(r["doc_id"], r["n_words"], r["n_bpe_tokens"]) for r in toks] \
+            == [(0, 3, 3)]
+
+    def test_odd_run_leaves_singleton(self, spark):
+        # 'aaa' under (a,a) -> [aa, a]: the second round's best pair is
+        # (aa, a) — greedy did not re-merge across the boundary
+        docs = _docs(spark, [(0, "aaa aaa")])
+        got = [tuple(r) for r in bpe.bpe_merges(docs, n_merges=2).collect()]
+        assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+    def test_vocabulary_exhaustion_truncates_output(self, spark):
+        # single 2-char word: one merge possible, rounds 2+ emit nothing
+        docs = _docs(spark, [(0, "ab ab")])
+        got = [tuple(r) for r in bpe.bpe_merges(docs, n_merges=5).collect()]
+        assert got == [(1, "a", "b", 2)]
+
+    def test_single_char_corpus_learns_nothing(self, spark):
+        docs = _docs(spark, [(0, "a b c a")])
+        assert bpe.bpe_merges(docs, n_merges=3).count() == 0
+        toks = bpe.bpe_doc_tokens(docs, n_merges=3).collect()
+        assert [tuple(r) for r in toks] == [(0, 4, 4)]
+
+    def test_doc_tokens_shrink_monotonically_with_merges(self, spark):
+        docs = _docs(spark, [
+            (0, "the theme theater"), (1, "the the theory"),
+        ])
+        n0 = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe.bpe_doc_tokens(docs, n_merges=0).collect()}
+        n4 = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe.bpe_doc_tokens(docs, n_merges=4).collect()}
+        assert all(n4[d] < n0[d] for d in n0)
+        # n_merges=0 degenerates to character counts
+        assert n0[0] == len("thethemetheater")

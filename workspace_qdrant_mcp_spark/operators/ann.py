@@ -1013,6 +1013,59 @@ def lloyd_kmeans(
     )
 
 
+def ann_store_profile(
+    spark, store_path: str, id_type: str = "long", vec_type: str = "float"
+) -> DataFrame:
+    """(grp, bucket, c_ref) — the maintained ANN store's cell-occupancy
+    profile in quality.drift_reference's schema: the FROZEN reference
+    for ann_store_drift, computed once at (re)build time. One bounded
+    aggregate over the store's cell_id column (n_cells rows out)."""
+    return (
+        read_ann_store(spark, store_path, id_type, vec_type)
+        .groupBy(F.col("cell_id").cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .select(F.lit("ann_cells").alias("grp"), "bucket", "c_ref")
+    )
+
+
+def ann_store_drift(
+    current_vecs: DataFrame,
+    centroids: DataFrame,
+    profile: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(grp, n_ref, n_cur, psi, drifted) — Population Stability Index of
+    the CURRENT corpus's frozen-centroid cell-assignment shares against
+    the store's build-time occupancy profile: the staleness monitor for
+    the maintained IVF store (VERDICT r8 #6). The store serves frozen
+    assignments — correct by construction — but as the corpus drifts the
+    frozen centroids stop partitioning it evenly, probe recall decays,
+    and nothing in the serving path says so. PSI over cell shares is
+    the same credit-scoring discipline as quality.feature_drift_psi
+    (> 0.2 = actionable), applied to the index's own occupancy.
+
+    Refresh playbook when drifted fires: retrain centroids offline
+    (train_ivf_centroids / MLlib KMeans over a sample), rebuild the
+    store with update_ann_store against the new centroid table, then
+    re-assert the recall floor (test_ann's ann_recall gate) before
+    swapping serving over.
+
+    Scale shape: one broadcast-centroid argmax over the current corpus
+    (the ingest-time assignment cost, no shuffle), one bucket count,
+    then closed-form PSI over the bounded cell dimension via
+    quality.psi_vs_reference."""
+    from .quality import psi_vs_reference
+
+    cur = assign_ivf_cells(current_vecs, centroids, id_col, vec_col).select(
+        F.lit("ann_cells").alias("grp"),
+        F.col("cell_id").cast("double").alias("value"),
+    )
+    return psi_vs_reference(
+        cur, profile, group_col="grp", value_col="value", width=1.0
+    )
+
+
 def ann_store_candidates(
     spark,
     store_path: str,

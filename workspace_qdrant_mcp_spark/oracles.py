@@ -5336,3 +5336,183 @@ SELECT vec_id, cluster_id, rnk FROM (
 )
 WHERE rnk <= {per_cluster}
 """
+
+
+def _bpe_ctes(n_merges: int = 8) -> str:
+    """The shared unrolled BPE merge-round CTE chain (operators/bpe.py):
+    w0 = frequency-weighted character-level vocabulary, then per round
+    pair counts → argmax pair (count DESC, pair ASC) → ONE literal
+    replace on the double-separator symbol string. replace() has the
+    same left-to-right non-overlapping no-rescan semantics in DuckDB
+    and Spark, so the merge chain is exact — no floats anywhere."""
+    s = "chr(31)"
+    b = "(chr(31) || chr(31))"
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*) AS wc,
+         {b} || array_to_string(
+           list_filter(string_split(word, ''), c -> length(c) > 0), {b}
+         ) || {b} AS repr
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, {s})
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT pr.l AS lhs, pr.r AS rhs, sum(wc) AS cnt
+  FROM (
+    SELECT wc,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                  i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+    FROM (SELECT wc, (string_split(repr, {b}))[2:len(string_split(repr, {b})) - 1]
+                 AS syms
+          FROM w{p})
+  )
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word, wc,
+         CASE WHEN lhs IS NULL THEN repr
+              ELSE replace(repr, {s} || lhs || {b} || rhs || {s},
+                           {s} || lhs || rhs || {s}) END AS repr
+  FROM w{p} LEFT JOIN b{r} ON TRUE
+)""")
+    return "".join(parts)
+
+
+def bpe_merges(n_merges: int = 8) -> str:
+    """Oracle for bpe.bpe_merges: the unrolled merge chain, emitting each
+    round's argmax pair."""
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs AS left_sym, rhs AS right_sym,"
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_ctes(n_merges)}
+{sel}
+ORDER BY merge_round
+"""
+
+
+def bpe_doc_tokens(n_merges: int = 8) -> str:
+    """Oracle for bpe.bpe_doc_tokens: per-document token counts under the
+    learned vocabulary — occurrences joined against the trained word
+    table's symbol counts."""
+    b = "(chr(31) || chr(31))"
+    return f"""
+WITH {_bpe_ctes(n_merges)},
+seg AS (
+  SELECT word, len(string_split(repr, {b})) - 2 AS n_syms FROM w{n_merges}
+),
+occ AS (
+  SELECT doc_id, word, count(*) AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, chr(31))
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(occ) AS BIGINT) AS n_words,
+       CAST(sum(occ * n_syms) AS BIGINT) AS n_bpe_tokens
+FROM occ JOIN seg USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def ann_store_drift(n_cells: int = 10, eps: float = 1e-4) -> str:
+    """Oracle for ann.ann_store_drift over the maintained-store query:
+    reference = IVF cell occupancy of the embeddings corpus against the
+    frozen first-n_cells centroids (exactly what the store holds at
+    build time); current = the same assignment of the DRIFTED corpus
+    (vectors with vec_id % 3 == 0 shifted by +8.0 in every dimension —
+    an exact IEEE op replayable in both engines, and a real
+    DISTRIBUTION shift: the drifted third aligns with the all-positive
+    direction and collapses into its dominant cell, unlike a
+    permutation-style drift that leaves shares flat); PSI with add-eps
+    smoothing over the bucket union and microunit emission
+    (quality.psi_vs_reference's formula verbatim)."""
+    dot_ec = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    dot_pc = (
+        "list_sum(list_transform(generate_series(1, len(e.emb)), "
+        "i -> e.emb[i] * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    psi = micro6_sql("sum((p_cur - p_ref) * ln(p_cur / p_ref))")
+    e = float(eps)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < {n_cells}
+),
+refass AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.cell_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+refb AS (
+  SELECT CAST(cell_id AS BIGINT) AS bucket, count(*) AS c_ref
+  FROM refass GROUP BY 1
+),
+cur0 AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CASE WHEN vec_id % 3 = 0
+                     THEN CAST(embedding[i] AS DOUBLE) + 8.0
+                     ELSE CAST(embedding[i] AS DOUBLE) END) AS emb
+  FROM embeddings
+),
+curass AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_pc} DESC, c.cell_id ASC) AS r
+    FROM cur0 e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+curb AS (
+  SELECT CAST(cell_id AS BIGINT) AS bucket, count(*) AS c_cur
+  FROM curass GROUP BY 1
+),
+counts AS (
+  SELECT coalesce(refb.bucket, curb.bucket) AS bucket,
+         coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+  FROM refb FULL OUTER JOIN curb ON refb.bucket = curb.bucket
+),
+tot AS (
+  SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur, count(*) AS nb
+  FROM counts
+),
+shares AS (
+  SELECT t.n_ref, t.n_cur,
+         (c.c_ref + {e!r}) / (t.n_ref + {e!r} * t.nb) AS p_ref,
+         (c.c_cur + {e!r}) / (t.n_cur + {e!r} * t.nb) AS p_cur
+  FROM counts c, tot t
+)
+SELECT 'ann_cells' AS grp, n_ref, n_cur,
+       {psi} AS psi,
+       {psi} > 0.2 AS drifted
+FROM shares
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""

@@ -101,6 +101,81 @@ def _full_store_ingest_docs_per_min(
     return round(60.0 * n_ingested / elapsed)
 
 
+def _serving_latency_ms(spark, sf_dir: str, n_reps: int = 9) -> dict[str, float]:
+    """p50 per-query latency of the api serving paths, indexed vs scan
+    (VERDICT r8 #4): the reference publishes QUERY-side numbers (FTS5
+    candidate fetch ~15 ms @5k docs, grep_search/mod.rs:2-26; graph
+    2-hop <10 ms) but the repo's gates were all build/ingest throughput.
+    Store build + engine cache warm-up happen BEFORE the clock; each
+    sample times one .collect() of the served plan. The scan twin runs
+    the same queries on an engine without store serving, so the pair
+    reads as 'what did the index buy at this corpus size'."""
+    import statistics
+    import tempfile
+
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+
+    scan = WqmEngine(spark, sf_dir)
+    served = WqmEngine(spark, sf_dir)
+    served.enable_store_serving(tempfile.mkdtemp(prefix="wqm_bench_serve_"))
+
+    cases = {
+        "search": lambda e: e.search("dup spark vector", mode="hybrid", limit=10),
+        "grep": lambda e: e.grep("dup"),
+    }
+    out: dict[str, float] = {}
+    for cname, run in cases.items():
+        for ename, eng in (("indexed", served), ("scan", scan)):
+            run(eng).collect()  # warm (plan + session caches)
+            samples = []
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                run(eng).collect()
+                samples.append(1000.0 * (time.perf_counter() - t0))
+            out[f"{ename}_{cname}_ms"] = round(statistics.median(samples), 1)
+
+    # COLD-corpus grep tier — the regime the index exists for. The warm
+    # pair above serves a corpus that fits in executor memory, where a
+    # full instr scan is a single in-memory stage and a 2-job index path
+    # cannot beat it; at 100 TB the corpus does NOT sit in memory and the
+    # scan arm pays the full parquet read + line split every query. This
+    # pair measures exactly that deployment shape: the gram index HELD
+    # OPEN (the engine's pinned snapshot — the daemon keeps FTS5 open),
+    # the corpus read fresh from parquet each sample; indexed arm =
+    # open-index candidates + bounded id-pushdown pruning the cold
+    # explode+verify (the reference's fetch-by-rowid shape) vs the full
+    # cold scan.
+    from workspace_qdrant_mcp_spark.operators import grep as grep_ops
+    from workspace_qdrant_mcp_spark.sources.documents import code_lines
+
+    def cold_lines():
+        return code_lines(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+
+    open_grams = served._grams_df
+    for ename, runq in (
+        (
+            "indexed",
+            lambda: grep_ops.grep_exact_indexed(
+                cold_lines(),
+                open_grams,
+                "dup",
+                id_pushdown=10_000,
+            ),
+        ),
+        ("scan", lambda: grep_ops.grep_exact(cold_lines(), "dup")),
+    ):
+        runq().collect()  # plan/codegen warm; data path stays cold
+        samples = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            runq().collect()
+            samples.append(1000.0 * (time.perf_counter() - t0))
+        out[f"{ename}_grep_cold_ms"] = round(statistics.median(samples), 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -304,6 +379,14 @@ def main() -> None:
             )
         except Exception as exc:
             _log(f"# bench full-store ingest error: {exc}")
+        # Serving latency off the maintained stores (VERDICT r8 #4):
+        # p50 ms for indexed hybrid search + indexed grep vs their scan
+        # twins — the query-side numbers the reference publishes.
+        try:
+            baseline_mapped.update(_serving_latency_ms(spark, sf_dir))
+            ckpt.clear_unpinned(spark)
+        except Exception as exc:
+            _log(f"# bench serving-latency error: {exc}")
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
 

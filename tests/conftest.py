@@ -8,6 +8,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scale: sf0.1 heavy-hitter oracle-parity tier (runs by default; "
+        "deselect with -m 'not scale' for a fast pass)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("wqm-spark-tests", shuffle_partitions=8)

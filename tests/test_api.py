@@ -306,11 +306,37 @@ class TestStoreServing:
         assert a == b
         assert a
 
-    def test_served_plan_reads_stores_not_content(self, engines):
-        served = engines[1]
-        df = served.search("dup spark vector", mode="hybrid", limit=10)
-        plan_rows = df._jdf.queryExecution().executedPlan().toString()
-        assert "postings" in plan_rows and "ann_cells" in plan_rows
+    def test_served_queries_hold_indexes_open(
+        self, engines, spark, tmp_path_factory
+    ):
+        # r9: enable_store_serving snapshots each store into a pinned
+        # localCheckpoint (the reference daemon holds its indexes open;
+        # per-query parquet re-reads cost 13x on indexed grep in the r9
+        # serving-latency gate). The proof that serving reads the OPEN
+        # snapshot and not the path: delete the on-disk stores after
+        # enable, and every served query still answers — identically to
+        # the scan engine.
+        import shutil
+
+        scan = engines[0]
+        base = str(tmp_path_factory.mktemp("open_stores"))
+        served = WqmEngine(spark, SF_SMOKE)
+        served.enable_store_serving(base, n_probe=10)
+        shutil.rmtree(base)
+        for mode in ("hybrid", "semantic", "keyword"):
+            a = self._rows(scan.search("dup spark vector", mode=mode, limit=10))
+            b = self._rows(served.search("dup spark vector", mode=mode, limit=10))
+            assert a == b and a, mode
+        a = self._rows(scan.grep("dup"))
+        b = self._rows(served.grep("dup"))
+        assert a == b and a
+        # and the served plan scans the snapshot RDDs, never a file path
+        plan = (
+            served.search("dup spark vector", mode="hybrid", limit=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Scan ExistingRDD" in plan
+        assert base not in plan
 
 
 class TestGrepIndexed:
@@ -365,6 +391,32 @@ class TestGrepIndexed:
         want = sorted(map(tuple, g.grep_exact(lines, "ABBA").collect()))
         assert got == want
         assert {r[0] for r in got} == {0}
+
+    def test_id_pushdown_arm_equals_semi_join(self, spark):
+        # r9 third arm of the cost-based switch: selective patterns
+        # collect the bounded candidate-id list and push it into the
+        # line scan as an IN literal (the reference's fetch-by-rowid);
+        # over-cap and zero-candidate cases must behave identically to
+        # the semi-join arm
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        rows = [
+            (0, 1, "plain dup here"),
+            (1, 1, "embedded dedup word"),
+            (2, 1, "nothing"),
+            (3, 1, "du p split"),
+        ]
+        lines = self._lines(spark, rows)
+        idx = g.build_gram_index(lines)
+        want = sorted(map(tuple, g.grep_exact(lines, "dup").collect()))
+        for cap in (1, 2, 10_000):  # 1 = over-cap fallback (2 candidates)
+            got = sorted(map(tuple, g.grep_exact_indexed(
+                lines, idx, "dup", id_pushdown=cap).collect()))
+            assert got == want, cap
+        # zero candidates: empty result, schema preserved
+        none = g.grep_exact_indexed(lines, idx, "zzz", id_pushdown=100)
+        assert none.count() == 0
+        assert none.columns == lines.columns
 
     def test_switch_arms_fall_back_to_scan(self, spark):
         from workspace_qdrant_mcp_spark.operators import grep as g

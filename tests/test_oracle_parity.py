@@ -61,3 +61,34 @@ R8_SCALE_QUERIES = [
 @pytest.mark.parametrize("name", R8_SCALE_QUERIES)
 def test_parity_sf01_scale_r8(spark, name):
     _check(spark, name, "/root/testdata/sf0.1")
+
+
+# r9 (VERDICT r8 #7): the HEAVY-HITTER scale tier — the 10 most
+# expensive bench queries (bench_out.json r8, minus those already in the
+# r8 tier) re-run the exact driver compare at sf0.1. These are exactly
+# the operators whose scale behavior could diverge from small SFs
+# (bucket overflow, cap heuristics, blocking recall), so the 10x step is
+# where a divergence would first show. The r9 additions ride along so
+# new operators keep carrying scale evidence from birth.
+R9_SCALE_QUERIES = [
+    "minhash_lsh_neardup",
+    "graph_scc",
+    "prefix_jaccard_neardup",
+    "ann_recall",
+    "simhash_neardup",
+    "graph_batch_2hop",
+    "knn_graph",
+    "grouping_jaccard",
+    "dedup_survivors",
+    "graph_pagerank",
+    # r9-new, scale evidence from birth:
+    "bpe_merges",
+    "bpe_doc_tokens",
+    "ann_store_drift",
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize("name", R9_SCALE_QUERIES)
+def test_parity_sf01_scale_heavy(spark, name):
+    _check(spark, name, "/root/testdata/sf0.1")

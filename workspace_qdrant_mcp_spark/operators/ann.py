@@ -1076,6 +1076,7 @@ def ann_store_candidates(
     query_id_col: str = "query_id",
     id_type: str = "long",
     vec_type: str = "float",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, __qv, vec_id, embedding) — the maintained store's rows
     inside each query's n_probe probe cells: the cell_id equi-join of the
@@ -1087,8 +1088,12 @@ def ann_store_candidates(
     a brute-force dense leg needs never happens: candidates are the
     probed cells' rows only (reference context: this is the Qdrant
     serving path, flow_collect.rs:104-179 — the daemon queries an index,
-    it never rescans the collection)."""
-    assigned = read_ann_store(spark, store_path, id_type, vec_type)
+    it never rescans the collection). Pass `assigned` (an already-open
+    snapshot of the store — api.enable_store_serving's pinned
+    localCheckpoint) to skip the per-query parquet read; the default
+    path reads the store fresh."""
+    if assigned is None:
+        assigned = read_ann_store(spark, store_path, id_type, vec_type)
     qcells = _query_probe_cells(
         queries, centroids, n_probe, vec_col, query_id_col
     ).withColumn("cell_id", F.col("cell_id").cast("int"))

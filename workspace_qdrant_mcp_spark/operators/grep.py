@@ -161,6 +161,7 @@ def grep_exact_indexed(
     case_insensitive: bool = False,
     max_results: int = DEFAULT_MAX_RESULTS,
     id_col: str = "doc_id",
+    id_pushdown: int = 0,
 ) -> DataFrame:
     """T3 — the COST-BASED ENGINE SWITCH, previously scoped n/a: exact
     grep served off the maintained gram index when the query qualifies,
@@ -194,14 +195,34 @@ def grep_exact_indexed(
         )
     folded = pattern.lower()
     grams = sorted({folded[i : i + n] for i in range(len(folded) - n + 1)})
-    spark = lines.sparkSession
-    g = spark.createDataFrame([(x,) for x in grams], ["gram"])
+    # isin, not a broadcast join: an IN literal reaches the parquet scan
+    # as a pushed filter (row-group/dictionary pruning on the gram
+    # column), so the cold-store read touches only matching pages; on
+    # the pinned in-memory snapshot it is a plain predicate with no
+    # join/exchange at all
     cand = (
-        gram_index.join(F.broadcast(g), "gram")
+        gram_index.filter(F.col("gram").isin(grams))
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("__k"))
         .filter(F.col("__k") == len(grams))
         .select(id_col)
     )
+    if id_pushdown > 0:
+        # point-lookup arm (the reference fetches candidate rows by
+        # rowid, grep_search/mod.rs): collect the candidate doc ids —
+        # BOUNDED by id_pushdown — and push them into the line scan as
+        # an IN literal, which reaches a parquet source as a pushed
+        # filter (row-group min/max pruning on a sorted id column). A
+        # broad pattern whose candidates exceed the cap falls through to
+        # the distributed semi-join — the cost-based switch's third arm:
+        # scan / semi-join / id-pushdown by selectivity.
+        ids = [r[0] for r in cand.limit(id_pushdown + 1).collect()]
+        if len(ids) <= id_pushdown:
+            pruned = (
+                lines.filter(F.col(id_col).isin(ids))
+                if ids
+                else lines.filter(F.lit(False))
+            )
+            return grep_exact(pruned, pattern, False, max_results, id_col)
     pruned = lines.join(cand, id_col, "left_semi")
     return grep_exact(pruned, pattern, False, max_results, id_col)

@@ -1045,3 +1045,81 @@ def test_heavy_hitters_equals_exact_filter_with_nulls(spark, keys, k):
         key=lambda t: (-t[1], t[0]),
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 4. BPE trainer model consistency: the Spark string-rewrite merge chain
+#    (operators/bpe.py) agrees with a direct 25-line Python reference
+#    (Sennrich get_stats/merge semantics: overlapping pair statistics,
+#    greedy left-to-right non-overlapping merge, argmax by (count DESC,
+#    pair ASC)) on arbitrary small corpora — merges AND per-doc token
+#    counts. This is the property the hand fixtures in test_bpe.py
+#    sample; hypothesis walks the knife edges (runs of one symbol,
+#    merged-symbol collisions, exhausted vocabularies).
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts: dict, n_merges: int):
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for r in range(1, n_merges + 1):
+        stats: dict = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + word_counts[w]
+        if not stats:
+            break
+        (l, rt), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, l, rt, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rt:
+                    out.append(l + rt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+BPE_DOCS = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(docs=BPE_DOCS, n_merges=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_bpe_matches_python_reference(spark, docs, n_merges):
+    from workspace_qdrant_mcp_spark.operators import bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wc: dict = {}
+    for ws in docs:
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, trained = _ref_bpe(wc, n_merges)
+
+    got_merges = [
+        tuple(r) for r in bpe.bpe_merges(df, n_merges=n_merges).collect()
+    ]
+    assert got_merges == want_merges
+
+    got_tokens = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.bpe_doc_tokens(df, n_merges=n_merges).collect()
+    }
+    want_tokens = {
+        i: (len(ws), sum(len(trained[w]) for w in ws))
+        for i, ws in enumerate(docs)
+    }
+    assert got_tokens == want_tokens

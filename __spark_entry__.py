@@ -191,6 +191,23 @@ def _q_grep_regex_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grep.grep_regex(lines, "sc[ae]n")
 
 
+def _q_grep_regex_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 joins the cost-based engine switch (grep.grep_regex_indexed):
+    the regex's required-gram condition (Cox 2012 trigram-query
+    extraction — 'sc[ae]n' → expansions {scan, scen}, AND-of-OR-of-AND)
+    prunes candidates off the maintained trigram index; the full rlike
+    verifies the pruned scan. The oracle IS the full regex scan
+    (oracles.grep_regex_lines), so the hash match certifies the pruning
+    lossless. NEW IN r9 post-window (honest labeling: oracle-backed +
+    pytest from birth; first driver row lands in the r10 rotation
+    front)."""
+    _, _, grams_path = _indexed_stores(spark, sf_dir)
+    lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
+    return grep.grep_regex_indexed(
+        lines, grep.read_gram_index(spark, grams_path), "sc[ae]n"
+    )
+
+
 def _q_grep_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = docsrc.code_lines(load_table(spark, sf_dir, "documents"))
     matches = lines.filter(F.instr(F.col("content"), GREP_PATTERN) > 0)
@@ -3299,6 +3316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
+        # NEW IN r9 AFTER the window filled (honest labeling:
+        # oracle-backed + pytest from birth; first driver row lands in
+        # the r10 rotation front):
+        "grep_regex_indexed": _q_grep_regex_indexed,
     }
 
 
@@ -3357,8 +3378,10 @@ def oracle_sql() -> dict[str, str]:
         "grep_count": oracles.grep_count(GREP_PATTERN),
         "grep_exact_lines": oracles.grep_exact_lines(GREP_PATTERN),
         # indexed grep must reproduce the full scan — same oracle BY
-        # DESIGN (losslessness certificate):
+        # DESIGN (losslessness certificate), for the exact AND the
+        # regex arm:
         "grep_indexed_lines": oracles.grep_exact_lines(GREP_PATTERN),
+        "grep_regex_indexed": oracles.grep_regex_lines("sc[ae]n"),
         "cluster_balanced_sample": oracles.cluster_balanced_sample(
             k=8, n_rounds=3, per_cluster=10
         ),

@@ -430,6 +430,54 @@ class TestGrepIndexed:
         ci = g.grep_exact_indexed(lines, idx, "abba", case_insensitive=True)
         assert [r["doc_id"] for r in ci.collect()] == [0]
 
+    def test_regex_gram_extraction_is_conservative(self):
+        # the Cox trigram-query extraction: required AND-of-OR-of-AND
+        # only — anything it cannot PROVE required must vanish
+        from workspace_qdrant_mcp_spark.operators.grep import (
+            regex_gram_groups as gg,
+        )
+
+        assert gg("dup") == [[["dup"]]]
+        assert gg("sc[ae]n") == [[["can", "sca"], ["cen", "sce"]]]
+        assert gg("foo.*bar") == [[["foo"]], [["bar"]]]
+        assert gg("ab+cde") == [[["cde"]]]       # quantified atom dropped
+        assert gg("colou?r") == [[["col", "olo"]]]
+        assert gg("ABBA") == [[["abb", "bba"]]]  # folded for the index
+        # groups/alternation can hide optionality -> no pruning at all
+        assert gg("(abc)?x") is None
+        assert gg("a|bcd") is None
+        # unenumerable classes break runs but literal flanks survive
+        assert gg("abc[defghijklm]nop") == [[["abc"]], [["nop"]]]
+        assert gg("[a-z]{3}") is None
+        assert gg("ab") is None                  # too short to gram
+
+    def test_regex_indexed_equals_scan(self, spark):
+        from workspace_qdrant_mcp_spark.operators import grep as g
+
+        rows = [
+            (0, 1, "the scan begins"),
+            (1, 1, "a scen e"),          # 'scen' present as substring
+            (2, 1, "no match at all"),
+            (3, 1, "SCAN uppercase"),    # rlike is case-sensitive: no hit
+            (4, 1, "rescanning twice"),
+            (5, 1, "foo then bar here"),
+            (6, 1, "foo without the rest"),
+        ]
+        lines = self._lines(spark, rows)
+        idx = g.build_gram_index(lines)
+        for pat, hits in (
+            ("sc[ae]n", {0, 1, 4}),
+            ("foo.*bar", {5}),
+            ("sc[ae]n|foo", {0, 1, 4, 5, 6}),  # alternation -> scan arm
+            ("zzz+", set()),
+        ):
+            for cap in (0, 10_000, 1):
+                got = sorted(map(tuple, g.grep_regex_indexed(
+                    lines, idx, pat, id_pushdown=cap).collect()))
+                want = sorted(map(tuple, g.grep_regex(lines, pat).collect()))
+                assert got == want, (pat, cap)
+            assert {r[0] for r in got} == hits, pat
+
     def test_gram_store_incremental_equals_rebuild(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -475,10 +523,13 @@ class TestGrepStoreServing:
             b = sorted(map(tuple, served.grep("dup", **kw).collect()))
             assert a == b, kw
             assert a, kw
-        # regex queries take the scan arm either way
-        a = sorted(map(tuple, scan.grep("sc[ae]n", regex=True).collect()))
-        b = sorted(map(tuple, served.grep("sc[ae]n", regex=True).collect()))
-        assert a == b and a
+        # regex serving: prunable patterns take the T2 indexed arm,
+        # unprunable ones fall back to the scan — both must equal the
+        # scan engine row-for-row
+        for pat in ("sc[ae]n", "sc[ae]n|dup"):
+            a = sorted(map(tuple, scan.grep(pat, regex=True).collect()))
+            b = sorted(map(tuple, served.grep(pat, regex=True).collect()))
+            assert a == b and a, pat
 
     def test_engine_grep_uppercase_pattern_matches_scan(
         self, spark, tmp_path_factory

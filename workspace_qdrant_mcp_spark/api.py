@@ -399,7 +399,23 @@ class WqmEngine:
                 cond = F.col("file_path").startswith(prefix) & cond
             lines = lines.filter(cond)
         if regex:
-            m = grep_ops.grep_regex(lines, pattern, max_results=max_results)
+            if self._grams_df is not None:
+                # store serving (T2): required-gram pruning from the open
+                # trigram snapshot when the regex yields a necessary
+                # condition (Cox trigram-query extraction); the operator
+                # itself takes the scan arm when it cannot prune, and the
+                # full rlike verify keeps it lossless either way
+                m = grep_ops.grep_regex_indexed(
+                    lines,
+                    self._grams_df,
+                    pattern,
+                    max_results=max_results,
+                    id_pushdown=10_000,
+                )
+            else:
+                m = grep_ops.grep_regex(
+                    lines, pattern, max_results=max_results
+                )
         elif self._grams_df is not None:
             # store serving (T3): candidates from the maintained trigram
             # index (the OPEN pinned snapshot — never a per-query parquet

@@ -60,6 +60,216 @@ def grep_regex(
     )
 
 
+_CLASS_CAP = 8        # max chars a [] class may enumerate to stay prunable
+_EXPANSION_CAP = 16   # max concrete expansions per required segment
+
+
+def _expand_class(body: str) -> list[str] | None:
+    """Enumerate a [...] class body into its member chars; None when it
+    cannot be safely enumerated (negation, big/descending ranges, or more
+    than _CLASS_CAP members) — the caller then treats it as a BREAK."""
+    if body.startswith("^") or not body:
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+            continue
+        if i + 2 < len(body) and body[i + 1] == "-":
+            lo, hi = ord(c), ord(body[i + 2])
+            if hi < lo or hi - lo + 1 > _CLASS_CAP:
+                return None
+            out.extend(chr(x) for x in range(lo, hi + 1))
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    if not out or len(out) > _CLASS_CAP:
+        return None
+    return out
+
+
+def regex_gram_groups(
+    pattern: str, n: int = 3
+) -> list[list[list[str]]] | None:
+    """Extract the REQUIRED-gram condition of a regex for trigram-index
+    pruning — the Google-Code-Search design (Cox 2012, "Regular
+    Expression Matching with a Trigram Index"): a necessary (never
+    sufficient) condition built only from parts of the pattern every
+    match must contain, verified afterwards by the full regex.
+
+    Returns AND-of-OR-of-AND structure: a list of SEGMENTS (every match
+    satisfies ALL), each a list of concrete EXPANSIONS (a match realizes
+    at least ONE), each the expansion's lowercased n-gram list. None =
+    no prunable segment (the caller takes the scan arm).
+
+    CONSERVATIVE BY CONSTRUCTION (losslessness is the whole game):
+      - any unescaped '(' , ')' or '|' → None. Groups/alternation can
+        make atoms optional in ways a linear scan misreads (e.g.
+        '(abc)?x' requires nothing of 'abc').
+      - a quantifier ('*', '+', '?', '{..}') DROPS the atom it
+        quantifies (replaced by a break): '+'-atoms are required but
+        repetition breaks gram adjacency, so dropping stays safe.
+      - '.', anchors, unknown escapes (\\d, \\w, ...) → break.
+      - a [] class enumerable to <= 8 chars contributes its member set;
+        anything else → break.
+    What survives is a run of fixed one-char atom sets; every match
+    contains a concrete realization of each run, so the run's grams (of
+    one expansion, lowercased — the index folds case) are all present
+    in the matching document's gram set."""
+    _META = set(".^$*+?()[]{}|\\/-")
+    atoms: list[set[str] | None] = []
+    i, ln = 0, len(pattern)
+    while i < ln:
+        c = pattern[i]
+        if c in "()|":
+            return None
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < ln else ""
+            if nxt in ("(", ")", "|"):
+                atoms.append({nxt})
+            elif nxt in _META:
+                atoms.append({nxt})
+            else:
+                atoms.append(None)
+            i += 2
+            continue
+        if c == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                atoms.append(None)
+                i += 1
+                continue
+            members = _expand_class(pattern[i + 1 : j])
+            atoms.append(set(members) if members else None)
+            i = j + 1
+            continue
+        if c in "*+?":
+            if atoms:
+                atoms[-1] = None
+            i += 1
+            continue
+        if c == "{":
+            j = pattern.find("}", i)
+            if atoms:
+                atoms[-1] = None
+            i = (j + 1) if j != -1 else ln
+            continue
+        if c in ".^$":
+            atoms.append(None)
+            i += 1
+            continue
+        atoms.append({c})
+        i += 1
+
+    # split on breaks into runs of fixed char-set atoms
+    runs: list[list[set[str]]] = []
+    cur: list[set[str]] = []
+    for a in atoms + [None]:
+        if a is None:
+            if cur:
+                runs.append(cur)
+            cur = []
+        else:
+            cur.append(a)
+
+    groups: list[list[list[str]]] = []
+    for run in runs:
+        if len(run) < n:
+            continue
+        prod = 1
+        for a in run:
+            prod *= len(a)
+        if prod > _EXPANSION_CAP:
+            # too many expansions: keep only the pure-literal sub-runs
+            sub: list[set[str]] = []
+            for a in run + [set("xy")]:  # len>1 sentinel flushes
+                if len(a) == 1:
+                    sub.append(a)
+                else:
+                    if len(sub) >= n:
+                        runs.append(sub)  # re-enqueue as its own run
+                    sub = []
+            continue
+        expansions = [""]
+        for a in run:
+            expansions = [e + c for e in expansions for c in sorted(a)]
+        gram_lists = []
+        for e in expansions:
+            f = e.lower()
+            gram_lists.append(
+                sorted({f[k : k + n] for k in range(len(f) - n + 1)})
+            )
+        groups.append(gram_lists)
+    return groups or None
+
+
+def grep_regex_indexed(
+    lines: DataFrame,
+    gram_index: DataFrame,
+    pattern: str,
+    n: int = 3,
+    max_results: int = DEFAULT_MAX_RESULTS,
+    id_col: str = "doc_id",
+    id_pushdown: int = 0,
+) -> DataFrame:
+    """T2 joins the cost-based engine switch: regex grep served off the
+    maintained trigram index when regex_gram_groups can extract a
+    required-gram condition, the full parallel scan otherwise — the
+    reference's trigram-literal prefilter (text_search/mod.rs:15-21)
+    upgraded to the code-search AND-of-OR-of-AND form (Cox 2012).
+
+    Candidates: per required segment, ONE pass over the index restricted
+    to the segment's gram universe, then a per-doc collect_set and an
+    exists/forall check over the (<= 16) expansions' gram lists;
+    segments intersect by inner join. LOSSLESS because the condition is
+    necessary (regex_gram_groups' conservativeness) and the verify runs
+    the full rlike on the pruned lines — the driver oracle IS the full
+    regex scan, so a hash match certifies no match was pruned. With
+    id_pushdown > 0, a small candidate set is collected (bounded) and
+    pushed into the verify scan as an IN literal — the fetch-by-rowid
+    shape, same as grep_exact_indexed's third arm."""
+    groups = regex_gram_groups(pattern, n)
+    if not groups:
+        return grep_regex(lines, pattern, max_results=max_results, id_col=id_col)
+    cand = None
+    for seg in groups:
+        universe = sorted({g for exp in seg for g in exp})
+        exp_lit = F.array(
+            *[F.array(*[F.lit(g) for g in exp]) for exp in seg]
+        )
+        doc_grams = (
+            gram_index.filter(F.col("gram").isin(universe))
+            .groupBy(id_col)
+            .agg(F.collect_set("gram").alias("__gs"))
+        )
+        seg_cand = doc_grams.filter(
+            F.exists(
+                exp_lit,
+                lambda e: F.forall(
+                    e, lambda g: F.array_contains(F.col("__gs"), g)
+                ),
+            )
+        ).select(id_col)
+        cand = seg_cand if cand is None else cand.join(seg_cand, id_col)
+    if id_pushdown > 0:
+        ids = [r[0] for r in cand.limit(id_pushdown + 1).collect()]
+        if len(ids) <= id_pushdown:
+            pruned = (
+                lines.filter(F.col(id_col).isin(ids))
+                if ids
+                else lines.filter(F.lit(False))
+            )
+            return grep_regex(
+                pruned, pattern, max_results=max_results, id_col=id_col
+            )
+    pruned = lines.join(cand, id_col, "left_semi")
+    return grep_regex(pruned, pattern, max_results=max_results, id_col=id_col)
+
+
 def with_context(
     lines: DataFrame,
     matches: DataFrame,

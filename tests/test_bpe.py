@@ -73,3 +73,28 @@ class TestBpeMerges:
         assert all(n4[d] < n0[d] for d in n0)
         # n_merges=0 degenerates to character counts
         assert n0[0] == len("thethemetheater")
+
+
+class TestPackDocumentsBpe:
+    def test_learned_vocab_packing_matches_hand_walk(self, spark):
+        from workspace_qdrant_mcp_spark.operators import packing
+
+        # trained on this corpus with 2 merges: (a,b)->ab, then (ab,ab)
+        # -> abab; 'abab'=1 token, 'ab'=1, 'cd'=2 (c,d never merge at
+        # n_merges=2 since ab pairs dominate), '' doc packs 0
+        docs = _docs(spark, [
+            (0, "abab abab ab"),   # tokens 1+1+1 = 3
+            (1, "cd cd"),         # tokens 2+2 = 4
+            (2, ""),              # zero words -> 0 tokens
+        ])
+        out = {r["doc_id"]: (r["tokens"], r["bin_id"], r["bin_fill"])
+               for r in packing.pack_documents_bpe(
+                   docs.withColumn(
+                       "source", (docs.doc_id % 2).cast("string")
+                   ),
+                   budget=3, n_merges=2).collect()}
+        # source 0: docs 0 (3 tokens) then 2 (0 tokens): bin 0 fills 3
+        assert out[0] == (3, 0, 3)
+        assert out[2] == (0, 0, 3)
+        # source 1: doc 1 alone, 4 tokens > budget -> its own bin 0
+        assert out[1] == (4, 0, 4)

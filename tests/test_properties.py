@@ -1123,3 +1123,46 @@ def test_bpe_matches_python_reference(spark, docs, n_merges):
         for i, ws in enumerate(docs)
     }
     assert got_tokens == want_tokens
+
+
+# ---------------------------------------------------------------------------
+# 5. Regex required-gram extraction is LOSSLESS: for arbitrary patterns
+#    from the supported construct pool and arbitrary texts, whenever the
+#    regex matches the text, the extracted AND-of-OR-of-AND gram
+#    condition holds on the text's lowercased gram set. This is the
+#    theorem grep_regex_indexed's pruning stands on (the driver oracle
+#    certifies it end-to-end; this walks the pattern space directly,
+#    no Spark in the loop).
+# ---------------------------------------------------------------------------
+
+_REGEX_PIECES = st.lists(
+    st.one_of(
+        st.text(alphabet="abcx ", min_size=1, max_size=4),   # literal run
+        st.sampled_from(
+            ["[ab]", "[a-c]", "[^a]", "[abcdefghij]", ".", "a*", "b+",
+             "c?", "a{2}", "x{1,3}", "\\.", "\\+", "$", "^"]
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(pieces=_REGEX_PIECES, text=st.text(alphabet="abcx .+", max_size=30))
+@settings(**{**SETTINGS, "max_examples": 300})
+def test_regex_gram_extraction_lossless(pieces, text):
+    import re as _re
+
+    from workspace_qdrant_mcp_spark.operators.grep import regex_gram_groups
+
+    pattern = "".join(pieces)
+    try:
+        rx = _re.compile(pattern)
+    except _re.error:
+        return
+    groups = regex_gram_groups(pattern, 3)
+    if groups is None or not rx.search(text):
+        return
+    grams = {text.lower()[i : i + 3] for i in range(len(text) - 2)}
+    for seg in groups:
+        assert any(set(exp) <= grams for exp in seg), (pattern, text, seg)

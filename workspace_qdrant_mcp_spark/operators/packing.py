@@ -49,7 +49,45 @@ def pack_documents(
         .cast("int")
         .alias("tokens"),
     )
+    return _pack_counted(counted, budget)
 
+
+def pack_documents_bpe(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """pack_documents with token counts from the LEARNED BPE vocabulary
+    (bpe.bpe_doc_tokens over the same corpus) instead of the regex
+    pre-tokenizer — the packer a real pipeline runs once a tokenizer is
+    trained: bin budgets are model token budgets, so the counts must
+    come from the model's vocab. Docs whose words all fall outside the
+    trained vocabulary (zero tokenizable words) count 0 tokens, exactly
+    as the trainer would pad-skip them."""
+    from .bpe import bpe_doc_tokens
+
+    toks = bpe_doc_tokens(docs, n_merges, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("n_bpe_tokens").cast("int").alias("tokens"),
+    )
+    counted = (
+        docs.select(
+            F.col(group_col).alias("source"), F.col(id_col).alias("doc_id")
+        )
+        .join(toks, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce("tokens", F.lit(0)).cast("int").alias("tokens"),
+        )
+    )
+    return _pack_counted(counted, budget)
+
+
+def _pack_counted(counted: DataFrame, budget: int) -> DataFrame:
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fills = [], []

@@ -5516,3 +5516,52 @@ FROM shares
 GROUP BY 1, 2, 3
 ORDER BY 1
 """
+
+
+def sequence_packing_bpe(budget: int = 512, n_merges: int = 8) -> str:
+    """Oracle for packing.pack_documents_bpe: the sequence_packing
+    recursive first-fit walk with token counts from the LEARNED BPE
+    vocabulary — the bpe_doc_tokens chain nested verbatim, zero-token
+    docs kept at 0 via the left join (mirroring the Spark side)."""
+    b = "(chr(31) || chr(31))"
+    return f"""
+WITH RECURSIVE {_bpe_ctes(n_merges)},
+seg AS (
+  SELECT word, len(string_split(repr, {b})) - 2 AS n_syms FROM w{n_merges}
+),
+occ AS (
+  SELECT doc_id, word, count(*) AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, chr(31))
+  GROUP BY 1, 2
+),
+bt AS (
+  SELECT doc_id, CAST(sum(occ * n_syms) AS INT) AS tokens
+  FROM occ JOIN seg USING (word)
+  GROUP BY doc_id
+),
+tok AS (
+  SELECT d.source, d.doc_id, coalesce(bt.tokens, 0) AS tokens,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+  FROM documents d LEFT JOIN bt USING (doc_id)
+),
+walk AS (
+  SELECT source, doc_id, rn, tokens, 0 AS bin_id, tokens AS bin_fill
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.rn, t.tokens,
+         CASE WHEN w.bin_fill + t.tokens > {budget}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.bin_fill + t.tokens > {budget}
+              THEN t.tokens ELSE w.bin_fill + t.tokens END
+  FROM walk w JOIN tok t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, doc_id, tokens,
+       CAST(bin_id AS INT) AS bin_id, CAST(bin_fill AS INT) AS bin_fill
+FROM walk
+"""

@@ -483,3 +483,38 @@ def test_r9_additions_plan_shapes(spark):
                     "BroadcastNestedLoopJoin BuildRight, Cross"
                 ) or "BuildRight, LeftOuter" in line
                 assert ok, (name, line)
+
+
+def test_gram_in_filter_pushes_to_parquet_scan(spark, tmp_path):
+    """The indexed-grep candidate stage uses an IN literal rather than a
+    broadcast join precisely so a COLD gram store read prunes at the
+    parquet scan (r9): assert PushedFilters carries In(gram, ...) and
+    the scan reads only the two store columns."""
+    from workspace_qdrant_mcp_spark.operators import grep as g
+
+    lines = spark.createDataFrame(
+        [(0, 1, "alpha dup"), (1, 1, "beta"), (2, 1, "gamma dup")],
+        "doc_id long, line_number int, content string",
+    )
+    path = str(tmp_path / "grams")
+    g.update_gram_index(spark, path, changed_lines=lines)
+    df = g.grep_exact_indexed(
+        lines, g.read_gram_index(spark, path), "dup"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # Catalyst folds a 1-element IN to EqualTo; multi-gram patterns keep In
+    assert any(
+        re.search(r"(In|EqualTo)\(gram,", ln) for ln in pushed
+    ), pushed
+    # column pruning: the gram-store scan reads only (doc_id, gram)
+    gram_reads = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "gram" in ln
+    ]
+    assert gram_reads and all(
+        "content" not in ln for ln in gram_reads
+    ), gram_reads

@@ -339,6 +339,43 @@ class TestStoreServing:
         assert base not in plan
 
 
+class TestServingRefresh:
+    def test_reenable_swaps_snapshots_and_releases_old_pins(
+        self, spark, tmp_path_factory
+    ):
+        # the ann_store_drift refresh playbook's serving swap: re-call
+        # enable_store_serving — the stores REBUILD from the corpus, a
+        # fresh snapshot generation pins, queries keep answering
+        # scan-identically, and the superseded generation's pinned
+        # blocks are released (a long-lived engine re-enabling per
+        # drift alarm must not leak a snapshot generation each time)
+        from workspace_qdrant_mcp_spark import ckpt
+
+        base = str(tmp_path_factory.mktemp("refresh_stores"))
+        eng = WqmEngine(spark, SF_SMOKE)
+        eng.enable_store_serving(base, n_probe=10)  # all cells: exact
+        pins1 = set(eng._snapshot_pins)
+        before = sorted(map(tuple, eng.grep("dup").collect()))
+        assert before and pins1
+        assert pins1 <= ckpt._PINNED
+
+        eng.enable_store_serving(base, n_probe=10)
+        pins2 = set(eng._snapshot_pins)
+        # a fresh generation pinned; the old one fully un-pinned and no
+        # longer persisted in the JVM
+        assert pins2 and pins2.isdisjoint(pins1)
+        assert not (pins1 & ckpt._PINNED)
+        assert not (pins1 & ckpt.persistent_ids(spark))
+        # serving stays correct off the new snapshots
+        assert sorted(map(tuple, eng.grep("dup").collect())) == before
+        scan = WqmEngine(spark, SF_SMOKE)
+        a = sorted(map(tuple,
+                       scan.search("dup spark vector", limit=10).collect()))
+        b = sorted(map(tuple,
+                       eng.search("dup spark vector", limit=10).collect()))
+        assert a == b and a
+
+
 class TestGrepIndexed:
     """r8 T3 upgrade: exact grep off the maintained trigram index must
     equal the full scan (lossless prefilter), the maintained index must

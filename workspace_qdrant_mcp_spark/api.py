@@ -56,6 +56,7 @@ class WqmEngine:
         self._postings_df: DataFrame | None = None
         self._ann_store_df: DataFrame | None = None
         self._grams_df: DataFrame | None = None
+        self._snapshot_pins: set[int] = set()
 
     def enable_store_serving(
         self, base_dir: str, n_cells: int = 10, n_probe: int = 3
@@ -93,7 +94,9 @@ class WqmEngine:
             self.spark, postings_path, changed_docs=docs,
             id_col="point_id", id_type="string",
         )
-        cents = ckpt.pin(
+        # tracked like the snapshots below: a re-enable must not leak a
+        # centroid-table generation either
+        cents, p_cents = ckpt.pin_tracked(
             self.spark,
             lambda: (
                 self.chunks.select("point_id", "dense")
@@ -128,29 +131,33 @@ class WqmEngine:
         self._grams_path = grams_path
         # hold the indexes OPEN: one read + pinned localCheckpoint per
         # store at enable time; every query serves off the in-memory
-        # snapshot (re-call enable_store_serving to refresh after
-        # out-of-band store maintenance — the engine is a per-corpus
-        # facade, so within a session the stores are append-only via
-        # this engine's own builds)
-        self._postings_df = ckpt.pin(
+        # snapshot. Re-calling enable_store_serving REFRESHES: the new
+        # snapshots pin first (materialize-then-release, the
+        # RollingCheckpoint order), then the superseded generation's
+        # pins release — the ann_store_drift playbook's
+        # rebuild-then-swap without leaking the old snapshot.
+        old_pins = self._snapshot_pins
+        self._postings_df, p1 = ckpt.pin_tracked(
             self.spark,
             lambda: bm25.read_postings(
                 self.spark, postings_path, id_col="point_id",
                 id_type="string",
             ).localCheckpoint(),
         )
-        self._ann_store_df = ckpt.pin(
+        self._ann_store_df, p2 = ckpt.pin_tracked(
             self.spark,
             lambda: ann.read_ann_store(
                 self.spark, ann_path, id_type="string", vec_type="double"
             ).localCheckpoint(),
         )
-        self._grams_df = ckpt.pin(
+        self._grams_df, p3 = ckpt.pin_tracked(
             self.spark,
             lambda: grep_ops.read_gram_index(
                 self.spark, grams_path
             ).localCheckpoint(),
         )
+        self._snapshot_pins = p_cents | p1 | p2 | p3
+        ckpt.release_pins(self.spark, old_pins - self._snapshot_pins)
 
     @property
     def chunks(self) -> DataFrame:

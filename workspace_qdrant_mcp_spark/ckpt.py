@@ -67,10 +67,29 @@ def pin(spark: SparkSession, build: Callable[[], T]) -> T:
     exempt from clear_unpinned(). Used for the materialized-store caches
     (edges/postings/chunks/symbols) that are the Spark analog of the
     reference's ingest-time sinks — shared across queries by design."""
+    out, _ = pin_tracked(spark, build)
+    return out
+
+
+def pin_tracked(spark: SparkSession, build: Callable[[], T]) -> tuple[T, set[int]]:
+    """pin() that also returns the block ids it pinned, so the owner can
+    later release_pins() them — the lifecycle a REFRESHABLE pinned store
+    needs (api.enable_store_serving re-snapshots after a store rebuild;
+    without the handle the superseded snapshot stays pinned forever)."""
     before = persistent_ids(spark)
     out = build()
-    _PINNED.update(persistent_ids(spark) - before)
-    return out
+    created = persistent_ids(spark) - before
+    _PINNED.update(created)
+    return out, created
+
+
+def release_pins(spark: SparkSession, ids: set[int]) -> None:
+    """Un-pin AND unpersist blocks previously pinned via pin_tracked —
+    only safe once nothing still serves off them (the caller swaps in
+    the replacement snapshot first, exactly like RollingCheckpoint's
+    materialize-then-release order)."""
+    _PINNED.difference_update(ids)
+    release(spark, ids)
 
 
 def clear_unpinned(spark: SparkSession) -> int:

@@ -3091,6 +3091,15 @@ def _q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_doc_tokens(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY under the learned BPE vocabulary
+    (bpe.bpe_fertility): subword tokens per whitespace word — the data
+    card a tokenizer run publishes per source; microunit float emission
+    from birth. NEW IN r9 post-window (honest labeling; first driver
+    row lands in the r10 rotation front)."""
+    return bpe.bpe_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ann_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staleness monitor for the maintained IVF store (ann.
     ann_store_drift, VERDICT r8 #6): PSI of the drifted corpus's
@@ -3334,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r10 rotation front):
         "grep_regex_indexed": _q_grep_regex_indexed,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
+        "bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -3404,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": oracles.bpe_merges(),
         "bpe_doc_tokens": oracles.bpe_doc_tokens(),
         "sequence_packing_bpe": oracles.sequence_packing_bpe(),
+        "bpe_fertility": oracles.bpe_fertility(),
         "ann_store_drift": oracles.ann_store_drift(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),

@@ -98,3 +98,23 @@ class TestPackDocumentsBpe:
         assert out[2] == (0, 0, 3)
         # source 1: doc 1 alone, 4 tokens > budget -> its own bin 0
         assert out[1] == (4, 0, 4)
+
+
+class TestBpeFertility:
+    def test_fertility_shrinks_with_merges_and_skips_empty(self, spark):
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [(0, "the the theme", "a"), (1, "xyz", "a"),
+             (2, "", "b")],              # source b: all zero-word docs
+            "doc_id long, text string, source string",
+        )
+        f0 = bpe.bpe_fertility(docs, n_merges=0).collect()
+        assert [r["source"] for r in f0] == ["a"]   # b absent (no words)
+        r0 = f0[0]
+        # n_merges=0: every word is characters -> fertility = chars/words
+        assert (r0["n_docs"], r0["n_words"], r0["n_bpe_tokens"]) == (2, 4, 14)
+        assert r0["fertility"] == 3.5
+        f4 = bpe.bpe_fertility(docs, n_merges=4).collect()[0]
+        assert f4["fertility"] < r0["fertility"]
+        assert f4["n_words"] == 4   # denominators unchanged by merges

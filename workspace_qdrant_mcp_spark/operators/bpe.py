@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import ckpt
+from ..functions.emit import micro6
 from .textstats import _ws_tokens
 
 SEP = "\x1f"          # unit separator — never appears in corpus tokens
@@ -180,6 +181,45 @@ def bpe_merges(
         F.col("rhs").alias("right_sym"),
         F.col("cnt").alias("pair_count"),
     ).orderBy("merge_round")
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_words, n_bpe_tokens, fertility) — per-source
+    tokenizer FERTILITY (subword tokens per whitespace word, the
+    standard tokenizer-quality metric: ~1 = the vocabulary covers the
+    domain, >>1 = the tokenizer shreds it into characters) under the
+    vocabulary bpe_merges learns from this corpus. The data card a
+    tokenizer-training run publishes per source/language.
+
+    Emission: fertility goes through the integer-microunit discipline
+    (functions/emit.py — exact integer sums, one IEEE division) so the
+    report hashes bit-identically in any engine. Sources whose docs all
+    tokenize to zero words are ABSENT (no ratio to report), mirroring
+    temperature_mixture's zero-token contract.
+
+    Scale shape: bpe_doc_tokens' counts (corpus touched once, vocab
+    table rounds) + one map-side-combinable per-source rollup."""
+    per_doc = bpe_doc_tokens(docs, n_merges, text_col, id_col)
+    return (
+        docs.select(F.col(id_col), F.col(group_col).alias("source"))
+        .join(per_doc, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            micro6(
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
 
 
 def bpe_doc_tokens(

@@ -5565,3 +5565,46 @@ SELECT source, doc_id, tokens,
        CAST(bin_id AS INT) AS bin_id, CAST(bin_fill AS INT) AS bin_fill
 FROM walk
 """
+
+
+def bpe_fertility(n_merges: int = 8) -> str:
+    """Oracle for bpe.bpe_fertility: the bpe_doc_tokens chain nested
+    verbatim, rolled up per source with the integer-microunit fertility
+    emission (functions/emit.py). Zero-word docs are absent from the
+    inner join on both sides."""
+    b = "(chr(31) || chr(31))"
+    fert = micro6_sql(
+        "CAST(sum(bt.n_bpe) AS DOUBLE) / sum(bt.n_words)"
+    )
+    return f"""
+WITH {_bpe_ctes(n_merges)},
+seg AS (
+  SELECT word, len(string_split(repr, {b})) - 2 AS n_syms FROM w{n_merges}
+),
+occ AS (
+  SELECT doc_id, word, count(*) AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, chr(31))
+  GROUP BY 1, 2
+),
+bt AS (
+  SELECT doc_id,
+         CAST(sum(occ) AS BIGINT) AS n_words,
+         CAST(sum(occ * n_syms) AS BIGINT) AS n_bpe
+  FROM occ JOIN seg USING (word)
+  GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(bt.n_words) AS n_words,
+       sum(bt.n_bpe) AS n_bpe_tokens,
+       {fert} AS fertility
+FROM documents d JOIN bt USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

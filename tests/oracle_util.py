@@ -11,11 +11,35 @@ import duckdb
 from workspace_qdrant_mcp_spark.io import TABLES
 
 
+# DuckDB output types the driver's Arrow/pandas hash path coerces away from
+# Spark's (HUGEINT/int128 ≠ LONG; DECIMAL ≠ DOUBLE). fetchall() collapses
+# them to Python int so value-compare can NEVER catch the class — the r8/r9
+# hash-red root cause. Assert the TYPES here instead.
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def assert_driver_safe_types(con, sql: str, name: str = "") -> None:
+    """Plan-only check that an oracle emits no type the driver's hash path
+    distinguishes from Spark's emission (uncast integer sum() → HUGEINT)."""
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(k in str(t).upper() for k in FORBIDDEN_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"oracle {name or '<inline>'} emits driver-unsafe DuckDB types "
+        f"{bad}: CAST(... AS BIGINT/DOUBLE) at the emission site "
+        f"(HUGEINT vs Spark LONG was the r8/r9 hash-red root cause)"
+    )
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        assert_driver_safe_types(con, sql)
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         return cols, cur.fetchall()

@@ -487,6 +487,13 @@ class TestGrepIndexed:
         assert gg("abc[defghijklm]nop") == [[["abc"]], [["nop"]]]
         assert gg("[a-z]{3}") is None
         assert gg("ab") is None                  # too short to gram
+        # class SHORTHANDS are not literals: [\d] must break, never
+        # require the gram 'adb' (the r9 lossless-contract bug)
+        assert gg(r"a[\d]b") is None
+        assert gg(r"abc[\d]def") == [[["abc"]], [["def"]]]
+        assert gg(r"abc[\w][\s]xyz") == [[["abc"]], [["xyz"]]]
+        # escaped punctuation inside a class IS a literal member
+        assert gg(r"x[\.]yz") == [[[".yz", "x.y"]]]
 
     def test_regex_indexed_equals_scan(self, spark):
         from workspace_qdrant_mcp_spark.operators import grep as g
@@ -507,6 +514,8 @@ class TestGrepIndexed:
             ("foo.*bar", {5}),
             ("sc[ae]n|foo", {0, 1, 4, 5, 6}),  # alternation -> scan arm
             ("zzz+", set()),
+            (r"scan[\s]b", {0}),  # [\d]-class bug: shorthand must break,
+            (r"f[\w]o", {5, 6}),  # not enumerate as a literal char
         ):
             for cap in (0, 10_000, 1):
                 got = sorted(map(tuple, g.grep_regex_indexed(

@@ -92,3 +92,30 @@ R9_SCALE_QUERIES = [
 @pytest.mark.parametrize("name", R9_SCALE_QUERIES)
 def test_parity_sf01_scale_heavy(spark, name):
     _check(spark, name, "/root/testdata/sf0.1")
+
+
+# r10 (VERDICT r9 #1): the HUGEINT gate. DuckDB types an uncast integer
+# sum() as HUGEINT (int128); the driver's Arrow/pandas hash path
+# distinguishes it from Spark's LONG, while this repo's fetchall()-based
+# compare collapses both to Python int — so the ONLY local defense is a
+# type assert. Plan-only (`con.sql(q).types` — no execution), so checking
+# all 177 oracles is cheap. compare() also asserts this per-run via
+# oracle_util.assert_driver_safe_types; this test is the whole-registry
+# sweep so a driver-unsafe oracle fails CI even if its parity case is
+# skipped or rows-only.
+def test_all_oracles_emit_driver_safe_types():
+    import duckdb
+
+    from tests.oracle_util import assert_driver_safe_types
+    from workspace_qdrant_mcp_spark.io import TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+            )
+        for name, sql in sorted(entrymod.oracle_sql().items()):
+            assert_driver_safe_types(con, sql, name)
+    finally:
+        con.close()

@@ -1140,7 +1140,8 @@ _REGEX_PIECES = st.lists(
         st.text(alphabet="abcx ", min_size=1, max_size=4),   # literal run
         st.sampled_from(
             ["[ab]", "[a-c]", "[^a]", "[abcdefghij]", ".", "a*", "b+",
-             "c?", "a{2}", "x{1,3}", "\\.", "\\+", "$", "^"]
+             "c?", "a{2}", "x{1,3}", "\\.", "\\+", "$", "^",
+             "[\\d]", "[\\w]", "[\\s]", "[a\\wb]", "[\\.]", "\\d", "\\w"]
         ),
     ),
     min_size=1,
@@ -1148,7 +1149,7 @@ _REGEX_PIECES = st.lists(
 )
 
 
-@given(pieces=_REGEX_PIECES, text=st.text(alphabet="abcx .+", max_size=30))
+@given(pieces=_REGEX_PIECES, text=st.text(alphabet="abcx .+59", max_size=30))
 @settings(**{**SETTINGS, "max_examples": 300})
 def test_regex_gram_extraction_lossless(pieces, text):
     import re as _re

@@ -948,7 +948,13 @@ def lloyd_kmeans(
     work per row, no shuffle) + one (cluster_id, pos) mean aggregate
     (posexplode → map-side-combinable avg over n·dim narrow rows, the
     only shuffle). Rounds are a fixed small constant; nothing driver-
-    side, nothing quadratic."""
+    side, nothing quadratic.
+
+    NOTE: construction is EAGER — the first-k init guard runs a bounded
+    Spark action (cents.count(), one corpus filter) at call time, so
+    merely building the plan scans once. Deliberate: a silent sub-k
+    init would skew every downstream per-cluster quota; callers
+    composing lazily should call this last."""
     pts = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

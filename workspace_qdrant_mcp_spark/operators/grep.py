@@ -75,7 +75,13 @@ def _expand_class(body: str) -> list[str] | None:
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body):
-            out.append(body[i + 1])
+            esc = body[i + 1]
+            if esc.isalnum():
+                # class shorthand (\d \w \s \D \W \S, octal, ...) — NOT a
+                # literal; enumerating it as one would emit a WRONG
+                # required-gram and prune real matches (lossless contract)
+                return None
+            out.append(esc)
             i += 2
             continue
         if i + 2 < len(body) and body[i + 1] == "-":
@@ -177,7 +183,10 @@ def regex_gram_groups(
             cur.append(a)
 
     groups: list[list[list[str]]] = []
-    for run in runs:
+    queue: list[list[set[str]]] = list(runs)  # explicit work queue — never
+    # mutate a list mid-iteration (over-cap runs re-enqueue sub-runs)
+    while queue:
+        run = queue.pop(0)
         if len(run) < n:
             continue
         prod = 1
@@ -191,7 +200,7 @@ def regex_gram_groups(
                     sub.append(a)
                 else:
                     if len(sub) >= n:
-                        runs.append(sub)  # re-enqueue as its own run
+                        queue.append(sub)  # re-enqueue as its own run
                     sub = []
             continue
         expansions = [""]

@@ -1305,7 +1305,7 @@ def corpus_report() -> str:
     return f"""
 SELECT d.source,
        count(*) AS n_docs,
-       sum(d.n_chars) AS total_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
        {mq} AS mean_quality,
        {mt} AS mean_tokens,
        {lm} AS lang_match_frac
@@ -4885,7 +4885,7 @@ WITH ch AS (
 per AS (SELECT doc_id, c, count(*) AS n FROM ch
         WHERE length(c) > 0 GROUP BY doc_id, c)
 SELECT doc_id,
-       sum(n) AS n_chars,
+       CAST(sum(n) AS BIGINT) AS n_chars,
        CAST(count(*) AS INT) AS distinct_chars,
        {ent} AS entropy_bits
 FROM per GROUP BY doc_id
@@ -5018,7 +5018,8 @@ top AS (
   ORDER BY c DESC, key ASC LIMIT 1
 ),
 agg AS (
-  SELECT count(*) AS n_keys, sum(c) AS n_rows, sum(i * c) AS s
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         sum(i * c) AS s
   FROM ranked
 )
 SELECT n_keys, n_rows, top_key,
@@ -5242,7 +5243,8 @@ counts AS (
   FROM sided GROUP BY 1, 2
 ),
 per_grp AS (
-  SELECT grp, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur,
+  SELECT grp, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur,
          count(*) AS n_buckets
   FROM counts GROUP BY 1
 ),
@@ -5396,7 +5398,7 @@ def bpe_merges(n_merges: int = 8) -> str:
     round's argmax pair."""
     sel = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_round, lhs AS left_sym, rhs AS right_sym,"
-        f" cnt AS pair_count FROM b{r}"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
     return f"""
@@ -5500,7 +5502,8 @@ counts AS (
   FROM refb FULL OUTER JOIN curb ON refb.bucket = curb.bucket
 ),
 tot AS (
-  SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur, count(*) AS nb
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur, count(*) AS nb
   FROM counts
 ),
 shares AS (
@@ -5601,8 +5604,8 @@ bt AS (
 )
 SELECT d.source,
        count(*) AS n_docs,
-       sum(bt.n_words) AS n_words,
-       sum(bt.n_bpe) AS n_bpe_tokens,
+       CAST(sum(bt.n_words) AS BIGINT) AS n_words,
+       CAST(sum(bt.n_bpe) AS BIGINT) AS n_bpe_tokens,
        {fert} AS fertility
 FROM documents d JOIN bt USING (doc_id)
 GROUP BY d.source

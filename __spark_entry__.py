@@ -3126,6 +3126,29 @@ def _q_ann_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (quality_classifier.py, VERDICT r9 #3):
+    the CCNet/GPT-3-style learned filter — logistic regression over
+    hashed-unigram tf shares, bootstrapped seed labels from the
+    heuristic quality score, QC_ROUNDS unrolled full-batch GD rounds in
+    EXACT int64 microunit arithmetic (the only libm call is the
+    sigmoid's exp on a bit-identical double). Emits the trained weight
+    table (the filter artifact). NEW IN r10."""
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+
+    return qc.quality_classifier_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored by the trained quality head
+    (quality_classifier.quality_classifier_scores): sigmoid(w·x) in
+    exact 6-decimal form, pred on the integer microunit threshold,
+    seed label alongside for the filter-audit data card. NEW IN r10."""
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+
+    return qc.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. This is the r9 rotation (VERDICT r8 #1/#2 — close ALL
@@ -3344,6 +3367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_regex_indexed": _q_grep_regex_indexed,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "bpe_fertility": _q_bpe_fertility,
+        # NEW IN r10 (moved into the window front by the r10 rotation):
+        "quality_classifier_weights": _q_quality_classifier_weights,
+        "quality_classifier_scores": _q_quality_classifier_scores,
     }
 
 
@@ -3416,6 +3442,10 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_bpe": oracles.sequence_packing_bpe(),
         "bpe_fertility": oracles.bpe_fertility(),
         "ann_store_drift": oracles.ann_store_drift(),
+        # NEW IN r10: the trained quality classifier's GD chain is exact
+        # int64 microunits end-to-end (only the sigmoid's exp is libm):
+        "quality_classifier_weights": oracles.quality_classifier_weights(),
+        "quality_classifier_scores": oracles.quality_classifier_scores(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

@@ -94,6 +94,19 @@ def test_parity_sf01_scale_heavy(spark, name):
     _check(spark, name, "/root/testdata/sf0.1")
 
 
+# r10 additions: scale evidence from birth (same sf0.1 exact compare).
+R10_SCALE_QUERIES = [
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize("name", R10_SCALE_QUERIES)
+def test_parity_sf01_scale_r10(spark, name):
+    _check(spark, name, "/root/testdata/sf0.1")
+
+
 # r10 (VERDICT r9 #1): the HUGEINT gate. DuckDB types an uncast integer
 # sum() as HUGEINT (int128); the driver's Arrow/pandas hash path
 # distinguishes it from Spark's LONG, while this repo's fetchall()-based

@@ -1,0 +1,226 @@
+"""Trained quality classifier — the CCNet / GPT-3-style learned filter.
+
+Every published large-scale pretraining pipeline runs a TRAINED quality
+filter next to the heuristic one: GPT-3 scored CommonCrawl with a
+logistic-regression head over hashed text features against a WebText
+positive set (Brown et al. 2020, appendix A); CCNet ranks by a
+reference-corpus language model (Wenzek et al. 2020). The reference
+daemon (a retrieval engine) has no analog — this extends the repo's
+curation family (heuristic quality_score / gopher_quality / DSIR) with
+the missing standard stage.
+
+Seed labels are BOOTSTRAPPED from the in-corpus heuristic — label 1 iff
+textstats.quality_col(text) >= QC_TAU — the standard move when no
+external reference corpus ships with the data (the heuristic picks the
+seed; the trained head generalizes it over a feature space the
+heuristic never saw). The label threshold compares RAW doubles: the
+heuristic is pure count arithmetic (+ * /), bit-identical across
+engines, so the cut needs no rounding guard.
+
+Model: logistic regression over hashed-unigram term-frequency shares
+(functions/hashing.md5_hash64 % QC_DIM — the engine-parity hash) plus
+an intercept. Training = QC_ROUNDS unrolled full-batch gradient-descent
+rounds (the lloyd_kmeans fixed-round discipline: no convergence probe,
+no RNG, no early exit — a DuckDB oracle unrolls the identical chain).
+
+ENGINE-EXACT ARITHMETIC (functions/emit.py discipline, taken to its
+conclusion): features, margins, residuals, and gradient numerators are
+int64 MICROUNITS — x6 = round(1e6 * tf), margin numerator =
+sum(x6 * w6) (exact integer, ORDER-INDEPENDENT — float-sum drift is
+impossible by construction, not by luck), residual = y*1e6 - p6. The
+single libm call per doc per round is exp() inside the sigmoid, applied
+to a bit-identical double and immediately re-quantized to p6 integer
+microunits. Weights live as exact 6-decimal doubles (BIGINT/1e6).
+
+Int64 bounds: |x6 * resid6| <= 1e12 per doc, so gradient numerators are
+exact to ~9.2e6 docs (int64) and convert losslessly to double to ~9e3
+docs per 2^53... per gradient SUM of ~9e15, i.e. ~9000 average docs per
+feature bucket at full magnitude — in practice tf shares spread mass so
+sf0.1 (5k docs) stays well inside; at 100 TB the numerator switches to
+double partial sums (ulp-tolerant, no oracle twin) — the integer path
+is the oracle-replayable correctness twin, same output contract.
+
+100 TB shape: one corpus pass per round — a margin join (weights always
+broadcast: QC_DIM+1 rows) + a doc_id partial aggregate + a feat_id
+gradient aggregate (both map-side combinable, bounded key spaces). The
+feature table is built ONCE and localCheckpoint'ed through the rounds
+(RollingCheckpoint would release it — it is read by every round, so it
+is pinned for the call and released by the between-queries sweep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.emit import micro6
+from ..functions.hashing import md5_hash64
+from ..io import fan_out
+from .textstats import _ws_tokens, quality_col
+
+QC_DIM = 32          # hashed-unigram buckets
+QC_BIAS = QC_DIM     # intercept feature id
+QC_SALT = "qc|"
+QC_TAU = 0.512       # seed-label cut on the heuristic quality score
+QC_LR = 2.0
+QC_ROUNDS = 4
+
+
+def qc_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, feat_id, x6) — hashed-unigram term-frequency shares in
+    integer microunits, plus the intercept row (feat_id=QC_BIAS,
+    x6=1e6). Empty documents contribute only their intercept."""
+    words = fan_out(docs).select(
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("w")
+    )
+    cnts = words.groupBy(
+        id_col,
+        (md5_hash64(F.col("w"), QC_SALT) % QC_DIM).alias("feat_id"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy(id_col).agg(F.sum("cnt").alias("nw"))
+    tf = cnts.join(tot, id_col).select(
+        F.col(id_col),
+        "feat_id",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.col("nw").cast("double")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("x6"),
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(QC_BIAS).cast("long").alias("feat_id"),
+        F.lit(1_000_000).cast("long").alias("x6"),
+    )
+    return tf.unionByName(bias)
+
+
+def qc_labels(
+    docs: DataFrame,
+    tau: float = QC_TAU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, y) — bootstrapped seed label: 1 iff the heuristic quality
+    score clears tau (raw-double compare; the score is pure count
+    arithmetic, bit-identical across engines)."""
+    return fan_out(docs).select(
+        F.col(id_col),
+        F.when(quality_col(F.col(text_col)) >= F.lit(tau), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def _margins(feats: DataFrame, w: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, p6) — sigmoid of the exact-integer margin, re-quantized
+    to integer microunits. w6 = round(weight*1e6) is exact (weights are
+    6-decimal by construction)."""
+    w6 = w.select(
+        "feat_id", F.round(F.col("weight") * F.lit(1e6)).cast("long").alias("w6")
+    )
+    m = (
+        feats.join(F.broadcast(w6), "feat_id")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x6") * F.col("w6")).alias("m6"))
+        .select(
+            F.col(id_col),
+            (F.col("m6").cast("double") / F.lit(1e12)).alias("m"),
+        )
+    )
+    return m.select(
+        F.col(id_col),
+        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-F.col("m"))))
+        .cast("long")
+        .alias("p6"),
+    )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    lr: float = QC_LR,
+    rounds: int = QC_ROUNDS,
+    dim: int = QC_DIM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(feat_id, weight) — dim+1 rows after `rounds` unrolled full-batch
+    GD steps from w=0: w' = micro6(w + lr * sum((y - p) x) / N), every
+    sum an exact int64 microunit aggregate (see module doc)."""
+    spark = feats.sparkSession
+    feats = feats.localCheckpoint()   # read 2x per round — build once
+    labels = labels.localCheckpoint()
+    nd = labels.agg(F.count(F.lit(1)).alias("nd"))
+    w = spark.range(dim + 1).select(
+        F.col("id").alias("feat_id"), F.lit(0.0).alias("weight")
+    )
+    for _ in range(rounds):
+        p = _margins(feats, w, id_col)
+        resid = labels.join(p, id_col).select(
+            F.col(id_col), (F.col("y") * F.lit(1_000_000) - F.col("p6")).alias("r6")
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("feat_id")
+            .agg(F.sum(F.col("x6") * F.col("r6")).alias("g"))
+        )
+        w = (
+            w.join(grad, "feat_id", "left")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "feat_id",
+                micro6(
+                    F.col("weight")
+                    + F.lit(lr)
+                    * F.coalesce(F.col("g"), F.lit(0)).cast("double")
+                    / (F.lit(1e12) * F.col("nd").cast("double"))
+                ).alias("weight"),
+            )
+            .localCheckpoint()  # 33 rows; keeps round lineage shallow
+        )
+    return w
+
+
+def quality_classifier_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(feat_id, weight) — the trained artifact, ordered by feature."""
+    w = train_quality_classifier(
+        qc_features(docs, id_col, text_col),
+        qc_labels(docs, id_col=id_col, text_col=text_col),
+        id_col=id_col,
+    )
+    return w.orderBy("feat_id")
+
+
+def quality_classifier_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, label, score, pred) — every document scored by the
+    trained head: score = sigmoid(w·x) in exact 6-decimal form, pred on
+    the INTEGER microunit threshold (>= 0.5 — no float-boundary
+    exposure), label = the bootstrap seed for filter-audit reporting.
+    The production filter keeps pred=1 (or thresholds score by stratum);
+    this emission is the data-card view of the same decision."""
+    feats = qc_features(docs, id_col, text_col)
+    labels = qc_labels(docs, id_col=id_col, text_col=text_col)
+    w = train_quality_classifier(feats, labels, id_col=id_col)
+    p = _margins(feats, w, id_col)
+    return (
+        labels.join(p, id_col)
+        .select(
+            F.col(id_col),
+            F.col("y").alias("label"),
+            (F.col("p6").cast("double") / F.lit(1e6)).alias("score"),
+            F.when(F.col("p6") >= F.lit(500_000), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pred"),
+        )
+        .orderBy(id_col)
+    )

@@ -5611,3 +5611,125 @@ FROM documents d JOIN bt USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def _qc_ctes(
+    dim: int = 32, tau: float = 0.512, lr: float = 2.0, rounds: int = 4
+) -> str:
+    """CTE chain for the trained quality classifier
+    (quality_classifier.train_quality_classifier): hashed-unigram
+    microunit features + bootstrapped heuristic seed labels, then
+    `rounds` unrolled full-batch logistic-GD steps. Every sum is an
+    exact int64 microunit aggregate; the only libm call is exp() on a
+    bit-identical double (the Spark plan's arithmetic tree is mirrored
+    token for token — see the operator's module doc)."""
+    h = duckdb_md5_hash64_sql("w", salt="qc|")
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    parts = [f"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+cnts AS (
+  SELECT doc_id, ({h}) % {dim} AS feat_id, count(*) AS cnt
+  FROM words GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nw FROM cnts GROUP BY 1),
+fx AS MATERIALIZED (
+  SELECT c.doc_id, c.feat_id,
+         CAST(round(CAST(c.cnt AS DOUBLE) / CAST(t.nw AS DOUBLE) * 1000000)
+              AS BIGINT) AS x6
+  FROM cnts c JOIN tot t USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dim} AS feat_id, 1000000 AS x6 FROM documents
+),
+qf AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           AS n_punct,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+),
+qr AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         n_punct / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, t -> list_contains([{stop}], t)))
+           / greatest(len(toks), 1) AS stopword_ratio
+  FROM qf
+),
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN (CASE WHEN n_tokens < 20
+                    THEN (0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio)) * 0.5
+                    ELSE 0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio) END)
+                   >= {tau!r}
+              THEN 1 ELSE 0 END AS y
+  FROM qr
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lab),
+w0 AS (SELECT CAST(unnest(generate_series(0, {dim})) AS BIGINT) AS feat_id,
+              0.0 AS wt)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+m{r} AS (
+  SELECT f.doc_id, sum(f.x6 * CAST(round(w.wt * 1000000) AS BIGINT)) AS m6
+  FROM fx f JOIN w{p} w USING (feat_id) GROUP BY 1
+),
+p{r} AS MATERIALIZED (
+  SELECT l.doc_id, l.y,
+         CAST(round(1000000.0 / (1.0 + exp(-(CAST(m.m6 AS DOUBLE)
+                                             / 1000000000000.0))))
+              AS BIGINT) AS p6
+  FROM lab l JOIN m{r} m USING (doc_id)
+),
+g{r} AS (
+  SELECT f.feat_id,
+         CAST(sum(f.x6 * (p.y * 1000000 - p.p6)) AS DOUBLE) AS g
+  FROM fx f JOIN p{r} p USING (doc_id) GROUP BY 1
+),
+w{r} AS MATERIALIZED (
+  SELECT w.feat_id,
+         CAST(round((w.wt + {lr!r} * coalesce(g.g, 0.0)
+                     / (1000000000000.0 * n.nd)) * 1000000) AS BIGINT)
+           / 1000000.0 AS wt
+  FROM w{p} w LEFT JOIN g{r} g USING (feat_id), n
+)""")
+    return "".join(parts)
+
+
+def quality_classifier_weights(rounds: int = 4) -> str:
+    """Oracle for quality_classifier.quality_classifier_weights: the
+    identical unrolled GD chain, emitting the final weight table."""
+    return f"""
+WITH {_qc_ctes(rounds=rounds)}
+SELECT feat_id, wt AS weight FROM w{rounds} ORDER BY feat_id
+"""
+
+
+def quality_classifier_scores(rounds: int = 4) -> str:
+    """Oracle for quality_classifier.quality_classifier_scores: one more
+    margin pass under the final weights, sigmoid re-quantized to integer
+    microunits, pred on the integer threshold."""
+    return f"""
+WITH {_qc_ctes(rounds=rounds)},
+mf AS (
+  SELECT f.doc_id, sum(f.x6 * CAST(round(w.wt * 1000000) AS BIGINT)) AS m6
+  FROM fx f JOIN w{rounds} w USING (feat_id) GROUP BY 1
+),
+pf AS (
+  SELECT l.doc_id, l.y,
+         CAST(round(1000000.0 / (1.0 + exp(-(CAST(m.m6 AS DOUBLE)
+                                             / 1000000000000.0))))
+              AS BIGINT) AS p6
+  FROM lab l JOIN mf m USING (doc_id)
+)
+SELECT doc_id, CAST(y AS BIGINT) AS label,
+       CAST(p6 AS DOUBLE) / 1000000.0 AS score,
+       CAST(CASE WHEN p6 >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM pf ORDER BY doc_id
+"""

@@ -3126,6 +3126,30 @@ def _q_ann_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (unigram_lm.unigram_lm_pieces, VERDICT r9 #4) — BPE's twin: seed
+    substring inventory, then fixed hard-EM rounds (E: exact
+    integer-cost Viterbi over the bounded word table via a JVM-side
+    fold, ties to the longer piece; M: usage re-count + bottom-k prune
+    + add-one smoothing). Float-free emission (strings + int64 costs in
+    microunits). NEW IN r10."""
+    from workspace_qdrant_mcp_spark.operators import unigram_lm as ulm
+
+    return ulm.unigram_lm_pieces(load_table(spark, sf_dir, "documents"))
+
+
+def _q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility under the TRAINED unigram-LM piece table
+    (unigram_lm.unigram_fertility): bpe_fertility's direct contrast —
+    same corpus, same rollup, the other standard subword learner.
+    Re-tokenization is a join against the word table's Viterbi piece
+    counts, never a per-doc DP replay. NEW IN r10."""
+    from workspace_qdrant_mcp_spark.operators import unigram_lm as ulm
+
+    return ulm.unigram_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def _q_quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality classifier (quality_classifier.py, VERDICT r9 #3):
     the CCNet/GPT-3-style learned filter — logistic regression over
@@ -3370,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW IN r10 (moved into the window front by the r10 rotation):
         "quality_classifier_weights": _q_quality_classifier_weights,
         "quality_classifier_scores": _q_quality_classifier_scores,
+        "unigram_lm_pieces": _q_unigram_lm_pieces,
+        "unigram_fertility": _q_unigram_fertility,
     }
 
 
@@ -3446,6 +3472,10 @@ def oracle_sql() -> dict[str, str]:
         # int64 microunits end-to-end (only the sigmoid's exp is libm):
         "quality_classifier_weights": oracles.quality_classifier_weights(),
         "quality_classifier_scores": oracles.quality_classifier_scores(),
+        # NEW IN r10: unigram-LM trainer — float-free piece table; the
+        # fertility report uses microunit emission:
+        "unigram_lm_pieces": oracles.unigram_lm_pieces(),
+        "unigram_fertility": oracles.unigram_fertility(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

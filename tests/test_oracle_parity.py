@@ -98,6 +98,8 @@ def test_parity_sf01_scale_heavy(spark, name):
 R10_SCALE_QUERIES = [
     "quality_classifier_weights",
     "quality_classifier_scores",
+    "unigram_lm_pieces",
+    "unigram_fertility",
 ]
 
 

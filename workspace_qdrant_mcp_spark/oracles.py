@@ -5733,3 +5733,200 @@ SELECT doc_id, CAST(y AS BIGINT) AS label,
        CAST(CASE WHEN p6 >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
 FROM pf ORDER BY doc_id
 """
+
+
+def _ulm_fwd_bwd(r: int, cost_cte: str, max_word: int = 16,
+                 max_piece: int = 4, big: int = 10**15) -> str:
+    """Forward Viterbi DP (unrolled positions 1..max_word) + backtrace
+    CTEs for EM round tag `r` against cost CTE `cost_cte`; ends with
+    u{r}(piece, usage) and pw{r}(word, npw)."""
+    parts = [f""",
+f{r}_0 AS MATERIALIZED (
+  SELECT word, wl, n, CAST(0 AS BIGINT) AS best, 0 AS back FROM wcw)"""]
+    for i in range(1, max_word + 1):
+        branches = []
+        for j in range(1, min(max_piece, i) + 1):
+            branches.append(f"""
+      SELECT f.word, f.wl, f.n,
+             f.best + coalesce(c.cost6, {big}) AS tot, {j} AS j
+      FROM f{r}_{i - j} f
+      LEFT JOIN {cost_cte} c ON c.piece = substr(f.word, {i - j + 1}, {j})
+      WHERE f.wl >= {i}""")
+        u = "\n      UNION ALL".join(branches)
+        parts.append(f""",
+f{r}_{i} AS MATERIALIZED (
+  SELECT word, wl, n, best, back FROM (
+    SELECT q.word, q.wl, q.n, q.tot AS best, q.j AS back,
+           row_number() OVER (
+             PARTITION BY q.word ORDER BY q.tot ASC, q.j DESC) AS rn
+    FROM ({u}
+    ) q
+  ) WHERE rn = 1
+)""")
+    fu = "\n  UNION ALL ".join(
+        f"SELECT word, {i} AS pos, back FROM f{r}_{i}"
+        for i in range(1, max_word + 1)
+    )
+    parts.append(f""",
+fall{r} AS MATERIALIZED (
+  {fu}
+),
+b{r}_0 AS MATERIALIZED (
+  SELECT word, n, wl AS i, CAST(NULL AS VARCHAR) AS piece FROM wcw)""")
+    for s in range(1, max_word + 1):
+        parts.append(f""",
+b{r}_{s} AS MATERIALIZED (
+  SELECT b.word, b.n, b.i - f.back AS i,
+         substr(b.word, b.i - f.back + 1, f.back) AS piece
+  FROM b{r}_{s - 1} b JOIN fall{r} f ON f.word = b.word AND f.pos = b.i
+  WHERE b.i > 0
+)""")
+    bu = "\n  UNION ALL ".join(
+        f"SELECT word, n, piece FROM b{r}_{s}"
+        for s in range(1, max_word + 1)
+    )
+    parts.append(f""",
+ball{r} AS MATERIALIZED (
+  {bu}
+),
+u{r} AS (SELECT piece, CAST(sum(n) AS BIGINT) AS usage
+         FROM ball{r} GROUP BY piece),
+pw{r} AS (SELECT word, CAST(count(*) AS BIGINT) AS npw
+          FROM ball{r} GROUP BY word)""")
+    return "".join(parts)
+
+
+def _ulm_ctes(
+    rounds: int = 2,
+    max_word: int = 16,
+    max_piece: int = 4,
+    seed_multi: int = 64,
+    prune_k: int = 16,
+) -> str:
+    """CTE chain for the unigram-LM tokenizer trainer
+    (unigram_lm.unigram_lm_pieces): seed substring inventory, then
+    `rounds` unrolled hard-EM rounds (E: integer-cost Viterbi over the
+    word table, ties to the longer piece; M: usage re-count, bottom-k
+    multi-char prune, add-one smoothing). Ends with k{rounds}(piece,
+    cnt). The only libm call per round is ln() inside the cost
+    quantization — identical arithmetic tree to the operator's
+    _cost_map."""
+    parts = [f"""wcw AS MATERIALIZED (
+  SELECT word, length(word) AS wl, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE length(word) <= {max_word}
+  GROUP BY word
+),
+sub AS (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT w.n,
+           unnest(flatten(list_transform(generate_series(1, w.wl), i ->
+             list_transform(generate_series(1, least({max_piece},
+                                                     w.wl - i + 1)),
+                            j -> substr(w.word, i, j))))) AS piece
+    FROM wcw w
+  ) GROUP BY piece
+),
+seedr AS (
+  SELECT piece, cnt,
+         row_number() OVER (PARTITION BY (length(piece) > 1)
+                            ORDER BY cnt DESC, piece ASC) AS r
+  FROM sub
+),
+k0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seedr WHERE length(piece) = 1 OR r <= {seed_multi}
+)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+t{r} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM k{p}),
+c{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(t.tot / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+           AS cost6
+  FROM k{p}, t{r} t
+)""")
+        parts.append(_ulm_fwd_bwd(r, f"c{r}", max_word, max_piece))
+        parts.append(f""",
+nm{r} AS (SELECT count(*) AS n_multi FROM k{p} WHERE length(piece) > 1),
+mk{r} AS (
+  SELECT k.piece,
+         row_number() OVER (ORDER BY coalesce(u.usage, 0) DESC,
+                            k.piece ASC) AS mr
+  FROM k{p} k LEFT JOIN u{r} u ON u.piece = k.piece
+  WHERE length(k.piece) > 1
+),
+k{r} AS MATERIALIZED (
+  SELECT k.piece, CAST(coalesce(u.usage, 0) + 1 AS BIGINT) AS cnt
+  FROM k{p} k LEFT JOIN u{r} u ON u.piece = k.piece
+  WHERE length(k.piece) = 1
+     OR k.piece IN (SELECT piece FROM mk{r}, nm{r}
+                    WHERE mr <= greatest(n_multi - {prune_k}, 0))
+)""")
+    return "".join(parts)
+
+
+def unigram_lm_pieces(rounds: int = 2) -> str:
+    """Oracle for unigram_lm.unigram_lm_pieces: the identical unrolled
+    hard-EM chain, emitting the final float-free piece table."""
+    return f"""
+WITH {_ulm_ctes(rounds=rounds)},
+tf AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM k{rounds})
+SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt,
+       CAST(round(ln(t.tot / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         AS cost_micro
+FROM k{rounds}, tf t
+ORDER BY piece
+"""
+
+
+def unigram_fertility(rounds: int = 2) -> str:
+    """Oracle for unigram_lm fertility: one more Viterbi pass under the
+    FINAL piece costs gives per-word piece counts; per-doc counts are a
+    join (never a per-doc DP replay); per-source rollup with microunit
+    fertility. Words over the length cap fall back to char count."""
+    r = rounds + 1
+    fert = micro6_sql("CAST(sum(o.occ * onp.npw) AS DOUBLE)"
+                      " / sum(o.occ)")
+    return f"""
+WITH {_ulm_ctes(rounds=rounds)},
+t{r} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM k{rounds}),
+c{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(t.tot / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+           AS cost6
+  FROM k{rounds}, t{r} t
+){_ulm_fwd_bwd(r, f"c{r}")},
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+onp AS (
+  SELECT o.doc_id, o.occ,
+         coalesce(p.npw, length(o.word)) AS npw
+  FROM occ o LEFT JOIN pw{r} p ON p.word = o.word
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(occ) AS BIGINT) AS n_words,
+         CAST(sum(occ * npw) AS BIGINT) AS n_pieces
+  FROM onp GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+       CAST(sum(pd.n_pieces) AS BIGINT) AS n_pieces,
+       {micro6_sql("CAST(sum(pd.n_pieces) AS DOUBLE) / sum(pd.n_words)")}
+         AS fertility
+FROM documents d JOIN per_doc pd USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -173,6 +173,66 @@ def _serving_latency_ms(spark, sf_dir: str, n_reps: int = 9) -> dict[str, float]
             runq().collect()
             samples.append(1000.0 * (time.perf_counter() - t0))
         out[f"{ename}_grep_cold_ms"] = round(statistics.median(samples), 1)
+
+    # COLD-corpus SEARCH tier (VERDICT r9 #7) — the dense leg's twin of
+    # the cold grep pair: the IVF store HELD OPEN (pinned snapshot) vs a
+    # brute-force cosine that must re-read the embeddings parquet every
+    # query. The warm search pair above is nearly a tie (open indexes vs
+    # an in-memory corpus); this pair measures the regime the index
+    # exists for — at 100 TB the corpus never sits in memory.
+    from pyspark.sql import functions as F
+
+    from workspace_qdrant_mcp_spark.operators import ann as ann_ops
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    cents = (
+        spark.read.parquet(emb_path)
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
+        .localCheckpoint()
+    )
+    import os as _os
+
+    ann_base = _os.path.join(
+        tempfile.mkdtemp(prefix="wqm_bench_ann_"), "ann_cells"
+    )
+    ann_ops.update_ann_store(
+        spark, ann_base, cents,
+        changed_vecs=spark.read.parquet(emb_path),
+    )
+    open_store = ann_ops.read_ann_store(spark, ann_base).localCheckpoint()
+    qvec = spark.read.parquet(emb_path).filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint()
+    for ename, runq in (
+        (
+            "indexed",
+            lambda: ann_ops.ann_store_topk(
+                spark, ann_base, cents, qvec, k=10, n_probe=3,
+                assigned=open_store,
+            ),
+        ),
+        (
+            "scan",
+            lambda: ann_ops.bruteforce_topk(
+                spark.read.parquet(emb_path), qvec, k=10
+            ),
+        ),
+    ):
+        runq().collect()  # plan/codegen warm; data path stays cold
+        samples = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            runq().collect()
+            samples.append(1000.0 * (time.perf_counter() - t0))
+        out[f"{ename}_search_cold_ms"] = round(statistics.median(samples), 1)
+
+    # serving REFRESH cost (VERDICT r9 #5): one full rebuild + snapshot
+    # swap — what a drift alarm costs the engine end-to-end.
+    t0 = time.perf_counter()
+    served.enable_store_serving(tempfile.mkdtemp(prefix="wqm_bench_rf_"))
+    out["serving_refresh_ms"] = round(1000.0 * (time.perf_counter() - t0), 1)
+    ckpt.clear_unpinned(spark)
     return out
 
 

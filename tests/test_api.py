@@ -376,6 +376,83 @@ class TestServingRefresh:
         assert a == b and a
 
 
+class TestDriftRefreshLifecycle:
+    def test_drift_triggers_refresh_and_recall_recovers(
+        self, spark, tmp_path_factory
+    ):
+        # VERDICT r9 #5: the monitor and the swap, WIRED — a long-lived
+        # engine drives drift -> rebuild -> re-snapshot -> recall floor,
+        # with constant pin count across N cycles (the leak test).
+        from pyspark.sql import functions as F
+
+        from workspace_qdrant_mcp_spark import ckpt
+
+        base = str(tmp_path_factory.mktemp("drift_refresh"))
+        eng = WqmEngine(spark, SF_SMOKE)
+        eng.enable_store_serving(base, n_probe=10)  # all cells: exact
+
+        # calm corpus: the monitor stays quiet and nothing rebuilds
+        r0 = eng.refresh_serving_if_drifted()
+        assert not r0["refreshed"] and r0["psi"] <= 0.2
+        assert r0["n_ref"] == r0["n_cur"]
+
+        # corpus drifts: a third of the chunks' dense vectors shift by
+        # +8.0 per dimension (the ann_store_drift query's shift — it
+        # collapses the drifted third into its dominant cell)
+        drifted_chunks = ckpt.pin(
+            spark,
+            lambda: eng.chunks.withColumn(
+                "dense",
+                F.when(
+                    F.crc32(F.col("point_id")) % 3 == 0,
+                    F.transform("dense", lambda x: x + F.lit(8.0)),
+                ).otherwise(F.col("dense")),
+            ).localCheckpoint(),
+        )
+        eng._chunks = drifted_chunks
+
+        gens = [set(eng._snapshot_pins)]
+        reports = []
+        for _ in range(3):
+            reports.append(eng.refresh_serving_if_drifted())
+            gens.append(set(eng._snapshot_pins))
+        # cycle 1 trips and rebuilds; the rebuilt store matches the new
+        # corpus so cycles 2..N stay quiet — the monitor CONVERGES
+        assert reports[0]["drifted"] and reports[0]["refreshed"]
+        for r in reports[1:]:
+            assert not r["refreshed"] and r["psi"] <= 0.2
+        # no leak across refresh cycles: every superseded snapshot
+        # generation of THIS engine fully releases (scoped to the
+        # engine's own block ids — a global pin count races with other
+        # engines' ContextCleaner GC), while the live generation stays
+        # pinned and persisted. release() is non-blocking: poll.
+        import time as _time
+
+        current = gens[-1]
+        superseded = set().union(*gens[:-1]) - current
+        assert superseded, "the refresh never swapped a generation"
+        for _ in range(50):
+            if not (superseded & ckpt.persistent_ids(spark)):
+                break
+            _time.sleep(0.1)
+        assert not (superseded & ckpt.persistent_ids(spark))
+        assert not (superseded & ckpt._PINNED)
+        assert current <= ckpt.persistent_ids(spark)
+        assert current <= ckpt._PINNED
+
+        # recall floor: after the refresh, serving off the rebuilt
+        # store equals the scan path over the SAME drifted corpus,
+        # row-for-row (n_probe covers all cells -> exactness contract)
+        scan = WqmEngine(spark, SF_SMOKE)
+        scan._chunks = drifted_chunks
+        for mode in ("hybrid", "semantic", "keyword"):
+            a = sorted(map(tuple, scan.search(
+                "dup spark vector", mode=mode, limit=10).collect()))
+            b = sorted(map(tuple, eng.search(
+                "dup spark vector", mode=mode, limit=10).collect()))
+            assert a == b and a, mode
+
+
 class TestGrepIndexed:
     """r8 T3 upgrade: exact grep off the maintained trigram index must
     equal the full scan (lossless prefilter), the maintained index must

@@ -59,8 +59,13 @@ class WqmEngine:
         self._snapshot_pins: set[int] = set()
 
     def enable_store_serving(
-        self, base_dir: str, n_cells: int = 10, n_probe: int = 3
+        self, base_dir: str, n_cells: int = 10, n_probe: int = 4
     ) -> None:
+        # default n_probe=4: the r10 selectivity sweep (PERF_NOTES)
+        # measured recall@10 of 0.30/0.70/0.70/0.90/0.90/1.00 for
+        # n_probe 1/2/3/4/6/10 at sf0.1 with 10 cells, latency flat —
+        # 4 is the knee (0.90 recall at 40% of the corpus probed; the
+        # latency cost is proportional to n_probe/n_cells at scale).
         """Build (or refresh) the maintained serving stores for this
         engine's chunks corpus and switch search() onto them — the
         deployment shape (the reference daemon serves every query off
@@ -129,6 +134,9 @@ class WqmEngine:
         self._ann_centroids = cents
         self._ann_n_probe = n_probe
         self._grams_path = grams_path
+        # remembered for refresh_serving_if_drifted's rebuild call:
+        self._serving_base_dir = base_dir
+        self._ann_n_cells = n_cells
         # hold the indexes OPEN: one read + pinned localCheckpoint per
         # store at enable time; every query serves off the in-memory
         # snapshot. Re-calling enable_store_serving REFRESHES: the new
@@ -158,6 +166,52 @@ class WqmEngine:
         )
         self._snapshot_pins = p_cents | p1 | p2 | p3
         ckpt.release_pins(self.spark, old_pins - self._snapshot_pins)
+
+    def refresh_serving_if_drifted(self, threshold_psi: float = 0.2) -> dict:
+        """The ann_store_drift playbook WIRED end-to-end (the monitor's
+        docstring prescribes it; this executes it): PSI of the CURRENT
+        chunks corpus's frozen-centroid cell shares against the OPEN
+        store snapshot's occupancy profile; above the flag, rebuild via
+        enable_store_serving — whose materialize-then-release swap keeps
+        the pin count CONSTANT across any number of refresh cycles (the
+        leak property test_api asserts). Returns the one-row drift
+        report plus whether a refresh ran (bounded driver action: one
+        row, the fixpoint-probe class).
+
+        Scale shape: the profile is a bounded aggregate over the open
+        snapshot (no parquet read); the current-corpus assignment is the
+        same broadcast-centroid argmax the ingest path pays. Rows for
+        ids REMOVED from the corpus are the reconciliation sweep's job
+        (streaming.ingest.reconcile), not the drift monitor's."""
+        if self._ann_store_df is None:
+            raise ValueError(
+                "store serving is not enabled; call enable_store_serving"
+            )
+        from .operators import ann
+
+        profile = ann.ann_store_profile_df(self._ann_store_df)
+        cur = self.chunks.select(
+            F.col("point_id").alias("vec_id"),
+            F.col("dense").alias("embedding"),
+        )
+        row = ann.ann_store_drift(
+            cur, self._ann_centroids, profile
+        ).collect()[0]
+        psi = float(row["psi"])
+        refreshed = psi > threshold_psi
+        if refreshed:
+            self.enable_store_serving(
+                self._serving_base_dir,
+                n_cells=self._ann_n_cells,
+                n_probe=self._ann_n_probe,
+            )
+        return {
+            "psi": psi,
+            "drifted": bool(row["drifted"]),
+            "n_ref": int(row["n_ref"]),
+            "n_cur": int(row["n_cur"]),
+            "refreshed": refreshed,
+        }
 
     @property
     def chunks(self) -> DataFrame:

@@ -1019,6 +1019,16 @@ def lloyd_kmeans(
     )
 
 
+def ann_store_profile_df(store: DataFrame) -> DataFrame:
+    """ann_store_profile over an ALREADY-OPEN store snapshot (the pinned
+    localCheckpoint api.enable_store_serving holds) — no parquet read."""
+    return (
+        store.groupBy(F.col("cell_id").cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .select(F.lit("ann_cells").alias("grp"), "bucket", "c_ref")
+    )
+
+
 def ann_store_profile(
     spark, store_path: str, id_type: str = "long", vec_type: str = "float"
 ) -> DataFrame:
@@ -1026,11 +1036,8 @@ def ann_store_profile(
     profile in quality.drift_reference's schema: the FROZEN reference
     for ann_store_drift, computed once at (re)build time. One bounded
     aggregate over the store's cell_id column (n_cells rows out)."""
-    return (
+    return ann_store_profile_df(
         read_ann_store(spark, store_path, id_type, vec_type)
-        .groupBy(F.col("cell_id").cast("long").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c_ref"))
-        .select(F.lit("ann_cells").alias("grp"), "bucket", "c_ref")
     )
 
 
@@ -1119,6 +1126,7 @@ def ann_store_topk(
     query_id_col: str = "query_id",
     id_type: str = "long",
     vec_type: str = "float",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rnk) — IVF top-k OFF THE MAINTAINED
     STORE: per query the n_probe nearest cells (against the same frozen
@@ -1127,8 +1135,11 @@ def ann_store_topk(
     over the current corpus (asserted in tests) because the store equals
     the batch assignment — the corpus is never re-assigned at query
     time. id_type/vec_type must match the store's build types (the
-    read_postings discipline)."""
-    assigned = read_ann_store(spark, store_path, id_type, vec_type)
+    read_postings discipline). Pass `assigned` (an already-open pinned
+    snapshot of the store) to skip the per-query parquet read — the
+    open-index serving shape (ann_cell_candidates' contract)."""
+    if assigned is None:
+        assigned = read_ann_store(spark, store_path, id_type, vec_type)
     qcells = _query_probe_cells(
         queries, centroids, n_probe, vec_col, query_id_col
     ).withColumn("cell_id", F.col("cell_id").cast("int"))

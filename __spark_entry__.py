@@ -3071,6 +3071,24 @@ def _q_two_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.batch_k_hop(edges, seeds, max_hops=2)
 
 
+def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (bpe.wordpiece_merges) — the third
+    standard subword trainer (Schuster & Nakajima 2012; BERT), closing
+    the tokenizer family next to bpe_merges and unigram_lm_pieces: same
+    word-table merge machinery, the LIKELIHOOD argmax
+    cnt(l,r)/(cnt(l)*cnt(r)) compared as quantized log microunits
+    (exact int64). Float-free emission. NEW IN r10."""
+    return bpe.wordpiece_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _q_wordpiece_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the WordPiece vocabulary
+    (bpe.wordpiece_doc_tokens): bpe_doc_tokens' contract — a join
+    against the trained word table, never a per-doc replay. NEW IN
+    r10."""
+    return bpe.wordpiece_doc_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (bpe.bpe_merges): 8 unrolled merge rounds
     over the frequency-weighted vocabulary, each round's argmax pair by
@@ -3175,45 +3193,104 @@ def _q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. This is the r9 rotation (VERDICT r8 #1/#2 — close ALL
-    # evidence debt in one window):
-    #   slots 1-4   the four r8 hash-red RETRIES (corpus_report,
-    #               char_entropy, key_skew_report, feature_drift_psi) —
-    #               emission made environment-proof this round via exact
-    #               integer microunits + deterministic ORDER BY on both
-    #               engines (functions/emit.py);
-    #   slots 5-6   the two never-recorded r8 registrations
-    #               (grep_indexed_lines — T3's driver anchor — and
-    #               cluster_balanced_sample);
-    #   slots 7-9   NEW IN r9 — bpe_merges / bpe_doc_tokens (the BPE
-    #               tokenizer-training twin, VERDICT r8 #3) and
-    #               ann_store_drift (the maintained-store staleness
-    #               monitor, VERDICT r8 #6), in-window so their first
-    #               driver evidence lands at birth;
-    #   slots 10-33 ALL 24 remaining r5-green rows — the stalest
-    #               evidence in the suite, now fully drained;
-    #   slots 34-35 temperature_mixture and kmeans_topics, whose code
-    #               changed this round (zero-token guard / loud first-k
-    #               init probe — behavior-identical on this corpus, but
-    #               the r8 rows predate the current code);
-    #   slots 36-50 15 of the 46 r6-green rows (all equally stale; taken
+    # entries only. This is the r10 rotation (VERDICT r9 #1/#2 — kill the
+    # HUGEINT class, then close ALL remaining evidence debt):
+    #   slots 1-6   the six r9 hash-red RETRIES (corpus_report,
+    #               char_entropy, key_skew_report, feature_drift_psi,
+    #               bpe_merges, ann_store_drift) — root cause PROVEN to
+    #               be uncast integer sum() -> DuckDB HUGEINT vs Spark
+    #               LONG; all nine emission sites now CAST AS BIGINT and
+    #               a plan-only gate rejects the whole type class
+    #               (tests/test_oracle_parity.py, oracle_util);
+    #   slots 7-9   the three never-recorded r9 registrations
+    #               (grep_regex_indexed — bpe_fertility carries one of
+    #               the nine casts — sequence_packing_bpe);
+    #   slots 10-13 NEW IN r10 — quality_classifier_weights/scores (the
+    #               trained CCNet/GPT-3-style filter, VERDICT r9 #3) and
+    #               unigram_lm_pieces / unigram_fertility (the
+    #               SentencePiece-style trainer, VERDICT r9 #4) —
+    #               in-window so first driver evidence lands at birth;
+    #   slots 14-44 ALL 31 remaining r6-green rows, alphabetical — the
+    #               stalest evidence in the suite, now fully drained
+    #               (nothing older than r7 remains anywhere);
+    #   slots 45-46 NEW IN r10 mid-round — wordpiece_merges /
+    #               wordpiece_doc_tokens (the third tokenizer trainer),
+    #               in-window at birth, paid for by demoting two of the
+    #               planned r7 retakes;
+    #   slots 47-50 4 of the 49 r7-green rows (all equally stale; taken
     #               in deterministic alphabetical order — the remaining
-    #               31 lead the r10 stale rotation).
-    # Provenance per CORRECTNESS_r01-r08.
+    #               45, bm25_sparse_topk and centroid_rerank first, lead
+    #               the r11 stale rotation).
+    # Provenance per CORRECTNESS_r01-r09.
     return {
-        # Slots 1-4: r8 hash-red retries (microunit emission):
+        # Slots 1-6: r9 hash-red retries (BIGINT-cast oracles):
         "corpus_report": _q_corpus_report,
         "char_entropy": _q_char_entropy,
         "key_skew_report": _q_key_skew_report,
         "feature_drift_psi": _q_feature_drift_psi,
-        # Slots 5-6: registered post-window in r8, first row now:
+        "bpe_merges": _q_bpe_merges,
+        "ann_store_drift": _q_ann_store_drift,
+        # Slots 7-9: registered post-window in r9, first rows now:
+        "grep_regex_indexed": _q_grep_regex_indexed,
+        "sequence_packing_bpe": _q_sequence_packing_bpe,
+        "bpe_fertility": _q_bpe_fertility,
+        # Slots 10-13: NEW IN r10 (oracle-backed + pytest from birth):
+        "quality_classifier_weights": _q_quality_classifier_weights,
+        "quality_classifier_scores": _q_quality_classifier_scores,
+        "unigram_lm_pieces": _q_unigram_lm_pieces,
+        "unigram_fertility": _q_unigram_fertility,
+        # Slots 14-44: the 31 remaining r6-green rows (stalest):
+        "graph_connected_components": _q_graph_components,
+        "graph_context": _q_graph_context,
+        "graph_find_path": _q_graph_find_path,
+        "graph_kcore": _q_graph_kcore,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
+        "grouping_tag_affinity": _q_grouping_tag_affinity,
+        "hapax_eviction": _q_hapax_eviction,
+        "hll_distinct_users": _q_hll_distinct_users,
+        "hybrid_search_rrf": _q_hybrid,
+        "image_search": _q_image_search,
+        "kmv_distinct_users": _q_kmv_distinct_users,
+        "label_propagation": _q_label_propagation,
+        "leiden_invariants": _q_leiden_invariants,
+        "list_summary": _q_list_summary,
+        "list_tree": _q_list_tree,
+        "narrative_explains": _q_narrative_explains,
+        "ngram_jaccard_neardup": _q_ngram_jaccard,
+        "parent_context": _q_parent_context,
+        "predicate_stack": _q_predicate_stack,
+        "quality_metrics": _q_quality_metrics,
+        "relevance_decay_hybrid": _q_decay_hybrid,
+        "rules_dedup_gate": _q_rules_dedup_gate,
+        "scope_resolution": _q_scope_resolution,
+        "scroll_retrieve": _q_scroll_retrieve,
+        "semdedup": _q_semdedup,
+        "simhash_fingerprints": _q_simhash_fp,
+        "splade_search": _q_splade_search,
+        "stub_resolution": _q_stub_resolution,
+        "winnowing_fps": _q_winnowing_fps,
+        # Slots 45-46: NEW IN r10 mid-round — the WordPiece trainer
+        # (tokenizer family completed; two r7 slots demoted to pay):
+        "wordpiece_merges": _q_wordpiece_merges,
+        "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
+        # Slots 47-50: stalest r7 rows, alphabetical:
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "ann_ivf_topk": _q_ann_ivf,
+        "betweenness_exact": _q_betweenness_exact,
+        # ---- below the 50-row window: every row here is r7/r8/r9-green
+        # (newest rows recorded against code unchanged since); they
+        # rotate back through future windows stalest-first — the 45
+        # remaining r7 rows (bm25_sparse_topk and centroid_rerank first,
+        # demoted from the planned 45-50 block to pay for the WordPiece
+        # pair) lead the r11 rotation.
+        "bm25_sparse_topk": _q_bm25_topk,
+        "centroid_rerank": _q_centroid_rerank,
         "grep_indexed_lines": _q_grep_indexed_lines,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
-        # Slots 7-9: NEW IN r9 (oracle-backed + pytest from birth):
-        "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
-        "ann_store_drift": _q_ann_store_drift,
-        # Slots 10-33: the 24 remaining r5-green rows (stalest):
         "taxonomy_tags": _q_taxonomy_tags,
         "nested_chunks_brace": _q_nested_chunks_brace,
         "sessionize": _q_sessionize,
@@ -3238,10 +3315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_decisions": _q_dlq_decisions,
         "orphan_nodes": _q_orphan_nodes,
         "semantic_chunks": _q_semantic_chunks,
-        # Slots 34-35: edited this round (guards; both sides):
         "temperature_mixture": _q_temperature_mixture,
         "kmeans_topics": _q_kmeans_topics,
-        # Slots 36-50: stalest r6 rows, alphabetical:
         "ann_pq_topk": _q_ann_pq,
         "ann_sq_topk": _q_ann_sq,
         "bigram_logppl": _q_bigram_logppl,
@@ -3257,10 +3332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_match_scoring": _q_exact_scoring,
         "fallback_search": _q_fallback_search,
         "funnel_conversion": _q_funnel_conversion,
-        # ---- below the 50-row window: every row here is r6/r7/r8-green
-        # (newest rows recorded against code unchanged since); they
-        # rotate back through future windows stalest-first — the 31
-        # remaining r6 rows lead the r10 rotation.
         "hybrid_search_indexed": _q_hybrid_search_indexed,
         "topk_per_group": _q_topk_per_group,
         "histogram_quantiles": _q_histogram_quantiles,
@@ -3305,39 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "unigram_logppl": _q_unigram_logppl,
         "ann_recall": _q_ann_recall,
-        "winnowing_fps": _q_winnowing_fps,
-        "list_summary": _q_list_summary,
-        "list_tree": _q_list_tree,
-        "hll_distinct_users": _q_hll_distinct_users,
-        "kmv_distinct_users": _q_kmv_distinct_users,
-        "grouping_embedding_affinity": _q_grouping_embedding_affinity,
-        "grouping_tag_affinity": _q_grouping_tag_affinity,
-        "hapax_eviction": _q_hapax_eviction,
-        "narrative_explains": _q_narrative_explains,
-        "predicate_stack": _q_predicate_stack,
-        "quality_metrics": _q_quality_metrics,
-        "relevance_decay_hybrid": _q_decay_hybrid,
-        "rules_dedup_gate": _q_rules_dedup_gate,
-        "scope_resolution": _q_scope_resolution,
-        "scroll_retrieve": _q_scroll_retrieve,
-        "simhash_fingerprints": _q_simhash_fp,
-        "stub_resolution": _q_stub_resolution,
-        "hybrid_search_rrf": _q_hybrid,
-        "parent_context": _q_parent_context,
-        "graph_context": _q_graph_context,
-        "splade_search": _q_splade_search,
-        "image_search": _q_image_search,
-        "graph_find_path": _q_graph_find_path,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_connected_components": _q_graph_components,
-        "label_propagation": _q_label_propagation,
-        "ngram_jaccard_neardup": _q_ngram_jaccard,
-        "semdedup": _q_semdedup,
-        "leiden_invariants": _q_leiden_invariants,
-        "graph_triangles": _q_graph_triangles,
-        "graph_kcore": _q_graph_kcore,
         "shard_assignment": _q_shard_assignment,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "graph_clustering_coeff": _q_graph_clustering,
         "graph_harmonic": _q_graph_harmonic,
         "graph_eccentricity": _q_graph_eccentricity,
@@ -3350,8 +3389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_communities": _q_leiden_communities,
         "fairness_dequeue": _q_fairness_dequeue,
         "tag_expansion_sparse": _q_tag_expansion_sparse,
-        "betweenness_exact": _q_betweenness_exact,
-        "bm25_sparse_topk": _q_bm25_topk,
         "dense_knn_cosine": _q_dense_knn,
         "two_hop_chain": _q_two_hop_chain,
         "minhash_lsh_neardup": _q_minhash_lsh,
@@ -3365,14 +3402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_dequeue_order": _q_queue_dequeue_order,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
-        "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_topk": _q_ann_ivf,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_fingerprint,
         "tfidf_keywords": _q_tfidf_keywords,
         "label_centroids": _q_label_centroids,
-        "centroid_rerank": _q_centroid_rerank,
         "keyword_baskets": _q_keyword_baskets,
         "mmr_tag_selection": _q_mmr_tag_selection,
         "diversity_rerank": _q_diversity,
@@ -3385,17 +3419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embeddings": _q_mock_embeddings,
         "sequence_packing": _q_sequence_packing,
         "dedup_exact": _q_dedup_exact,
-        # NEW IN r9 AFTER the window filled (honest labeling:
-        # oracle-backed + pytest from birth; first driver rows land in
-        # the r10 rotation front):
-        "grep_regex_indexed": _q_grep_regex_indexed,
-        "sequence_packing_bpe": _q_sequence_packing_bpe,
-        "bpe_fertility": _q_bpe_fertility,
-        # NEW IN r10 (moved into the window front by the r10 rotation):
-        "quality_classifier_weights": _q_quality_classifier_weights,
-        "quality_classifier_scores": _q_quality_classifier_scores,
-        "unigram_lm_pieces": _q_unigram_lm_pieces,
-        "unigram_fertility": _q_unigram_fertility,
     }
 
 
@@ -3476,6 +3499,10 @@ def oracle_sql() -> dict[str, str]:
         # fertility report uses microunit emission:
         "unigram_lm_pieces": oracles.unigram_lm_pieces(),
         "unigram_fertility": oracles.unigram_fertility(),
+        # NEW IN r10: WordPiece trainer — likelihood argmax as quantized
+        # log microunits; float-free emissions:
+        "wordpiece_merges": oracles.wordpiece_merges(),
+        "wordpiece_doc_tokens": oracles.wordpiece_doc_tokens(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

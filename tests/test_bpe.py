@@ -118,3 +118,90 @@ class TestBpeFertility:
         f4 = bpe.bpe_fertility(docs, n_merges=4).collect()[0]
         assert f4["fertility"] < r0["fertility"]
         assert f4["n_words"] == 4   # denominators unchanged by merges
+
+
+class TestWordpieceMerges:
+    def test_likelihood_beats_frequency(self, spark):
+        # 'er' appears often but e and r also appear APART everywhere;
+        # 'qu' is rarer but q NEVER appears without u — WordPiece must
+        # pick qu first while BPE (raw frequency) picks er first.
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        rows = [
+            (0, "er er er er er er ee rr ee rr ee rr"),
+            (1, "qu qu qu er er ee rr ee rr"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wp = bpe.wordpiece_merges(docs, n_merges=1).collect()
+        assert (wp[0]["left_sym"], wp[0]["right_sym"]) == ("q", "u")
+        bp = bpe.bpe_merges(docs, n_merges=1).collect()
+        assert (bp[0]["left_sym"], bp[0]["right_sym"]) == ("e", "r")
+
+    def test_matches_python_reference(self, spark):
+        # straight-Python replay of the spec on a tiny corpus: pair and
+        # symbol counts over the word table, score = quantized log
+        # microunits, ties pair ASC, literal-replace merge.
+        import math
+        from collections import Counter
+
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        rows = [(0, "banana band bandana"), (1, "an na ban banana")]
+        texts = [t for _, t in rows]
+        wc = Counter(w for t in texts for w in t.lower().split())
+        words = {w: list(w) for w in wc}
+
+        def one_round():
+            pc, sc = Counter(), Counter()
+            for w, syms in words.items():
+                for s in syms:
+                    sc[s] += wc[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            scored = {
+                p: round(
+                    (math.log(c) - math.log(sc[p[0]]) - math.log(sc[p[1]]))
+                    * 1e6
+                )
+                for p, c in pc.items()
+            }
+            best = min(scored, key=lambda p: (-scored[p], p))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+            return best, pc[best], scored[best]
+
+        want = []
+        for r in range(1, 4):
+            b, cnt, sm = one_round()
+            want.append((r, b[0], b[1], cnt, sm))
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            tuple(r)
+            for r in bpe.wordpiece_merges(docs, n_merges=3).collect()
+        ]
+        assert got == want
+        # and doc tokens reflect the merged symbol counts
+        toks = {
+            r["doc_id"]: (r["n_words"], r["n_wp_tokens"])
+            for r in bpe.wordpiece_doc_tokens(docs, n_merges=3).collect()
+        }
+        want_toks = {
+            i: (
+                len(t.split()),
+                sum(len(words[w]) for w in t.lower().split()),
+            )
+            for i, t in rows
+        }
+        assert toks == want_toks

@@ -100,6 +100,8 @@ R10_SCALE_QUERIES = [
     "quality_classifier_scores",
     "unigram_lm_pieces",
     "unigram_fertility",
+    "wordpiece_merges",
+    "wordpiece_doc_tokens",
 ]
 
 

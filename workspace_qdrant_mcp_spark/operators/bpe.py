@@ -266,3 +266,164 @@ def bpe_doc_tokens(
         )
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece — the third standard subword trainer (Schuster & Nakajima
+# 2012; BERT's tokenizer). Identical machinery to BPE — same word-table
+# representation, same literal-replace merge — with ONE change: the
+# round's winner maximizes the LIKELIHOOD score
+#     score(l, r) = count(l r) / (count(l) * count(r))
+# (the unigram-LM likelihood gain of merging), not the raw pair count.
+# The argmax key is the score's quantized LOG in integer microunits —
+# round((ln(p) - ln(l)) - ln(r)) * 1e6) — so the cross-engine compare is
+# on exact int64 (the house discipline: libm output quantized at the
+# single point it enters a comparison), ties by pair ASC.
+# ---------------------------------------------------------------------------
+
+
+def _symbol_counts(words: DataFrame) -> DataFrame:
+    """(sym, sc): per-symbol occurrence counts over the word table,
+    weighted by word frequency — the denominator of the WordPiece score.
+    Bounded by the vocabulary like _pair_counts."""
+    parts = F.split(F.col("repr"), BOUND)
+    syms = F.slice(parts, F.lit(2), F.size(parts) - F.lit(2))
+    return (
+        words.select("wc", F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("wc").alias("sc"))
+    )
+
+
+def _wp_scored_pairs(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt, score_micro): adjacent pairs with the quantized
+    log-likelihood score. The symbol table is bounded — both joins
+    broadcast."""
+    sc = _symbol_counts(words)
+    lc = sc.select(F.col("sym").alias("lhs"), F.col("sc").alias("lc"))
+    rc = sc.select(F.col("sym").alias("rhs"), F.col("sc").alias("rc"))
+    return (
+        _pair_counts(words)
+        .join(F.broadcast(lc), "lhs")
+        .join(F.broadcast(rc), "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            "cnt",
+            F.round(
+                (
+                    F.log(F.col("cnt").cast("double"))
+                    - F.log(F.col("lc").cast("double"))
+                    - F.log(F.col("rc").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+
+
+def _wp_chain(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """bpe._bpe_chain with the WordPiece argmax: per round the pair
+    maximizing (score_micro DESC, lhs ASC, rhs ASC); same no-op-tail
+    left-join rewrite."""
+    spark = docs.sparkSession
+    roll = ckpt.RollingCheckpoint(spark)
+    words = roll(_word_counts(docs, text_col))
+    bests: list[DataFrame] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            _wp_scored_pairs(words)
+            .orderBy(F.desc("score_micro"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        bests.append(best.select(F.lit(r).alias("merge_round"), "*"))
+        rewritten = F.replace(
+            F.col("repr"),
+            F.concat(
+                F.lit(SEP), F.col("lhs"), F.lit(BOUND),
+                F.col("rhs"), F.lit(SEP),
+            ),
+            F.concat(F.lit(SEP), F.col("lhs"), F.col("rhs"), F.lit(SEP)),
+        )
+        words = roll(
+            words.withColumn("__k", F.lit(1))
+            .join(
+                F.broadcast(best.withColumn("__k", F.lit(1))), "__k", "left"
+            )
+            .select(
+                "word",
+                "wc",
+                F.when(F.col("lhs").isNull(), F.col("repr"))
+                .otherwise(rewritten)
+                .alias("repr"),
+            )
+        )
+    return bests, words
+
+
+def wordpiece_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(merge_round, left_sym, right_sym, pair_count, score_micro) — the
+    learned WordPiece merge table after n_merges unrolled rounds: per
+    round the adjacent pair maximizing the likelihood score (quantized
+    log microunits, ties pair ASC) over the frequency-weighted
+    vocabulary. Float-free emission; contrast directly with bpe_merges
+    (same corpus, same machinery, the other published merge criterion —
+    WordPiece favors pairs whose parts rarely appear apart, BPE favors
+    raw frequency)."""
+    bests, _ = _wp_chain(docs, n_merges, text_col)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_round",
+        F.col("lhs").alias("left_sym"),
+        F.col("rhs").alias("right_sym"),
+        F.col("cnt").alias("pair_count"),
+        "score_micro",
+    ).orderBy("merge_round")
+
+
+def wordpiece_doc_tokens(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_wp_tokens) — per-document token counts under
+    the WordPiece vocabulary: bpe_doc_tokens' contract (a JOIN against
+    the trained word table's symbol counts, never a per-doc replay)."""
+    from ..io import fan_out
+
+    _, words = _wp_chain(docs, n_merges, text_col)
+    parts = F.split(F.col("repr"), BOUND)
+    seg = words.select(
+        "word", (F.size(parts) - F.lit(2)).alias("n_syms")
+    )
+    occ = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.explode(_ws_tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(~F.col("word").contains(SEP))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        occ.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_syms")).cast("bigint").alias(
+                "n_wp_tokens"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -5930,3 +5930,115 @@ FROM documents d JOIN per_doc pd USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def _wp_ctes(n_merges: int = 8) -> str:
+    """The unrolled WordPiece merge-round chain (operators/bpe.py
+    _wp_chain): _bpe_ctes' machinery with the likelihood argmax — per
+    round the pair maximizing round((ln(cnt)-ln(lc)-ln(rc))*1e6)
+    (quantized log microunits, exact int64 compare; ties pair ASC)."""
+    s = "chr(31)"
+    b = "(chr(31) || chr(31))"
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*) AS wc,
+         {b} || array_to_string(
+           list_filter(string_split(word, ''), c -> length(c) > 0), {b}
+         ) || {b} AS repr
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, {s})
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""",
+sy{r} AS MATERIALIZED (
+  SELECT sym, sum(wc) AS sc FROM (
+    SELECT wc, unnest(
+      (string_split(repr, {b}))[2:len(string_split(repr, {b})) - 1]
+    ) AS sym
+    FROM w{p}
+  ) GROUP BY 1
+),
+p{r} AS MATERIALIZED (
+  SELECT pr.l AS lhs, pr.r AS rhs, sum(wc) AS cnt
+  FROM (
+    SELECT wc,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                  i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+    FROM (SELECT wc, (string_split(repr, {b}))[2:len(string_split(repr, {b})) - 1]
+                 AS syms
+          FROM w{p})
+  )
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT p.lhs, p.rhs, p.cnt,
+         CAST(round((ln(CAST(p.cnt AS DOUBLE))
+                     - ln(CAST(l.sc AS DOUBLE))
+                     - ln(CAST(r2.sc AS DOUBLE))) * 1000000) AS BIGINT)
+           AS score_micro
+  FROM p{r} p
+  JOIN sy{r} l ON l.sym = p.lhs
+  JOIN sy{r} r2 ON r2.sym = p.rhs
+  ORDER BY score_micro DESC, p.lhs ASC, p.rhs ASC LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word, wc,
+         CASE WHEN lhs IS NULL THEN repr
+              ELSE replace(repr, {s} || lhs || {b} || rhs || {s},
+                           {s} || lhs || rhs || {s}) END AS repr
+  FROM w{p} LEFT JOIN b{r} ON TRUE
+)""")
+    return "".join(parts)
+
+
+def wordpiece_merges(n_merges: int = 8) -> str:
+    """Oracle for bpe.wordpiece_merges: the unrolled likelihood-argmax
+    merge chain, emitting each round's winner (float-free)."""
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs AS left_sym, rhs AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count, score_micro FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_wp_ctes(n_merges)}
+{sel}
+ORDER BY merge_round
+"""
+
+
+def wordpiece_doc_tokens(n_merges: int = 8) -> str:
+    """Oracle for bpe.wordpiece_doc_tokens: occurrences joined against
+    the WordPiece-trained word table's symbol counts."""
+    b = "(chr(31) || chr(31))"
+    return f"""
+WITH {_wp_ctes(n_merges)},
+seg AS (
+  SELECT word,
+         len(string_split(repr, {b})) - 2 AS n_syms
+  FROM w{n_merges}
+),
+occ AS (
+  SELECT doc_id, word, count(*) AS occ FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS word
+    FROM documents
+  )
+  WHERE NOT contains(word, chr(31))
+  GROUP BY 1, 2
+)
+SELECT o.doc_id,
+       CAST(sum(o.occ) AS BIGINT) AS n_words,
+       CAST(sum(o.occ * s.n_syms) AS BIGINT) AS n_wp_tokens
+FROM occ o JOIN seg s USING (word)
+GROUP BY o.doc_id
+ORDER BY o.doc_id
+"""

@@ -518,3 +518,47 @@ def test_gram_in_filter_pushes_to_parquet_scan(spark, tmp_path):
     assert gram_reads and all(
         "content" not in ln for ln in gram_reads
     ), gram_reads
+
+
+def test_quality_classifier_margins_broadcast_weights(spark):
+    # the GD round's margin pass must broadcast the (dim+1)-row weight
+    # table against the doc-feature table — a SortMergeJoin here would
+    # shuffle the whole corpus per round at scale
+    from pyspark.sql import functions as F
+
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = qc.qc_features(docs)
+    w = spark.range(qc.QC_DIM + 1).select(
+        F.col("id").alias("feat_id"), F.lit(0.1).alias("weight")
+    )
+    plan = _plan(qc._margins(feats, w, "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_viterbi_is_shuffle_free(spark):
+    # the E-step's Viterbi DP is a per-row fold with the piece model
+    # inlined as a map literal: zero joins, zero exchanges — the only
+    # shuffle in the E-step is the downstream usage aggregate
+    from workspace_qdrant_mcp_spark.operators import unigram_lm as ulm
+
+    words = spark.createDataFrame(
+        [("scan", 3), ("table", 2)], "word string, n long"
+    )
+    plan = _plan(ulm.ulm_viterbi_pieces(words, {"s": 5, "c": 5, "a": 5}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_wordpiece_scoring_broadcasts_symbol_counts(spark):
+    # the likelihood score joins pair counts against the bounded symbol
+    # table twice — both must broadcast (the vocab table is the big side)
+    from workspace_qdrant_mcp_spark.operators import bpe
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = bpe._word_counts(docs, "text")
+    plan = _plan(bpe._wp_scored_pairs(words))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

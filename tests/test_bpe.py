@@ -205,3 +205,74 @@ class TestWordpieceMerges:
             for i, t in rows
         }
         assert toks == want_toks
+
+
+class TestTokenStore:
+    def test_apply_only_equals_trained_counts(self, spark):
+        # doc_token_counts_with(docs, merges trained on docs) must equal
+        # bpe_doc_tokens(docs): the trained table's final reprs ARE the
+        # seed reprs with the merge rules replayed in order
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [(0, "banana band bandana"), (1, "an na ban banana scan")],
+            "doc_id long, text string",
+        )
+        merges = bpe.bpe_merges(docs, n_merges=4)
+        a = sorted(map(tuple, bpe.bpe_doc_tokens(docs, n_merges=4).collect()))
+        b = sorted(map(tuple, bpe.doc_token_counts_with(docs, merges).collect()))
+        assert a == b and a
+
+    def test_incremental_equals_rebuild(self, spark, tmp_path):
+        # the store invariant over upsert / re-ingest / delete batches,
+        # with a FROZEN tokenizer trained on the initial corpus — new
+        # batches may contain unseen words (merge replay on the delta
+        # vocab still segments them)
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        path = str(tmp_path / "tokens")
+        d1 = spark.createDataFrame(
+            [(0, "banana band"), (1, "an na ban")], "doc_id long, text string"
+        )
+        d2 = spark.createDataFrame(
+            [(2, "bandana zebra unseen")], "doc_id long, text string"
+        )
+        d0b = spark.createDataFrame(
+            [(0, "banana CHANGED words")], "doc_id long, text string"
+        )
+        merges = bpe.bpe_merges(d1, n_merges=4).localCheckpoint()
+
+        bpe.update_token_store(spark, path, merges, changed_docs=d1)
+        bpe.update_token_store(spark, path, merges, changed_docs=d2)
+        bpe.update_token_store(spark, path, merges, changed_docs=d0b)  # re-ingest 0
+        bpe.update_token_store(
+            spark, path, merges,
+            deleted_ids=spark.createDataFrame([(1,)], "doc_id long"),
+        )
+        current = d0b.unionByName(d2)
+        want = sorted(map(tuple,
+                          bpe.doc_token_counts_with(current, merges).collect()))
+        got = sorted(map(tuple,
+                         bpe.read_token_store(spark, path).collect()))
+        assert got == want and len(got) == 2
+
+    def test_change_plus_delete_in_one_batch(self, spark, tmp_path):
+        # the skeleton's change-wins contract: a doc changed AND deleted
+        # in one call ends up per the caller's arguments, never duplicated
+        from workspace_qdrant_mcp_spark.operators import bpe
+
+        path = str(tmp_path / "tokens2")
+        d1 = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+        )
+        merges = bpe.bpe_merges(d1, n_merges=2).localCheckpoint()
+        bpe.update_token_store(spark, path, merges, changed_docs=d1)
+        bpe.update_token_store(
+            spark, path, merges,
+            changed_docs=spark.createDataFrame(
+                [(1, "d e f g")], "doc_id long, text string"
+            ),
+            deleted_ids=spark.createDataFrame([(0,)], "doc_id long"),
+        )
+        rows = bpe.read_token_store(spark, path).collect()
+        assert [(r["doc_id"], r["n_words"]) for r in rows] == [(1, 4)]

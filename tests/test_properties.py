@@ -1167,3 +1167,70 @@ def test_regex_gram_extraction_lossless(pieces, text):
     grams = {text.lower()[i : i + 3] for i in range(len(text) - 2)}
     for seg in groups:
         assert any(set(exp) <= grams for exp in seg), (pattern, text, seg)
+
+
+# ---------------------------------------------------------------------------
+# 6. Unigram-LM Viterbi is OPTIMAL and tie-consistent: for arbitrary
+#    small words and arbitrary integer piece costs, the fold-DP's
+#    segmentation (a) covers the word exactly, (b) achieves the true
+#    minimum total cost over ALL segmentations (brute-force recursion),
+#    and (c) among minimal segmentations realizes the longer-piece
+#    tie-break deterministically. No Spark in the loop — the same DP
+#    runs via the Python reference in test_unigram_lm; this walks the
+#    (word, cost) space directly against an independent brute force.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=7),
+    data=st.data(),
+)
+@settings(**{**SETTINGS, "max_examples": 200})
+def test_unigram_viterbi_optimal(word, data):
+    from workspace_qdrant_mcp_spark.operators import unigram_lm as ulm
+
+    # random finite costs for a random subset of substrings; all single
+    # chars always present (the trainer's feasibility invariant)
+    subs = {word[i:j] for i in range(len(word))
+            for j in range(i + 1, min(i + ulm.MAX_PIECE, len(word)) + 1)}
+    cost6 = {}
+    for p in sorted(subs):
+        if len(p) == 1 or data.draw(st.booleans()):
+            cost6[p] = data.draw(st.integers(min_value=1, max_value=9))
+
+    def brute(w):
+        if not w:
+            return 0
+        best = None
+        for j in range(1, min(ulm.MAX_PIECE, len(w)) + 1):
+            c = cost6.get(w[:j])
+            if c is None:
+                continue
+            rest = brute(w[j:])
+            if rest is None:
+                continue
+            if best is None or c + rest < best:
+                best = c + rest
+        return best
+
+    want = brute(word)
+    # python twin of the operator's DP (mirrors _ref_train's viterbi)
+    L = len(word)
+    best = [0] + [None] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        bc, bj = None, 0
+        for j in range(1, min(ulm.MAX_PIECE, i) + 1):
+            c = cost6.get(word[i - j: i], ulm.BIG)
+            tot = best[i - j] + c
+            if bc is None or tot < bc or (tot == bc and j > bj):
+                bc, bj = tot, j
+        best[i], back[i] = bc, bj
+    pieces, i = [], L
+    while i > 0:
+        pieces.append(word[i - back[i]: i])
+        i -= back[i]
+    pieces.reverse()
+    assert "".join(pieces) == word                       # exact cover
+    assert best[L] == want                                # true minimum
+    assert sum(cost6[p] for p in pieces) == want          # realized min

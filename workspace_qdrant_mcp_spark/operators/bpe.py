@@ -427,3 +427,147 @@ def wordpiece_doc_tokens(
         )
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLICATION + the maintained token-count store — the serving
+# side of the trainers. A production pipeline trains the vocabulary once
+# (bpe_merges / wordpiece_merges), FREEZES it, and then keeps per-doc
+# token counts current as the corpus changes: packing, mixture budgets,
+# and fertility cards all read the counts table, never re-train. The
+# store follows the house single-table skeleton (store_util): delete =
+# doc_id anti-join; upsert = counts for the DELTA docs only, with the
+# frozen merge list replayed over the delta vocabulary (8 chained
+# literal replaces — BPE inference is merge-rule replay in rule order,
+# Sennrich 2016 §3; no retraining, no corpus rescans).
+# ---------------------------------------------------------------------------
+
+
+def apply_merges(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """words(word, ...repr) + FROZEN merges(merge_round, left_sym,
+    right_sym, ...) → same frame with every merge applied to repr in
+    rule order. The merge list is the bounded model artifact (n_merges
+    rows) — collected and inlined as literal replaces, the broadcast-
+    the-model shape of unigram_lm's cost map."""
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_round").collect()  # bounded: model
+    ]
+    out = F.col("repr")
+    for lhs, rhs in rules:
+        out = F.replace(
+            out,
+            F.concat(F.lit(SEP), F.lit(lhs), F.lit(BOUND),
+                     F.lit(rhs), F.lit(SEP)),
+            F.concat(F.lit(SEP), F.lit(lhs), F.lit(rhs), F.lit(SEP)),
+        )
+    return words.withColumn("repr", out)
+
+
+def doc_token_counts_with(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) under a FROZEN merge table —
+    bpe_doc_tokens' apply-only twin (no training pass): delta vocabulary
+    from the given docs, merge replay on that vocabulary, counts by
+    join."""
+    from ..io import fan_out
+
+    vocab = _word_counts(docs, text_col).drop("wc")
+    seg = apply_merges(vocab, merges).select(
+        "word",
+        (F.size(F.split(F.col("repr"), BOUND)) - F.lit(2)).alias("n_syms"),
+    )
+    occ = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.explode(_ws_tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(~F.col("word").contains(SEP))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        occ.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_syms")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+def read_token_store(spark, store_path: str, id_type: str = "long") -> DataFrame:
+    """The maintained (doc_id, n_words, n_bpe_tokens) counts table;
+    empty-typed frame if the store does not exist yet (the read_postings
+    missing-vs-corrupt discipline)."""
+    import os
+
+    if os.path.exists(store_path):
+        return spark.read.parquet(store_path)
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, _parse_datatype_string,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType([
+            StructField("doc_id", _parse_datatype_string(id_type)),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+        ]),
+    )
+
+
+def update_token_store(
+    spark,
+    store_path: str,
+    merges: DataFrame,
+    changed_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_type: str = "long",
+) -> None:
+    """Incremental token-count maintenance under a FROZEN tokenizer.
+    INVARIANT (asserted in tests): after any update sequence the store
+    equals doc_token_counts_with() over the current corpus with the same
+    merges — incremental == rebuild, so budget queries off the store are
+    exactly the batch counts. Per-batch cost is delta-sized: the merge
+    replay touches only the delta docs' vocabulary."""
+    from ..store_util import overwrite_store, union_keys
+
+    fresh = None
+    if changed_docs is not None:
+        fresh = doc_token_counts_with(
+            changed_docs, merges, text_col, id_col
+        ).select(
+            F.col(id_col).cast(id_type).alias("doc_id"),
+            "n_words",
+            "n_bpe_tokens",
+        )
+    overwrite_store(
+        store_path,
+        read_token_store(spark, store_path, id_type),
+        "doc_id",
+        gone=union_keys(
+            "doc_id",
+            (
+                changed_docs.select(F.col(id_col).cast(id_type).alias("doc_id"))
+                if changed_docs is not None
+                else None
+            ),
+            (
+                deleted_ids.select(F.col("doc_id").cast(id_type))
+                if deleted_ids is not None
+                else None
+            ),
+        ),
+        fresh=fresh,
+    )

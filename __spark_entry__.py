@@ -3071,6 +3071,20 @@ def _q_two_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.batch_k_hop(edges, seeds, max_hops=2)
 
 
+def _q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (curation.doremi_weights, Xie et
+    al. 2023): per-source EXCESS LOSS of the weak proxy LM (corpus
+    unigram) over the strong reference LM (bigram), one deterministic
+    exponentiated-gradient step from uniform, smoothed toward uniform —
+    the mixture-optimization stage between mixture_plan's static targets
+    and temperature_mixture's popularity flattening. Exact int64
+    microunits end-to-end; each exp() re-quantized before the
+    normalization sum. NEW IN r10."""
+    from workspace_qdrant_mcp_spark.operators import curation
+
+    return curation.doremi_weights(load_table(spark, sf_dir, "documents"))
+
+
 def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer TRAINING (bpe.wordpiece_merges) — the third
     standard subword trainer (Schuster & Nakajima 2012; BERT), closing
@@ -3213,14 +3227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slots 14-44 ALL 31 remaining r6-green rows, alphabetical — the
     #               stalest evidence in the suite, now fully drained
     #               (nothing older than r7 remains anywhere);
-    #   slots 45-46 NEW IN r10 mid-round — wordpiece_merges /
-    #               wordpiece_doc_tokens (the third tokenizer trainer),
-    #               in-window at birth, paid for by demoting two of the
-    #               planned r7 retakes;
-    #   slots 47-50 4 of the 49 r7-green rows (all equally stale; taken
+    #   slots 45-47 NEW IN r10 mid-round — wordpiece_merges /
+    #               wordpiece_doc_tokens (the third tokenizer trainer)
+    #               and doremi_weights (excess-loss mixture
+    #               reweighting), in-window at birth, paid for by
+    #               demoting three of the planned r7 retakes;
+    #   slots 48-50 3 of the 49 r7-green rows (all equally stale; taken
     #               in deterministic alphabetical order — the remaining
-    #               45, bm25_sparse_topk and centroid_rerank first, lead
-    #               the r11 stale rotation).
+    #               46, betweenness_exact / bm25_sparse_topk /
+    #               centroid_rerank first, lead the r11 stale rotation).
     # Provenance per CORRECTNESS_r01-r09.
     return {
         # Slots 1-6: r9 hash-red retries (BIGINT-cast oracles):
@@ -3271,21 +3286,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splade_search": _q_splade_search,
         "stub_resolution": _q_stub_resolution,
         "winnowing_fps": _q_winnowing_fps,
-        # Slots 45-46: NEW IN r10 mid-round — the WordPiece trainer
-        # (tokenizer family completed; two r7 slots demoted to pay):
+        # Slots 45-47: NEW IN r10 mid-round — the WordPiece trainer
+        # (tokenizer family completed) and the DoReMi-style mixture
+        # reweighter (three r7 slots demoted to pay):
         "wordpiece_merges": _q_wordpiece_merges,
         "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
-        # Slots 47-50: stalest r7 rows, alphabetical:
+        "doremi_weights": _q_doremi_weights,
+        # Slots 48-50: stalest r7 rows, alphabetical:
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
-        "betweenness_exact": _q_betweenness_exact,
         # ---- below the 50-row window: every row here is r7/r8/r9-green
         # (newest rows recorded against code unchanged since); they
-        # rotate back through future windows stalest-first — the 45
-        # remaining r7 rows (bm25_sparse_topk and centroid_rerank first,
-        # demoted from the planned 45-50 block to pay for the WordPiece
-        # pair) lead the r11 rotation.
+        # rotate back through future windows stalest-first — the 46
+        # remaining r7 rows (betweenness_exact, bm25_sparse_topk and
+        # centroid_rerank first, demoted from the planned 45-50 block to
+        # pay for the WordPiece pair + doremi_weights) lead the r11
+        # rotation.
+        "betweenness_exact": _q_betweenness_exact,
         "bm25_sparse_topk": _q_bm25_topk,
         "centroid_rerank": _q_centroid_rerank,
         "grep_indexed_lines": _q_grep_indexed_lines,
@@ -3503,6 +3521,8 @@ def oracle_sql() -> dict[str, str]:
         # log microunits; float-free emissions:
         "wordpiece_merges": oracles.wordpiece_merges(),
         "wordpiece_doc_tokens": oracles.wordpiece_doc_tokens(),
+        # NEW IN r10: DoReMi-style excess-loss mixture reweighting:
+        "doremi_weights": oracles.doremi_weights(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
         "grep_context_lines": oracles.grep_context_lines(GREP_PATTERN),
         "chunk_text": oracles.chunk_text(),

@@ -482,3 +482,57 @@ class TestTemperatureMixture:
         assert out["src0"]["sampled_share"] == pytest.approx(0.75, abs=1e-6)
         assert out["src1"]["sampled_share"] == pytest.approx(0.25, abs=1e-6)
         assert out["src1"]["boost"] > 1.0 > out["src0"]["boost"]
+
+
+class TestDoremiWeights:
+    def test_monotone_in_excess_and_smoothed(self, spark):
+        # the EG step's core contract: weight order follows excess order
+        # strictly; every weight respects the eps/K uniform floor and
+        # the distribution sums to 1
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        rep = "the cat sat on the mat and the cat sat again " * 4
+        words = [f"w{i}" for i in range(60)]
+        scrambled = " ".join(words)
+        mixed = "alpha beta alpha gamma beta alpha delta " * 3
+        rows = (
+            [(i, rep, "srcA") for i in range(8)]
+            + [(100 + i, scrambled, "srcB") for i in range(8)]
+            + [(200 + i, mixed, "srcC") for i in range(8)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r for r in curation.doremi_weights(docs).collect()}
+        assert set(out) == {"srcA", "srcB", "srcC"}
+        by_excess = sorted(out, key=lambda s: out[s]["excess_logppl"])
+        by_weight = sorted(out, key=lambda s: out[s]["doremi_weight"])
+        assert by_excess == by_weight
+        excesses = [out[s]["excess_logppl"] for s in by_excess]
+        assert len(set(excesses)) == 3  # strictly ordered, not a tie
+        tot = sum(r["doremi_weight"] for r in out.values())
+        assert abs(tot - 1.0) < 1e-5
+        floor = 0.1 / len(out)
+        assert all(r["doremi_weight"] >= floor - 1e-9 for r in out.values())
+
+    def test_eta_zero_is_uniform_smoothing_fixed_point(self, spark):
+        # with eta = 0 the EG step is a no-op: every source gets exactly
+        # (1 - eps)/K + eps/K = 1/K regardless of excess
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        rows = [(0, "a b a b a b", "s1"), (1, "c d e f g h", "s2"),
+                (2, "x y x y x y", "s3")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = curation.doremi_weights(docs, eta=0.0).collect()
+        for r in out:
+            assert abs(r["doremi_weight"] - 1 / 3) < 2e-6
+
+    def test_docs_without_bigrams_carry_no_vote(self, spark):
+        # single-token docs are absent from the bigram LM -> excluded
+        # from the mean (the underlying queries' documented contract)
+        from workspace_qdrant_mcp_spark.operators import curation
+
+        rows = [(0, "alpha", "s1"), (1, "a b c d a b", "s1"),
+                (2, "p q r s p q", "s2")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r["n_docs"] for r in
+               curation.doremi_weights(docs).collect()}
+        assert out == {"s1": 1, "s2": 1}

@@ -102,6 +102,7 @@ R10_SCALE_QUERIES = [
     "unigram_fertility",
     "wordpiece_merges",
     "wordpiece_doc_tokens",
+    "doremi_weights",
 ]
 
 

@@ -529,3 +529,100 @@ def temperature_mixture(
             (F.col("_pa") / F.sum("_pa").over(w)) / F.col("observed_share"), 6
         ).alias("boost"),
     )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    eta: float = 1.0,
+    eps: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, excess_logppl, doremi_weight) — DoReMi-style
+    domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+    Mixtures Speeds Up Language Model Pretraining"): domains where the
+    weak PROXY model's loss exceeds the strong REFERENCE model's loss
+    are upweighted by an exponentiated-gradient step, then smoothed
+    toward uniform. Deterministic twin of the published loop, on
+    purpose: proxy = the corpus-trained unigram LM, reference = the
+    bigram LM (textstats' CCNet stand-ins — the bigram's extra context
+    is exactly the signal a stronger model adds), ONE EG step from
+    uniform instead of iterative proxy retraining (the production loop
+    retrains a small proxy per round; this is its oracle-replayable
+    skeleton, same output contract).
+
+      excess(doc)   = max(logppl_unigram - logppl_bigram, 0)   [microunits]
+      excess(src)   = mean over docs (exact integer sum / count)
+      weight(src)  ∝ exp(eta · excess(src))                    [quantized]
+      final(src)    = (1 - eps) · weight + eps / n_sources
+
+    ENGINE-EXACT: per-doc excess is computed on the two queries'
+    quantized microunit emissions (int64 subtract + clamp), the
+    per-source mean divides an exact integer sum, and each exp() output
+    is re-quantized to microunits before the normalization sum — so the
+    only cross-engine exposure is the house-standard quantized-libm
+    boundary. Docs lacking a bigram (or any token) carry no vote, same
+    as the underlying queries.
+
+    Scale shape: both LM scorings are word-count-shaped (their own
+    docstrings); everything after runs on the bounded source dimension
+    (two window aggregates over n_sources rows)."""
+    from pyspark.sql import Window
+
+    from ..functions.emit import micro6
+    from .textstats import bigram_logppl, unigram_logppl
+
+    u = unigram_logppl(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.round(F.col("logppl") * F.lit(1e6)).cast("long").alias("u6"),
+    )
+    b = bigram_logppl(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.round(F.col("logppl") * F.lit(1e6)).cast("long").alias("b6"),
+    )
+    per_doc = u.join(b, id_col).select(
+        F.col(id_col),
+        F.greatest(F.col("u6") - F.col("b6"), F.lit(0)).alias("e6"),
+    )
+    agg = (
+        docs.select(F.col(id_col), F.col(group_col).alias("source"))
+        .join(per_doc, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e6").alias("s6"),
+        )
+    )
+    w_all = Window.partitionBy()
+    scored = agg.select(
+        "source",
+        "n_docs",
+        micro6(
+            F.col("s6").cast("double")
+            / (F.lit(1e6) * F.col("n_docs").cast("double"))
+        ).alias("excess_logppl"),
+    ).select(
+        "source",
+        "n_docs",
+        "excess_logppl",
+        F.round(F.exp(F.lit(eta) * F.col("excess_logppl")) * F.lit(1e6))
+        .cast("long")
+        .alias("x6"),
+    )
+    return (
+        scored.select(
+            "source",
+            "n_docs",
+            "excess_logppl",
+            micro6(
+                F.lit(1.0 - eps)
+                * (
+                    F.col("x6").cast("double")
+                    / F.sum("x6").over(w_all).cast("double")
+                )
+                + F.lit(eps) / F.count(F.lit(1)).over(w_all).cast("double")
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )

@@ -6042,3 +6042,52 @@ FROM occ o JOIN seg s USING (word)
 GROUP BY o.doc_id
 ORDER BY o.doc_id
 """
+
+
+def doremi_weights(eta: float = 1.0, eps: float = 0.1) -> str:
+    """Oracle for curation.doremi_weights: per-doc excess on the two LM
+    oracles' quantized emissions (exact int64), per-source mean from an
+    exact integer sum, one EG step with each exp() re-quantized before
+    the normalization sum — the identical arithmetic tree."""
+    ex = micro6_sql(
+        "CAST(s6 AS DOUBLE) / (1000000.0 * CAST(n_docs AS DOUBLE))"
+    )
+    w = micro6_sql(
+        f"{1.0 - eps!r} * (CAST(x6 AS DOUBLE) / t.tx) + {eps!r} / t.k"
+    )
+    return f"""
+WITH uq AS (
+  SELECT doc_id, CAST(round(logppl * 1000000) AS BIGINT) AS u6
+  FROM ({unigram_logppl()})
+),
+bq AS (
+  SELECT doc_id, CAST(round(logppl * 1000000) AS BIGINT) AS b6
+  FROM ({bigram_logppl()})
+),
+pd AS (
+  SELECT doc_id, greatest(u6 - b6, 0) AS e6
+  FROM uq JOIN bq USING (doc_id)
+),
+agg AS (
+  SELECT d.source, count(*) AS n_docs, CAST(sum(e6) AS BIGINT) AS s6
+  FROM documents d JOIN pd USING (doc_id)
+  GROUP BY 1
+),
+ex AS (
+  SELECT source, n_docs, {ex} AS excess_logppl FROM agg
+),
+x AS (
+  SELECT source, n_docs, excess_logppl,
+         CAST(round(exp({float(eta)!r} * excess_logppl) * 1000000)
+              AS BIGINT) AS x6
+  FROM ex
+),
+t AS (
+  SELECT CAST(sum(x6) AS DOUBLE) AS tx,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM x
+)
+SELECT source, n_docs, excess_logppl, {w} AS doremi_weight
+FROM x, t
+ORDER BY source
+"""

@@ -1052,6 +1052,17 @@ def _q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_logppl(load_table(spark, sf_dir, "documents"))
 
 
+def _q_kn_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (textstats.kn_bigram_logppl) —
+    the smoothing KenLM/CCNet actually uses (Kneser & Ney 1995; Chen &
+    Goodman 1998): absolute discounting + continuation probability,
+    completing the LM ladder unigram -> add-one bigram -> KN bigram.
+    NEW IN r10 continuation session; in-window at birth."""
+    return textstats.kn_bigram_logppl(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
     indexed-file rollup over the chunk store — files + chunk counts.
@@ -3103,6 +3114,15 @@ def _q_wordpiece_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.wordpiece_doc_tokens(load_table(spark, sf_dir, "documents"))
 
 
+def _q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-selection data card (bpe.tokenizer_compare): all
+    three trained subword families — BPE, unigram-LM, WordPiece —
+    scored side-by-side per source on the same corpus (n_tokens +
+    fertility), the bake-off a pipeline publishes before freezing its
+    vocabulary. NEW IN r10 continuation session; in-window at birth."""
+    return bpe.tokenizer_compare(load_table(spark, sf_dir, "documents"))
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (bpe.bpe_merges): 8 unrolled merge rounds
     over the frequency-weighted vocabulary, each round's argmax pair by
@@ -3232,10 +3252,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               and doremi_weights (excess-loss mixture
     #               reweighting), in-window at birth, paid for by
     #               demoting three of the planned r7 retakes;
-    #   slots 48-50 3 of the 49 r7-green rows (all equally stale; taken
-    #               in deterministic alphabetical order — the remaining
-    #               46, betweenness_exact / bm25_sparse_topk /
-    #               centroid_rerank first, lead the r11 stale rotation).
+    #   slots 48-49 NEW IN r10 continuation session — kn_bigram_logppl
+    #               (interpolated Kneser-Ney, the smoothing KenLM/CCNet
+    #               actually uses) and tokenizer_compare (the
+    #               three-family fertility bake-off card), in-window at
+    #               birth, paid for by demoting two more r7 retakes
+    #               (ann_ivf_pq_topk / ann_ivf_topk);
+    #   slot  50    1 of the 49 r7-green rows (all equally stale; taken
+    #               in deterministic alphabetical order —
+    #               ann_bruteforce_topk; the remaining 48,
+    #               ann_ivf_pq_topk / ann_ivf_topk / betweenness_exact
+    #               first, lead the r11 stale rotation).
     # Provenance per CORRECTNESS_r01-r09.
     return {
         # Slots 1-6: r9 hash-red retries (BIGINT-cast oracles):
@@ -3292,17 +3319,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_merges": _q_wordpiece_merges,
         "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
         "doremi_weights": _q_doremi_weights,
-        # Slots 48-50: stalest r7 rows, alphabetical:
+        # Slots 48-49: NEW IN r10 continuation session:
+        "kn_bigram_logppl": _q_kn_bigram_logppl,
+        "tokenizer_compare": _q_tokenizer_compare,
+        # Slot 50: stalest r7 row, alphabetical:
         "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq,
-        "ann_ivf_topk": _q_ann_ivf,
         # ---- below the 50-row window: every row here is r7/r8/r9-green
         # (newest rows recorded against code unchanged since); they
-        # rotate back through future windows stalest-first — the 46
-        # remaining r7 rows (betweenness_exact, bm25_sparse_topk and
-        # centroid_rerank first, demoted from the planned 45-50 block to
-        # pay for the WordPiece pair + doremi_weights) lead the r11
-        # rotation.
+        # rotate back through future windows stalest-first — the 48
+        # remaining r7 rows (ann_ivf_pq_topk, ann_ivf_topk,
+        # betweenness_exact first, demoted from the planned 45-50 block
+        # to pay for the WordPiece pair + doremi_weights + the
+        # continuation session's kn_bigram_logppl / tokenizer_compare)
+        # lead the r11 rotation.
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "ann_ivf_topk": _q_ann_ivf,
         "betweenness_exact": _q_betweenness_exact,
         "bm25_sparse_topk": _q_bm25_topk,
         "centroid_rerank": _q_centroid_rerank,
@@ -3521,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
         # log microunits; float-free emissions:
         "wordpiece_merges": oracles.wordpiece_merges(),
         "wordpiece_doc_tokens": oracles.wordpiece_doc_tokens(),
+        "tokenizer_compare": oracles.tokenizer_compare(),
         # NEW IN r10: DoReMi-style excess-loss mixture reweighting:
         "doremi_weights": oracles.doremi_weights(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),
@@ -3560,6 +3592,7 @@ def oracle_sql() -> dict[str, str]:
         "list_summary": oracles.list_summary(),
         "list_tree": oracles.list_tree(),
         "bigram_logppl": oracles.bigram_logppl(),
+        "kn_bigram_logppl": oracles.kn_bigram_logppl(),
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),

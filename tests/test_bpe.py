@@ -207,6 +207,60 @@ class TestWordpieceMerges:
         assert toks == want_toks
 
 
+class TestTokenizerCompare:
+    def test_union_matches_standalone_families(self, spark):
+        # the compare card must be EXACTLY the three standalone
+        # fertility tables under a family tag — no re-derivation drift
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat sat", "s0"),
+                (1, "the mat sat", "s0"),
+                (2, "quick quack quorum", "s1"),
+                (3, "the the the", "s1"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        card = {
+            (r["source"], r["family"]): (
+                r["n_docs"], r["n_words"], r["n_tokens"], r["fertility"]
+            )
+            for r in bpe.tokenizer_compare(docs, n_merges=3).collect()
+        }
+        assert sorted({f for _, f in card}) == ["bpe", "unigram",
+                                                "wordpiece"]
+        from workspace_qdrant_mcp_spark.operators.unigram_lm import (
+            unigram_fertility,
+        )
+
+        for fam, frame, ncol in [
+            ("bpe", bpe.bpe_fertility(docs, n_merges=3), "n_bpe_tokens"),
+            ("unigram", unigram_fertility(docs), "n_pieces"),
+            ("wordpiece", bpe.wordpiece_fertility(docs, n_merges=3),
+             "n_wp_tokens"),
+        ]:
+            for r in frame.collect():
+                assert card[(r["source"], fam)] == (
+                    r["n_docs"], r["n_words"], r[ncol], r["fertility"]
+                ), (fam, r["source"])
+
+    def test_families_disagree_on_constructed_corpus(self, spark):
+        # the split-brain corpus from TestWordpieceMerges: likelihood
+        # (WordPiece) and frequency (BPE) pick different first merges,
+        # so the learned vocabularies — and the fertility card — differ
+        docs = spark.createDataFrame(
+            [
+                (0, "quiz quit quip quad", "s0"),
+                (1, "tata tate tame gate", "s0"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        card = {
+            (r["family"]): r["n_tokens"]
+            for r in bpe.tokenizer_compare(docs, n_merges=2).collect()
+        }
+        assert card["bpe"] != card["wordpiece"]
+
+
 class TestTokenStore:
     def test_apply_only_equals_trained_counts(self, spark):
         # doc_token_counts_with(docs, merges trained on docs) must equal

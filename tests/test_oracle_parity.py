@@ -103,6 +103,8 @@ R10_SCALE_QUERIES = [
     "wordpiece_merges",
     "wordpiece_doc_tokens",
     "doremi_weights",
+    "kn_bigram_logppl",
+    "tokenizer_compare",
 ]
 
 

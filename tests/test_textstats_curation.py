@@ -264,6 +264,84 @@ class TestBigramLogppl:
         assert out[9] > out[1]
 
 
+class TestKnBigramLogppl:
+    """Interpolated Kneser-Ney bigram LM vs a straight-Python reference
+    (Chen & Goodman 1998 eq. 4.25) computed independently of both
+    engines."""
+
+    @staticmethod
+    def _ref_kn(texts: dict[int, str], discount: float = 0.75):
+        import math
+        from collections import Counter
+
+        bgs: dict[int, list[tuple[str, str]]] = {}
+        all_bg: Counter = Counter()
+        for did, t in texts.items():
+            toks = [w for w in t.lower().split() if w]
+            b = list(zip(toks, toks[1:]))
+            if b:
+                bgs[did] = b
+                all_bg.update(b)
+        c_ctx: Counter = Counter()
+        n1_fwd: Counter = Counter()
+        n1_bwd: Counter = Counter()
+        for (w1, w2), c in all_bg.items():
+            c_ctx[w1] += c
+            n1_fwd[w1] += 1
+            n1_bwd[w2] += 1
+        n_types = len(all_bg)
+        out = {}
+        for did, b in bgs.items():
+            s = 0
+            for w1, w2 in b:
+                p = max(all_bg[(w1, w2)] - discount, 0.0) / c_ctx[w1] + (
+                    discount * n1_fwd[w1] / c_ctx[w1]
+                ) * (n1_bwd[w2] / n_types)
+                s += round(math.log(p) * 1e6)
+            lp = -(s / 1e6) / len(b)
+            out[did] = (len(b), round(lp * 1e6) / 1e6)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        texts = {
+            1: "san francisco is big",
+            2: "new york is big",
+            3: "san francisco san francisco",
+            4: "is big is big is",
+            5: "solo",
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["logppl"])
+            for r in textstats.kn_bigram_logppl(docs).collect()
+        }
+        assert got == self._ref_kn(texts)
+
+    def test_continuation_penalizes_one_context_words(self, spark):
+        # 'francisco' is FREQUENT but only ever follows 'san'; 'big'
+        # is equally frequent but follows many contexts. A novel
+        # transition INTO 'big' must score better than one into
+        # 'francisco' — the continuation-probability signal raw
+        # add-one smoothing cannot express (both bigrams here are
+        # singletons with the same context count, so add-one ties them).
+        texts = {i: "san francisco" for i in range(1, 7)}
+        texts.update({10 + j: w + " big" for j, w in
+                      enumerate(["was", "grew", "seems", "looks", "felt",
+                                 "got"])})
+        texts[30] = "the francisco"   # novel ctx -> one-context word
+        texts[31] = "the big"         # novel ctx -> many-context word
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["logppl"]
+            for r in textstats.kn_bigram_logppl(docs).collect()
+        }
+        assert out[31] < out[30]
+
+
 class TestPmiCollocations:
     def test_hand_computed(self, spark):
         # corpus: "a b" x3 plus "c d" once and a stray "a d" once.

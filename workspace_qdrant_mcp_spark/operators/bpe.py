@@ -429,6 +429,91 @@ def wordpiece_doc_tokens(
     )
 
 
+def wordpiece_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_words, n_wp_tokens, fertility) — per-source
+    fertility under the WordPiece vocabulary: bpe_fertility's contract
+    (wordpiece_doc_tokens' counts + one map-side-combinable per-source
+    rollup, microunit float emission)."""
+    from ..functions.emit import micro6
+
+    per_doc = wordpiece_doc_tokens(docs, n_merges, text_col, id_col)
+    return (
+        docs.select(F.col(id_col), F.col(group_col).alias("source"))
+        .join(per_doc, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_wp_tokens").alias("n_wp_tokens"),
+            micro6(
+                F.sum("n_wp_tokens").cast("double") / F.sum("n_words")
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+def tokenizer_compare(
+    docs: DataFrame,
+    n_merges: int = 8,
+    ulm_rounds: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, family, n_docs, n_words, n_tokens, fertility) — the
+    TOKENIZER-SELECTION data card: all three trained subword families
+    (BPE / unigram-LM / WordPiece) scored side-by-side per source on the
+    same corpus, the comparison a tokenizer-training run publishes
+    before freezing a vocabulary (HuggingFace tokenizers' standard
+    bake-off; Rust reference context: the engine trains/loads one fixed
+    tokenizer, `embedding/generator.rs` — choosing it is this table).
+    Lower fertility = that family's vocabulary covers the source with
+    fewer subwords. Deterministic order: (source, family).
+
+    Plan shape: three independent trainer chains (each touches the
+    corpus once per their own contracts) + a 3-way UNION ALL of
+    source-sized rollups — nothing new shuffles beyond the trainers
+    themselves."""
+    from .unigram_lm import ROUNDS as _ULM_ROUNDS
+    from .unigram_lm import unigram_fertility
+
+    r = _ULM_ROUNDS if ulm_rounds is None else ulm_rounds
+    b = bpe_fertility(docs, n_merges, text_col, id_col, group_col).select(
+        "source",
+        F.lit("bpe").alias("family"),
+        "n_docs",
+        "n_words",
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        "fertility",
+    )
+    u = unigram_fertility(docs, r, text_col, id_col, group_col).select(
+        "source",
+        F.lit("unigram").alias("family"),
+        "n_docs",
+        "n_words",
+        F.col("n_pieces").alias("n_tokens"),
+        "fertility",
+    )
+    w = wordpiece_fertility(
+        docs, n_merges, text_col, id_col, group_col
+    ).select(
+        "source",
+        F.lit("wordpiece").alias("family"),
+        "n_docs",
+        "n_words",
+        F.col("n_wp_tokens").alias("n_tokens"),
+        "fertility",
+    )
+    return b.unionAll(u).unionAll(w).orderBy("source", "family")
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer APPLICATION + the maintained token-count store — the serving
 # side of the trainers. A production pipeline trains the vocabulary once

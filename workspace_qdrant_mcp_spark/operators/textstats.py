@@ -533,6 +533,105 @@ def bigram_logppl(
     )
 
 
+def kn_bigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_bigrams, logppl) — interpolated KNESER-NEY bigram LM,
+    the smoothing family KenLM actually implements and CCNet's
+    perplexity filter actually uses (Kneser & Ney 1995; Chen & Goodman
+    1998 eq. 4.25; Wenzek et al. 2020) — the next rung of the LM ladder
+    above `bigram_logppl`'s add-one:
+
+        p_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
+                      + D · N1+(w1 ·)/c(w1 ·) · p_cont(w2)
+        p_cont(w2)  = N1+(· w2) / N1+(· ·)
+
+    with absolute discount D = `discount` (Chen & Goodman's fixed 0.75).
+    The continuation probability scores w2 by how many distinct contexts
+    it FOLLOWS, not raw frequency — the fix for "Francisco is frequent
+    but only ever follows San". logppl = -mean ln p_KN over the doc's
+    bigrams; scoring is over corpus bigrams so every bigram has count
+    >= 1 (no OOV branch needed). Docs with < 2 tokens are absent, like
+    the add-one twin.
+
+    Emission discipline: ln() is the only libm call — its output is
+    quantized to int64 microunits per bigram (the doremi_weights
+    pattern), the per-doc mean is an EXACT integer sum over a bigint
+    count, and the final division is one fixed IEEE expression, so the
+    report hashes bit-identically in any engine.
+
+    Plan shape: ONE bigram explode feeds the count table; the context
+    table c(w1 ·)/N1+(w1 ·), the continuation table N1+(· w2), and the
+    type total are all aggregates OF THE COUNT TABLE (never a second
+    corpus scan); probability joins key on single words against bounded
+    vocab-sized tables; the type total is a 1-row broadcast."""
+    bg_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+        "ELSE array() END"
+    )
+    bg = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(bg_expr)).alias("bg"))
+    )
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .select(
+            "bg",
+            "c_bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    ctx = cnt.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    bwd = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = cnt.agg(F.count(F.lit(1)).alias("n_types"))
+    # fixed IEEE expression — mirrored token-for-token in the oracle SQL
+    pw = (
+        F.greatest(
+            F.col("c_bg").cast("double") - F.lit(float(discount)), F.lit(0.0)
+        )
+        / F.col("c_ctx")
+    ) + (
+        (F.lit(float(discount)) * F.col("n1_fwd") / F.col("c_ctx"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+    )
+    q = (
+        cnt.join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.round(F.log(pw) * F.lit(1e6)).cast("long").alias("lq"),
+        )
+    )
+    return (
+        bg.join(q, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("lq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            micro6(
+                -(F.col("_s").cast("double") / F.lit(1e6))
+                / F.col("n_bigrams")
+            ).alias("logppl"),
+        )
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

@@ -4586,6 +4586,56 @@ FROM d
 """
 
 
+def kn_bigram_logppl(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn_bigram_logppl: interpolated Kneser-Ney
+    bigram LM (Chen & Goodman 1998 eq. 4.25), absolute discount D.
+    ln() output quantized to int64 microunits per bigram, exact integer
+    per-doc sum, one fixed IEEE division chain — token-for-token the
+    Spark expression."""
+    d = float(discount)
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_bigrams")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT bg, count(*) AS c_bg,
+         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bg GROUP BY bg
+),
+ctx AS (
+  SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n1_fwd
+  FROM cnt GROUP BY w1
+),
+bwd AS (SELECT w2, count(*) AS n1_bwd FROM cnt GROUP BY w2),
+tot AS (SELECT count(*) AS n_types FROM cnt),
+q AS (
+  SELECT cnt.bg,
+         CAST(round(ln(
+           (greatest(CAST(c_bg AS DOUBLE) - {d}, 0.0) / c_ctx)
+           + ((({d} * n1_fwd) / c_ctx)
+              * (CAST(n1_bwd AS DOUBLE) / n_types))
+         ) * 1000000) AS BIGINT) AS lq
+  FROM cnt JOIN ctx USING (w1) JOIN bwd USING (w2), tot
+),
+dd AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         CAST(sum(q.lq) AS BIGINT) AS s
+  FROM bg b JOIN q USING (bg) GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, {lp} AS logppl
+FROM dd
+"""
+
+
 def unigram_logppl() -> str:
     """Deterministic unigram-LM perplexity — mirrors
     textstats.unigram_logppl (add-one smoothing over the corpus vocab,
@@ -6041,6 +6091,42 @@ SELECT o.doc_id,
 FROM occ o JOIN seg s USING (word)
 GROUP BY o.doc_id
 ORDER BY o.doc_id
+"""
+
+
+def wordpiece_fertility(n_merges: int = 8) -> str:
+    """Oracle for bpe.wordpiece_fertility: the wordpiece_doc_tokens
+    chain rolled up per source (bpe_fertility's emission contract)."""
+    fert = micro6_sql("CAST(sum(t.n_wp_tokens) AS DOUBLE) / sum(t.n_words)")
+    return f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(t.n_words) AS BIGINT) AS n_words,
+       CAST(sum(t.n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+       {fert} AS fertility
+FROM ({wordpiece_doc_tokens(n_merges)}) t
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def tokenizer_compare(n_merges: int = 8, rounds: int = 2) -> str:
+    """Oracle for bpe.tokenizer_compare: the three fertility oracles
+    UNION ALL'd under a family tag, ordered (source, family)."""
+    return f"""
+SELECT source, 'bpe' AS family, n_docs, n_words,
+       n_bpe_tokens AS n_tokens, fertility
+FROM ({bpe_fertility(n_merges)})
+UNION ALL
+SELECT source, 'unigram' AS family, n_docs, n_words,
+       n_pieces AS n_tokens, fertility
+FROM ({unigram_fertility(rounds)})
+UNION ALL
+SELECT source, 'wordpiece' AS family, n_docs, n_words,
+       n_wp_tokens AS n_tokens, fertility
+FROM ({wordpiece_fertility(n_merges)})
+ORDER BY source, family
 """
 
 

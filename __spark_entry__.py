@@ -1063,6 +1063,18 @@ def _q_kn_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kn_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-LM serving (textstats.kn_bigram_model + kn_score_with):
+    train the Kneser-Ney bigram model on the even-doc_id half, score
+    EVERY document under the frozen artifact with the three-branch
+    backoff (seen / interpolation-only / unk floor) — CCNet's actual
+    deployment split (train on reference, score the stream). NEW IN r10
+    continuation session; in-window at birth."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = textstats.kn_bigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+    return textstats.kn_score_with(docs, model)
+
+
 def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
     indexed-file rollup over the chunk store — files + chunk counts.
@@ -3252,17 +3264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               and doremi_weights (excess-loss mixture
     #               reweighting), in-window at birth, paid for by
     #               demoting three of the planned r7 retakes;
-    #   slots 48-49 NEW IN r10 continuation session — kn_bigram_logppl
+    #   slots 48-50 NEW IN r10 continuation session — kn_bigram_logppl
     #               (interpolated Kneser-Ney, the smoothing KenLM/CCNet
-    #               actually uses) and tokenizer_compare (the
-    #               three-family fertility bake-off card), in-window at
-    #               birth, paid for by demoting two more r7 retakes
-    #               (ann_ivf_pq_topk / ann_ivf_topk);
-    #   slot  50    1 of the 49 r7-green rows (all equally stale; taken
-    #               in deterministic alphabetical order —
-    #               ann_bruteforce_topk; the remaining 48,
-    #               ann_ivf_pq_topk / ann_ivf_topk / betweenness_exact
-    #               first, lead the r11 stale rotation).
+    #               actually uses), tokenizer_compare (the three-family
+    #               fertility bake-off card), and kn_heldout_scores
+    #               (frozen-LM serving: train on the even half, score
+    #               everything with three-branch backoff), in-window at
+    #               birth, paid for by demoting the last three planned
+    #               r7 retakes (ann_bruteforce_topk / ann_ivf_pq_topk /
+    #               ann_ivf_topk — all still r7-green; they lead the
+    #               r11 stale rotation with betweenness_exact next).
     # Provenance per CORRECTNESS_r01-r09.
     return {
         # Slots 1-6: r9 hash-red retries (BIGINT-cast oracles):
@@ -3319,19 +3330,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_merges": _q_wordpiece_merges,
         "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
         "doremi_weights": _q_doremi_weights,
-        # Slots 48-49: NEW IN r10 continuation session:
+        # Slots 48-50: NEW IN r10 continuation session:
         "kn_bigram_logppl": _q_kn_bigram_logppl,
         "tokenizer_compare": _q_tokenizer_compare,
-        # Slot 50: stalest r7 row, alphabetical:
-        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "kn_heldout_scores": _q_kn_heldout_scores,
         # ---- below the 50-row window: every row here is r7/r8/r9-green
         # (newest rows recorded against code unchanged since); they
-        # rotate back through future windows stalest-first — the 48
-        # remaining r7 rows (ann_ivf_pq_topk, ann_ivf_topk,
-        # betweenness_exact first, demoted from the planned 45-50 block
-        # to pay for the WordPiece pair + doremi_weights + the
-        # continuation session's kn_bigram_logppl / tokenizer_compare)
-        # lead the r11 rotation.
+        # rotate back through future windows stalest-first — the 49
+        # remaining r7 rows (ann_bruteforce_topk, ann_ivf_pq_topk,
+        # ann_ivf_topk, betweenness_exact first, demoted from the
+        # planned 45-50 block to pay for the WordPiece pair +
+        # doremi_weights + the continuation session's kn_bigram_logppl
+        # / tokenizer_compare / kn_heldout_scores) lead the r11
+        # rotation.
+        "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
         "betweenness_exact": _q_betweenness_exact,
@@ -3593,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "list_tree": oracles.list_tree(),
         "bigram_logppl": oracles.bigram_logppl(),
         "kn_bigram_logppl": oracles.kn_bigram_logppl(),
+        "kn_heldout_scores": oracles.kn_heldout_scores(),
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),

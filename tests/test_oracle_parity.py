@@ -105,6 +105,7 @@ R10_SCALE_QUERIES = [
     "doremi_weights",
     "kn_bigram_logppl",
     "tokenizer_compare",
+    "kn_heldout_scores",
 ]
 
 

@@ -342,6 +342,133 @@ class TestKnBigramLogppl:
         assert out[31] < out[30]
 
 
+class TestKnFrozenLmServing:
+    """kn_bigram_model + kn_score_with: the frozen-LM serving split
+    (train on reference, score the stream) and its maintained scores
+    store."""
+
+    def test_in_sample_scoring_reproduces_training_query(self, spark):
+        # model trained on the same corpus it scores -> backoff never
+        # fires and every row equals kn_bigram_logppl's
+        docs = _docs(spark, [
+            (1, "san francisco is big"), (2, "new york is big"),
+            (3, "san francisco san francisco"), (4, "is big is big is"),
+        ])
+        model = textstats.kn_bigram_model(docs)
+        got = {
+            r["doc_id"]: r
+            for r in textstats.kn_score_with(docs, model).collect()
+        }
+        want = {
+            r["doc_id"]: r
+            for r in textstats.kn_bigram_logppl(docs).collect()
+        }
+        assert set(got) == set(want)
+        for did, r in got.items():
+            assert (r["n_backoff"], r["n_oov"]) == (0, 0)
+            assert r["n_bigrams"] == want[did]["n_bigrams"]
+            assert r["logppl"] == want[did]["logppl"]
+
+    def test_three_branches_vs_python_reference(self, spark):
+        import math
+
+        ref_texts = {1: "the cat sat", 2: "the dog sat"}
+        # scored doc: "the cat" seen; "cat ran" = backoff? 'cat' is a
+        # seen context? 'cat' appears as w1 ("cat sat") and 'ran' is
+        # never seen as w2 -> OOV branch; "ran sat" -> 'ran' unseen as
+        # w1 -> OOV; "dog sat" seen; "sat the" -> both words known in
+        # the needed roles ('sat' as w1? NO — 'sat' never appears as a
+        # context). Build the expected values straight from the rules.
+        # doc 13's (the, sat): unseen PAIR but 'the' is a known context
+        # and 'sat' a known continuation -> the interpolation-only branch
+        tgt = {10: "the cat ran", 11: "the dog sat",
+               12: "cat sat the cat", 13: "the sat"}
+        D = 0.75
+        from collections import Counter
+
+        def rhalf(x):
+            # Spark/DuckDB round() is HALF AWAY FROM ZERO; Python's
+            # builtin is half-even — the one place they can differ
+            return math.copysign(math.floor(abs(x) + 0.5), x)
+
+        all_bg: Counter = Counter()
+        for t in ref_texts.values():
+            toks = t.split()
+            all_bg.update(zip(toks, toks[1:]))
+        c_ctx: Counter = Counter()
+        n1_fwd: Counter = Counter()
+        n1_bwd: Counter = Counter()
+        for (w1, w2), c in all_bg.items():
+            c_ctx[w1] += c
+            n1_fwd[w1] += 1
+            n1_bwd[w2] += 1
+        n_types = len(all_bg)
+
+        def branch(w1, w2):
+            if (w1, w2) in all_bg:
+                p = max(all_bg[(w1, w2)] - D, 0.0) / c_ctx[w1] + (
+                    D * n1_fwd[w1] / c_ctx[w1]
+                ) * (n1_bwd[w2] / n_types)
+                return int(rhalf(math.log(p) * 1e6)), 0, 0
+            if w1 in c_ctx and w2 in n1_bwd:
+                p = (D * n1_fwd[w1] / c_ctx[w1]) * (n1_bwd[w2] / n_types)
+                return int(rhalf(math.log(p) * 1e6)), 1, 0
+            return int(rhalf(math.log(1.0 / (n_types + 1)) * 1e6)), 0, 1
+
+        want = {}
+        for did, t in tgt.items():
+            toks = t.split()
+            bs = list(zip(toks, toks[1:]))
+            qs = [branch(w1, w2) for w1, w2 in bs]
+            s = sum(q[0] for q in qs)
+            want[did] = (
+                len(bs),
+                sum(q[1] for q in qs),
+                sum(q[2] for q in qs),
+                rhalf((-(s / 1e6) / len(bs)) * 1e6) / 1e6,
+            )
+        model = textstats.kn_bigram_model(_docs(spark, list(ref_texts.items())))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["n_oov"],
+                          r["logppl"])
+            for r in textstats.kn_score_with(
+                _docs(spark, list(tgt.items())), model
+            ).collect()
+        }
+        assert got == want
+        # the fixture must actually exercise all three branches
+        assert sum(w[1] for w in want.values()) > 0
+        assert sum(w[2] for w in want.values()) > 0
+        assert any(w[1] == 0 and w[2] == 0 for w in want.values())
+
+    def test_ppl_store_incremental_equals_rebuild(self, spark, tmp_path):
+        path = str(tmp_path / "ppl_store")
+        ref = _docs(spark, [(1, "a b c"), (2, "a b d"), (3, "c a b")])
+        model = textstats.kn_bigram_model(ref)
+        b1 = _docs(spark, [(10, "a b c d"), (11, "z z z")])
+        b2_changed = _docs(spark, [(10, "a b"), (12, "c a b a")])
+        textstats.update_ppl_store(spark, path, model, changed_docs=b1)
+        textstats.update_ppl_store(
+            spark, path, model, changed_docs=b2_changed
+        )
+        # delete 11 and change 12 in ONE batch (change must win for 12)
+        textstats.update_ppl_store(
+            spark, path, model,
+            changed_docs=_docs(spark, [(12, "b a")]),
+            deleted_ids=spark.createDataFrame([(11,)], "doc_id long"),
+        )
+        corpus = _docs(spark, [(10, "a b"), (12, "b a")])
+        got = sorted(
+            tuple(r)
+            for r in textstats.read_ppl_store(spark, path).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in textstats.kn_score_with(corpus, model).collect()
+        )
+        assert got == want
+
+
 class TestPmiCollocations:
     def test_hand_computed(self, spark):
         # corpus: "a b" x3 plus "c d" once and a stray "a d" once.

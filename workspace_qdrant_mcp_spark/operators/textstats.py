@@ -632,6 +632,286 @@ def kn_bigram_logppl(
     )
 
 
+def kn_bigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """The FROZEN Kneser-Ney bigram model as one persistable long-format
+    table — the artifact CCNet-style filtering trains ONCE on a
+    reference corpus and then serves against every new document (Wenzek
+    et al. 2020 train KenLM on Wikipedia and score Common Crawl with
+    it; this is that split made explicit). Rows by `kind`:
+
+      kind='bg'   bg, a = ln p_KN(w2|w1) quantized to int64 microunits
+                  (seen bigrams — the fully trained path)
+      kind='ctx'  w1, a = c(w1 ·), b = N1+(w1 ·)   (backoff factors)
+      kind='cont' w2, a = N1+(· w2)                (continuation counts)
+      kind='tot'  a = N1+(· ·)                     (bigram type total)
+
+    Raw counts — not precomputed backoff probabilities — are stored for
+    the ctx/cont/tot kinds so the scorer recomputes the interpolation
+    term in one fixed IEEE expression (engine-identical floats). The
+    table is bounded by the reference corpus's bigram-type count: a
+    model artifact, not a data table."""
+    bg_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+        "ELSE array() END"
+    )
+    bg = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.explode(F.expr(bg_expr)).alias("bg"))
+    )
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .select(
+            "bg",
+            "c_bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    ctx = cnt.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    bwd = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = cnt.agg(F.count(F.lit(1)).alias("n_types"))
+    pw = (
+        F.greatest(
+            F.col("c_bg").cast("double") - F.lit(float(discount)), F.lit(0.0)
+        )
+        / F.col("c_ctx")
+    ) + (
+        (F.lit(float(discount)) * F.col("n1_fwd") / F.col("c_ctx"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+    )
+    nul = F.lit(None).cast("string")
+    nulb = F.lit(None).cast("long")
+    bg_rows = (
+        cnt.join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("bg").alias("kind"),
+            F.col("bg"),
+            nul.alias("w1"),
+            nul.alias("w2"),
+            F.round(F.log(pw) * F.lit(1e6)).cast("long").alias("a"),
+            nulb.alias("b"),
+        )
+    )
+    ctx_rows = ctx.select(
+        F.lit("ctx").alias("kind"), nul.alias("bg"), "w1",
+        nul.alias("w2"), F.col("c_ctx").alias("a"),
+        F.col("n1_fwd").alias("b"),
+    )
+    cont_rows = bwd.select(
+        F.lit("cont").alias("kind"), nul.alias("bg"), nul.alias("w1"),
+        "w2", F.col("n1_bwd").alias("a"), nulb.alias("b"),
+    )
+    tot_rows = tot.select(
+        F.lit("tot").alias("kind"), nul.alias("bg"), nul.alias("w1"),
+        nul.alias("w2"), F.col("n_types").alias("a"), nulb.alias("b"),
+    )
+    return (
+        bg_rows.unionByName(ctx_rows)
+        .unionByName(cont_rows)
+        .unionByName(tot_rows)
+    )
+
+
+def kn_score_with(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, n_oov, logppl) — score documents
+    under a FROZEN kn_bigram_model: the out-of-sample/serving half of
+    kn_bigram_logppl (train-on-reference, score-the-stream — CCNet's
+    actual deployment shape; at 100 TB new documents are scored as they
+    arrive against the bounded model artifact, never by retraining).
+    Three branches per scored bigram:
+
+      seen bigram      -> the model's quantized ln p_KN       (n = exact)
+      seen w1 AND w2   -> interpolation weight x continuation:
+                          ln( D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··) )
+                          (the KN backoff term alone)         (n_backoff)
+      unseen w1 or w2  -> uniform unk floor ln(1/(N1+(··)+1)) (n_oov)
+
+    Every branch is quantized to int64 microunits at its single ln()
+    call; the per-doc mean is an exact integer sum (the
+    kn_bigram_logppl emission discipline). Scoring a corpus with a
+    model trained on that same corpus reproduces kn_bigram_logppl
+    row-for-row (asserted in tests) — backoff never fires.
+
+    Plan: the model splits into three bounded lookup tables (bigram /
+    w1 / w2) + a 1-row total; scoring is one bigram explode and three
+    LEFT joins keyed on the bigram and its two words."""
+    bg_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+        "ELSE array() END"
+    )
+    bg = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(bg_expr)).alias("bg"))
+        .select(
+            id_col,
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    bgt = model.filter(F.col("kind") == "bg").select(
+        "bg", F.col("a").alias("lq_seen")
+    )
+    ctx = model.filter(F.col("kind") == "ctx").select(
+        "w1", F.col("a").alias("c_ctx"), F.col("b").alias("n1_fwd")
+    )
+    cont = model.filter(F.col("kind") == "cont").select(
+        "w2", F.col("a").alias("n1_bwd")
+    )
+    tot = model.filter(F.col("kind") == "tot").select(
+        F.col("a").alias("n_types")
+    )
+    d = F.lit(float(discount))
+    backoff = (d * F.col("n1_fwd") / F.col("c_ctx")) * (
+        F.col("n1_bwd").cast("double") / F.col("n_types")
+    )
+    unk = F.lit(1.0) / (F.col("n_types") + F.lit(1)).cast("double")
+    scored = (
+        bg.join(bgt, "bg", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.coalesce(
+                "lq_seen",
+                F.when(
+                    F.col("c_ctx").isNotNull()
+                    & F.col("n1_bwd").isNotNull(),
+                    F.round(F.log(backoff) * F.lit(1e6)).cast("long"),
+                ),
+                F.round(F.log(unk) * F.lit(1e6)).cast("long"),
+            ).alias("lq"),
+            F.col("lq_seen").isNull().cast("int").alias("is_bo"),
+            (
+                F.col("lq_seen").isNull()
+                & (F.col("c_ctx").isNull() | F.col("n1_bwd").isNull())
+            ).cast("int").alias("is_oov"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            (F.sum("is_bo") - F.sum("is_oov")).cast("int").alias(
+                "n_backoff"
+            ),
+            F.sum("is_oov").cast("int").alias("n_oov"),
+            F.sum("lq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_backoff",
+            "n_oov",
+            micro6(
+                -(F.col("_s").cast("double") / F.lit(1e6))
+                / F.col("n_bigrams")
+            ).alias("logppl"),
+        )
+    )
+
+
+def read_ppl_store(spark, store_path: str, id_type: str = "long") -> DataFrame:
+    """The maintained (doc_id, n_bigrams, n_backoff, n_oov, logppl)
+    scores table under a frozen LM; empty-typed frame if the store does
+    not exist yet (the read_postings missing-vs-corrupt discipline)."""
+    import os
+
+    if os.path.exists(store_path):
+        return spark.read.parquet(store_path)
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+        _parse_datatype_string,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType([
+            StructField("doc_id", _parse_datatype_string(id_type)),
+            StructField("n_bigrams", IntegerType()),
+            StructField("n_backoff", IntegerType()),
+            StructField("n_oov", IntegerType()),
+            StructField("logppl", DoubleType()),
+        ]),
+    )
+
+
+def update_ppl_store(
+    spark,
+    store_path: str,
+    model: DataFrame,
+    changed_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_type: str = "long",
+    discount: float = 0.75,
+) -> None:
+    """Incremental perplexity-score maintenance under a FROZEN
+    kn_bigram_model — the LM-filter analog of bpe.update_token_store
+    (the eighth maintained sink). INVARIANT (asserted in tests): after
+    any update sequence the store equals kn_score_with() over the
+    current corpus with the same model — incremental == rebuild, so
+    quality gates reading the store see exactly the batch scores.
+    Per-batch cost is delta-sized: only the changed docs' bigrams are
+    scored; the model is never retrained."""
+    from ..store_util import overwrite_store, union_keys
+
+    fresh = None
+    if changed_docs is not None:
+        fresh = kn_score_with(
+            changed_docs, model, id_col, text_col, discount
+        ).select(
+            F.col(id_col).cast(id_type).alias("doc_id"),
+            "n_bigrams",
+            "n_backoff",
+            "n_oov",
+            "logppl",
+        )
+    overwrite_store(
+        store_path,
+        read_ppl_store(spark, store_path, id_type),
+        "doc_id",
+        gone=union_keys(
+            "doc_id",
+            (
+                changed_docs.select(F.col(id_col).cast(id_type).alias("doc_id"))
+                if changed_docs is not None
+                else None
+            ),
+            (
+                deleted_ids.select(F.col("doc_id").cast(id_type))
+                if deleted_ids is not None
+                else None
+            ),
+        ),
+        fresh=fresh,
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

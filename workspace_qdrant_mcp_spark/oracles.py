@@ -4636,6 +4636,86 @@ FROM dd
 """
 
 
+def kn_heldout_scores(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn_score_with under a model trained on the
+    even-doc_id half (kn_bigram_model): the CCNet train-on-reference /
+    score-the-stream split. Three quantized branches per scored bigram
+    (seen / backoff / unk floor), exact integer per-doc sums."""
+    d = float(discount)
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_bigrams")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+rbg AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bg
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 AND doc_id % 2 = 0
+),
+cnt AS (
+  SELECT bg, count(*) AS c_bg,
+         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM rbg GROUP BY bg
+),
+ctx AS (
+  SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n1_fwd
+  FROM cnt GROUP BY w1
+),
+bwd AS (SELECT w2, count(*) AS n1_bwd FROM cnt GROUP BY w2),
+tot AS (SELECT count(*) AS n_types FROM cnt),
+bgt AS (
+  SELECT cnt.bg,
+         CAST(round(ln(
+           (greatest(CAST(c_bg AS DOUBLE) - {d}, 0.0) / c_ctx)
+           + ((({d} * n1_fwd) / c_ctx)
+              * (CAST(n1_bwd AS DOUBLE) / n_types))
+         ) * 1000000) AS BIGINT) AS lq_seen
+  FROM cnt JOIN ctx USING (w1) JOIN bwd USING (w2), tot
+),
+sbg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg,
+         w[i] AS w1, w[i + 1] AS w2
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+sc AS (
+  SELECT s.doc_id,
+         coalesce(
+           b.lq_seen,
+           CASE WHEN c.c_ctx IS NOT NULL AND f.n1_bwd IS NOT NULL THEN
+             CAST(round(ln(
+               ((({d} * c.n1_fwd) / c.c_ctx)
+                * (CAST(f.n1_bwd AS DOUBLE) / t.n_types))
+             ) * 1000000) AS BIGINT)
+           END,
+           CAST(round(ln(1.0 / CAST(t.n_types + 1 AS DOUBLE))
+                * 1000000) AS BIGINT)
+         ) AS lq,
+         CASE WHEN b.lq_seen IS NULL THEN 1 ELSE 0 END AS is_bo,
+         CASE WHEN b.lq_seen IS NULL
+                   AND (c.c_ctx IS NULL OR f.n1_bwd IS NULL)
+              THEN 1 ELSE 0 END AS is_oov
+  FROM sbg s
+  LEFT JOIN bgt b USING (bg)
+  LEFT JOIN ctx c ON s.w1 = c.w1
+  LEFT JOIN bwd f ON s.w2 = f.w2, tot t
+),
+dd AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(is_bo) - sum(is_oov) AS INT) AS n_backoff,
+         CAST(sum(is_oov) AS INT) AS n_oov,
+         CAST(sum(lq) AS BIGINT) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       n_backoff, n_oov, {lp} AS logppl
+FROM dd
+"""
+
+
 def unigram_logppl() -> str:
     """Deterministic unigram-LM perplexity — mirrors
     textstats.unigram_logppl (add-one smoothing over the corpus vocab,

@@ -1328,6 +1328,65 @@ def test_feature_store_lockstep_with_stream(spark, tmp_path):
     check([("a.txt", "short!!")])
 
 
+def test_ppl_store_lockstep_with_stream(spark, tmp_path):
+    """Eighth maintained sink through the micro-batch path: per-doc
+    perplexity scores under a FROZEN Kneser-Ney bigram model track
+    create/modify/remove and always equal a fresh kn_score_with() over
+    the surviving corpus — quality gates read the store, never re-score
+    (and the model is never retrained at ingest)."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    pplp = str(tmp_path / "ppl")
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the slow brown cat")],
+        "doc_id long, text string",
+    )
+    model = textstats.kn_bigram_model(ref).localCheckpoint()
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+
+    def check(corpus_rows):
+        corpus = spark.createDataFrame(
+            corpus_rows, "doc_id string, text string"
+        )
+        want = sorted(
+            tuple(r) for r in textstats.kn_score_with(corpus, model).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in textstats.read_ppl_store(
+                spark, pplp, id_type="string"
+            ).collect()
+        )
+        assert got == want
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "create", "the quick brown fox ran", t),
+               ("b.txt", "create", "wholly novel words here", t)]),
+        store, dlq, ppl_store_path=pplp, lm_model=model,
+    )
+    check([("a.txt", "the quick brown fox ran"),
+           ("b.txt", "wholly novel words here")])
+
+    ingest.process_batch(
+        spark,
+        batch([("a.txt", "modify", "the slow brown fox", t),
+               ("b.txt", "remove", None, t)]),
+        store, dlq, ppl_store_path=pplp, lm_model=model,
+    )
+    check([("a.txt", "the slow brown fox")])
+
+
 def test_interval_join_stream_equals_batch(spark, tmp_path):
     """Stream-stream interval join: two watermarked branches of a
     file-source stream (clicks, errors) joined on user within a 30-min

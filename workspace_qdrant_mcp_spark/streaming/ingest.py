@@ -193,6 +193,8 @@ def process_batch(
     signature_store_path: str | None = None,
     feature_store_path: str | None = None,
     gram_index_path: str | None = None,
+    ppl_store_path: str | None = None,
+    lm_model=None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -277,6 +279,7 @@ def process_batch(
             or signature_store_path is not None
             or feature_store_path is not None
             or gram_index_path is not None
+            or ppl_store_path is not None
         ):
             # the postings/graph updates run AFTER upsert_chunks
             # overwrites the store, but `changed` is lazily derived from
@@ -306,6 +309,7 @@ def process_batch(
                 or signature_store_path is not None
                 or feature_store_path is not None
                 or gram_index_path is not None
+                or ppl_store_path is not None
             )
             has_changed = any_sink and len(changed.take(1)) > 0
             # S7 maintained FTS sink (opt-in): keep the sparse-postings
@@ -385,6 +389,24 @@ def process_batch(
                     id_col="path",
                     id_type="string",
                 )
+            # maintained LM perplexity-score sink (opt-in): per-doc
+            # logppl under the FROZEN kn_bigram_model stays current at
+            # ingest, so quality gates read scores, never re-score the
+            # corpus (textstats.update_ppl_store; model is never
+            # retrained here)
+            if ppl_store_path is not None and has_changed:
+                from ..operators.textstats import update_ppl_store
+
+                update_ppl_store(
+                    spark,
+                    ppl_store_path,
+                    lm_model,
+                    changed_docs=changed.select(
+                        F.col("path").alias("doc_id"),
+                        F.col("content").alias("text"),
+                    ),
+                    id_type="string",
+                )
             if watchdog is not None:
                 watchdog.record_success()
         except Exception:
@@ -451,6 +473,18 @@ def process_batch(
                     gram_index_path,
                     deleted_ids=deletes,
                     id_col="path",
+                    id_type="string",
+                )
+            if ppl_store_path is not None:
+                from ..operators.textstats import update_ppl_store
+
+                update_ppl_store(
+                    spark,
+                    ppl_store_path,
+                    lm_model,
+                    deleted_ids=deletes.select(
+                        F.col("path").alias("doc_id")
+                    ),
                     id_type="string",
                 )
     except Exception as exc:  # W3: dead-letter the failed batch with the error

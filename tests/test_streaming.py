@@ -1387,6 +1387,60 @@ def test_ppl_store_lockstep_with_stream(spark, tmp_path):
     check([("a.txt", "the slow brown fox")])
 
 
+def test_ppl_gate_routes_high_perplexity_to_dlq(spark, tmp_path):
+    """CCNet-at-ingest: with a frozen KN model and ppl_gate set, the
+    out-of-domain doc dead-letters with reason 'ppl_gate', the
+    in-domain doc ingests, and a doc too short to score passes (no
+    evidence, no rejection)."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = textstats.kn_bigram_model(ref).localCheckpoint()
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [("good.txt", "create", "the quick brown fox jumps", t),
+         ("alien.txt", "create", "zzq glorp xyzzy wub fnord blart", t),
+         ("short.txt", "create", "solo", t)],
+        ingest.EVENT_SCHEMA,
+    )
+    # pick the threshold between the two scored docs so the split is real
+    scores = {
+        r["doc_id"]: r["logppl"]
+        for r in textstats.kn_score_with(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps"),
+                 (2, "zzq glorp xyzzy wub fnord blart")],
+                "doc_id long, text string",
+            ),
+            model,
+        ).collect()
+    }
+    assert scores[1] < scores[2]
+    gate = (scores[1] + scores[2]) / 2
+    ingest.process_batch(
+        spark, batch, store, dlq, lm_model=model, ppl_gate=gate
+    )
+    stored = {
+        r["path"]
+        for r in spark.read.parquet(store).select("path").distinct().collect()
+    }
+    assert stored == {"good.txt", "short.txt"}
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert [(r["path"], r["error"]) for r in dlq_rows] == [
+        ("alien.txt", "ppl_gate")
+    ]
+
+
 def test_interval_join_stream_equals_batch(spark, tmp_path):
     """Stream-stream interval join: two watermarked branches of a
     file-source stream (clicks, errors) joined on user within a 30-min

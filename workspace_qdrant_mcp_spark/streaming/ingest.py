@@ -195,6 +195,7 @@ def process_batch(
     gram_index_path: str | None = None,
     ppl_store_path: str | None = None,
     lm_model=None,
+    ppl_gate: float | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -273,6 +274,36 @@ def process_batch(
                     .parquet(dlq_path)
                 )
             changed = changed.filter(passes)
+        if ppl_gate is not None:
+            # CCNet-style perplexity gate at ingest: score the DELTA
+            # under the FROZEN kn_bigram_model and dead-letter docs
+            # whose logppl exceeds the threshold (the low-perplexity
+            # head is what CCNet keeps). Docs too short to score
+            # (< 2 tokens -> absent from the scorer) pass through:
+            # no evidence, no rejection. The model is never retrained
+            # here; the scoring join is delta-sized.
+            from ..operators.textstats import kn_score_with
+
+            ppl = kn_score_with(
+                changed.select(
+                    F.col("path").alias("doc_id"),
+                    F.col("content").alias("text"),
+                ),
+                lm_model,
+            ).select(F.col("doc_id").alias("path"), "logppl")
+            judged = changed.join(ppl, "path", "left")
+            bad = F.col("logppl").isNotNull() & (
+                F.col("logppl") > F.lit(float(ppl_gate))
+            )
+            rejected = judged.filter(bad)
+            if len(rejected.take(1)) > 0:
+                (
+                    rejected.drop("file_hash", "logppl")
+                    .withColumn("error", F.lit("ppl_gate"))
+                    .write.mode("append")
+                    .parquet(dlq_path)
+                )
+            changed = judged.filter(~bad).drop("logppl")
         if (
             postings_path is not None
             or graph_store_dir is not None

@@ -1441,6 +1441,26 @@ def test_ppl_gate_routes_high_perplexity_to_dlq(spark, tmp_path):
     ]
 
 
+def test_ppl_config_without_model_fails_loudly(spark, tmp_path):
+    """ppl_gate / ppl_store_path without lm_model must raise at entry —
+    not surface as a fake provider outage through the watchdog branch."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    batch = spark.createDataFrame(
+        [("a.txt", "create", "x y z", dt.datetime(2024, 1, 1))],
+        ingest.EVENT_SCHEMA,
+    )
+    for kw in ({"ppl_gate": 5.0}, {"ppl_store_path": str(tmp_path / "p")}):
+        with _pytest.raises(ValueError, match="lm_model"):
+            ingest.process_batch(
+                spark, batch, str(tmp_path / "c"), str(tmp_path / "d"), **kw
+            )
+
+
 def test_interval_join_stream_equals_batch(spark, tmp_path):
     """Stream-stream interval join: two watermarked branches of a
     file-source stream (clicks, errors) joined on user within a 30-min

@@ -244,7 +244,9 @@ def quality_classifier_pr_card(
     they were emitted from (p6 = round(score*1e6)), each cut compares
     integers, and every count is an exact integer — only the three
     final ratios are (micro6) doubles. precision is NULL where nothing
-    is kept.
+    is kept; recall is NULL when the corpus seeds no positives (Spark
+    and DuckDB disagree on x/0 — NULL vs inf/nan — so both sides guard
+    explicitly).
 
     Plan: one scored table (the training chain runs once), a bounded
     x|thresholds| explode, one groupBy(threshold) with map-side combine,
@@ -291,8 +293,11 @@ def quality_classifier_pr_card(
                     F.col("n_pos_kept").cast("double") / F.col("n_kept")
                 ),
             ).alias("precision"),
-            micro6(
-                F.col("n_pos_kept").cast("double") / F.col("n_pos")
+            F.when(
+                F.col("n_pos") > 0,
+                micro6(
+                    F.col("n_pos_kept").cast("double") / F.col("n_pos")
+                ),
             ).alias("recall"),
             micro6(
                 F.col("n_kept").cast("double") / F.col("n_total")

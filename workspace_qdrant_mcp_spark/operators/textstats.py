@@ -533,6 +533,66 @@ def bigram_logppl(
     )
 
 
+_BG_EXPR = (
+    "CASE WHEN size(__toks) >= 2 THEN "
+    "transform(sequence(1, size(__toks) - 1),"
+    " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def _bigram_stream(
+    docs: DataFrame,
+    id_col: str | None = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bg) — the whitespace-bigram explode every LM op shares;
+    id_col=None drops the id (model training needs only the stream)."""
+    t = fan_out(docs).withColumn("__toks", _ws_tokens(F.col(text_col)))
+    bg = F.explode(F.expr(_BG_EXPR)).alias("bg")
+    if id_col is None:
+        return t.select(bg)
+    return t.select(F.col(id_col), bg)
+
+
+def _kn_tables(bg: DataFrame):
+    """The Kneser-Ney count tables from a bigram stream: (cnt with
+    w1/w2 split out, ctx = c(w1 .)/N1+(w1 .), bwd = N1+(. w2),
+    tot = N1+(. .)) — each an aggregate OF the count table, never a
+    second corpus scan."""
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .select(
+            "bg",
+            "c_bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    ctx = cnt.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    bwd = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = cnt.agg(F.count(F.lit(1)).alias("n_types"))
+    return cnt, ctx, bwd, tot
+
+
+def _kn_pw(discount: float):
+    """p_KN(w2|w1) as one fixed IEEE expression over the joined count
+    tables — mirrored token-for-token in the oracle SQL."""
+    return (
+        F.greatest(
+            F.col("c_bg").cast("double") - F.lit(float(discount)), F.lit(0.0)
+        )
+        / F.col("c_ctx")
+    ) + (
+        (F.lit(float(discount)) * F.col("n1_fwd") / F.col("c_ctx"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+    )
+
+
 def kn_bigram_logppl(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -568,43 +628,9 @@ def kn_bigram_logppl(
     type total are all aggregates OF THE COUNT TABLE (never a second
     corpus scan); probability joins key on single words against bounded
     vocab-sized tables; the type total is a 1-row broadcast."""
-    bg_expr = (
-        "CASE WHEN size(__toks) >= 2 THEN "
-        "transform(sequence(1, size(__toks) - 1),"
-        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
-        "ELSE array() END"
-    )
-    bg = (
-        fan_out(docs)
-        .withColumn("__toks", _ws_tokens(F.col(text_col)))
-        .select(F.col(id_col), F.explode(F.expr(bg_expr)).alias("bg"))
-    )
-    cnt = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
-        .select(
-            "bg",
-            "c_bg",
-            F.substring_index("bg", " ", 1).alias("w1"),
-            F.substring_index("bg", " ", -1).alias("w2"),
-        )
-    )
-    ctx = cnt.groupBy("w1").agg(
-        F.sum("c_bg").alias("c_ctx"),
-        F.count(F.lit(1)).alias("n1_fwd"),
-    )
-    bwd = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
-    tot = cnt.agg(F.count(F.lit(1)).alias("n_types"))
-    # fixed IEEE expression — mirrored token-for-token in the oracle SQL
-    pw = (
-        F.greatest(
-            F.col("c_bg").cast("double") - F.lit(float(discount)), F.lit(0.0)
-        )
-        / F.col("c_ctx")
-    ) + (
-        (F.lit(float(discount)) * F.col("n1_fwd") / F.col("c_ctx"))
-        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
-    )
+    bg = _bigram_stream(docs, id_col, text_col)
+    cnt, ctx, bwd, tot = _kn_tables(bg)
+    pw = _kn_pw(discount)
     q = (
         cnt.join(ctx, "w1")
         .join(bwd, "w2")
@@ -654,42 +680,9 @@ def kn_bigram_model(
     term in one fixed IEEE expression (engine-identical floats). The
     table is bounded by the reference corpus's bigram-type count: a
     model artifact, not a data table."""
-    bg_expr = (
-        "CASE WHEN size(__toks) >= 2 THEN "
-        "transform(sequence(1, size(__toks) - 1),"
-        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
-        "ELSE array() END"
-    )
-    bg = (
-        fan_out(docs)
-        .withColumn("__toks", _ws_tokens(F.col(text_col)))
-        .select(F.explode(F.expr(bg_expr)).alias("bg"))
-    )
-    cnt = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
-        .select(
-            "bg",
-            "c_bg",
-            F.substring_index("bg", " ", 1).alias("w1"),
-            F.substring_index("bg", " ", -1).alias("w2"),
-        )
-    )
-    ctx = cnt.groupBy("w1").agg(
-        F.sum("c_bg").alias("c_ctx"),
-        F.count(F.lit(1)).alias("n1_fwd"),
-    )
-    bwd = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
-    tot = cnt.agg(F.count(F.lit(1)).alias("n_types"))
-    pw = (
-        F.greatest(
-            F.col("c_bg").cast("double") - F.lit(float(discount)), F.lit(0.0)
-        )
-        / F.col("c_ctx")
-    ) + (
-        (F.lit(float(discount)) * F.col("n1_fwd") / F.col("c_ctx"))
-        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
-    )
+    bg = _bigram_stream(docs, None, text_col)
+    cnt, ctx, bwd, tot = _kn_tables(bg)
+    pw = _kn_pw(discount)
     nul = F.lit(None).cast("string")
     nulb = F.lit(None).cast("long")
     bg_rows = (
@@ -754,22 +747,11 @@ def kn_score_with(
     Plan: the model splits into three bounded lookup tables (bigram /
     w1 / w2) + a 1-row total; scoring is one bigram explode and three
     LEFT joins keyed on the bigram and its two words."""
-    bg_expr = (
-        "CASE WHEN size(__toks) >= 2 THEN "
-        "transform(sequence(1, size(__toks) - 1),"
-        " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
-        "ELSE array() END"
-    )
-    bg = (
-        fan_out(docs)
-        .withColumn("__toks", _ws_tokens(F.col(text_col)))
-        .select(F.col(id_col), F.explode(F.expr(bg_expr)).alias("bg"))
-        .select(
-            id_col,
-            "bg",
-            F.substring_index("bg", " ", 1).alias("w1"),
-            F.substring_index("bg", " ", -1).alias("w2"),
-        )
+    bg = _bigram_stream(docs, id_col, text_col).select(
+        id_col,
+        "bg",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
     )
     bgt = model.filter(F.col("kind") == "bg").select(
         "bg", F.col("a").alias("lq_seen")

@@ -4586,30 +4586,31 @@ FROM d
 """
 
 
-def kn_bigram_logppl(discount: float = 0.75) -> str:
-    """Oracle for textstats.kn_bigram_logppl: interpolated Kneser-Ney
-    bigram LM (Chen & Goodman 1998 eq. 4.25), absolute discount D.
-    ln() output quantized to int64 microunits per bigram, exact integer
-    per-doc sum, one fixed IEEE division chain — token-for-token the
-    Spark expression."""
+def _kn_ctes(discount: float, train_where: str = "") -> str:
+    """The shared Kneser-Ney CTE chain: whitespace-bigram stream (with
+    doc_id + split words), count/context/continuation/type tables over
+    the TRAINING subset (`train_where` restricts it; empty = the whole
+    stream), and bgt = quantized ln p_KN per seen bigram — mirrored
+    token-for-token against the Spark _bigram_stream/_kn_tables/_kn_pw
+    helpers."""
     d = float(discount)
-    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_bigrams")
     return f"""
-WITH tokd AS (
+tokd AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> length(t) > 0) AS w
   FROM documents
 ),
 bg AS (
-  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg,
+         w[i] AS w1, w[i + 1] AS w2
   FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 2
 ),
 cnt AS (
   SELECT bg, count(*) AS c_bg,
          split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
-  FROM bg GROUP BY bg
+  FROM bg {train_where} GROUP BY bg
 ),
 ctx AS (
   SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n1_fwd
@@ -4617,7 +4618,7 @@ ctx AS (
 ),
 bwd AS (SELECT w2, count(*) AS n1_bwd FROM cnt GROUP BY w2),
 tot AS (SELECT count(*) AS n_types FROM cnt),
-q AS (
+bgt AS (
   SELECT cnt.bg,
          CAST(round(ln(
            (greatest(CAST(c_bg AS DOUBLE) - {d}, 0.0) / c_ctx)
@@ -4625,11 +4626,20 @@ q AS (
               * (CAST(n1_bwd AS DOUBLE) / n_types))
          ) * 1000000) AS BIGINT) AS lq
   FROM cnt JOIN ctx USING (w1) JOIN bwd USING (w2), tot
-),
+)"""
+
+
+def kn_bigram_logppl(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn_bigram_logppl: the shared KN chain with
+    the full corpus as the training set — every scored bigram is seen,
+    so the per-doc sum joins the stream straight onto bgt."""
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_bigrams")
+    return f"""
+WITH {_kn_ctes(discount)},
 dd AS (
   SELECT b.doc_id, count(*) AS n_bigrams,
          CAST(sum(q.lq) AS BIGINT) AS s
-  FROM bg b JOIN q USING (bg) GROUP BY b.doc_id
+  FROM bg b JOIN bgt q USING (bg) GROUP BY b.doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, {lp} AS logppl
 FROM dd
@@ -4644,47 +4654,11 @@ def kn_heldout_scores(discount: float = 0.75) -> str:
     d = float(discount)
     lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_bigrams")
     return f"""
-WITH tokd AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
-                     t -> length(t) > 0) AS w
-  FROM documents
-),
-rbg AS (
-  SELECT w[i] || ' ' || w[i + 1] AS bg
-  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
-  WHERE len(w) >= 2 AND doc_id % 2 = 0
-),
-cnt AS (
-  SELECT bg, count(*) AS c_bg,
-         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
-  FROM rbg GROUP BY bg
-),
-ctx AS (
-  SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n1_fwd
-  FROM cnt GROUP BY w1
-),
-bwd AS (SELECT w2, count(*) AS n1_bwd FROM cnt GROUP BY w2),
-tot AS (SELECT count(*) AS n_types FROM cnt),
-bgt AS (
-  SELECT cnt.bg,
-         CAST(round(ln(
-           (greatest(CAST(c_bg AS DOUBLE) - {d}, 0.0) / c_ctx)
-           + ((({d} * n1_fwd) / c_ctx)
-              * (CAST(n1_bwd AS DOUBLE) / n_types))
-         ) * 1000000) AS BIGINT) AS lq_seen
-  FROM cnt JOIN ctx USING (w1) JOIN bwd USING (w2), tot
-),
-sbg AS (
-  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg,
-         w[i] AS w1, w[i + 1] AS w2
-  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
-  WHERE len(w) >= 2
-),
+WITH {_kn_ctes(discount, train_where="WHERE doc_id % 2 = 0")},
 sc AS (
   SELECT s.doc_id,
          coalesce(
-           b.lq_seen,
+           b.lq,
            CASE WHEN c.c_ctx IS NOT NULL AND f.n1_bwd IS NOT NULL THEN
              CAST(round(ln(
                ((({d} * c.n1_fwd) / c.c_ctx)
@@ -4694,11 +4668,11 @@ sc AS (
            CAST(round(ln(1.0 / CAST(t.n_types + 1 AS DOUBLE))
                 * 1000000) AS BIGINT)
          ) AS lq,
-         CASE WHEN b.lq_seen IS NULL THEN 1 ELSE 0 END AS is_bo,
-         CASE WHEN b.lq_seen IS NULL
+         CASE WHEN b.lq IS NULL THEN 1 ELSE 0 END AS is_bo,
+         CASE WHEN b.lq IS NULL
                    AND (c.c_ctx IS NULL OR f.n1_bwd IS NULL)
               THEN 1 ELSE 0 END AS is_oov
-  FROM sbg s
+  FROM bg s
   LEFT JOIN bgt b USING (bg)
   LEFT JOIN ctx c ON s.w1 = c.w1
   LEFT JOIN bwd f ON s.w2 = f.w2, tot t
@@ -6019,7 +5993,7 @@ kept AS (
 SELECT CAST(t6 AS DOUBLE) / 1000000.0 AS threshold,
        n_kept, n_pos_kept,
        CASE WHEN n_kept > 0 THEN {prec} END AS precision,
-       {rec} AS recall,
+       CASE WHEN n_pos > 0 THEN {rec} END AS recall,
        {kr} AS keep_rate
 FROM kept, tot
 ORDER BY threshold

@@ -221,6 +221,14 @@ def process_batch(
     checkpoints are never destroyed."""
     from .. import ckpt
 
+    if (ppl_gate is not None or ppl_store_path is not None) and lm_model is None:
+        # fail LOUDLY at entry: a None model would raise deep inside the
+        # scoring plan, which the watchdog except-branch misreads as a
+        # provider outage and parks every batch forever
+        raise ValueError(
+            "ppl_gate / ppl_store_path require lm_model "
+            "(a frozen textstats.kn_bigram_model table)"
+        )
     processable: DataFrame | None = None
     ids_at_entry = ckpt.persistent_ids(spark)
     try:
@@ -291,7 +299,10 @@ def process_batch(
                 ),
                 lm_model,
             ).select(F.col("doc_id").alias("path"), "logppl")
-            judged = changed.join(ppl, "path", "left")
+            # pin the scored delta: rejected.take, the DLQ write and
+            # every downstream sink would otherwise re-evaluate the
+            # explode+3-join scoring plan
+            judged = changed.join(ppl, "path", "left").localCheckpoint()
             bad = F.col("logppl").isNotNull() & (
                 F.col("logppl") > F.lit(float(ppl_gate))
             )
@@ -616,14 +627,19 @@ def run_ingestion_stream(
     signature_store_path: str | None = None,
     feature_store_path: str | None = None,
     gram_index_path: str | None = None,
+    ppl_store_path: str | None = None,
+    lm_model=None,
+    ppl_gate: float | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
     availableNow so tests drain the backlog and stop. Pass a watchdog +
     park_path to get W8 degraded-mode behavior per micro-batch. All
-    five maintained sinks (postings / symbol graph / minhash signatures
-    / doc features / trigram gram index) thread through to
-    process_batch, so stream deletes prune every store."""
+    six maintained sinks (postings / symbol graph / minhash signatures
+    / doc features / trigram gram index / frozen-LM perplexity scores)
+    thread through to process_batch, so stream deletes prune every
+    store; ppl_gate (with lm_model) applies the CCNet perplexity filter
+    per micro-batch."""
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
@@ -642,6 +658,9 @@ def run_ingestion_stream(
                 graph_store_dir=graph_store_dir,
                 signature_store_path=signature_store_path,
                 feature_store_path=feature_store_path,
+                ppl_store_path=ppl_store_path,
+                lm_model=lm_model,
+                ppl_gate=ppl_gate,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1295,3 +1295,84 @@ def test_kn_bigram_matches_python_reference(spark, texts):
         for r in textstats.kn_bigram_logppl(df).collect()
     }
     assert got == want
+
+
+@given(
+    ref=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab c")), max_size=16),
+        min_size=1, max_size=5,
+    ),
+    tgt=st.lists(
+        st.text(alphabet=st.sampled_from(list("abd c")), max_size=16),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_kn_frozen_scorer_matches_python_reference(spark, ref, tgt):
+    """kn_score_with under a model trained on `ref` scores `tgt` like a
+    straight-Python three-branch implementation (seen / backoff / unk) —
+    the target alphabet includes a letter the reference never has, so
+    the OOV branches are exercised by construction."""
+    import math
+    from collections import Counter
+
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    def rhalf(x):
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    D = 0.75
+    all_bg: Counter = Counter()
+    for t in ref:
+        toks = [w for w in t.lower().split() if w]
+        all_bg.update(zip(toks, toks[1:]))
+    if not all_bg:
+        return  # a model needs at least one bigram; trainer is untested here
+    c_ctx, n1_fwd, n1_bwd = Counter(), Counter(), Counter()
+    for (w1, w2), c in all_bg.items():
+        c_ctx[w1] += c
+        n1_fwd[w1] += 1
+        n1_bwd[w2] += 1
+    n_types = len(all_bg)
+
+    def branch(w1, w2):
+        if (w1, w2) in all_bg:
+            p = max(all_bg[(w1, w2)] - D, 0.0) / c_ctx[w1] + (
+                D * n1_fwd[w1] / c_ctx[w1]
+            ) * (n1_bwd[w2] / n_types)
+            return int(rhalf(math.log(p) * 1e6)), 0, 0
+        if w1 in c_ctx and w2 in n1_bwd:
+            p = (D * n1_fwd[w1] / c_ctx[w1]) * (n1_bwd[w2] / n_types)
+            return int(rhalf(math.log(p) * 1e6)), 1, 0
+        return int(rhalf(math.log(1.0 / (n_types + 1)) * 1e6)), 0, 1
+
+    want = {}
+    for did, t in enumerate(tgt):
+        toks = [w for w in t.lower().split() if w]
+        bs = list(zip(toks, toks[1:]))
+        if not bs:
+            continue
+        qs = [branch(w1, w2) for w1, w2 in bs]
+        s = sum(q[0] for q in qs)
+        want[did] = (
+            len(bs),
+            sum(q[1] for q in qs),
+            sum(q[2] for q in qs),
+            rhalf((-(s / 1e6) / len(bs)) * 1e6) / 1e6,
+        )
+    model = textstats.kn_bigram_model(
+        spark.createDataFrame(
+            list(enumerate(ref)), "doc_id long, text string"
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["n_oov"],
+                      r["logppl"])
+        for r in textstats.kn_score_with(
+            spark.createDataFrame(
+                list(enumerate(tgt)), "doc_id long, text string"
+            ),
+            model,
+        ).collect()
+    }
+    assert got == want

@@ -1063,6 +1063,17 @@ def _q_kn_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kn_trigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM (textstats.kn_trigram_logppl):
+    the full Chen & Goodman lower-order continuation-count recursion —
+    the order-3 slice of a KenLM build, topping the LM ladder. NEW IN
+    r10 continuation session, registered post-window (honest labeling;
+    r11 front)."""
+    return textstats.kn_trigram_logppl(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_kn_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-LM serving (textstats.kn_bigram_model + kn_score_with):
     train the Kneser-Ney bigram model on the even-doc_id half, score
@@ -3382,13 +3393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planned 45-50 block to pay for the WordPiece pair +
         # doremi_weights + the continuation session's kn_bigram_logppl
         # / tokenizer_compare / kn_heldout_scores) lead the r11
-        # rotation, after the three post-window r10 registrations
-        # below: quality_classifier_pr_card, embedding_pca and
-        # embedding_pca_scores (honest labeling — oracle-backed +
-        # pytest-green, no driver row yet).
+        # rotation, after the four post-window r10 registrations
+        # below: quality_classifier_pr_card, embedding_pca,
+        # embedding_pca_scores and kn_trigram_logppl (honest labeling —
+        # oracle-backed + pytest-green, no driver row yet).
         "quality_classifier_pr_card": _q_quality_classifier_pr_card,
         "embedding_pca": _q_embedding_pca,
         "embedding_pca_scores": _q_embedding_pca_scores,
+        "kn_trigram_logppl": _q_kn_trigram_logppl,
         "ann_bruteforce_topk": _q_ann_bruteforce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3655,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logppl": oracles.bigram_logppl(),
         "kn_bigram_logppl": oracles.kn_bigram_logppl(),
         "kn_heldout_scores": oracles.kn_heldout_scores(),
+        "kn_trigram_logppl": oracles.kn_trigram_logppl(),
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),

@@ -109,6 +109,7 @@ R10_SCALE_QUERIES = [
     "quality_classifier_pr_card",
     "embedding_pca",
     "embedding_pca_scores",
+    "kn_trigram_logppl",
 ]
 
 

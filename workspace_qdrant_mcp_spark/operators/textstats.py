@@ -658,6 +658,119 @@ def kn_bigram_logppl(
     )
 
 
+
+_TG_EXPR = (
+    "CASE WHEN size(__toks) >= 3 THEN "
+    "transform(sequence(1, size(__toks) - 2),"
+    " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),"
+    " element_at(__toks, i + 2))) "
+    "ELSE array() END"
+)
+
+
+def kn_trigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_trigrams, logppl) — interpolated Kneser-Ney TRIGRAM
+    LM (Chen & Goodman 1998 eq. 4.28-4.30, the full lower-order
+    continuation-count recursion — the order-3 slice of what KenLM
+    builds at order 5), completing the LM ladder above the KN bigram:
+
+        p3(w3|w1 w2) = max(c(w1w2w3) - D, 0)/c(w1w2 .)
+                       + D N1+(w1w2 .)/c(w1w2 .) p2(w3|w2)
+        p2(w3|w2)    = max(c'(w2w3) - D, 0)/c'(w2 .)
+                       + D N1+'(w2 .)/c'(w2 .) p1(w3)
+        p1(w3)       = c''(w3) / N1+(. . .)
+
+    where the MIDDLE order runs on continuation counts c'(w2w3) =
+    N1+(. w2w3) (distinct w1 preceding the bigram — derived FROM the
+    trigram table, the Kneser-Ney move) and the lowest on c''(w3) =
+    distinct w2 with c'(w2w3) > 0. Scoring is over corpus trigrams so
+    every trigram is seen; docs with < 3 tokens are absent. Same
+    emission discipline as the bigram: ln() quantized to int64
+    microunits per trigram, exact integer per-doc sums, one fixed IEEE
+    expression mirrored token-for-token in the oracle.
+
+    Plan shape: ONE trigram explode feeds the count table; the context
+    (w1w2), middle (w2w3), middle-context (w2), lowest (w3) and type
+    tables are ALL aggregates of the count table — five vocab-scale
+    rollups, never a second corpus scan; the type total is a 1-row
+    broadcast."""
+    d = F.lit(float(discount))
+    tg = (
+        fan_out(docs)
+        .withColumn("__toks", _ws_tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(_TG_EXPR)).alias("tg"))
+    )
+    t3 = (
+        tg.groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .select(
+            "tg",
+            "c3",
+            F.substring_index("tg", " ", 2).alias("w12"),
+            F.substring_index("tg", " ", 1).alias("w1"),
+            F.substring_index(
+                F.substring_index("tg", " ", 2), " ", -1
+            ).alias("w2"),
+            F.substring_index("tg", " ", -1).alias("w3"),
+        )
+    )
+    ctx3 = t3.groupBy("w12").agg(
+        F.sum("c3").alias("c_ctx3"),
+        F.count(F.lit(1)).alias("n1f3"),
+    )
+    mid = t3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c2p")
+    )
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("c2p").alias("c_ctx2"),
+        F.count(F.lit(1)).alias("n1f2"),
+    )
+    low = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("c1p"))
+    tot = mid.agg(F.count(F.lit(1)).alias("n_types"))
+    # one fixed IEEE expression, innermost-first: p1 -> p2 -> p3
+    p1 = F.col("c1p").cast("double") / F.col("n_types")
+    p2 = (
+        F.greatest(F.col("c2p").cast("double") - d, F.lit(0.0))
+        / F.col("c_ctx2")
+    ) + ((d * F.col("n1f2") / F.col("c_ctx2")) * p1)
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - d, F.lit(0.0))
+        / F.col("c_ctx3")
+    ) + ((d * F.col("n1f3") / F.col("c_ctx3")) * p2)
+    q = (
+        t3.join(ctx3, "w12")
+        .join(mid, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(low, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tg",
+            F.round(F.log(p3) * F.lit(1e6)).cast("long").alias("lq"),
+        )
+    )
+    return (
+        tg.join(q, "tg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+            F.sum("lq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            micro6(
+                -(F.col("_s").cast("double") / F.lit(1e6))
+                / F.col("n_trigrams")
+            ).alias("logppl"),
+        )
+    )
+
+
 def kn_bigram_model(
     docs: DataFrame,
     text_col: str = "text",

@@ -4646,6 +4646,74 @@ FROM dd
 """
 
 
+def kn_trigram_logppl(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn_trigram_logppl: the order-3 interpolated
+    KN recursion (continuation counts at the middle and lowest orders),
+    ln() quantized per trigram, exact integer per-doc sums — mirrored
+    token-for-token against the Spark expression (p1 -> p2 -> p3
+    innermost-first)."""
+    d = float(discount)
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_trigrams")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg
+  FROM tokd, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+t3 AS (
+  SELECT tg, count(*) AS c3,
+         split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+         split_part(tg, ' ', 2) AS w2,
+         split_part(tg, ' ', 3) AS w3
+  FROM tg GROUP BY tg
+),
+ctx3 AS (
+  SELECT w12, sum(c3) AS c_ctx3, count(*) AS n1f3
+  FROM t3 GROUP BY w12
+),
+mid AS (
+  SELECT w2, w3, count(*) AS c2p FROM t3 GROUP BY w2, w3
+),
+ctx2 AS (
+  SELECT w2, sum(c2p) AS c_ctx2, count(*) AS n1f2
+  FROM mid GROUP BY w2
+),
+low AS (SELECT w3, count(*) AS c1p FROM mid GROUP BY w3),
+tot AS (SELECT count(*) AS n_types FROM mid),
+q AS (
+  SELECT t3.tg,
+         CAST(round(ln(
+           (greatest(CAST(c3 AS DOUBLE) - {d}, 0.0) / c_ctx3)
+           + ((({d} * n1f3) / c_ctx3)
+              * (
+                (greatest(CAST(c2p AS DOUBLE) - {d}, 0.0) / c_ctx2)
+                + ((({d} * n1f2) / c_ctx2)
+                   * (CAST(c1p AS DOUBLE) / n_types))
+              ))
+         ) * 1000000) AS BIGINT) AS lq
+  FROM t3
+  JOIN ctx3 USING (w12)
+  JOIN mid USING (w2, w3)
+  JOIN ctx2 USING (w2)
+  JOIN low USING (w3), tot
+),
+dd AS (
+  SELECT g.doc_id, count(*) AS n_trigrams,
+         CAST(sum(q.lq) AS BIGINT) AS s
+  FROM tg g JOIN q USING (tg) GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_trigrams AS INT) AS n_trigrams, {lp} AS logppl
+FROM dd
+"""
+
+
 def kn_heldout_scores(discount: float = 0.75) -> str:
     """Oracle for textstats.kn_score_with under a model trained on the
     even-doc_id half (kn_bigram_model): the CCNet train-on-reference /

@@ -562,3 +562,26 @@ def test_wordpiece_scoring_broadcasts_symbol_counts(spark):
     plan = _plan(bpe._wp_scored_pairs(words))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_r10_continuation_queries_avoid_cartesian_and_python(spark):
+    """The KN LM ladder, the frozen-LM scorer, the tokenizer bake-off,
+    the PR card and the PCA pair keep the house plan contract: no
+    CartesianProduct anywhere (the only nested-loop joins are 1-row
+    broadcast totals — the documented lazy-scalar shape) and no Python
+    UDFs (every expression is JVM-side)."""
+    import __spark_entry__ as entrymod
+
+    for name in (
+        "kn_bigram_logppl",
+        "kn_trigram_logppl",
+        "kn_heldout_scores",
+        "tokenizer_compare",
+        "quality_classifier_pr_card",
+        "embedding_pca",
+        "embedding_pca_scores",
+    ):
+        df = entrymod.queries()[name](spark, SF_SMOKE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name

@@ -1441,6 +1441,68 @@ def test_ppl_gate_routes_high_perplexity_to_dlq(spark, tmp_path):
     ]
 
 
+def test_ppl_gate_and_store_together_stay_lockstep(spark, tmp_path):
+    """Gate + sink in one batch: the sink reuses the gate's scored rows
+    (no second scoring pass) and the store still equals a fresh
+    kn_score_with over the SURVIVING corpus — rejected docs are in
+    neither the chunk store nor the scores store."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    pplp = str(tmp_path / "ppl")
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = textstats.kn_bigram_model(ref).localCheckpoint()
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [("good.txt", "create", "the quick brown fox", t),
+         ("alien.txt", "create", "zzq glorp xyzzy wub fnord", t),
+         ("short.txt", "create", "solo", t)],
+        ingest.EVENT_SCHEMA,
+    )
+    sc = {
+        r["doc_id"]: r["logppl"]
+        for r in textstats.kn_score_with(
+            spark.createDataFrame(
+                [(1, "the quick brown fox"),
+                 (2, "zzq glorp xyzzy wub fnord")],
+                "doc_id long, text string",
+            ),
+            model,
+        ).collect()
+    }
+    gate = (sc[1] + sc[2]) / 2
+    ingest.process_batch(
+        spark, batch, store, dlq,
+        lm_model=model, ppl_gate=gate, ppl_store_path=pplp,
+    )
+    surviving = spark.createDataFrame(
+        [("good.txt", "the quick brown fox"),
+         ("short.txt", "solo")],
+        "doc_id string, text string",
+    )
+    want = sorted(
+        tuple(r) for r in textstats.kn_score_with(surviving, model).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in textstats.read_ppl_store(
+            spark, pplp, id_type="string"
+        ).collect()
+    )
+    assert got == want
+    assert [r["path"] for r in spark.read.parquet(dlq).collect()] == [
+        "alien.txt"
+    ]
+
+
 def test_ppl_config_without_model_fails_loudly(spark, tmp_path):
     """ppl_gate / ppl_store_path without lm_model must raise at entry —
     not surface as a fake provider outage through the watchdog branch."""

@@ -533,12 +533,34 @@ def bigram_logppl(
     )
 
 
-_BG_EXPR = (
-    "CASE WHEN size(__toks) >= 2 THEN "
-    "transform(sequence(1, size(__toks) - 1),"
-    " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))) "
-    "ELSE array() END"
-)
+def _ngram_expr(n: int) -> str:
+    """SQL for the space-joined whitespace word n-gram array (empty
+    below n tokens) — the ONE definition of the LM ops' explode."""
+    parts = ", ".join(f"element_at(__toks, i + {k})" if k else
+                      "element_at(__toks, i)" for k in range(n))
+    return (
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+
+
+def _ngram_stream(
+    docs: DataFrame,
+    n: int,
+    id_col: str | None = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bg",
+) -> DataFrame:
+    """(id, <out_col>) — the whitespace word n-gram explode every LM op
+    shares; id_col=None drops the id (model training needs only the
+    stream)."""
+    t = fan_out(docs).withColumn("__toks", _ws_tokens(F.col(text_col)))
+    g = F.explode(F.expr(_ngram_expr(n))).alias(out_col)
+    if id_col is None:
+        return t.select(g)
+    return t.select(F.col(id_col), g)
 
 
 def _bigram_stream(
@@ -546,13 +568,7 @@ def _bigram_stream(
     id_col: str | None = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, bg) — the whitespace-bigram explode every LM op shares;
-    id_col=None drops the id (model training needs only the stream)."""
-    t = fan_out(docs).withColumn("__toks", _ws_tokens(F.col(text_col)))
-    bg = F.explode(F.expr(_BG_EXPR)).alias("bg")
-    if id_col is None:
-        return t.select(bg)
-    return t.select(F.col(id_col), bg)
+    return _ngram_stream(docs, 2, id_col, text_col)
 
 
 def _kn_tables(bg: DataFrame):
@@ -659,15 +675,6 @@ def kn_bigram_logppl(
 
 
 
-_TG_EXPR = (
-    "CASE WHEN size(__toks) >= 3 THEN "
-    "transform(sequence(1, size(__toks) - 2),"
-    " i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),"
-    " element_at(__toks, i + 2))) "
-    "ELSE array() END"
-)
-
-
 def kn_trigram_logppl(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -700,11 +707,7 @@ def kn_trigram_logppl(
     rollups, never a second corpus scan; the type total is a 1-row
     broadcast."""
     d = F.lit(float(discount))
-    tg = (
-        fan_out(docs)
-        .withColumn("__toks", _ws_tokens(F.col(text_col)))
-        .select(F.col(id_col), F.explode(F.expr(_TG_EXPR)).alias("tg"))
-    )
+    tg = _ngram_stream(docs, 3, id_col, text_col, out_col="tg")
     t3 = (
         tg.groupBy("tg")
         .agg(F.count(F.lit(1)).alias("c3"))
@@ -712,7 +715,6 @@ def kn_trigram_logppl(
             "tg",
             "c3",
             F.substring_index("tg", " ", 2).alias("w12"),
-            F.substring_index("tg", " ", 1).alias("w1"),
             F.substring_index(
                 F.substring_index("tg", " ", 2), " ", -1
             ).alias("w2"),
@@ -964,6 +966,7 @@ def update_ppl_store(
     id_col: str = "doc_id",
     id_type: str = "long",
     discount: float = 0.75,
+    fresh_scores: DataFrame | None = None,
 ) -> None:
     """Incremental perplexity-score maintenance under a FROZEN
     kn_bigram_model — the LM-filter analog of bpe.update_token_store
@@ -977,8 +980,17 @@ def update_ppl_store(
 
     fresh = None
     if changed_docs is not None:
-        fresh = kn_score_with(
-            changed_docs, model, id_col, text_col, discount
+        # fresh_scores: a caller that already scored THIS delta under
+        # THE SAME model (e.g. the ingest ppl gate) passes the rows
+        # through — (id, n_bigrams, n_backoff, n_oov, logppl), short
+        # unscoreable docs already absent. changed_docs still supplies
+        # the gone set, so short docs' stale rows are removed either way
+        fresh = (
+            fresh_scores
+            if fresh_scores is not None
+            else kn_score_with(
+                changed_docs, model, id_col, text_col, discount
+            )
         ).select(
             F.col(id_col).cast(id_type).alias("doc_id"),
             "n_bigrams",

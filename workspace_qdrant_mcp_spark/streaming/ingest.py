@@ -223,8 +223,10 @@ def process_batch(
 
     if (ppl_gate is not None or ppl_store_path is not None) and lm_model is None:
         # fail LOUDLY at entry: a None model would raise deep inside the
-        # scoring plan, which the watchdog except-branch misreads as a
-        # provider outage and parks every batch forever
+        # scoring plan — for the ppl_store_path sink that error surfaces
+        # inside the watchdog try, where it would be misread as a
+        # provider outage and park every batch forever; for the gate it
+        # would dead-letter whole batches with an opaque NoneType error
         raise ValueError(
             "ppl_gate / ppl_store_path require lm_model "
             "(a frozen textstats.kn_bigram_model table)"
@@ -298,7 +300,13 @@ def process_batch(
                     F.col("content").alias("text"),
                 ),
                 lm_model,
-            ).select(F.col("doc_id").alias("path"), "logppl")
+            ).select(
+                F.col("doc_id").alias("path"),
+                "n_bigrams",
+                "n_backoff",
+                "n_oov",
+                "logppl",
+            )
             # pin the scored delta: rejected.take, the DLQ write and
             # every downstream sink would otherwise re-evaluate the
             # explode+3-join scoring plan
@@ -309,12 +317,17 @@ def process_batch(
             rejected = judged.filter(bad)
             if len(rejected.take(1)) > 0:
                 (
-                    rejected.drop("file_hash", "logppl")
+                    rejected.drop(
+                        "file_hash", "n_bigrams", "n_backoff", "n_oov",
+                        "logppl",
+                    )
                     .withColumn("error", F.lit("ppl_gate"))
                     .write.mode("append")
                     .parquet(dlq_path)
                 )
-            changed = judged.filter(~bad).drop("logppl")
+            # keep the score columns: the ppl sink below reuses them
+            # instead of scoring the same delta a second time
+            changed = judged.filter(~bad)
         if (
             postings_path is not None
             or graph_store_dir is not None
@@ -439,6 +452,22 @@ def process_batch(
             if ppl_store_path is not None and has_changed:
                 from ..operators.textstats import update_ppl_store
 
+                pre_scored = None
+                if ppl_gate is not None:
+                    # the gate already scored this delta (pinned with
+                    # `changed`) — pass the rows through instead of
+                    # running the scoring join a second time; docs too
+                    # short to score carry NULL and are filtered (they
+                    # are absent from kn_score_with output by contract)
+                    pre_scored = changed.filter(
+                        F.col("logppl").isNotNull()
+                    ).select(
+                        F.col("path").alias("doc_id"),
+                        "n_bigrams",
+                        "n_backoff",
+                        "n_oov",
+                        "logppl",
+                    )
                 update_ppl_store(
                     spark,
                     ppl_store_path,
@@ -448,6 +477,7 @@ def process_batch(
                         F.col("content").alias("text"),
                     ),
                     id_type="string",
+                    fresh_scores=pre_scored,
                 )
             if watchdog is not None:
                 watchdog.record_success()

@@ -3290,73 +3290,203 @@ def _q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. This is the r10 rotation (VERDICT r9 #1/#2 — kill the
-    # HUGEINT class, then close ALL remaining evidence debt):
-    #   slots 1-6   the six r9 hash-red RETRIES (corpus_report,
-    #               char_entropy, key_skew_report, feature_drift_psi,
-    #               bpe_merges, ann_store_drift) — root cause PROVEN to
-    #               be uncast integer sum() -> DuckDB HUGEINT vs Spark
-    #               LONG; all nine emission sites now CAST AS BIGINT and
-    #               a plan-only gate rejects the whole type class
-    #               (tests/test_oracle_parity.py, oracle_util);
-    #   slots 7-9   the three never-recorded r9 registrations
-    #               (grep_regex_indexed — bpe_fertility carries one of
-    #               the nine casts — sequence_packing_bpe);
-    #   slots 10-13 NEW IN r10 — quality_classifier_weights/scores (the
-    #               trained CCNet/GPT-3-style filter, VERDICT r9 #3) and
-    #               unigram_lm_pieces / unigram_fertility (the
-    #               SentencePiece-style trainer, VERDICT r9 #4) —
-    #               in-window so first driver evidence lands at birth;
-    #   slots 14-44 ALL 31 remaining r6-green rows, alphabetical — the
-    #               stalest evidence in the suite, now fully drained
-    #               (nothing older than r7 remains anywhere);
-    #   slots 45-47 NEW IN r10 mid-round — wordpiece_merges /
-    #               wordpiece_doc_tokens (the third tokenizer trainer)
-    #               and doremi_weights (excess-loss mixture
-    #               reweighting), in-window at birth, paid for by
-    #               demoting three of the planned r7 retakes;
-    #   slots 48-50 NEW IN r10 continuation session — kn_bigram_logppl
-    #               (interpolated Kneser-Ney, the smoothing KenLM/CCNet
-    #               actually uses), tokenizer_compare (the three-family
-    #               fertility bake-off card), and kn_heldout_scores
-    #               (frozen-LM serving: train on the even half, score
-    #               everything with three-branch backoff), in-window at
-    #               birth, paid for by demoting the last three planned
-    #               r7 retakes (ann_bruteforce_topk / ann_ivf_pq_topk /
-    #               ann_ivf_topk — all still r7-green; they lead the
-    #               r11 stale rotation with betweenness_exact next).
-    # Provenance per CORRECTNESS_r01-r09.
+    # entries only. This is the r11 rotation (VERDICT r10 #1 — close the
+    # last evidence debt, keep the drain stalest-first):
+    #   slots 1-4   the four never-recorded r10 post-window registrations
+    #               (quality_classifier_pr_card, embedding_pca,
+    #               embedding_pca_scores, kn_trigram_logppl) — all
+    #               oracle-backed + pytest-hash-verified since birth;
+    #               first driver rows land now;
+    #   slots 5-16  the S2-core head of the r7-stale drain, exactly as
+    #               the r10 slot map promised: the three ANN serving legs
+    #               + betweenness_exact (demoted from the r10 window to
+    #               pay for the KN/tokenizer additions), then the grep
+    #               quartet (T1/T2/T4/T5) and the bm25/dense/tag/centroid
+    #               search legs — the SURVEY S2 core never carries the
+    #               oldest evidence;
+    #   slots 17-50 the remaining r7-stale rows, alphabetical. 46 of the
+    #               49 r7 rows drain this round; the three deferred to
+    #               r12 (scd2_history, weighted_sample, hourly_anomalies
+    #               — auxiliary analytics, not S2 anchors) sit first
+    #               below the window.
+    # In-window r11 ADDITIONS (if any land mid-round) pay by demoting
+    # the alphabetical tail of slots 17-50, exactly like r10 did.
+    # Provenance per CORRECTNESS_r01-r10 (r11 staleness ledger:
+    # r10:50, r9:44, r8:44, r7:49, never:4).
     return {
-        # Slots 1-6: r9 hash-red retries (BIGINT-cast oracles):
-        "corpus_report": _q_corpus_report,
-        "char_entropy": _q_char_entropy,
-        "key_skew_report": _q_key_skew_report,
-        "feature_drift_psi": _q_feature_drift_psi,
-        "bpe_merges": _q_bpe_merges,
+        # Slots 1-4: never-recorded r10 post-window registrations:
+        "quality_classifier_pr_card": _q_quality_classifier_pr_card,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_pca_scores": _q_embedding_pca_scores,
+        "kn_trigram_logppl": _q_kn_trigram_logppl,
+        # Slots 5-16: S2-core head of the r7-stale drain:
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "betweenness_exact": _q_betweenness_exact,
+        "grep_count": _q_grep_count,
+        "grep_exact_lines": _q_grep_exact_lines,
+        "grep_regex_lines": _q_grep_regex_lines,
+        "grep_context_lines": _q_grep_context_lines,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "dense_knn_cosine": _q_dense_knn,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
+        "centroid_rerank": _q_centroid_rerank,
+        # Slots 17-50: remaining r7-stale rows (alphabetical):
+        "chunk_text": _q_chunk_text,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
+        "dedup_exact": _q_dedup_exact,
+        "diversity_rerank": _q_diversity,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_neardup": _q_embedding_neardup,
+        "events_debounce_last": _q_events_debounce,
+        "fairness_dequeue": _q_fairness_dequeue,
+        "graph_betweenness": _q_graph_betweenness,
+        "graph_clustering_coeff": _q_graph_clustering,
+        "graph_eccentricity": _q_graph_eccentricity,
+        "graph_harmonic": _q_graph_harmonic,
+        "graph_ppr": _q_graph_ppr,
+        "ingest_apply_events": _q_ingest_apply_events,
+        "ingest_idempotency": _q_ingest_idempotency,
+        "keyword_baskets": _q_keyword_baskets,
+        "label_centroids": _q_label_centroids,
+        "lang_id": _q_lang_id,
+        "leiden_communities": _q_leiden_communities,
+        "lsp_enrichment": _q_lsp_enrichment,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "mmr_tag_selection": _q_mmr_tag_selection,
+        "mock_embeddings": _q_mock_embeddings,
+        "nested_chunks": _q_nested_chunks,
+        "quality_score": _q_quality_score,
+        "queue_dequeue_order": _q_queue_dequeue_order,
+        "queue_stats": _q_queue_stats,
+        "reconcile_diff": _q_reconcile_diff,
+        "sequence_packing": _q_sequence_packing,
+        "shard_assignment": _q_shard_assignment,
+        "simhash_neardup": _q_simhash_neardup,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "two_hop_chain": _q_two_hop_chain,
+        "value_quantiles": _q_value_quantiles,
+        # ---- below the 50-row window: rotation queue, stalest-first.
+        # First the three r7 rows deferred to r12:
+        "scd2_history": _q_scd2_history,
+        "weighted_sample": _q_weighted_sample,
+        "hourly_anomalies": _q_hourly_anomalies,
+        # then the 44 r8-green rows:
+        "ann_recall": _q_ann_recall,
+        "asof_join": _q_asof_join,
+        "bloom_pruned_join": _q_bloom_pruned_join,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "bottomk_sample": _q_bottomk_sample,
+        "contrastive_pairs": _q_contrastive_pairs,
+        "curation_funnel": _q_curation_funnel,
+        "decayed_popularity": _q_decayed_popularity,
+        "dsir_logweights": _q_dsir_logweights,
+        "events_hourly_rollup": _q_events_hourly_rollup,
+        "events_interval_join": _q_events_interval_join,
+        "events_multires_rollup": _q_events_multires_rollup,
+        "events_sliding_rollup": _q_events_sliding_rollup,
+        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
+        "gopher_quality": _q_gopher_quality,
+        "gopher_repetition": _q_gopher_repetition,
+        "graph_ktruss": _q_graph_ktruss,
+        "graph_msf": _q_graph_msf,
+        "graph_scc": _q_graph_scc,
+        "heavy_hitters": _q_heavy_hitters,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "hybrid_search_indexed": _q_hybrid_search_indexed,
+        "kmv_source_overlap": _q_kmv_source_overlap,
+        "knn_graph": _q_knn_graph,
+        "last_touch_attribution": _q_last_touch_attribution,
+        "link_prediction_aa": _q_link_prediction,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_plan_epochs": _q_mixture_plan_epochs,
+        "multimodal_features": _q_multimodal_features,
+        "ndcg_metrics": _q_ndcg_metrics,
+        "pii_detection": _q_pii_detection,
+        "pmi_collocations": _q_pmi_collocations,
+        "prefix_jaccard_neardup": _q_prefix_jaccard,
+        "quality_buckets": _q_quality_buckets,
+        "quality_survivors": _q_quality_survivors,
+        "random_walks": _q_random_walks,
+        "range_join_busy_hours": _q_range_join_busy_hours,
+        "repeated_spans": _q_repeated_spans,
+        "salted_join_hot_key": _q_salted_join_hot_key,
+        "topk_per_group": _q_topk_per_group,
+        "unigram_logppl": _q_unigram_logppl,
+        "vocab_coverage": _q_vocab_coverage,
+        "zorder_keys": _q_zorder_keys,
+        # then the 44 r9-green rows:
+        "adjacency_export": _q_adjacency_export,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_sq_topk": _q_ann_sq,
+        "ann_srp_topk": _q_ann_srp,
+        "bigram_logppl": _q_bigram_logppl,
+        "bloom_user_membership": _q_bloom_user_membership,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
+        "cms_event_type_freqs": _q_cms_event_type_freqs,
+        "cohort_retention": _q_cohort_retention,
+        "concept_layer": _q_concept_layer,
+        "corpus_stats": _q_corpus_stats,
+        "cross_boundary_2hop": _q_cross_boundary_2hop,
+        "cross_collection_rrf": _q_cross_collection_rrf,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "dataset_split": _q_dataset_split,
+        "decontamination": _q_decontamination,
+        "dedup_survivors": _q_dedup_survivors,
+        "dlq_decisions": _q_dlq_decisions,
+        "doc_extraction": _q_doc_extraction,
+        "events_session_rollup": _q_events_session_rollup,
+        "exact_match_scoring": _q_exact_scoring,
+        "fallback_search": _q_fallback_search,
+        "funnel_conversion": _q_funnel_conversion,
+        "graph_2hop_neighbors": _q_graph_2hop,
+        "graph_batch_2hop": _q_graph_batch_2hop,
+        "graph_batch_impact": _q_graph_batch_impact,
+        "graph_degree_stats": _q_graph_degree,
+        "graph_expansion_fusion": _q_graph_expansion_fusion,
+        "graph_extract_calls": _q_graph_extract_calls,
+        "graph_impact_analysis": _q_graph_impact,
+        "grep_indexed_lines": _q_grep_indexed_lines,
+        "grouping_jaccard": _q_grouping_jaccard,
+        "grouping_structural": _q_grouping_structural,
+        "kmeans_topics": _q_kmeans_topics,
+        "mixture_sample": _q_mixture_sample,
+        "nested_chunks_brace": _q_nested_chunks_brace,
+        "orphan_nodes": _q_orphan_nodes,
+        "semantic_chunks": _q_semantic_chunks,
+        "sessionize": _q_sessionize,
+        "taxonomy_tags": _q_taxonomy_tags,
+        "temperature_mixture": _q_temperature_mixture,
+        "tier1_tags": _q_tier1_tags,
+        "token_count": _q_token_count,
+        # then the 50 r10-green rows (the freshest evidence):
         "ann_store_drift": _q_ann_store_drift,
-        # Slots 7-9: registered post-window in r9, first rows now:
-        "grep_regex_indexed": _q_grep_regex_indexed,
-        "sequence_packing_bpe": _q_sequence_packing_bpe,
         "bpe_fertility": _q_bpe_fertility,
-        # Slots 10-13: NEW IN r10 (oracle-backed + pytest from birth):
-        "quality_classifier_weights": _q_quality_classifier_weights,
-        "quality_classifier_scores": _q_quality_classifier_scores,
-        "unigram_lm_pieces": _q_unigram_lm_pieces,
-        "unigram_fertility": _q_unigram_fertility,
-        # Slots 14-44: the 31 remaining r6-green rows (stalest):
+        "bpe_merges": _q_bpe_merges,
+        "char_entropy": _q_char_entropy,
+        "corpus_report": _q_corpus_report,
+        "doremi_weights": _q_doremi_weights,
+        "feature_drift_psi": _q_feature_drift_psi,
         "graph_connected_components": _q_graph_components,
         "graph_context": _q_graph_context,
         "graph_find_path": _q_graph_find_path,
         "graph_kcore": _q_graph_kcore,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "grep_regex_indexed": _q_grep_regex_indexed,
         "grouping_embedding_affinity": _q_grouping_embedding_affinity,
         "grouping_tag_affinity": _q_grouping_tag_affinity,
         "hapax_eviction": _q_hapax_eviction,
         "hll_distinct_users": _q_hll_distinct_users,
         "hybrid_search_rrf": _q_hybrid,
         "image_search": _q_image_search,
+        "key_skew_report": _q_key_skew_report,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "kn_bigram_logppl": _q_kn_bigram_logppl,
+        "kn_heldout_scores": _q_kn_heldout_scores,
         "label_propagation": _q_label_propagation,
         "leiden_invariants": _q_leiden_invariants,
         "list_summary": _q_list_summary,
@@ -3365,179 +3495,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardup": _q_ngram_jaccard,
         "parent_context": _q_parent_context,
         "predicate_stack": _q_predicate_stack,
+        "quality_classifier_scores": _q_quality_classifier_scores,
+        "quality_classifier_weights": _q_quality_classifier_weights,
         "quality_metrics": _q_quality_metrics,
         "relevance_decay_hybrid": _q_decay_hybrid,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
         "scroll_retrieve": _q_scroll_retrieve,
         "semdedup": _q_semdedup,
+        "sequence_packing_bpe": _q_sequence_packing_bpe,
         "simhash_fingerprints": _q_simhash_fp,
         "splade_search": _q_splade_search,
         "stub_resolution": _q_stub_resolution,
-        "winnowing_fps": _q_winnowing_fps,
-        # Slots 45-47: NEW IN r10 mid-round — the WordPiece trainer
-        # (tokenizer family completed) and the DoReMi-style mixture
-        # reweighter (three r7 slots demoted to pay):
-        "wordpiece_merges": _q_wordpiece_merges,
-        "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
-        "doremi_weights": _q_doremi_weights,
-        # Slots 48-50: NEW IN r10 continuation session:
-        "kn_bigram_logppl": _q_kn_bigram_logppl,
         "tokenizer_compare": _q_tokenizer_compare,
-        "kn_heldout_scores": _q_kn_heldout_scores,
-        # ---- below the 50-row window: every row here is r7/r8/r9-green
-        # (newest rows recorded against code unchanged since); they
-        # rotate back through future windows stalest-first — the 49
-        # remaining r7 rows (ann_bruteforce_topk, ann_ivf_pq_topk,
-        # ann_ivf_topk, betweenness_exact first, demoted from the
-        # planned 45-50 block to pay for the WordPiece pair +
-        # doremi_weights + the continuation session's kn_bigram_logppl
-        # / tokenizer_compare / kn_heldout_scores) lead the r11
-        # rotation, after the four post-window r10 registrations
-        # below: quality_classifier_pr_card, embedding_pca,
-        # embedding_pca_scores and kn_trigram_logppl (honest labeling —
-        # oracle-backed + pytest-green, no driver row yet).
-        "quality_classifier_pr_card": _q_quality_classifier_pr_card,
-        "embedding_pca": _q_embedding_pca,
-        "embedding_pca_scores": _q_embedding_pca_scores,
-        "kn_trigram_logppl": _q_kn_trigram_logppl,
-        "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq,
-        "ann_ivf_topk": _q_ann_ivf,
-        "betweenness_exact": _q_betweenness_exact,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "centroid_rerank": _q_centroid_rerank,
-        "grep_indexed_lines": _q_grep_indexed_lines,
-        "cluster_balanced_sample": _q_cluster_balanced_sample,
-        "bpe_doc_tokens": _q_bpe_doc_tokens,
-        "taxonomy_tags": _q_taxonomy_tags,
-        "nested_chunks_brace": _q_nested_chunks_brace,
-        "sessionize": _q_sessionize,
-        "dataset_split": _q_dataset_split,
-        "mixture_sample": _q_mixture_sample,
-        "concept_layer": _q_concept_layer,
-        "doc_extraction": _q_doc_extraction,
-        "tier1_tags": _q_tier1_tags,
-        "token_count": _q_token_count,
-        "adjacency_export": _q_adjacency_export,
-        "ann_srp_topk": _q_ann_srp,
-        "cross_boundary_2hop": _q_cross_boundary_2hop,
-        "graph_2hop_neighbors": _q_graph_2hop,
-        "graph_batch_2hop": _q_graph_batch_2hop,
-        "graph_batch_impact": _q_graph_batch_impact,
-        "graph_degree_stats": _q_graph_degree,
-        "graph_expansion_fusion": _q_graph_expansion_fusion,
-        "graph_extract_calls": _q_graph_extract_calls,
-        "graph_impact_analysis": _q_graph_impact,
-        "grouping_jaccard": _q_grouping_jaccard,
-        "grouping_structural": _q_grouping_structural,
-        "dlq_decisions": _q_dlq_decisions,
-        "orphan_nodes": _q_orphan_nodes,
-        "semantic_chunks": _q_semantic_chunks,
-        "temperature_mixture": _q_temperature_mixture,
-        "kmeans_topics": _q_kmeans_topics,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_sq_topk": _q_ann_sq,
-        "bigram_logppl": _q_bigram_logppl,
-        "bloom_user_membership": _q_bloom_user_membership,
-        "cms_event_type_freqs": _q_cms_event_type_freqs,
-        "cohort_retention": _q_cohort_retention,
-        "corpus_stats": _q_corpus_stats,
-        "cross_collection_rrf": _q_cross_collection_rrf,
-        "cross_source_overlap": _q_cross_source_overlap,
-        "decontamination": _q_decontamination,
-        "dedup_survivors": _q_dedup_survivors,
-        "events_session_rollup": _q_events_session_rollup,
-        "exact_match_scoring": _q_exact_scoring,
-        "fallback_search": _q_fallback_search,
-        "funnel_conversion": _q_funnel_conversion,
-        "hybrid_search_indexed": _q_hybrid_search_indexed,
-        "topk_per_group": _q_topk_per_group,
-        "histogram_quantiles": _q_histogram_quantiles,
-        "prefix_jaccard_neardup": _q_prefix_jaccard,
-        "hll_users_by_type": _q_hll_users_by_type,
-        "quality_survivors": _q_quality_survivors,
-        "salted_join_hot_key": _q_salted_join_hot_key,
-        "decayed_popularity": _q_decayed_popularity,
-        "last_touch_attribution": _q_last_touch_attribution,
-        "events_sliding_rollup": _q_events_sliding_rollup,
-        "bloom_pruned_join": _q_bloom_pruned_join,
-        "knn_graph": _q_knn_graph,
-        "bottomk_sample": _q_bottomk_sample,
-        "zorder_keys": _q_zorder_keys,
-        "mixture_plan_epochs": _q_mixture_plan_epochs,
-        "events_interval_join": _q_events_interval_join,
-        "graph_scc": _q_graph_scc,
-        "pmi_collocations": _q_pmi_collocations,
-        "link_prediction_aa": _q_link_prediction,
-        "kmv_source_overlap": _q_kmv_source_overlap,
-        "vocab_coverage": _q_vocab_coverage,
-        "ndcg_metrics": _q_ndcg_metrics,
-        "graph_msf": _q_graph_msf,
-        "random_walks": _q_random_walks,
-        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
-        "contrastive_pairs": _q_contrastive_pairs,
-        "graph_ktruss": _q_graph_ktruss,
-        "heavy_hitters": _q_heavy_hitters,
-        "multimodal_features": _q_multimodal_features,
-        "repeated_spans": _q_repeated_spans,
-        "events_hourly_rollup": _q_events_hourly_rollup,
-        "dsir_logweights": _q_dsir_logweights,
-        "asof_join": _q_asof_join,
-        "events_multires_rollup": _q_events_multires_rollup,
-        "range_join_busy_hours": _q_range_join_busy_hours,
-        "gopher_repetition": _q_gopher_repetition,
-        "gopher_quality": _q_gopher_quality,
-        "pii_detection": _q_pii_detection,
-        "quality_buckets": _q_quality_buckets,
-        "curation_funnel": _q_curation_funnel,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "mixture_plan": _q_mixture_plan,
-        "unigram_logppl": _q_unigram_logppl,
-        "ann_recall": _q_ann_recall,
-        "shard_assignment": _q_shard_assignment,
-        "graph_clustering_coeff": _q_graph_clustering,
-        "graph_harmonic": _q_graph_harmonic,
-        "graph_eccentricity": _q_graph_eccentricity,
-        "graph_ppr": _q_graph_ppr,
-        "scd2_history": _q_scd2_history,
-        "weighted_sample": _q_weighted_sample,
-        "hourly_anomalies": _q_hourly_anomalies,
-        "value_quantiles": _q_value_quantiles,
-        "graph_betweenness": _q_graph_betweenness,
-        "leiden_communities": _q_leiden_communities,
-        "fairness_dequeue": _q_fairness_dequeue,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
-        "dense_knn_cosine": _q_dense_knn,
-        "two_hop_chain": _q_two_hop_chain,
-        "minhash_lsh_neardup": _q_minhash_lsh,
-        "nested_chunks": _q_nested_chunks,
-        "lsp_enrichment": _q_lsp_enrichment,
-        "ingest_idempotency": _q_ingest_idempotency,
-        "reconcile_diff": _q_reconcile_diff,
-        "ingest_apply_events": _q_ingest_apply_events,
-        "events_debounce_last": _q_events_debounce,
-        "queue_stats": _q_queue_stats,
-        "queue_dequeue_order": _q_queue_dequeue_order,
-        "simhash_neardup": _q_simhash_neardup,
-        "embedding_neardup": _q_embedding_neardup,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_fingerprint,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "label_centroids": _q_label_centroids,
-        "keyword_baskets": _q_keyword_baskets,
-        "mmr_tag_selection": _q_mmr_tag_selection,
-        "diversity_rerank": _q_diversity,
-        "cooccurrence_top_pairs": _q_cooc_top_pairs,
-        "grep_count": _q_grep_count,
-        "grep_exact_lines": _q_grep_exact_lines,
-        "grep_regex_lines": _q_grep_regex_lines,
-        "grep_context_lines": _q_grep_context_lines,
-        "chunk_text": _q_chunk_text,
-        "mock_embeddings": _q_mock_embeddings,
-        "sequence_packing": _q_sequence_packing,
-        "dedup_exact": _q_dedup_exact,
+        "unigram_fertility": _q_unigram_fertility,
+        "unigram_lm_pieces": _q_unigram_lm_pieces,
+        "winnowing_fps": _q_winnowing_fps,
+        "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
+        "wordpiece_merges": _q_wordpiece_merges,
     }
 
 

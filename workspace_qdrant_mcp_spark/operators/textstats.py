@@ -978,6 +978,16 @@ def update_ppl_store(
     scored; the model is never retrained."""
     from ..store_util import overwrite_store, union_keys
 
+    if fresh_scores is not None and changed_docs is None:
+        # fresh_scores rides WITH changed_docs, never instead of it:
+        # changed_docs supplies the gone-set (stale rows to remove,
+        # including short docs absent from the scores). Silently
+        # ignoring orphan scores would skip the store write and break
+        # the incremental == rebuild invariant without any error.
+        raise ValueError(
+            "update_ppl_store: fresh_scores requires changed_docs "
+            "(it supplies the gone-set; scores alone cannot be applied)"
+        )
     fresh = None
     if changed_docs is not None:
         # fresh_scores: a caller that already scored THIS delta under

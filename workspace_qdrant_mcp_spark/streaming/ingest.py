@@ -284,14 +284,20 @@ def process_batch(
                     .parquet(dlq_path)
                 )
             changed = changed.filter(passes)
-        if ppl_gate is not None:
+        if ppl_gate is not None and len(changed.take(1)) > 0:
             # CCNet-style perplexity gate at ingest: score the DELTA
             # under the FROZEN kn_bigram_model and dead-letter docs
             # whose logppl exceeds the threshold (the low-perplexity
             # head is what CCNet keeps). Docs too short to score
             # (< 2 tokens -> absent from the scorer) pass through:
             # no evidence, no rejection. The model is never retrained
-            # here; the scoring join is delta-sized.
+            # here; the scoring join is delta-sized. The emptiness
+            # probe mirrors the maintained-sink guards below: a
+            # delete-only or no-op micro-batch skips the scoring plan,
+            # the localCheckpoint and the rejected probe entirely
+            # (when skipped, `changed` lacks the score columns — safe,
+            # because the ppl sink's pre_scored reuse below only runs
+            # under has_changed, which is False for the same reason).
             from ..operators.textstats import kn_score_with
 
             ppl = kn_score_with(
@@ -669,7 +675,21 @@ def run_ingestion_stream(
     / doc features / trigram gram index / frozen-LM perplexity scores)
     thread through to process_batch, so stream deletes prune every
     store; ppl_gate (with lm_model) applies the CCNet perplexity filter
-    per micro-batch."""
+    per micro-batch.
+
+    lm_model materialization contract: process_batch references the
+    model several times per micro-batch (three scoring joins + the
+    store maintenance); if the caller passes the LAZY output of
+    textstats.kn_bigram_model, the whole training chain would re-run
+    on every reference. The stream therefore pins the model ONCE here
+    (localCheckpoint, session-pinned so process_batch's per-call
+    checkpoint hygiene never releases it) — callers may pass either a
+    lazy or a materialized model."""
+    from .. import ckpt
+
+    lm_pins: set[int] = set()
+    if lm_model is not None:
+        lm_model, lm_pins = ckpt.pin_tracked(spark, lm_model.localCheckpoint)
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
@@ -697,7 +717,13 @@ def run_ingestion_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the pinned model snapshot is stream-lifetime, not
+        # session-lifetime: release it so repeated drains (tests, or a
+        # service restarting availableNow passes) hold constant storage
+        ckpt.release_pins(spark, lm_pins)
 
 
 def queue_frame_from_events(

@@ -1086,6 +1086,21 @@ def _q_kn_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.kn_score_with(docs, model)
 
 
+def _q_kn3_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-LM serving at ORDER 3 (textstats.kn_trigram_model +
+    kn3_score_with): train the Kneser-Ney trigram model on the
+    even-doc_id half, score EVERY document under the frozen artifact
+    with the three-branch backoff (seen / interpolation-weight x
+    middle-order continuation term / unk floor) — the serving twin the
+    better filter was missing (VERDICT r10 #4; the bigram got this in
+    r10). Same maintained-store lockstep contract as the bigram
+    (update_ppl_store(order=3), asserted in test_textstats_curation).
+    NEW IN r11; in-window at birth."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = textstats.kn_trigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+    return textstats.kn3_score_with(docs, model)
+
+
 def _q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`list` tool summary mode (§2.10, list/mod.rs renderers): per-tenant
     indexed-file rollup over the chunk store — files + chunk counts.
@@ -3304,13 +3319,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               quartet (T1/T2/T4/T5) and the bm25/dense/tag/centroid
     #               search legs — the SURVEY S2 core never carries the
     #               oldest evidence;
-    #   slots 17-50 the remaining r7-stale rows, alphabetical. 46 of the
-    #               49 r7 rows drain this round; the three deferred to
-    #               r12 (scd2_history, weighted_sample, hourly_anomalies
-    #               — auxiliary analytics, not S2 anchors) sit first
-    #               below the window.
-    # In-window r11 ADDITIONS (if any land mid-round) pay by demoting
-    # the alphabetical tail of slots 17-50, exactly like r10 did.
+    #   slots 17-49 the remaining r7-stale rows, alphabetical. 45 of the
+    #               49 r7 rows drain this round; the four deferred to
+    #               r12 (value_quantiles — demoted mid-round to pay for
+    #               kn3_heldout_scores — plus scd2_history,
+    #               weighted_sample, hourly_anomalies: auxiliary
+    #               analytics, not S2 anchors) sit first below the
+    #               window;
+    #   slot 50     NEW IN r11 — kn3_heldout_scores (the trigram
+    #               frozen-LM serving twin, VERDICT r10 #4), in-window
+    #               at birth.
+    # Further in-window r11 ADDITIONS (if any land mid-round) pay by
+    # demoting the alphabetical tail of slots 17-49, exactly like r10.
     # Provenance per CORRECTNESS_r01-r10 (r11 staleness ledger:
     # r10:50, r9:44, r8:44, r7:49, never:4).
     return {
@@ -3366,9 +3386,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "tfidf_keywords": _q_tfidf_keywords,
         "two_hop_chain": _q_two_hop_chain,
-        "value_quantiles": _q_value_quantiles,
+        # Slot 50: NEW IN r11 — the trigram frozen-LM serving twin
+        # (VERDICT r10 #4), in-window at birth; value_quantiles (r7)
+        # demoted to pay, now first in the r12 rotation:
+        "kn3_heldout_scores": _q_kn3_heldout_scores,
         # ---- below the 50-row window: rotation queue, stalest-first.
-        # First the three r7 rows deferred to r12:
+        # First the four r7 rows deferred to r12:
+        "value_quantiles": _q_value_quantiles,
         "scd2_history": _q_scd2_history,
         "weighted_sample": _q_weighted_sample,
         "hourly_anomalies": _q_hourly_anomalies,
@@ -3643,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_logppl": oracles.kn_bigram_logppl(),
         "kn_heldout_scores": oracles.kn_heldout_scores(),
         "kn_trigram_logppl": oracles.kn_trigram_logppl(),
+        "kn3_heldout_scores": oracles.kn3_heldout_scores(),
         "funnel_conversion": oracles.funnel_conversion(),
         "cohort_retention": oracles.cohort_retention(),
         "hll_distinct_users": oracles.hll_distinct_users(),

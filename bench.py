@@ -236,6 +236,163 @@ def _serving_latency_ms(spark, sf_dir: str, n_reps: int = 9) -> dict[str, float]
     return out
 
 
+def _load_reference_record(here: str, sf: str) -> dict | None:
+    """Most recent bench_history.jsonl entry at the same SF with a full
+    per-query map (>= 50 queries — skips SPARK_GRAFT_BENCH_ONLY subset
+    runs). This is the 'reference row' the paired regression check
+    compares against; override with SPARK_GRAFT_BENCH_REF_TS=<ts> to pin
+    a specific entry."""
+    path = os.path.join(here, "bench_history.jsonl")
+    if not os.path.exists(path):
+        return None
+    pin = os.environ.get("SPARK_GRAFT_BENCH_REF_TS")
+    ref = None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except Exception:
+                continue
+            if str(rec.get("sf")) != str(sf):
+                continue
+            if len(rec.get("queries", {})) < 50:
+                continue
+            if pin and str(rec.get("ts")) != pin:
+                continue
+            ref = rec  # keep the LAST matching entry
+    return ref
+
+
+def _paired_recheck(
+    spark,
+    sf_dir: str,
+    queries: dict,
+    timings: dict[str, float],
+    ref: dict,
+    threshold: float = 1.3,
+    max_flagged: int = 12,
+    reps: int = 2,
+    n_anchors: int = 5,
+) -> dict:
+    """Host-drift-proof regression adjudication (VERDICT r10 #2).
+
+    Problem: absolute seconds on this host swing ±25% run-to-run with
+    byte-identical code (r10 measured 292→351→403 s for three same-day
+    runs), so `now/ref > 1.3` flags dozens of false regressions. A real
+    regression is LOCAL to a query; host drift is GLOBAL — so normalize
+    each flagged query by contemporaneous anchor measurements taken in
+    the SAME session, interleaved run-for-run with the flagged query so
+    both see the same instantaneous host state.
+
+    Protocol:
+      1. raw ratio r_q = now_q / ref_q for every query timed in both
+         runs; host_factor = median(r_q) (the global drift estimate).
+      2. flagged = r_q > threshold, worst-first, capped at max_flagged.
+      3. anchors = the n_anchors queries with r_q closest to the median
+         (pure-drift exemplars; ref time >= 0.5 s so timer noise is
+         small relative to the measurement).
+      4. interleave: for each rep, run [anchor_1, flagged_q, anchor_2,
+         flagged_q, ...] alternating in one session; per-rep
+         anchor_factor = median(anchor_now / anchor_ref).
+      5. paired_ratio_q = median over reps of
+         (flagged_now / ref_q) / anchor_factor_rep.
+    paired_ratio ≈ 1 ⇒ the raw flag was host drift; paired_ratio >
+    threshold ⇒ a genuine plan/code regression worth bisecting."""
+    import statistics
+
+    ref_t = ref.get("queries", {})
+    ratios = {
+        q: timings[q] / ref_t[q]
+        for q in timings
+        if q in ref_t and timings[q] > 0 and ref_t[q] > 0
+    }
+    if len(ratios) < 10:
+        return {"status": "insufficient_overlap", "n_common": len(ratios)}
+    host_factor = statistics.median(ratios.values())
+    flagged = sorted(
+        (q for q, r in ratios.items() if r > threshold),
+        key=lambda q: -ratios[q],
+    )
+    out = {
+        "status": "ok",
+        "ref_ts": ref.get("ts"),
+        "host_factor_raw": round(host_factor, 3),
+        "threshold": threshold,
+        "n_flagged_raw": len(flagged),
+        "flagged": {},
+    }
+    if not flagged:
+        return out
+    anchors = sorted(
+        (q for q, r in ratios.items() if ref_t[q] >= 0.5 and q not in flagged),
+        key=lambda q: abs(ratios[q] - host_factor),
+    )[:n_anchors]
+    if not anchors:
+        out["status"] = "no_anchors"
+        return out
+    out["anchors"] = anchors
+    if len(flagged) > max_flagged:
+        _log(
+            f"# paired recheck: {len(flagged)} raw flags, re-running worst "
+            f"{max_flagged} (cap); the rest inherit host_factor_raw"
+        )
+    for q in flagged[max_flagged:]:
+        out["flagged"][q] = {
+            "raw_ratio": round(ratios[q], 3),
+            "paired_ratio": round(ratios[q] / host_factor, 3),
+            "method": "host_factor_only",
+        }
+    for q in flagged[:max_flagged]:
+        per_rep = []
+        for _rep in range(reps):
+            seq = []
+            for a in anchors:
+                seq.append(a)
+                seq.append(q)
+            t_by: dict[str, list[float]] = {}
+            for name in seq:
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).collect()
+                except Exception as exc:
+                    _log(f"# paired recheck error in {name}: {exc}")
+                    continue
+                t_by.setdefault(name, []).append(time.perf_counter() - t0)
+                ckpt.clear_unpinned(spark)
+            if q not in t_by or not any(a in t_by for a in anchors):
+                continue
+            anchor_factor = statistics.median(
+                statistics.median(t_by[a]) / ref_t[a] for a in anchors if a in t_by
+            )
+            flag_now = statistics.median(t_by[q])
+            per_rep.append((flag_now / ref_t[q]) / anchor_factor)
+        if per_rep:
+            pr = statistics.median(per_rep)
+            out["flagged"][q] = {
+                "raw_ratio": round(ratios[q], 3),
+                "paired_ratio": round(pr, 3),
+                "method": "interleaved",
+                "reps": len(per_rep),
+            }
+            verdict = "REGRESSION" if pr > threshold else "host drift"
+            _log(
+                f"# paired {q}: raw {ratios[q]:.2f}x -> paired {pr:.2f}x "
+                f"({verdict})"
+            )
+        else:
+            out["flagged"][q] = {
+                "raw_ratio": round(ratios[q], 3),
+                "paired_ratio": None,
+                "method": "interleaved_failed",
+            }
+    out["n_paired_regressions"] = sum(
+        1
+        for v in out["flagged"].values()
+        if v.get("paired_ratio") is not None and v["paired_ratio"] > threshold
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -300,6 +457,29 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Paired interleaved regression adjudication (VERDICT r10 #2): raw
+    # round-over-round seconds are ±25% host noise, so any query flagged
+    # >1.3x vs the reference record is re-run interleaved with
+    # drift-anchor queries in this same session and judged on its
+    # anchor-normalized paired_ratio instead. Skipped for subset runs
+    # (no stable anchor pool); disable with SPARK_GRAFT_BENCH_PAIRED=0.
+    paired: dict = {"status": "skipped"}
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0"
+        and not only
+    ):
+        ref = _load_reference_record(here, sf)
+        if ref is None:
+            paired = {"status": "no_reference"}
+        else:
+            try:
+                paired = _paired_recheck(spark, sf_dir, queries, timings, ref)
+            except Exception as exc:
+                paired = {"status": f"error: {exc}"}
+                _log(f"# paired recheck error: {exc}")
+        ckpt.clear_unpinned(spark)
 
     # Amortized interactive graph point-queries: per-seed ms for the
     # batched impact analysis (reference budget: 100 ms per impact query).
@@ -464,12 +644,16 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "baseline_mapped": baseline_mapped,
         "env": {"cpus": cpus, "warmup": warmup, "warmup_sec": warmup_sec},
+        "paired_status": paired.get("status"),
+        "n_flagged_raw": paired.get("n_flagged_raw"),
+        "n_paired_regressions": paired.get("n_paired_regressions"),
     }
     full = {
         **summary,
         "queries": timings,
         "per_seed_ms": per_seed_ms,
         "counts": counts,
+        "paired": paired,
     }
 
     # Full copy (with row counts) to disk first, so a clipped stdout capture
@@ -479,7 +663,6 @@ def main() -> None:
     # is the durable record. bench_history.jsonl additionally APPENDS one
     # line per run, so a later local run cannot clobber the round's
     # driver-run numbers.
-    here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(here, "bench_out.json")
     try:
         with open(out_path, "w") as f:

@@ -1503,6 +1503,81 @@ def test_ppl_gate_and_store_together_stay_lockstep(spark, tmp_path):
     ]
 
 
+def test_ppl_gate_accepts_trigram_model(spark, tmp_path):
+    """lm_order=3: the ingest gate + maintained scores store run off a
+    frozen kn_trigram_model with kn3_score_with (VERDICT r10 #4) — the
+    out-of-domain doc dead-letters, the store equals a fresh
+    kn3_score_with over the surviving corpus, and the count column is
+    the order-3 one."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    pplp = str(tmp_path / "ppl3")
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = textstats.kn_trigram_model(ref).localCheckpoint()
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [("good.txt", "create", "the quick brown fox jumps", t),
+         ("alien.txt", "create", "zzq glorp xyzzy wub fnord blart", t),
+         ("short.txt", "create", "two words", t)],  # < 3 tokens: passes
+        ingest.EVENT_SCHEMA,
+    )
+    sc = {
+        r["doc_id"]: r["logppl"]
+        for r in textstats.kn3_score_with(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps"),
+                 (2, "zzq glorp xyzzy wub fnord blart")],
+                "doc_id long, text string",
+            ),
+            model,
+        ).collect()
+    }
+    assert sc[1] < sc[2]
+    gate = (sc[1] + sc[2]) / 2
+    ingest.process_batch(
+        spark, batch, store, dlq,
+        lm_model=model, ppl_gate=gate, ppl_store_path=pplp, lm_order=3,
+    )
+    stored = {
+        r["path"]
+        for r in spark.read.parquet(store).select("path").distinct()
+        .collect()
+    }
+    assert stored == {"good.txt", "short.txt"}
+    assert [(r["path"], r["error"])
+            for r in spark.read.parquet(dlq).collect()] == [
+        ("alien.txt", "ppl_gate")
+    ]
+    surviving = spark.createDataFrame(
+        [("good.txt", "the quick brown fox jumps"),
+         ("short.txt", "two words")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in textstats.read_ppl_store(
+            spark, pplp, id_type="string", order=3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in textstats.kn3_score_with(surviving, model).collect()
+    )
+    assert got == want
+    assert "n_trigrams" in textstats.read_ppl_store(
+        spark, pplp, id_type="string", order=3
+    ).columns
+
+
 def test_ppl_config_without_model_fails_loudly(spark, tmp_path):
     """ppl_gate / ppl_store_path without lm_model must raise at entry —
     not surface as a fake provider outage through the watchdog branch."""

@@ -546,6 +546,169 @@ class TestKnFrozenLmServing:
         assert got == want
 
 
+class TestKn3FrozenLmServing:
+    """kn_trigram_model + kn3_score_with: the order-3 frozen-LM serving
+    twin (VERDICT r10 #4) — same three-branch contract and maintained
+    scores store as the bigram."""
+
+    def test_in_sample_scoring_reproduces_training_query(self, spark):
+        docs = _docs(spark, [
+            (1, "san francisco is big today"), (2, "new york is big"),
+            (3, "san francisco san francisco is"),
+            (4, "is big is big is"),
+        ])
+        model = textstats.kn_trigram_model(docs)
+        got = {
+            r["doc_id"]: r
+            for r in textstats.kn3_score_with(docs, model).collect()
+        }
+        want = {
+            r["doc_id"]: r
+            for r in textstats.kn_trigram_logppl(docs).collect()
+        }
+        assert set(got) == set(want)
+        for did, r in got.items():
+            assert (r["n_backoff"], r["n_oov"]) == (0, 0)
+            assert r["n_trigrams"] == want[did]["n_trigrams"]
+            assert r["logppl"] == want[did]["logppl"]
+
+    def test_three_branches_vs_python_reference(self, spark):
+        import math
+        from collections import Counter, defaultdict
+
+        ref_texts = {1: "a b c d", 2: "a b d c", 3: "b c d a"}
+        # 20: (a,b,c) seen; (b,c,x): ctx "b c" known but (c,x) never a
+        #     continuation bigram -> unk. 21: (c,d,c): trigram unseen,
+        #     ctx "c d" known AND (d,c) a known continuation -> the
+        #     interpolation-only branch; (d,c,a): ctx "d c" unknown ->
+        #     unk. 22: fully seen.
+        tgt = {20: "a b c x", 21: "c d c a", 22: "b c d"}
+        D = 0.75
+
+        def rhalf(x):
+            return math.copysign(math.floor(abs(x) + 0.5), x)
+
+        c3: Counter = Counter()
+        for t in ref_texts.values():
+            toks = t.split()
+            c3.update(zip(toks, toks[1:], toks[2:]))
+        c_ctx3: Counter = Counter()
+        n1f3: Counter = Counter()
+        mid_w1s: defaultdict = defaultdict(set)
+        for (w1, w2, w3), c in c3.items():
+            c_ctx3[(w1, w2)] += c
+            n1f3[(w1, w2)] += 1
+            mid_w1s[(w2, w3)].add(w1)
+        c2p = {k: len(v) for k, v in mid_w1s.items()}
+        c_ctx2: Counter = Counter()
+        n1f2: Counter = Counter()
+        c1p: Counter = Counter()
+        for (w2, w3), c in c2p.items():
+            c_ctx2[w2] += c
+            n1f2[w2] += 1
+            c1p[w3] += 1
+        n_types = len(c2p)
+
+        def p2(w2, w3):
+            return max(c2p[(w2, w3)] - D, 0.0) / c_ctx2[w2] + (
+                D * n1f2[w2] / c_ctx2[w2]
+            ) * (c1p[w3] / n_types)
+
+        def branch(w1, w2, w3):
+            if (w1, w2, w3) in c3:
+                p = max(c3[(w1, w2, w3)] - D, 0.0) / c_ctx3[(w1, w2)] + (
+                    D * n1f3[(w1, w2)] / c_ctx3[(w1, w2)]
+                ) * p2(w2, w3)
+                return int(rhalf(math.log(p) * 1e6)), 0, 0
+            if (w1, w2) in c_ctx3 and (w2, w3) in c2p:
+                p = (D * n1f3[(w1, w2)] / c_ctx3[(w1, w2)]) * p2(w2, w3)
+                return int(rhalf(math.log(p) * 1e6)), 1, 0
+            return int(rhalf(math.log(1.0 / (n_types + 1)) * 1e6)), 0, 1
+
+        want = {}
+        for did, t in tgt.items():
+            toks = t.split()
+            ts3 = list(zip(toks, toks[1:], toks[2:]))
+            qs = [branch(*g) for g in ts3]
+            s = sum(q[0] for q in qs)
+            want[did] = (
+                len(ts3),
+                sum(q[1] for q in qs),
+                sum(q[2] for q in qs),
+                rhalf((-(s / 1e6) / len(ts3)) * 1e6) / 1e6,
+            )
+        model = textstats.kn_trigram_model(
+            _docs(spark, list(ref_texts.items()))
+        )
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["n_backoff"], r["n_oov"],
+                          r["logppl"])
+            for r in textstats.kn3_score_with(
+                _docs(spark, list(tgt.items())), model
+            ).collect()
+        }
+        assert got == want
+        # the fixture must actually exercise all three branches
+        assert sum(w[1] for w in want.values()) > 0
+        assert sum(w[2] for w in want.values()) > 0
+        assert any(w[1] == 0 and w[2] == 0 for w in want.values())
+
+    def test_ppl_store_order3_incremental_equals_rebuild(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "ppl3_store")
+        ref = _docs(spark, [
+            (1, "a b c d"), (2, "a b d c"), (3, "b c d a"),
+        ])
+        model = textstats.kn_trigram_model(ref)
+        b1 = _docs(spark, [(10, "a b c x"), (11, "z z z z")])
+        textstats.update_ppl_store(
+            spark, path, model, changed_docs=b1, order=3
+        )
+        # change 10, add 12, delete 11 across two updates
+        textstats.update_ppl_store(
+            spark, path, model,
+            changed_docs=_docs(spark, [(10, "c d c a"), (12, "b c d")]),
+            order=3,
+        )
+        textstats.update_ppl_store(
+            spark, path, model,
+            changed_docs=_docs(spark, [(12, "a b c")]),
+            deleted_ids=spark.createDataFrame([(11,)], "doc_id long"),
+            order=3,
+        )
+        corpus = _docs(spark, [(10, "c d c a"), (12, "a b c")])
+        got = sorted(
+            tuple(r)
+            for r in textstats.read_ppl_store(spark, path, order=3)
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in textstats.kn3_score_with(corpus, model).collect()
+        )
+        assert got == want
+        # the store carries the order-3 count column, not the bigram's
+        assert "n_trigrams" in textstats.read_ppl_store(
+            spark, path, order=3
+        ).columns
+
+    def test_fresh_scores_without_changed_docs_raises(
+        self, spark, tmp_path
+    ):
+        # fresh_scores rides WITH changed_docs (which supplies the
+        # gone-set); orphan scores must fail loudly, not no-op
+        import pytest
+
+        ref = _docs(spark, [(1, "a b c")])
+        model = textstats.kn_bigram_model(ref)
+        scores = textstats.kn_score_with(ref, model)
+        with pytest.raises(ValueError, match="changed_docs"):
+            textstats.update_ppl_store(
+                spark, str(tmp_path / "s"), model, fresh_scores=scores
+            )
+
+
 class TestPmiCollocations:
     def test_hand_computed(self, spark):
         # corpus: "a b" x3 plus "c d" once and a stray "a d" once.

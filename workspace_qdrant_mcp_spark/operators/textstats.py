@@ -609,6 +609,65 @@ def _kn_pw(discount: float):
     )
 
 
+def _kn3_tables(tg: DataFrame):
+    """The order-3 Kneser-Ney count tables from a trigram stream:
+    (t3 with w12/w2/w3 split out, ctx3 = c(w1w2 .)/N1+(w1w2 .),
+    mid = continuation bigram counts c'(w2w3) = N1+(. w2w3),
+    ctx2 = c'(w2 .)/N1+'(w2 .), low = c''(w3), tot = N1+(. . .)) —
+    the middle and lowest orders run on CONTINUATION counts derived
+    FROM the trigram table (the Kneser-Ney move); every table is an
+    aggregate of the count table, never a second corpus scan."""
+    t3 = (
+        tg.groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .select(
+            "tg",
+            "c3",
+            F.substring_index("tg", " ", 2).alias("w12"),
+            F.substring_index(
+                F.substring_index("tg", " ", 2), " ", -1
+            ).alias("w2"),
+            F.substring_index("tg", " ", -1).alias("w3"),
+        )
+    )
+    ctx3 = t3.groupBy("w12").agg(
+        F.sum("c3").alias("c_ctx3"),
+        F.count(F.lit(1)).alias("n1f3"),
+    )
+    mid = t3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c2p")
+    )
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("c2p").alias("c_ctx2"),
+        F.count(F.lit(1)).alias("n1f2"),
+    )
+    low = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("c1p"))
+    tot = mid.agg(F.count(F.lit(1)).alias("n_types"))
+    return t3, ctx3, mid, ctx2, low, tot
+
+
+def _kn3_p2(discount: float):
+    """p2(w3|w2) — the middle-order KN term over continuation counts,
+    one fixed IEEE expression (shared by training and the serving
+    scorer's backoff branch; mirrored token-for-token in the oracle)."""
+    d = F.lit(float(discount))
+    p1 = F.col("c1p").cast("double") / F.col("n_types")
+    return (
+        F.greatest(F.col("c2p").cast("double") - d, F.lit(0.0))
+        / F.col("c_ctx2")
+    ) + ((d * F.col("n1f2") / F.col("c_ctx2")) * p1)
+
+
+def _kn3_p3(discount: float):
+    """p3(w3|w1 w2) as one fixed IEEE expression, innermost-first
+    (p1 -> p2 -> p3), over the joined _kn3_tables columns."""
+    d = F.lit(float(discount))
+    return (
+        F.greatest(F.col("c3").cast("double") - d, F.lit(0.0))
+        / F.col("c_ctx3")
+    ) + ((d * F.col("n1f3") / F.col("c_ctx3")) * _kn3_p2(discount))
+
+
 def kn_bigram_logppl(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -706,44 +765,9 @@ def kn_trigram_logppl(
     tables are ALL aggregates of the count table — five vocab-scale
     rollups, never a second corpus scan; the type total is a 1-row
     broadcast."""
-    d = F.lit(float(discount))
     tg = _ngram_stream(docs, 3, id_col, text_col, out_col="tg")
-    t3 = (
-        tg.groupBy("tg")
-        .agg(F.count(F.lit(1)).alias("c3"))
-        .select(
-            "tg",
-            "c3",
-            F.substring_index("tg", " ", 2).alias("w12"),
-            F.substring_index(
-                F.substring_index("tg", " ", 2), " ", -1
-            ).alias("w2"),
-            F.substring_index("tg", " ", -1).alias("w3"),
-        )
-    )
-    ctx3 = t3.groupBy("w12").agg(
-        F.sum("c3").alias("c_ctx3"),
-        F.count(F.lit(1)).alias("n1f3"),
-    )
-    mid = t3.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("c2p")
-    )
-    ctx2 = mid.groupBy("w2").agg(
-        F.sum("c2p").alias("c_ctx2"),
-        F.count(F.lit(1)).alias("n1f2"),
-    )
-    low = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("c1p"))
-    tot = mid.agg(F.count(F.lit(1)).alias("n_types"))
-    # one fixed IEEE expression, innermost-first: p1 -> p2 -> p3
-    p1 = F.col("c1p").cast("double") / F.col("n_types")
-    p2 = (
-        F.greatest(F.col("c2p").cast("double") - d, F.lit(0.0))
-        / F.col("c_ctx2")
-    ) + ((d * F.col("n1f2") / F.col("c_ctx2")) * p1)
-    p3 = (
-        F.greatest(F.col("c3").cast("double") - d, F.lit(0.0))
-        / F.col("c_ctx3")
-    ) + ((d * F.col("n1f3") / F.col("c_ctx3")) * p2)
+    t3, ctx3, mid, ctx2, low, tot = _kn3_tables(tg)
+    p3 = _kn3_p3(discount)
     q = (
         t3.join(ctx3, "w12")
         .join(mid, ["w2", "w3"])
@@ -931,10 +955,198 @@ def kn_score_with(
     )
 
 
-def read_ppl_store(spark, store_path: str, id_type: str = "long") -> DataFrame:
-    """The maintained (doc_id, n_bigrams, n_backoff, n_oov, logppl)
-    scores table under a frozen LM; empty-typed frame if the store does
-    not exist yet (the read_postings missing-vs-corrupt discipline)."""
+def kn_trigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """The FROZEN Kneser-Ney TRIGRAM model as one persistable
+    long-format table — kn_bigram_model's order-3 twin (the better
+    filter per the tokenizer_compare card gets the same
+    train-once/serve-forever artifact). Rows by `kind`:
+
+      kind='tg'    tg, a = ln p3(w3|w1w2) quantized to int64 microunits
+                   (seen trigrams — the fully trained path)
+      kind='ctx3'  w12, a = c(w1w2 ·), b = N1+(w1w2 ·)
+      kind='mid'   w2 w3, a = c'(w2w3) = N1+(· w2w3)
+      kind='ctx2'  w2, a = c'(w2 ·), b = N1+'(w2 ·)
+      kind='low'   w3, a = c''(w3)
+      kind='tot'   a = N1+(· · ·)
+
+    Raw counts — not precomputed probabilities — are stored for the
+    backoff kinds so kn3_score_with recomputes the middle-order term in
+    one fixed IEEE expression (engine-identical floats). Bounded by the
+    training corpus's trigram-type count: a model artifact, not a data
+    table."""
+    tg = _ngram_stream(docs, 3, None, text_col, out_col="tg")
+    t3, ctx3, mid, ctx2, low, tot = _kn3_tables(tg)
+    p3 = _kn3_p3(discount)
+    nul = F.lit(None).cast("string")
+    nulb = F.lit(None).cast("long")
+    tg_rows = (
+        t3.join(ctx3, "w12")
+        .join(mid, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(low, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("tg").alias("kind"),
+            F.col("tg"),
+            nul.alias("w12"),
+            nul.alias("w2"),
+            nul.alias("w3"),
+            F.round(F.log(p3) * F.lit(1e6)).cast("long").alias("a"),
+            nulb.alias("b"),
+        )
+    )
+    ctx3_rows = ctx3.select(
+        F.lit("ctx3").alias("kind"), nul.alias("tg"), "w12",
+        nul.alias("w2"), nul.alias("w3"),
+        F.col("c_ctx3").alias("a"), F.col("n1f3").alias("b"),
+    )
+    mid_rows = mid.select(
+        F.lit("mid").alias("kind"), nul.alias("tg"), nul.alias("w12"),
+        "w2", "w3", F.col("c2p").alias("a"), nulb.alias("b"),
+    )
+    ctx2_rows = ctx2.select(
+        F.lit("ctx2").alias("kind"), nul.alias("tg"), nul.alias("w12"),
+        "w2", nul.alias("w3"),
+        F.col("c_ctx2").alias("a"), F.col("n1f2").alias("b"),
+    )
+    low_rows = low.select(
+        F.lit("low").alias("kind"), nul.alias("tg"), nul.alias("w12"),
+        nul.alias("w2"), "w3", F.col("c1p").alias("a"), nulb.alias("b"),
+    )
+    tot_rows = tot.select(
+        F.lit("tot").alias("kind"), nul.alias("tg"), nul.alias("w12"),
+        nul.alias("w2"), nul.alias("w3"),
+        F.col("n_types").alias("a"), nulb.alias("b"),
+    )
+    return (
+        tg_rows.unionByName(ctx3_rows)
+        .unionByName(mid_rows)
+        .unionByName(ctx2_rows)
+        .unionByName(low_rows)
+        .unionByName(tot_rows)
+    )
+
+
+def kn3_score_with(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_trigrams, n_backoff, n_oov, logppl) — score documents
+    under a FROZEN kn_trigram_model: kn_score_with's order-3 twin, the
+    same three-branch serving contract:
+
+      seen trigram            -> the model's quantized ln p3   (exact)
+      seen ctx (w1w2) AND
+      seen cont. bigram (w2w3)-> interpolation weight x middle order:
+                                 ln( D·N1+(w1w2·)/c(w1w2·) · p2(w3|w2) )
+                                 (p2 recomputed from the stored raw
+                                 counts in the SAME fixed IEEE
+                                 expression as training)   (n_backoff)
+      anything else unseen    -> uniform unk floor
+                                 ln(1/(N1+(···)+1))            (n_oov)
+
+    (mid present implies ctx2/low present — they are rollups of mid —
+    so the backoff branch never reads a NULL.) Every branch quantizes
+    at its single ln() call; per-doc means are exact integer sums.
+    Scoring the training corpus reproduces kn_trigram_logppl
+    row-for-row (asserted in tests) — backoff never fires.
+
+    Plan: the model splits into five bounded lookup tables + a 1-row
+    broadcast total; scoring is one trigram explode and four LEFT
+    joins keyed on the trigram and its context/continuation parts.
+    Docs with < 3 tokens are absent (no evidence, no score)."""
+    tg = _ngram_stream(docs, 3, id_col, text_col, out_col="tg").select(
+        id_col,
+        "tg",
+        F.substring_index("tg", " ", 2).alias("w12"),
+        F.substring_index(
+            F.substring_index("tg", " ", 2), " ", -1
+        ).alias("w2"),
+        F.substring_index("tg", " ", -1).alias("w3"),
+    )
+    tgt = model.filter(F.col("kind") == "tg").select(
+        "tg", F.col("a").alias("lq_seen")
+    )
+    ctx3 = model.filter(F.col("kind") == "ctx3").select(
+        "w12", F.col("a").alias("c_ctx3"), F.col("b").alias("n1f3")
+    )
+    mid = model.filter(F.col("kind") == "mid").select(
+        "w2", "w3", F.col("a").alias("c2p")
+    )
+    ctx2 = model.filter(F.col("kind") == "ctx2").select(
+        "w2", F.col("a").alias("c_ctx2"), F.col("b").alias("n1f2")
+    )
+    low = model.filter(F.col("kind") == "low").select(
+        "w3", F.col("a").alias("c1p")
+    )
+    tot = model.filter(F.col("kind") == "tot").select(
+        F.col("a").alias("n_types")
+    )
+    d = F.lit(float(discount))
+    backoff = (d * F.col("n1f3") / F.col("c_ctx3")) * _kn3_p2(discount)
+    unk = F.lit(1.0) / (F.col("n_types") + F.lit(1)).cast("double")
+    scored = (
+        tg.join(tgt, "tg", "left")
+        .join(ctx3, "w12", "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(ctx2, "w2", "left")
+        .join(low, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.coalesce(
+                "lq_seen",
+                F.when(
+                    F.col("c_ctx3").isNotNull()
+                    & F.col("c2p").isNotNull(),
+                    F.round(F.log(backoff) * F.lit(1e6)).cast("long"),
+                ),
+                F.round(F.log(unk) * F.lit(1e6)).cast("long"),
+            ).alias("lq"),
+            F.col("lq_seen").isNull().cast("int").alias("is_bo"),
+            (
+                F.col("lq_seen").isNull()
+                & (F.col("c_ctx3").isNull() | F.col("c2p").isNull())
+            ).cast("int").alias("is_oov"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+            (F.sum("is_bo") - F.sum("is_oov")).cast("int").alias(
+                "n_backoff"
+            ),
+            F.sum("is_oov").cast("int").alias("n_oov"),
+            F.sum("lq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "n_backoff",
+            "n_oov",
+            micro6(
+                -(F.col("_s").cast("double") / F.lit(1e6))
+                / F.col("n_trigrams")
+            ).alias("logppl"),
+        )
+    )
+
+
+def read_ppl_store(
+    spark, store_path: str, id_type: str = "long", order: int = 2
+) -> DataFrame:
+    """The maintained (doc_id, n_bigrams|n_trigrams, n_backoff, n_oov,
+    logppl) scores table under a frozen LM (count column named by the
+    model order); empty-typed frame if the store does not exist yet
+    (the read_postings missing-vs-corrupt discipline)."""
     import os
 
     if os.path.exists(store_path):
@@ -948,12 +1160,23 @@ def read_ppl_store(spark, store_path: str, id_type: str = "long") -> DataFrame:
         [],
         StructType([
             StructField("doc_id", _parse_datatype_string(id_type)),
-            StructField("n_bigrams", IntegerType()),
+            StructField(_ppl_count_col(order), IntegerType()),
             StructField("n_backoff", IntegerType()),
             StructField("n_oov", IntegerType()),
             StructField("logppl", DoubleType()),
         ]),
     )
+
+
+def _ppl_count_col(order: int) -> str:
+    """Count column name for a frozen-LM score row: the serving scorers
+    name it by n-gram order (kn_score_with -> n_bigrams,
+    kn3_score_with -> n_trigrams)."""
+    if order == 2:
+        return "n_bigrams"
+    if order == 3:
+        return "n_trigrams"
+    raise ValueError(f"unsupported LM order {order} (2 or 3)")
 
 
 def update_ppl_store(
@@ -967,15 +1190,17 @@ def update_ppl_store(
     id_type: str = "long",
     discount: float = 0.75,
     fresh_scores: DataFrame | None = None,
+    order: int = 2,
 ) -> None:
     """Incremental perplexity-score maintenance under a FROZEN
-    kn_bigram_model — the LM-filter analog of bpe.update_token_store
-    (the eighth maintained sink). INVARIANT (asserted in tests): after
-    any update sequence the store equals kn_score_with() over the
-    current corpus with the same model — incremental == rebuild, so
-    quality gates reading the store see exactly the batch scores.
-    Per-batch cost is delta-sized: only the changed docs' bigrams are
-    scored; the model is never retrained."""
+    kn_bigram_model (order=2) or kn_trigram_model (order=3) — the
+    LM-filter analog of bpe.update_token_store (the eighth maintained
+    sink). INVARIANT (asserted in tests): after any update sequence the
+    store equals kn_score_with()/kn3_score_with() over the current
+    corpus with the same model — incremental == rebuild, so quality
+    gates reading the store see exactly the batch scores. Per-batch
+    cost is delta-sized: only the changed docs' n-grams are scored; the
+    model is never retrained."""
     from ..store_util import overwrite_store, union_keys
 
     if fresh_scores is not None and changed_docs is None:
@@ -995,22 +1220,21 @@ def update_ppl_store(
         # through — (id, n_bigrams, n_backoff, n_oov, logppl), short
         # unscoreable docs already absent. changed_docs still supplies
         # the gone set, so short docs' stale rows are removed either way
+        scorer = kn_score_with if order == 2 else kn3_score_with
         fresh = (
             fresh_scores
             if fresh_scores is not None
-            else kn_score_with(
-                changed_docs, model, id_col, text_col, discount
-            )
+            else scorer(changed_docs, model, id_col, text_col, discount)
         ).select(
             F.col(id_col).cast(id_type).alias("doc_id"),
-            "n_bigrams",
+            _ppl_count_col(order),
             "n_backoff",
             "n_oov",
             "logppl",
         )
     overwrite_store(
         store_path,
-        read_ppl_store(spark, store_path, id_type),
+        read_ppl_store(spark, store_path, id_type, order),
         "doc_id",
         gone=union_keys(
             "doc_id",

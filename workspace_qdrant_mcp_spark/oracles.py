@@ -4646,16 +4646,16 @@ FROM dd
 """
 
 
-def kn_trigram_logppl(discount: float = 0.75) -> str:
-    """Oracle for textstats.kn_trigram_logppl: the order-3 interpolated
-    KN recursion (continuation counts at the middle and lowest orders),
-    ln() quantized per trigram, exact integer per-doc sums — mirrored
-    token-for-token against the Spark expression (p1 -> p2 -> p3
-    innermost-first)."""
+def _kn3_ctes(discount: float, train_where: str = "") -> str:
+    """The shared order-3 Kneser-Ney CTE chain: whitespace-trigram
+    stream (with doc_id + context/continuation parts), the five count
+    tables over the TRAINING subset (`train_where` restricts it; empty
+    = the whole stream), and q = quantized ln p3 per seen trigram —
+    mirrored token-for-token against the Spark _kn3_tables/_kn3_p3
+    helpers (p1 -> p2 -> p3 innermost-first)."""
     d = float(discount)
-    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_trigrams")
     return f"""
-WITH tokd AS (
+tokd AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> length(t) > 0) AS w
@@ -4672,7 +4672,7 @@ t3 AS (
          split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
          split_part(tg, ' ', 2) AS w2,
          split_part(tg, ' ', 3) AS w3
-  FROM tg GROUP BY tg
+  FROM tg {train_where} GROUP BY tg
 ),
 ctx3 AS (
   SELECT w12, sum(c3) AS c_ctx3, count(*) AS n1f3
@@ -4703,13 +4703,82 @@ q AS (
   JOIN mid USING (w2, w3)
   JOIN ctx2 USING (w2)
   JOIN low USING (w3), tot
-),
+)"""
+
+
+def kn_trigram_logppl(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn_trigram_logppl: the order-3 interpolated
+    KN recursion (continuation counts at the middle and lowest orders),
+    ln() quantized per trigram, exact integer per-doc sums — the shared
+    _kn3_ctes chain with the full corpus as the training set."""
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_trigrams")
+    return f"""
+WITH {_kn3_ctes(discount)},
 dd AS (
   SELECT g.doc_id, count(*) AS n_trigrams,
          CAST(sum(q.lq) AS BIGINT) AS s
   FROM tg g JOIN q USING (tg) GROUP BY g.doc_id
 )
 SELECT doc_id, CAST(n_trigrams AS INT) AS n_trigrams, {lp} AS logppl
+FROM dd
+"""
+
+
+def kn3_heldout_scores(discount: float = 0.75) -> str:
+    """Oracle for textstats.kn3_score_with under a kn_trigram_model
+    trained on the even-doc_id half — kn_heldout_scores' order-3 twin.
+    Three quantized branches per scored trigram (seen / backoff through
+    the middle-order continuation term / unk floor), exact integer
+    per-doc sums; the backoff p2 is the SAME fixed IEEE expression the
+    training chain uses."""
+    d = float(discount)
+    lp = micro6_sql("-(CAST(s AS DOUBLE) / 1000000.0) / n_trigrams")
+    return f"""
+WITH {_kn3_ctes(discount, train_where="WHERE doc_id % 2 = 0")},
+sg AS (
+  SELECT doc_id, tg,
+         split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+         split_part(tg, ' ', 2) AS w2,
+         split_part(tg, ' ', 3) AS w3
+  FROM tg
+),
+sc AS (
+  SELECT s.doc_id,
+         coalesce(
+           b.lq,
+           CASE WHEN c3t.c_ctx3 IS NOT NULL AND m.c2p IS NOT NULL THEN
+             CAST(round(ln(
+               (({d} * c3t.n1f3) / c3t.c_ctx3)
+               * (
+                 (greatest(CAST(m.c2p AS DOUBLE) - {d}, 0.0) / c2t.c_ctx2)
+                 + ((({d} * c2t.n1f2) / c2t.c_ctx2)
+                    * (CAST(l.c1p AS DOUBLE) / t.n_types))
+               )
+             ) * 1000000) AS BIGINT)
+           END,
+           CAST(round(ln(1.0 / CAST(t.n_types + 1 AS DOUBLE))
+                * 1000000) AS BIGINT)
+         ) AS lq,
+         CASE WHEN b.lq IS NULL THEN 1 ELSE 0 END AS is_bo,
+         CASE WHEN b.lq IS NULL
+                   AND (c3t.c_ctx3 IS NULL OR m.c2p IS NULL)
+              THEN 1 ELSE 0 END AS is_oov
+  FROM sg s
+  LEFT JOIN q b USING (tg)
+  LEFT JOIN ctx3 c3t ON s.w12 = c3t.w12
+  LEFT JOIN mid m ON s.w2 = m.w2 AND s.w3 = m.w3
+  LEFT JOIN ctx2 c2t ON s.w2 = c2t.w2
+  LEFT JOIN low l ON s.w3 = l.w3, tot t
+),
+dd AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         CAST(sum(is_bo) - sum(is_oov) AS INT) AS n_backoff,
+         CAST(sum(is_oov) AS INT) AS n_oov,
+         CAST(sum(lq) AS BIGINT) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_trigrams AS INT) AS n_trigrams,
+       n_backoff, n_oov, {lp} AS logppl
 FROM dd
 """
 
@@ -5786,7 +5855,8 @@ ORDER BY d.source
 
 
 def _qc_ctes(
-    dim: int = 32, tau: float = 0.512, lr: float = 2.0, rounds: int = 4
+    dim: int = 32, tau: float = 0.512, lr: float = 2.0, rounds: int = 4,
+    train_join: str = "",
 ) -> str:
     """CTE chain for the trained quality classifier
     (quality_classifier.train_quality_classifier): hashed-unigram
@@ -5794,7 +5864,10 @@ def _qc_ctes(
     `rounds` unrolled full-batch logistic-GD steps. Every sum is an
     exact int64 microunit aggregate; the only libm call is exp() on a
     bit-identical double (the Spark plan's arithmetic tree is mirrored
-    token for token — see the operator's module doc)."""
+    token for token — see the operator's module doc). `train_join`
+    (e.g. a source-restriction join) narrows the TRAINING label set
+    `lab`; `lab_all` always carries every document's seed label for
+    audit emission (the independent-validation variant)."""
     h = duckdb_md5_hash64_sql("w", salt="qc|")
     stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
     parts = [f"""toks AS (
@@ -5833,7 +5906,7 @@ qr AS (
            / greatest(len(toks), 1) AS stopword_ratio
   FROM qf
 ),
-lab AS MATERIALIZED (
+lab_all AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN (CASE WHEN n_tokens < 20
                     THEN (0.5 * stopword_ratio + 0.5 * (1.0 - punct_ratio)) * 0.5
@@ -5841,6 +5914,9 @@ lab AS MATERIALIZED (
                    >= {tau!r}
               THEN 1 ELSE 0 END AS y
   FROM qr
+),
+lab AS MATERIALIZED (
+  SELECT l.doc_id, l.y FROM lab_all l {train_join}
 ),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lab),
 w0 AS (SELECT CAST(unnest(generate_series(0, {dim})) AS BIGINT) AS feat_id,

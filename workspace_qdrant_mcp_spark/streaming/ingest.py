@@ -196,6 +196,7 @@ def process_batch(
     ppl_store_path: str | None = None,
     lm_model=None,
     ppl_gate: float | None = None,
+    lm_order: int = 2,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -221,6 +222,8 @@ def process_batch(
     checkpoints are never destroyed."""
     from .. import ckpt
 
+    if lm_order not in (2, 3):
+        raise ValueError(f"lm_order must be 2 or 3, got {lm_order}")
     if (ppl_gate is not None or ppl_store_path is not None) and lm_model is None:
         # fail LOUDLY at entry: a None model would raise deep inside the
         # scoring plan — for the ppl_store_path sink that error surfaces
@@ -228,8 +231,9 @@ def process_batch(
         # provider outage and park every batch forever; for the gate it
         # would dead-letter whole batches with an opaque NoneType error
         raise ValueError(
-            "ppl_gate / ppl_store_path require lm_model "
-            "(a frozen textstats.kn_bigram_model table)"
+            "ppl_gate / ppl_store_path require lm_model (a frozen "
+            "textstats.kn_bigram_model or kn_trigram_model table "
+            "matching lm_order)"
         )
     processable: DataFrame | None = None
     ids_at_entry = ckpt.persistent_ids(spark)
@@ -298,9 +302,12 @@ def process_batch(
             # (when skipped, `changed` lacks the score columns — safe,
             # because the ppl sink's pre_scored reuse below only runs
             # under has_changed, which is False for the same reason).
-            from ..operators.textstats import kn_score_with
+            from ..operators.textstats import (
+                _ppl_count_col, kn3_score_with, kn_score_with,
+            )
 
-            ppl = kn_score_with(
+            scorer = kn_score_with if lm_order == 2 else kn3_score_with
+            ppl = scorer(
                 changed.select(
                     F.col("path").alias("doc_id"),
                     F.col("content").alias("text"),
@@ -308,7 +315,7 @@ def process_batch(
                 lm_model,
             ).select(
                 F.col("doc_id").alias("path"),
-                "n_bigrams",
+                _ppl_count_col(lm_order),
                 "n_backoff",
                 "n_oov",
                 "logppl",
@@ -324,8 +331,8 @@ def process_batch(
             if len(rejected.take(1)) > 0:
                 (
                     rejected.drop(
-                        "file_hash", "n_bigrams", "n_backoff", "n_oov",
-                        "logppl",
+                        "file_hash", _ppl_count_col(lm_order),
+                        "n_backoff", "n_oov", "logppl",
                     )
                     .withColumn("error", F.lit("ppl_gate"))
                     .write.mode("append")
@@ -456,7 +463,9 @@ def process_batch(
             # corpus (textstats.update_ppl_store; model is never
             # retrained here)
             if ppl_store_path is not None and has_changed:
-                from ..operators.textstats import update_ppl_store
+                from ..operators.textstats import (
+                    _ppl_count_col as _pcc, update_ppl_store,
+                )
 
                 pre_scored = None
                 if ppl_gate is not None:
@@ -464,12 +473,12 @@ def process_batch(
                     # `changed`) — pass the rows through instead of
                     # running the scoring join a second time; docs too
                     # short to score carry NULL and are filtered (they
-                    # are absent from kn_score_with output by contract)
+                    # are absent from the scorer output by contract)
                     pre_scored = changed.filter(
                         F.col("logppl").isNotNull()
                     ).select(
                         F.col("path").alias("doc_id"),
-                        "n_bigrams",
+                        _pcc(lm_order),
                         "n_backoff",
                         "n_oov",
                         "logppl",
@@ -484,6 +493,7 @@ def process_batch(
                     ),
                     id_type="string",
                     fresh_scores=pre_scored,
+                    order=lm_order,
                 )
             if watchdog is not None:
                 watchdog.record_success()
@@ -564,6 +574,7 @@ def process_batch(
                         F.col("path").alias("doc_id")
                     ),
                     id_type="string",
+                    order=lm_order,
                 )
     except Exception as exc:  # W3: dead-letter the failed batch with the error
         # Poison rows already went to the DLQ with their row-level reason;
@@ -666,6 +677,7 @@ def run_ingestion_stream(
     ppl_store_path: str | None = None,
     lm_model=None,
     ppl_gate: float | None = None,
+    lm_order: int = 2,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
@@ -711,6 +723,7 @@ def run_ingestion_stream(
                 ppl_store_path=ppl_store_path,
                 lm_model=lm_model,
                 ppl_gate=ppl_gate,
+                lm_order=lm_order,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1153,6 +1153,18 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(corpus)
 
 
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (dedup.dup_span_removal,
+    Lee et al. 2021 §4): repeated_spans diagnoses, this one emits the
+    cleaned corpus — every >=2x window removed except its canonical
+    (lowest doc_id, lowest offset) occurrence, marked windows merged to
+    maximal spans, trimmed text reconstructed from the kept segments.
+    Over the same near-copy corpus as repeated_spans so removals really
+    happen. NEW IN r11; in-window at birth."""
+    corpus = dedup.with_near_copies(load_table(spark, sf_dir, "documents"))
+    return dedup.dup_span_removal(corpus)
+
+
 def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
@@ -3268,14 +3280,34 @@ def _q_quality_classifier_pr_card(
 ) -> DataFrame:
     """Calibration card of the trained quality filter
     (quality_classifier.quality_classifier_pr_card): precision / recall
-    vs the seed labels and corpus keep-rate at each score threshold —
-    the operating-point table a filter deployment publishes. NEW IN r10
-    continuation session, registered post-window (honest labeling:
-    oracle-backed + pytest-green; first driver row leads the r11
-    front)."""
+    and keep-rate at each score threshold, with BOTH operating curves
+    at the same thresholds (r11, VERDICT r10 #3) — variant='self' (the
+    in-sample circular audit) and variant='heldout' (the head trained
+    WITHOUT src1, evaluated only on src1's never-seen rows: the
+    generalization view a deployment actually gets). NEW IN r10
+    continuation session; both-curve schema lands with its first
+    driver row in r11."""
     from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
 
     return qc.quality_classifier_pr_card(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _q_quality_classifier_indep_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CIRCULARITY-BREAKING classifier variant
+    (quality_classifier.quality_classifier_indep_scores, VERDICT r10
+    #3): the head trains only on sources OTHER than src1 (their
+    heuristic seeds), then scores every document under the frozen
+    weights — src1's scores are out-of-sample by construction, so its
+    PR/AUC measures cross-source generalization of the learned quality
+    signal, not memorization of the seed rule. NEW IN r11; in-window
+    at birth."""
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+
+    return qc.quality_classifier_indep_scores(
         load_table(spark, sf_dir, "documents")
     )
 
@@ -3319,18 +3351,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               quartet (T1/T2/T4/T5) and the bm25/dense/tag/centroid
     #               search legs — the SURVEY S2 core never carries the
     #               oldest evidence;
-    #   slots 17-49 the remaining r7-stale rows, alphabetical. 45 of the
-    #               49 r7 rows drain this round; the four deferred to
-    #               r12 (value_quantiles — demoted mid-round to pay for
-    #               kn3_heldout_scores — plus scd2_history,
-    #               weighted_sample, hourly_anomalies: auxiliary
-    #               analytics, not S2 anchors) sit first below the
-    #               window;
-    #   slot 50     NEW IN r11 — kn3_heldout_scores (the trigram
-    #               frozen-LM serving twin, VERDICT r10 #4), in-window
-    #               at birth.
+    #   slots 17-47 the remaining r7-stale rows, alphabetical. 43 of the
+    #               49 r7 rows drain this round; the six deferred to
+    #               r12 (sequence_packing — its _bpe twin is r10-green —
+    #               two_hop_chain and value_quantiles, demoted mid-round
+    #               to pay for the three r11 additions, plus
+    #               scd2_history, weighted_sample, hourly_anomalies:
+    #               auxiliary analytics, not S2 anchors) sit first
+    #               below the window;
+    #   slots 48-50 NEW IN r11 — kn3_heldout_scores (the trigram
+    #               frozen-LM serving twin, VERDICT r10 #4),
+    #               quality_classifier_indep_scores (the
+    #               circularity-breaking cross-source variant, VERDICT
+    #               r10 #3), and dup_span_removal (the Lee-et-al
+    #               span-removal emission), in-window at birth.
     # Further in-window r11 ADDITIONS (if any land mid-round) pay by
-    # demoting the alphabetical tail of slots 17-49, exactly like r10.
+    # demoting the alphabetical tail of slots 17-47, exactly like r10.
     # Provenance per CORRECTNESS_r01-r10 (r11 staleness ledger:
     # r10:50, r9:44, r8:44, r7:49, never:4).
     return {
@@ -3381,17 +3417,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_dequeue_order": _q_queue_dequeue_order,
         "queue_stats": _q_queue_stats,
         "reconcile_diff": _q_reconcile_diff,
-        "sequence_packing": _q_sequence_packing,
         "shard_assignment": _q_shard_assignment,
         "simhash_neardup": _q_simhash_neardup,
         "tfidf_keywords": _q_tfidf_keywords,
-        "two_hop_chain": _q_two_hop_chain,
-        # Slot 50: NEW IN r11 — the trigram frozen-LM serving twin
-        # (VERDICT r10 #4), in-window at birth; value_quantiles (r7)
-        # demoted to pay, now first in the r12 rotation:
+        # Slots 48-50: NEW IN r11 — the trigram frozen-LM serving twin
+        # (VERDICT r10 #4), the circularity-breaking classifier variant
+        # (VERDICT r10 #3), and the Lee-et-al span-REMOVAL emission
+        # completing the exact-substring dedup pair, in-window at
+        # birth; sequence_packing (its _bpe twin is r10-green),
+        # two_hop_chain and value_quantiles (all r7) demoted to pay,
+        # now first in the r12 rotation:
         "kn3_heldout_scores": _q_kn3_heldout_scores,
+        "quality_classifier_indep_scores": _q_quality_classifier_indep_scores,
+        "dup_span_removal": _q_dup_span_removal,
         # ---- below the 50-row window: rotation queue, stalest-first.
-        # First the four r7 rows deferred to r12:
+        # First the six r7 rows deferred to r12:
+        "sequence_packing": _q_sequence_packing,
+        "two_hop_chain": _q_two_hop_chain,
         "value_quantiles": _q_value_quantiles,
         "scd2_history": _q_scd2_history,
         "weighted_sample": _q_weighted_sample,
@@ -3613,6 +3655,8 @@ def oracle_sql() -> dict[str, str]:
         # int64 microunits end-to-end (only the sigmoid's exp is libm):
         "quality_classifier_weights": oracles.quality_classifier_weights(),
         "quality_classifier_scores": oracles.quality_classifier_scores(),
+        "quality_classifier_indep_scores":
+            oracles.quality_classifier_indep_scores(),
         # NEW IN r10: unigram-LM trainer — float-free piece table; the
         # fertility report uses microunit emission:
         "unigram_lm_pieces": oracles.unigram_lm_pieces(),
@@ -3650,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.embedding_neardup(),
         "semdedup": oracles.semdedup(),
         "repeated_spans": oracles.repeated_spans(),
+        "dup_span_removal": oracles.dup_span_removal(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "dsir_logweights": oracles.dsir_logweights(),
         "asof_join": oracles.asof_join(),

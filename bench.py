@@ -630,6 +630,31 @@ def main() -> None:
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
 
+    # Opt-in 10x stress tier (VERDICT r10 #5): re-measure the three
+    # heaviest families' scale shapes (trainer FLAT / LM SUBLINEAR /
+    # LSH pair-linear) on the committed near-dup-heavy stress corpus,
+    # same-session base-vs-10x ratios. Off by default (it adds ~2 min);
+    # enable with SPARK_GRAFT_BENCH_STRESS10X=1.
+    stress: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS10X", "0") == "1":
+        from workspace_qdrant_mcp_spark import stress as stressmod
+
+        try:
+            stress = stressmod.run_stress10x(
+                spark, sf_dir, entrymod.queries()
+            )
+            _log("# stress10x | query | base_s | 10x_s | ratio | ceiling | ok")
+            for qn, r in stress.items():
+                _log(
+                    f"# stress10x | {qn} | {r['base_sec']} | "
+                    f"{r['stress_sec']} | {r['ratio']} | {r['ceiling']} | "
+                    f"{'OK' if r['ok'] else 'REGRESSION'}"
+                )
+        except Exception as exc:
+            stress = {"error": str(exc)}
+            _log(f"# stress10x error: {exc}")
+        ckpt.clear_unpinned(spark)
+
     # The recorder keeps a BOUNDED stdout tail: r1-r4 all clipped the front
     # of the JSON line once the per-query map pushed it past ~2 KB. So the
     # stdout line carries ONLY the scalar summary (~300 bytes); the

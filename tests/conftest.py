@@ -14,6 +14,11 @@ def pytest_configure(config):
         "scale: sf0.1 heavy-hitter oracle-parity tier (runs by default; "
         "deselect with -m 'not scale' for a fast pass)",
     )
+    config.addinivalue_line(
+        "markers",
+        "stress10x: opt-in 10x near-dup stress-corpus scale-shape tier "
+        "(skipped unless SPARK_GRAFT_STRESS10X=1; ~3 min)",
+    )
 
 
 @pytest.fixture(scope="session")

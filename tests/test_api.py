@@ -297,6 +297,58 @@ class TestStoreServing:
         assert a
         assert b4 != a  # the trade is real: fewer probes, lower recall
 
+    @pytest.mark.parametrize("mode", ["hybrid", "semantic"])
+    def test_pca_pretransform_full_probe_is_exact(
+        self, engines, spark, tmp_path_factory, mode
+    ):
+        # pretransform='pca' changes only the CELL GEOMETRY (1-D Voronoi
+        # along the fitted top principal axis via the lifted
+        # [proj,1]/[t,-t^2/2] encoding); final scoring stays on the raw
+        # dense column, so probing all cells must equal the scan path
+        # row-for-row under the new geometry too
+        scan, _ = engines
+        served = WqmEngine(spark, SF_SMOKE)
+        served.enable_store_serving(
+            str(tmp_path_factory.mktemp("api_stores_pca")),
+            n_probe=10, pretransform="pca",
+        )
+        a = self._rows(scan.search("dup spark vector", mode=mode, limit=10))
+        b = self._rows(served.search("dup spark vector", mode=mode, limit=10))
+        assert a == b, mode
+        assert a
+        # the fitted model is frozen on the engine for query projection
+        assert served._ann_pretransform is not None
+        assert len(served._ann_pretransform["pc"]) == len(
+            served._ann_pretransform["mu"]
+        ) > 0
+        # cells are genuinely partitioned along the axis (more than one
+        # occupied cell — the lift would collapse to 2 cells under a
+        # raw-dot assignment bug)
+        occ = served._ann_store_df.select("cell_id").distinct().count()
+        assert occ > 2
+
+    def test_pca_pretransform_survives_drift_refresh(
+        self, spark, tmp_path_factory
+    ):
+        # refresh_serving_if_drifted must rebuild under the SAME
+        # pretransform and keep serving (the lifted drift comparison
+        # projects the current corpus with the frozen model first)
+        eng = WqmEngine(spark, SF_SMOKE)
+        eng.enable_store_serving(
+            str(tmp_path_factory.mktemp("api_stores_pca_drift")),
+            n_probe=10, pretransform="pca",
+        )
+        before = self._rows(
+            eng.search("dup spark vector", mode="semantic", limit=10)
+        )
+        out = eng.refresh_serving_if_drifted(threshold_psi=-1.0)  # force
+        assert out["refreshed"] is True
+        assert eng._ann_pretransform is not None
+        after = self._rows(
+            eng.search("dup spark vector", mode="semantic", limit=10)
+        )
+        assert after == before
+
     def test_expanded_search_reads_postings_too(self, engines, spark):
         scan, served = engines
         tags = spark.createDataFrame([("spark",)], ["tag"])

@@ -525,3 +525,83 @@ class TestContrastivePairs:
                 self._emb(spark, [(0, "A", [1.0])]),
                 pos_threshold=0.7, neg_hi=0.8,
             )
+
+
+class TestDupSpanRemoval:
+    """dedup.dup_span_removal (Lee et al. 2021 §4): remove every
+    duplicated window except its canonical occurrence; maximal-span
+    merging; trimmed-text reconstruction."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _rows(self, spark, rows, **kw):
+        out = dedup.dup_span_removal(self._docs(spark, rows), **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_exact_copy_keeps_one_occurrence(self, spark):
+        uniq = "".join(chr(97 + (i * 7) % 26) for i in range(120))
+        got = self._rows(spark, [(1, uniq), (2, uniq), (3, "z" * 30)])
+        # doc 1 is canonical everywhere (lowest doc_id) -> untouched
+        assert got[1]["n_spans_removed"] == 0
+        assert got[1]["trimmed_text"] == uniq
+        # doc 2: all 3 windows marked, they merge into ONE maximal span
+        # [1, 120] and the whole text disappears
+        assert got[2]["n_spans_removed"] == 1
+        assert got[2]["removed_chars"] == 120
+        assert got[2]["trimmed_text"] == ""
+        # too-short doc: passes through verbatim
+        assert got[3]["n_spans_removed"] == 0
+        assert got[3]["trimmed_text"] == "z" * 30
+
+    def test_shared_middle_trims_only_the_middle(self, spark):
+        # two docs share a 60-char middle; heads/tails are unique.
+        shared = "S" * 60
+        a_head = "".join(chr(97 + (i * 5) % 26) for i in range(60))
+        b_head = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(60))
+        a = a_head + shared
+        b = b_head + shared
+        got = self._rows(spark, [(1, a), (2, b)], span_len=60, stride=60)
+        # windows at stride 60: [1-60], [61-120]. The shared window is
+        # canonical in doc 1 -> doc 1 untouched; doc 2 loses [61, 120]
+        assert got[1]["trimmed_text"] == a
+        assert got[2]["n_spans_removed"] == 1
+        assert got[2]["removed_chars"] == 60
+        assert got[2]["trimmed_text"] == b_head
+
+    def test_adjacent_windows_merge_to_maximal_span(self, spark):
+        # doc 2 repeats doc 1's full 150 chars, then adds a unique tail;
+        # windows at stride 30 overlap -> they must merge to ONE span
+        base = "".join(chr(97 + (i * 3) % 26) for i in range(150))
+        tail = "".join(chr(65 + (i * 7) % 26) for i in range(40))
+        got = self._rows(spark, [(1, base), (2, base + tail)])
+        assert got[1]["n_spans_removed"] == 0
+        r2 = got[2]
+        assert r2["n_spans_removed"] == 1          # maximal merge
+        # marked windows start at 1,31,61,91 (window [91,150] fits);
+        # offsets beyond 91 produce windows crossing into the unique
+        # tail, so the merged span is [1, 150]
+        assert r2["removed_chars"] == 150
+        assert r2["trimmed_text"] == tail
+
+    def test_invariants_on_near_copy_corpus(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+
+        corpus = dedup.with_near_copies(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        out = dedup.dup_span_removal(corpus)
+        n_in = corpus.count()
+        assert out.count() == n_in                      # every doc emitted
+        joined = out.join(
+            corpus.select("doc_id", "text"), "doc_id"
+        ).select(
+            "doc_id", "removed_chars", "n_spans_removed",
+            (F.length("text") - F.length("trimmed_text")).alias("cut"),
+        )
+        # chars removed from the text == the span ledger, every row
+        assert joined.filter(
+            F.col("cut") != F.col("removed_chars")
+        ).count() == 0
+        # the near-copy construction guarantees some removal happens
+        assert out.agg(F.sum("n_spans_removed")).collect()[0][0] > 0

@@ -119,6 +119,21 @@ def test_parity_sf01_scale_r10(spark, name):
     _check(spark, name, "/root/testdata/sf0.1")
 
 
+# r11 additions: scale evidence from birth (same sf0.1 exact compare).
+R11_SCALE_QUERIES = [
+    "kn3_heldout_scores",
+    "quality_classifier_indep_scores",
+    "quality_classifier_pr_card",   # schema changed in r11 (both curves)
+    "dup_span_removal",
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize("name", R11_SCALE_QUERIES)
+def test_parity_sf01_scale_r11(spark, name):
+    _check(spark, name, "/root/testdata/sf0.1")
+
+
 # r10 (VERDICT r9 #1): the HUGEINT gate. DuckDB types an uncast integer
 # sum() as HUGEINT (int128); the driver's Arrow/pandas hash path
 # distinguishes it from Spark's LONG, while this repo's fetchall()-based

@@ -576,8 +576,11 @@ def test_r10_continuation_queries_avoid_cartesian_and_python(spark):
         "kn_bigram_logppl",
         "kn_trigram_logppl",
         "kn_heldout_scores",
+        "kn3_heldout_scores",
         "tokenizer_compare",
         "quality_classifier_pr_card",
+        "quality_classifier_indep_scores",
+        "dup_span_removal",
         "embedding_pca",
         "embedding_pca_scores",
     ):

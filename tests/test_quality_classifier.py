@@ -143,16 +143,37 @@ def test_weight_table_contract(spark):
 def test_pr_card_consistent_with_scores(spark):
     # the calibration card's every cell must be re-derivable from the
     # scores table: exact integer thresholding, monotone counts, and
-    # the 0.5 row agreeing with pred
+    # the 0.5 row agreeing with pred (variant='self'); the 'heldout'
+    # curve must likewise re-derive from indep_scores' holdout rows
     pos = "the and of to in is that it for with " * 4
     neg = ")(*& ^%$# @!?! ;;;; #### $$$$ %%%% ^^^^ &&&& **** "
-    rows = [(i, pos if i % 2 == 0 else neg + f"x{i}") for i in range(30)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rows = [
+        (i, pos if i % 2 == 0 else neg + f"x{i}", f"src{i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
     sc = qc.quality_classifier_scores(docs).collect()
     p6 = {r["doc_id"]: round(r["score"] * 1e6) for r in sc}
     y = {r["doc_id"]: r["label"] for r in sc}
     n_pos = sum(y.values())
-    card = qc.quality_classifier_pr_card(docs).collect()
+    full_card = qc.quality_classifier_pr_card(docs).collect()
+    assert sorted({r["variant"] for r in full_card}) == ["heldout", "self"]
+    # ---- heldout curve == PR over indep_scores' holdout rows
+    ind = qc.quality_classifier_indep_scores(docs).collect()
+    hp6 = {
+        r["doc_id"]: round(r["score"] * 1e6)
+        for r in ind if r["is_holdout"] == 1
+    }
+    hy = {r["doc_id"]: r["label"] for r in ind if r["is_holdout"] == 1}
+    for r in (r for r in full_card if r["variant"] == "heldout"):
+        t6 = round(r["threshold"] * 1e6)
+        kept = [d for d, p in hp6.items() if p >= t6]
+        assert r["n_kept"] == len(kept)
+        assert r["n_pos_kept"] == sum(hy[d] for d in kept)
+    # ---- self curve: the original cell-by-cell re-derivation
+    card = [r for r in full_card if r["variant"] == "self"]
     assert [r["threshold"] for r in card] == [
         round(t / 10, 1) for t in range(1, 10)
     ]
@@ -177,3 +198,88 @@ def test_pr_card_consistent_with_scores(spark):
     assert mid["n_kept"] == sum(
         1 for r in sc if r["pred"] == 1
     )   # the fixed pred cut is one row of the card
+
+
+def _auc(rows):
+    """Mann-Whitney AUC from (label, score) rows; ties count half."""
+    pos = [r["score"] for r in rows if r["label"] == 1]
+    neg = [r["score"] for r in rows if r["label"] == 0]
+    assert pos and neg, "fixture must seed both classes"
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def _mixed_source_docs(spark, n_per_source=20):
+    """Three-source fixture with a REAL quality signal in every source:
+    half of each source is stopword-rich prose (heuristic label 1), half
+    punctuation soup (label 0). src1's content words differ from the
+    train sources' so held-out transfer must ride the SHARED quality
+    direction (stopword buckets), not memorized content vocabulary."""
+    rows = []
+    did = 0
+    for src, filler in (("src0", "alpha beta"), ("src1", "gamma delta"),
+                        ("src2", "omega sigma")):
+        for i in range(n_per_source):
+            if i % 2 == 0:
+                text = ("the and of to in is that it for with "
+                        f"{filler} ") * 4
+            else:
+                text = ")(*& ^%$# @!?! ;;;; #### $$$$ %%%% " + f"x{did}"
+            rows.append((did, text, src))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_indep_weights_blind_to_holdout_source(spark):
+    """Circularity broken BY CONSTRUCTION: replacing every src1 text
+    with arbitrary other content leaves the independently-trained
+    weights bit-identical — the head provably never reads the held-out
+    source's documents or labels (VERDICT r10 #3)."""
+    from pyspark.sql import functions as F
+
+    docs = _mixed_source_docs(spark)
+    scrambled = docs.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src1",
+            F.concat(F.lit("@@@@ scrambled &&&& "), F.col("doc_id")),
+        ).otherwise(F.col("text")),
+    )
+
+    def indep_weights(d):
+        feats = qc.qc_features(d)
+        labels = qc.qc_labels(d.filter(F.col("source") != "src1"))
+        return {
+            r["feat_id"]: r["weight"]
+            for r in qc.train_quality_classifier(feats, labels).collect()
+        }
+
+    assert indep_weights(docs) == indep_weights(scrambled)
+
+
+def test_indep_generalizes_to_heldout_source(spark):
+    """Cross-source generalization (the measurement the in-sample card
+    cannot give): trained without src1, the head ranks src1's never-seen
+    docs against their heuristic labels at AUC >= 0.9 on a fixture whose
+    quality signal is real in every source — and within 0.05 of the
+    heuristic-seeded self-trained model's AUC on those same rows, even
+    though the self model TRAINED on src1's labels. (On the near-noise
+    synthetic registry corpus the same comparison at sf0.01 reads
+    indep 0.58 vs self 0.66 over 25 docs — documented in PERF_NOTES;
+    the fixture isolates the generalization property from corpus
+    blandness.)"""
+    docs = _mixed_source_docs(spark)
+    ind = qc.quality_classifier_indep_scores(docs).collect()
+    hold = [r for r in ind if r["is_holdout"] == 1]
+    auc_ind = _auc(hold)
+    assert auc_ind >= 0.9, auc_ind
+    hold_ids = {r["doc_id"] for r in hold}
+    slf = [
+        r for r in qc.quality_classifier_scores(docs).collect()
+        if r["doc_id"] in hold_ids
+    ]
+    auc_self = _auc(slf)
+    assert auc_ind >= auc_self - 0.05, (auc_ind, auc_self)

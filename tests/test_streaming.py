@@ -1578,6 +1578,125 @@ def test_ppl_gate_accepts_trigram_model(spark, tmp_path):
     ).columns
 
 
+def test_qc_gate_routes_low_score_to_dlq(spark, tmp_path):
+    """GPT-3-style trained-filter gate at ingest: with frozen classifier
+    weights and qc_gate set, the punctuation-soup doc dead-letters with
+    reason 'qc_gate', the prose doc ingests; stacked WITH the ppl gate,
+    the two reasons land separately and the surviving store holds only
+    docs both gates passed."""
+    from workspace_qdrant_mcp_spark.operators import quality_classifier as qc
+    from workspace_qdrant_mcp_spark.operators import textstats
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    store = str(tmp_path / "chunks")
+    dlq = str(tmp_path / "dlq")
+    pos = "the and of to in is that it for with " * 4
+    neg = ")(*& ^%$# @!?! ;;;; #### $$$$ %%%% ^^^^ &&&& **** " * 4
+    train = spark.createDataFrame(
+        [(i, pos if i % 2 == 0 else neg + f"x{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    w = qc.train_quality_classifier(
+        qc.qc_features(train), qc.qc_labels(train), lr=10.0
+    ).localCheckpoint()
+    # threshold between the two classes' scores on the train corpus
+    p = qc._margins(qc.qc_features(train), w, "doc_id")
+    sc = {
+        r["doc_id"]: r["p6"] / 1e6
+        for r in p.collect()
+    }
+    lo = max(v for d, v in sc.items() if d % 2 == 1)
+    hi = min(v for d, v in sc.items() if d % 2 == 0)
+    assert lo < hi
+    gate = (lo + hi) / 2
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [("good.txt", "create", pos, t),
+         ("soup.txt", "create", neg + "xq", t)],
+        ingest.EVENT_SCHEMA,
+    )
+    ingest.process_batch(
+        spark, batch, store, dlq, qc_weights=w, qc_gate=gate
+    )
+    stored = {
+        r["path"]
+        for r in spark.read.parquet(store).select("path").distinct()
+        .collect()
+    }
+    assert stored == {"good.txt"}
+    assert [(r["path"], r["error"])
+            for r in spark.read.parquet(dlq).collect()] == [
+        ("soup.txt", "qc_gate")
+    ]
+    # ---- stacked gates: ppl rejects the OOV-alien doc first, qc the
+    # soup doc; the fluent prose doc survives both
+    store2 = str(tmp_path / "chunks2")
+    dlq2 = str(tmp_path / "dlq2")
+    # the LM reference contains BOTH registers, so the soup doc is
+    # fluent to the LM (low ppl, passes the ppl gate) and only the
+    # trained classifier rejects it — the two gates separate cleanly
+    lm = textstats.kn_bigram_model(
+        spark.createDataFrame(
+            [(0, pos), (1, pos), (2, neg + "xq"), (3, neg + "xq")],
+            "doc_id long, text string",
+        )
+    ).localCheckpoint()
+    ppl = {
+        r["doc_id"]: r["logppl"]
+        for r in textstats.kn_score_with(
+            spark.createDataFrame(
+                [(1, pos), (2, "zzq glorp xyzzy wub fnord blart"),
+                 (3, neg + "xq")],
+                "doc_id long, text string",
+            ),
+            lm,
+        ).collect()
+    }
+    assert max(ppl[1], ppl[3]) < ppl[2]
+    pgate = (max(ppl[1], ppl[3]) + ppl[2]) / 2
+    batch2 = spark.createDataFrame(
+        [("good.txt", "create", pos, t),
+         ("alien.txt", "create", "zzq glorp xyzzy wub fnord blart", t),
+         ("soup.txt", "create", neg + "xq", t)],
+        ingest.EVENT_SCHEMA,
+    )
+    ingest.process_batch(
+        spark, batch2, store2, dlq2,
+        lm_model=lm, ppl_gate=pgate, qc_weights=w, qc_gate=gate,
+    )
+    stored2 = {
+        r["path"]
+        for r in spark.read.parquet(store2).select("path").distinct()
+        .collect()
+    }
+    assert stored2 == {"good.txt"}
+    reasons = sorted(
+        (r["path"], r["error"])
+        for r in spark.read.parquet(dlq2).collect()
+    )
+    assert reasons == [("alien.txt", "ppl_gate"), ("soup.txt", "qc_gate")]
+
+
+def test_qc_gate_without_weights_fails_loudly(spark, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from workspace_qdrant_mcp_spark.streaming import ingest
+
+    batch = spark.createDataFrame(
+        [("a.txt", "create", "x y z", dt.datetime(2024, 1, 1))],
+        ingest.EVENT_SCHEMA,
+    )
+    with _pytest.raises(ValueError, match="qc_weights"):
+        ingest.process_batch(
+            spark, batch, str(tmp_path / "c"), str(tmp_path / "d"),
+            qc_gate=0.5,
+        )
+
+
 def test_ppl_config_without_model_fails_loudly(spark, tmp_path):
     """ppl_gate / ppl_store_path without lm_model must raise at entry —
     not surface as a fake provider outage through the watchdog branch."""

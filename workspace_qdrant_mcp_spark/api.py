@@ -57,9 +57,39 @@ class WqmEngine:
         self._ann_store_df: DataFrame | None = None
         self._grams_df: DataFrame | None = None
         self._snapshot_pins: set[int] = set()
+        # PCA pretransform state (enable_store_serving(pretransform=
+        # "pca")): (mu, pc) lists collected from the fitted component —
+        # dim-bounded model state, applied to corpus vectors and query
+        # vectors alike before cell assignment/probing
+        self._ann_pretransform: dict | None = None
+
+    def _pca_lift(self, vec_col):
+        """Column expression lifting a dense vector to the 2-D point
+        [proj, 1] where proj = (x - mu)·pc under the fitted pretransform
+        model — against centroids [t_j, -t_j^2/2] the house max-DOT
+        assignment then equals 1-D NEAREST assignment along the top
+        principal axis: argmax_j (proj·t_j - t_j^2/2) = argmin_j
+        (proj - t_j)^2. One expression per row; no shuffle, no UDF."""
+        m = self._ann_pretransform
+        mu = F.array(*[F.lit(float(v)) for v in m["mu"]])
+        pc = F.array(*[F.lit(float(v)) for v in m["pc"]])
+        proj = F.aggregate(
+            F.zip_with(
+                F.zip_with(vec_col, mu, lambda a, b: a - b),
+                pc,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.array(proj, F.lit(1.0))
 
     def enable_store_serving(
-        self, base_dir: str, n_cells: int = 10, n_probe: int = 4
+        self,
+        base_dir: str,
+        n_cells: int = 10,
+        n_probe: int = 4,
+        pretransform: str | None = None,
     ) -> None:
         # default n_probe=4: the r10 selectivity sweep (PERF_NOTES)
         # measured recall@10 of 0.30/0.70/0.70/0.90/0.90/1.00 for
@@ -77,7 +107,19 @@ class WqmEngine:
           - IVF cells: ann.update_ann_store over the chunks' dense
             vectors (array<double> preserved — the dense leg's cosine
             must be bit-identical to the scan path) against frozen
-            first-n_cells centroids in point_id order.
+            first-n_cells centroids in point_id order. With
+            pretransform="pca" (Jegou et al. 2012: PCA ahead of the
+            quantizer) the CELL GEOMETRY changes: the corpus is
+            partitioned by 1-D Voronoi cells along the fitted top
+            principal axis (per-cell midpoint cut points from exact
+            percentiles of the projected corpus), via the lifted
+            [proj, 1] / [t_j, -t_j^2/2] encoding (_pca_lift) so the
+            existing max-dot assignment/probe machinery runs unchanged.
+            Final scoring is ALWAYS on the chunks' raw dense column, so
+            results stay exact-when-covered under either geometry; what
+            the pretransform buys is cells aligned with the corpus's
+            top-variance direction instead of arbitrary seed vectors
+            (recall@10-vs-n_probe comparison in PERF_NOTES).
           - trigram grams: grep.update_gram_index over the code-lines
             table — exact grep then serves candidates off the index
             (T3), scan-arm fallback for short/case-folded/regex queries.
@@ -99,30 +141,84 @@ class WqmEngine:
             self.spark, postings_path, changed_docs=docs,
             id_col="point_id", id_type="string",
         )
-        # tracked like the snapshots below: a re-enable must not leak a
-        # centroid-table generation either
-        cents, p_cents = ckpt.pin_tracked(
-            self.spark,
-            lambda: (
-                self.chunks.select("point_id", "dense")
-                .orderBy("point_id")
-                .limit(n_cells)
-                .select(
-                    F.row_number()
-                    .over(Window.orderBy("point_id"))
-                    .cast("int")
-                    .alias("cell_id"),
+        if pretransform not in (None, "pca"):
+            raise ValueError(
+                f"unknown pretransform {pretransform!r} (None or 'pca')"
+            )
+        if pretransform == "pca":
+            # fit the top component on this corpus's dense vectors
+            # (dim-bounded model rows, one collect) and freeze it with
+            # the centroids — queries and refreshes must project with
+            # the SAME model the store was assigned under
+            from .operators.pca import embedding_pca
+
+            model_rows = embedding_pca(
+                self.chunks.select(
+                    F.col("point_id").alias("vec_id"),
                     F.col("dense").alias("embedding"),
                 )
-                .localCheckpoint()
-            ),
-        )
-        ann.update_ann_store(
-            self.spark, ann_path, cents,
-            changed_vecs=self.chunks.select(
+            ).collect()
+            self._ann_pretransform = {
+                "mu": [r["mean"] for r in model_rows],
+                "pc": [r["pc1"] for r in model_rows],
+            }
+        else:
+            self._ann_pretransform = None
+
+        def _assign_vecs():
+            v = self.chunks.select(
                 F.col("point_id").alias("vec_id"),
                 F.col("dense").alias("embedding"),
-            ),
+            )
+            if self._ann_pretransform is not None:
+                v = v.select(
+                    "vec_id", self._pca_lift(F.col("embedding")).alias(
+                        "embedding"
+                    )
+                )
+            return v
+
+        # tracked like the snapshots below: a re-enable must not leak a
+        # centroid-table generation either
+        def _build_cents():
+            if self._ann_pretransform is None:
+                return (
+                    self.chunks.select("point_id", "dense")
+                    .orderBy("point_id")
+                    .limit(n_cells)
+                    .select(
+                        F.row_number()
+                        .over(Window.orderBy("point_id"))
+                        .cast("int")
+                        .alias("cell_id"),
+                        F.col("dense").alias("embedding"),
+                    )
+                    .localCheckpoint()
+                )
+            # 1-D Voronoi cut points along the principal axis: exact
+            # percentile midpoints of the projected corpus (at 100 TB
+            # swap in percentile_approx — the cut points are serving
+            # internals, not an oracle-checked emission), lifted to the
+            # [t_j, -t_j^2/2] encoding (see _pca_lift)
+            fr = [(2 * j - 1) / (2.0 * n_cells) for j in range(1, n_cells + 1)]
+            ts = _assign_vecs().select(
+                F.percentile(
+                    F.element_at("embedding", 1),
+                    F.array(*[F.lit(f) for f in fr]),
+                ).alias("ts")
+            ).collect()[0]["ts"]
+            rows = [
+                (j + 1, [float(t), -float(t) * float(t) / 2.0])
+                for j, t in enumerate(ts)
+            ]
+            return self.spark.createDataFrame(
+                rows, "cell_id int, embedding array<double>"
+            ).localCheckpoint()
+
+        cents, p_cents = ckpt.pin_tracked(self.spark, _build_cents)
+        ann.update_ann_store(
+            self.spark, ann_path, cents,
+            changed_vecs=_assign_vecs(),
             id_type="string", vec_type="double",
         )
         grams_path = os.path.join(base_dir, "grams")
@@ -137,6 +233,7 @@ class WqmEngine:
         # remembered for refresh_serving_if_drifted's rebuild call:
         self._serving_base_dir = base_dir
         self._ann_n_cells = n_cells
+        self._serving_pretransform = pretransform
         # hold the indexes OPEN: one read + pinned localCheckpoint per
         # store at enable time; every query serves off the in-memory
         # snapshot. Re-calling enable_store_serving REFRESHES: the new
@@ -194,6 +291,14 @@ class WqmEngine:
             F.col("point_id").alias("vec_id"),
             F.col("dense").alias("embedding"),
         )
+        if self._ann_pretransform is not None:
+            # the store was assigned in the lifted PCA space — the
+            # drift comparison must project the current corpus with the
+            # SAME frozen model (a refresh then re-fits it)
+            cur = cur.select(
+                "vec_id",
+                self._pca_lift(F.col("embedding")).alias("embedding"),
+            )
         row = ann.ann_store_drift(
             cur, self._ann_centroids, profile
         ).collect()[0]
@@ -204,6 +309,7 @@ class WqmEngine:
                 self._serving_base_dir,
                 n_cells=self._ann_n_cells,
                 n_probe=self._ann_n_probe,
+                pretransform=self._serving_pretransform,
             )
         return {
             "psi": psi,
@@ -300,7 +406,11 @@ class WqmEngine:
                 # pinned snapshot, not a per-query parquet read.
                 probe_q = qvec.select(
                     F.lit("__query__").alias("query_id"),
-                    F.col("qv").alias("embedding"),
+                    (
+                        self._pca_lift(F.col("qv"))
+                        if self._ann_pretransform is not None
+                        else F.col("qv")
+                    ).alias("embedding"),
                 )
                 in_cells = ann.ann_store_candidates(
                     self.spark, self._ann_store_path, self._ann_centroids,

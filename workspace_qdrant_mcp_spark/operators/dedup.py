@@ -1087,3 +1087,157 @@ def contrastive_pairs(
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
     )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    span_len: int = 60,
+    stride: int = 30,
+    min_occ: int = 2,
+) -> DataFrame:
+    """(doc_id, n_spans_removed, removed_chars, trimmed_text) — the
+    REMOVAL half of exact substring deduplication (Lee et al. 2021,
+    arXiv:2107.06499 §4: delete every duplicated substring from the
+    corpus, KEEPING ONE canonical occurrence): repeated_spans computes
+    the per-doc duplication statistics; this emits the cleaned corpus.
+
+    Window scheme: the same span_len-char windows at `stride` as
+    repeated_spans. A window whose text occurs >= min_occ times in the
+    corpus is removed from every document EXCEPT its canonical
+    occurrence — the (lowest doc_id, lowest offset) one, so exactly one
+    copy survives corpus-wide and the output is deterministic. Within a
+    doc, marked windows merge into maximal spans (overlapping or
+    adjacent ranges coalesce), and the trimmed text is the ordered
+    concatenation of the kept segments. Docs with nothing removed pass
+    through verbatim (stride coarser than 1 approximates the paper's
+    suffix-array maximality: a duplicated region is trimmed to window
+    granularity — the standard practical relaxation).
+
+    Plan shape: one window explode ((len/stride) x corpus rows); the
+    canonical pick is a MAP-SIDE-COMBINABLE min over a packed
+    (doc_id << 31 | off) key — deliberately NOT a row_number over the
+    span partition, which a boilerplate span repeated 1e8 times would
+    turn into a single-reducer skew; island merging and segment
+    reconstruction are window functions over the doc_id partitioning
+    (one shuffle, reused). Packed-key bound: doc_id < 2^32 and
+    offsets < 2^31 (the corpus contract); at larger id spaces switch
+    the key to min(struct(doc_id, off))."""
+    from pyspark.sql.window import Window
+
+    d = docs.select("doc_id", "text").withColumn(
+        "n_off",
+        F.when(
+            F.length("text") >= span_len,
+            ((F.length("text") - span_len) / stride).cast("int") + 1,
+        ).otherwise(F.lit(0)),
+    )
+    wins = d.filter(F.col("n_off") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n_off), "
+                f"i -> named_struct("
+                f"'off', cast((i-1)*{stride}+1 as long), "
+                f"'span', substring(text, (i-1)*{stride}+1, {span_len})))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.off").alias("off"), F.col("w.span").alias("span"))
+    occ = fan_out(wins).groupBy("span").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(
+            F.col("doc_id") * F.lit(2_147_483_648) + F.col("off")
+        ).alias("canon_key"),
+    )
+    marked = (
+        wins.join(occ, "span")
+        .filter(
+            (F.col("n_occ") >= min_occ)
+            & (
+                F.col("doc_id") * F.lit(2_147_483_648) + F.col("off")
+                != F.col("canon_key")
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("off").alias("s"),
+            (F.col("off") + F.lit(span_len - 1)).alias("e"),
+        )
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        flagged.withColumn("isl", F.sum("new_island").over(run))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # kept segments between consecutive islands (+ head before the
+    # first and tail after the last), same doc_id partitioning
+    ord_w = Window.partitionBy("doc_id").orderBy("s")
+    segs = (
+        islands.withColumn("prev_e", F.lag("e").over(ord_w))
+        .withColumn("rn_desc", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("s"))
+        ))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1).alias("removed_chars"),
+            F.count(F.lit(1)).alias("n_spans_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("prev_e") + 1, F.lit(1)).alias(
+                            "ks"
+                        ),
+                        (F.col("s") - 1).alias("ke"),
+                    )
+                )
+            ).alias("kept"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("e"))).alias(
+                "last_e"
+            ),
+        )
+    )
+    trimmed = d.join(segs, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans_removed", F.lit(0))
+        .cast("int")
+        .alias("n_spans_removed"),
+        F.coalesce("removed_chars", F.lit(0))
+        .cast("long")
+        .alias("removed_chars"),
+        F.when(F.col("kept").isNull(), F.col("text"))
+        .otherwise(
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.col("kept"),
+                        lambda k: F.expr("text").substr(
+                            k["ks"].cast("int"), (k["ke"] - k["ks"] + 1).cast("int")
+                        ),
+                    ),
+                    "",
+                ),
+                F.col("text").substr(
+                    (F.col("last_e") + 1).cast("int"),
+                    (F.length("text") - F.col("last_e")).cast("int"),
+                ),
+            )
+        )
+        .alias("trimmed_text"),
+    )
+    return trimmed

@@ -16,6 +16,11 @@ seed; the trained head generalizes it over a feature space the
 heuristic never saw). The label threshold compares RAW doubles: the
 heuristic is pure count arithmetic (+ * /), bit-identical across
 engines, so the cut needs no rounding guard.
+The CIRCULARITY of evaluating that head against its own seeds is broken
+by quality_classifier_indep_scores (r11): train WITHOUT a held-out
+source, score everything frozen — the held-out source's PR/AUC then
+measures cross-source generalization, and quality_classifier_pr_card
+publishes both operating curves side by side.
 
 Model: logistic regression over hashed-unigram term-frequency shares
 (functions/hashing.md5_hash64 % QC_DIM — the engine-parity hash) plus

@@ -716,6 +716,91 @@ FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+def dup_span_removal(
+    span_len: int = 60, stride: int = 30, min_occ: int = 2
+) -> str:
+    """Oracle for operators/dedup.dup_span_removal (Lee et al. 2021 §4:
+    remove every duplicated substring, keep one canonical occurrence):
+    stride windows over the near-copy corpus, map-combinable canonical
+    pick via the packed (doc_id << 31 | off) min key, gaps-and-islands
+    merge of marked windows, trimmed text = ordered concat of kept
+    segments + tail — mirrored token-for-token against the Spark
+    window/island/segment chain."""
+    last = span_len - 1
+    return f"""
+WITH {_NEAR_COPY_CORPUS},
+d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= {span_len}
+              THEN ((length(text) - {span_len}) // {stride})::INT + 1
+              ELSE 0 END AS n_off
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id, CAST((i - 1) * {stride} + 1 AS BIGINT) AS off,
+         substr(text, (i - 1) * {stride} + 1, {span_len}) AS span
+  FROM d, LATERAL unnest(generate_series(1, n_off)) AS t(i)
+  WHERE n_off > 0
+),
+occ AS (
+  SELECT span, count(*) AS n_occ,
+         min(doc_id * 2147483648 + off) AS canon_key
+  FROM wins GROUP BY span
+),
+marked AS (
+  SELECT w.doc_id, w.off AS s, w.off + {last} AS e
+  FROM wins w JOIN occ USING (span)
+  WHERE n_occ >= {min_occ}
+    AND w.doc_id * 2147483648 + w.off <> canon_key
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked
+),
+numbered AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM numbered GROUP BY doc_id, isl
+),
+segs AS (
+  SELECT doc_id, s, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM islands
+),
+agg AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS INT) AS n_spans_removed,
+         CAST(sum(g.e - g.s + 1) AS BIGINT) AS removed_chars,
+         string_agg(
+           substr(dd.text,
+                  CAST(coalesce(g.prev_e + 1, 1) AS INT),
+                  CAST(g.s - coalesce(g.prev_e + 1, 1) AS INT)),
+           '' ORDER BY g.s) AS head_text,
+         max(g.e) AS last_e
+  FROM segs g JOIN d dd USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_spans_removed, 0) AS n_spans_removed,
+       coalesce(a.removed_chars, CAST(0 AS BIGINT)) AS removed_chars,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE coalesce(a.head_text, '')
+                 || substr(d.text, CAST(a.last_e + 1 AS INT))
+       END AS trimmed_text
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def ann_bruteforce_topk(query_ids: list[int], k: int = 5) -> str:
     cos = duckdb_cosine_sql("e.embedding", "q.embedding")
     ids = ", ".join(str(i) for i in query_ids)
@@ -5983,6 +6068,41 @@ FROM pf ORDER BY doc_id
 """
 
 
+def quality_classifier_indep_scores(
+    rounds: int = 4, holdout_source: str = "src1"
+) -> str:
+    """Oracle for quality_classifier.quality_classifier_indep_scores:
+    the identical GD chain with the label (and gradient) set restricted
+    to train sources via `train_join`, then one margin pass over EVERY
+    document — held-out rows labeled from lab_all (never seen in
+    training) with the is_holdout flag from the documents table."""
+    tj = (
+        "JOIN documents dd ON l.doc_id = dd.doc_id "
+        f"AND dd.source <> '{holdout_source}'"
+    )
+    return f"""
+WITH {_qc_ctes(rounds=rounds, train_join=tj)},
+mf AS (
+  SELECT f.doc_id, sum(f.x6 * CAST(round(w.wt * 1000000) AS BIGINT)) AS m6
+  FROM fx f JOIN w{rounds} w USING (feat_id) GROUP BY 1
+),
+pf AS (
+  SELECT la.doc_id, la.y,
+         CAST(round(1000000.0 / (1.0 + exp(-(CAST(m.m6 AS DOUBLE)
+                                             / 1000000000000.0))))
+              AS BIGINT) AS p6
+  FROM lab_all la JOIN mf m USING (doc_id)
+)
+SELECT p.doc_id,
+       CAST(CASE WHEN d.source = '{holdout_source}' THEN 1 ELSE 0 END
+            AS BIGINT) AS is_holdout,
+       CAST(y AS BIGINT) AS label,
+       CAST(p6 AS DOUBLE) / 1000000.0 AS score,
+       CAST(CASE WHEN p6 >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM pf p JOIN documents d USING (doc_id) ORDER BY p.doc_id
+"""
+
+
 def _pca_ctes(rounds: int = 8, dim: int = 64) -> str:
     """The shared CTE chain of the PCA oracles: quantized inputs,
     exact-integer covariance, MATERIALIZED unrolled power-iteration
@@ -6110,37 +6230,49 @@ ORDER BY e.vec_id
 
 
 def quality_classifier_pr_card(rounds: int = 4) -> str:
-    """Oracle for quality_classifier.quality_classifier_pr_card: the
-    scores oracle nested verbatim, re-quantized to integer microunits,
-    cut at each threshold with exact integer counts."""
+    """Oracle for quality_classifier.quality_classifier_pr_card: BOTH
+    scores oracles nested verbatim as derived tables ('self' =
+    in-sample card over the whole corpus; 'heldout' = the
+    independently-trained head over only the held-out source's rows),
+    re-quantized to integer microunits, cut at each threshold with
+    exact integer counts per variant."""
     ths = ", ".join(str(t) for t in range(100_000, 1_000_000, 100_000))
     prec = micro6_sql("CAST(n_pos_kept AS DOUBLE) / n_kept")
     rec = micro6_sql("CAST(n_pos_kept AS DOUBLE) / n_pos")
     kr = micro6_sql("CAST(n_kept AS DOUBLE) / n_total")
     return f"""
 WITH sc AS (
-  SELECT label, CAST(round(score * 1000000) AS BIGINT) AS p6
+  SELECT 'self' AS variant, label,
+         CAST(round(score * 1000000) AS BIGINT) AS p6
   FROM ({quality_classifier_scores(rounds)})
+  UNION ALL
+  SELECT 'heldout' AS variant, label,
+         CAST(round(score * 1000000) AS BIGINT) AS p6
+  FROM ({quality_classifier_indep_scores(rounds)})
+  WHERE is_holdout = 1
 ),
 tot AS (
-  SELECT count(*) AS n_total, CAST(sum(label) AS BIGINT) AS n_pos FROM sc
+  SELECT variant, count(*) AS n_total,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM sc GROUP BY variant
 ),
 th AS (SELECT unnest([{ths}]) AS t6),
 kept AS (
-  SELECT t6,
+  SELECT variant, t6,
          CAST(sum(CASE WHEN p6 >= t6 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_kept,
          CAST(sum(CASE WHEN p6 >= t6 AND label = 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_pos_kept
-  FROM sc, th GROUP BY t6
+  FROM sc, th GROUP BY variant, t6
 )
-SELECT CAST(t6 AS DOUBLE) / 1000000.0 AS threshold,
+SELECT variant,
+       CAST(t6 AS DOUBLE) / 1000000.0 AS threshold,
        n_kept, n_pos_kept,
        CASE WHEN n_kept > 0 THEN {prec} END AS precision,
        CASE WHEN n_pos > 0 THEN {rec} END AS recall,
        {kr} AS keep_rate
-FROM kept, tot
-ORDER BY threshold
+FROM kept JOIN tot USING (variant)
+ORDER BY variant, threshold
 """
 
 

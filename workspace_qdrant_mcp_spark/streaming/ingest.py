@@ -197,6 +197,8 @@ def process_batch(
     lm_model=None,
     ppl_gate: float | None = None,
     lm_order: int = 2,
+    qc_weights=None,
+    qc_gate: float | None = None,
 ) -> None:
     """One micro-batch: path filters → debounce → split deletes/upserts →
     content-hash dedup → [optional quality gate] → chunk+embed →
@@ -224,6 +226,12 @@ def process_batch(
 
     if lm_order not in (2, 3):
         raise ValueError(f"lm_order must be 2 or 3, got {lm_order}")
+    if qc_gate is not None and qc_weights is None:
+        # same loud-entry discipline as the ppl gate below
+        raise ValueError(
+            "qc_gate requires qc_weights (a frozen "
+            "quality_classifier.train_quality_classifier table)"
+        )
     if (ppl_gate is not None or ppl_store_path is not None) and lm_model is None:
         # fail LOUDLY at entry: a None model would raise deep inside the
         # scoring plan — for the ppl_store_path sink that error surfaces
@@ -341,6 +349,57 @@ def process_batch(
             # keep the score columns: the ppl sink below reuses them
             # instead of scoring the same delta a second time
             changed = judged.filter(~bad)
+        if qc_gate is not None and len(changed.take(1)) > 0:
+            # GPT-3-style TRAINED-filter gate at ingest (Brown et al.
+            # 2020 appendix A; the learned twin of the CCNet ppl gate
+            # above): score the surviving delta under the FROZEN
+            # classifier head — one margin join against the broadcast
+            # (dim+1)-row weight table — and dead-letter docs whose
+            # sigmoid score falls below the threshold (low score = low
+            # quality). The head is never retrained here; every doc
+            # gets a score (empty docs carry the intercept), so no
+            # pass-through-on-no-evidence branch is needed.
+            from ..operators.quality_classifier import (
+                _margins, qc_features,
+            )
+
+            p = _margins(
+                qc_features(
+                    changed.select(
+                        F.col("path").alias("doc_id"),
+                        F.col("content").alias("text"),
+                    )
+                ),
+                qc_weights,
+                "doc_id",
+            ).select(
+                F.col("doc_id").alias("path"),
+                (F.col("p6").cast("double") / F.lit(1e6)).alias(
+                    "qc_score"
+                ),
+            )
+            judged = changed.join(p, "path", "left").localCheckpoint()
+            bad = F.col("qc_score").isNotNull() & (
+                F.col("qc_score") < F.lit(float(qc_gate))
+            )
+            rejected = judged.filter(bad)
+            if len(rejected.take(1)) > 0:
+                (
+                    # drop every transient gate column (ppl's too, when
+                    # both gates ran) so DLQ parquet appends keep ONE
+                    # schema; Spark drop() ignores absent names
+                    rejected.drop(
+                        "file_hash", "qc_score", "n_bigrams",
+                        "n_trigrams", "n_backoff", "n_oov", "logppl",
+                    )
+                    .withColumn("error", F.lit("qc_gate"))
+                    .write.mode("append")
+                    .parquet(dlq_path)
+                )
+            # unlike the ppl gate there is no score sink to feed — the
+            # transient column drops so downstream sinks see the
+            # standard shape
+            changed = judged.filter(~bad).drop("qc_score")
         if (
             postings_path is not None
             or graph_store_dir is not None
@@ -678,6 +737,8 @@ def run_ingestion_stream(
     lm_model=None,
     ppl_gate: float | None = None,
     lm_order: int = 2,
+    qc_weights=None,
+    qc_gate: float | None = None,
 ) -> None:
     """File-source stream of watcher events (json lines), processed with
     exactly-once effect via checkpoint + idempotent upsert. Uses
@@ -687,7 +748,9 @@ def run_ingestion_stream(
     / doc features / trigram gram index / frozen-LM perplexity scores)
     thread through to process_batch, so stream deletes prune every
     store; ppl_gate (with lm_model) applies the CCNet perplexity filter
-    per micro-batch.
+    per micro-batch, and qc_gate (with qc_weights) the GPT-3-style
+    trained-classifier filter — stacked after it, each with its own
+    DLQ reason.
 
     lm_model materialization contract: process_batch references the
     model several times per micro-batch (three scoring joins + the
@@ -702,6 +765,13 @@ def run_ingestion_stream(
     lm_pins: set[int] = set()
     if lm_model is not None:
         lm_model, lm_pins = ckpt.pin_tracked(spark, lm_model.localCheckpoint)
+    if qc_weights is not None:
+        # same materialization contract as lm_model: (dim+1)-row weight
+        # table pinned once per stream, never re-derived per batch
+        qc_weights, qc_pins = ckpt.pin_tracked(
+            spark, qc_weights.localCheckpoint
+        )
+        lm_pins |= qc_pins
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         # W7 warmup throttling analog; per-tenant anti-starvation
@@ -724,6 +794,8 @@ def run_ingestion_stream(
                 lm_model=lm_model,
                 ppl_gate=ppl_gate,
                 lm_order=lm_order,
+                qc_weights=qc_weights,
+                qc_gate=qc_gate,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

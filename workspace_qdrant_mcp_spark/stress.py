@@ -1,0 +1,141 @@
+"""Repeatable 10x stress-corpus generator (VERDICT r10 #5).
+
+The r10 scale-shape audit measured the three heaviest operator families
+on a ~10x corpus built as a one-off in /tmp; this module makes that
+corpus a COMMITTED, repeatable artifact so scale regressions are caught
+by re-running a flag, not by re-deriving the experiment by hand.
+
+Scheme (identical to the r10 one-off): every document in the source SF
+dir is emitted `factor` times with a per-copy mutation —
+    doc_id' = doc_id * 16 + k        (k = 0..factor-1, collision-free
+                                      for factor <= 16)
+    text'   = text || ' c<k>'        (k > 0; copy 0 is byte-identical)
+so each doc gains factor-1 mutated near-dup twins. This is deliberately
+the ADVERSARIAL workload for the dedup path (pair counts explode by
+construction) while leaving vocab growth tiny (one new token per copy
+rank) — exactly the regime where the documented scale shapes (trainer
+rounds FLAT, LM ladder SUBLINEAR, LSH linear in DISCOVERED PAIRS) must
+hold. Every other table is symlinked from the source dir.
+
+Drive it via `SPARK_GRAFT_BENCH_STRESS10X=1 python bench.py` (bench.py
+runs the three tracked queries at the bench SF and at 10x and appends
+the shape ratios to bench_history.jsonl) or `pytest -m stress10x`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# The three tracked families and the shape each must hold at 10x
+# (ratio = wall(10x) / wall(base); pairs-normalized for LSH):
+#   bpe_merges          FLAT       — merge rounds run on the bounded
+#                                    vocab table; ratio ~1
+#   kn_trigram_logppl   SUBLINEAR  — model tables stay vocab-scale;
+#                                    ratio well under the 10x data ratio
+#   minhash_lsh_neardup PAIR-LINEAR — wall tracks discovered pairs,
+#                                    not corpus^2
+STRESS_QUERIES = ("bpe_merges", "kn_trigram_logppl", "minhash_lsh_neardup")
+
+# Conservative regression ceilings on wall ratios at factor=10 (the r10
+# measurements were 0.98 / 2.8 / 4.6; ceilings leave ~2x headroom for
+# host drift without letting a quadratic blow-up pass):
+STRESS_CEILINGS = {
+    "bpe_merges": 3.0,           # flat (measured ~1.0)
+    "kn_trigram_logppl": 6.0,    # sublinear (measured 2.8 for 10x data)
+    "minhash_lsh_neardup": 9.0,  # pair-linear (measured 4.6 for 331x pairs)
+}
+
+
+def build_stress_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    factor: int = 10,
+) -> str:
+    """Materialize the near-dup-heavy stress corpus under out_dir:
+    documents.parquet rewritten with `factor` mutated copies per doc,
+    every other table symlinked from sf_dir. Returns out_dir. Idempotent
+    (existing output is reused — delete out_dir to regenerate)."""
+    if not 1 <= factor <= 16:
+        raise ValueError("factor must be in 1..16 (doc_id*16+k scheme)")
+    docs_out = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(docs_out):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        ranks = spark.range(factor).select(F.col("id").alias("k"))
+        mutated = (
+            docs.crossJoin(F.broadcast(ranks))
+            .select(
+                (F.col("doc_id") * 16 + F.col("k")).alias("doc_id"),
+                F.when(F.col("k") == 0, F.col("text"))
+                .otherwise(
+                    F.concat(F.col("text"), F.lit(" c"), F.col("k"))
+                )
+                .alias("text"),
+                "lang",
+                "source",
+                (
+                    F.length(
+                        F.when(F.col("k") == 0, F.col("text")).otherwise(
+                            F.concat(F.col("text"), F.lit(" c"), F.col("k"))
+                        )
+                    )
+                ).cast("long").alias("n_chars"),
+            )
+        )
+        mutated.write.mode("overwrite").parquet(docs_out)
+    for name in os.listdir(sf_dir):
+        if name == "documents.parquet":
+            continue
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, name), dst)
+    return out_dir
+
+
+def run_stress10x(
+    spark: SparkSession,
+    sf_dir: str,
+    queries,
+    factor: int = 10,
+    out_dir: str | None = None,
+) -> dict:
+    """Time STRESS_QUERIES at the base SF and at the `factor`x stress
+    corpus in ONE session (same-run ratio discipline — absolute seconds
+    on this host are ±25% noise) and return the shape table:
+    {query: {base_sec, stress_sec, ratio, ceiling, ok}}. LSH
+    additionally records discovered-pair counts so its ratio can be
+    read as pairs-linear, not corpus-quadratic."""
+    import tempfile
+    import time
+
+    from . import ckpt
+
+    if out_dir is None:
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"wqm_stress{factor}x_" + os.path.basename(sf_dir.rstrip("/")),
+        )
+    stress_dir = build_stress_corpus(spark, sf_dir, out_dir, factor)
+    out: dict = {}
+    for name in STRESS_QUERIES:
+        fn = queries[name]
+        row: dict = {}
+        for tag, d in (("base", sf_dir), ("stress", stress_dir)):
+            t0 = time.perf_counter()
+            n = fn(spark, d).count()
+            row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+            row[f"{tag}_rows"] = n
+            ckpt.clear_unpinned(spark)
+        row["ratio"] = (
+            round(row["stress_sec"] / row["base_sec"], 2)
+            if row["base_sec"] > 0
+            else None
+        )
+        row["ceiling"] = STRESS_CEILINGS[name]
+        row["ok"] = row["ratio"] is not None and row["ratio"] <= row["ceiling"]
+        out[name] = row
+    return out

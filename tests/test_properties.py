@@ -1376,3 +1376,76 @@ def test_kn_frozen_scorer_matches_python_reference(spark, ref, tgt):
         ).collect()
     }
     assert got == want
+
+
+# ---- dup_span_removal == brute-force Python model --------------------
+
+_SPAN_DOCS = st.lists(
+    st.text(alphabet=st.sampled_from(list("ab")), min_size=0, max_size=60),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _span_removal_model(texts, span_len, stride, min_occ=2):
+    """The operator's spec in 30 lines of Python: stride windows,
+    canonical = (lowest doc_id, lowest offset) per window value, merge
+    marked windows per doc, cut the merged spans."""
+    wins = []  # (doc_id, off 1-based, span)
+    for did, t in enumerate(texts):
+        if len(t) >= span_len:
+            n_off = (len(t) - span_len) // stride + 1
+            for i in range(n_off):
+                off = i * stride + 1
+                wins.append((did, off, t[off - 1 : off - 1 + span_len]))
+    from collections import defaultdict
+
+    by_span = defaultdict(list)
+    for did, off, sp in wins:
+        by_span[sp].append((did, off))
+    marked = defaultdict(list)
+    for sp, occs in by_span.items():
+        if len(occs) >= min_occ:
+            canon = min(occs)
+            for did, off in occs:
+                if (did, off) != canon:
+                    marked[did].append((off, off + span_len - 1))
+    out = {}
+    for did, t in enumerate(texts):
+        spans = sorted(marked.get(did, []))
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        removed = sum(e - s + 1 for s, e in merged)
+        kept = []
+        pos = 1
+        for s, e in merged:
+            kept.append(t[pos - 1 : s - 1])
+            pos = e + 1
+        kept.append(t[pos - 1 :])
+        out[did] = (len(merged), removed, "".join(kept))
+    return out
+
+
+@given(docs=_SPAN_DOCS)
+@settings(**SETTINGS)
+def test_dup_span_removal_matches_bruteforce_model(spark, docs):
+    from workspace_qdrant_mcp_spark.operators import dedup
+
+    span_len, stride = 8, 4
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans_removed"], r["removed_chars"], r["trimmed_text"]
+        )
+        for r in dedup.dup_span_removal(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    want = _span_removal_model(docs, span_len, stride)
+    assert got == want

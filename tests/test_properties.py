@@ -1449,3 +1449,105 @@ def test_dup_span_removal_matches_bruteforce_model(spark, docs):
     }
     want = _span_removal_model(docs, span_len, stride)
     assert got == want
+
+
+# ---- kn3_score_with == brute-force Kneser-Ney serving model ----------
+
+
+def _kn3_model_and_score(ref_texts, tgt_texts, D=0.75):
+    """The order-3 KN serving spec in plain Python (train on ref_texts,
+    score tgt_texts with the three-branch backoff) — the randomized twin
+    of test_textstats_curation's hand fixture."""
+    import math
+    from collections import Counter, defaultdict
+
+    def rhalf(x):
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    c3: Counter = Counter()
+    for t in ref_texts:
+        toks = t.split()
+        c3.update(zip(toks, toks[1:], toks[2:]))
+    if not c3:
+        return None
+    c_ctx3: Counter = Counter()
+    n1f3: Counter = Counter()
+    mid_w1s = defaultdict(set)
+    for (w1, w2, w3), c in c3.items():
+        c_ctx3[(w1, w2)] += c
+        n1f3[(w1, w2)] += 1
+        mid_w1s[(w2, w3)].add(w1)
+    c2p = {k: len(v) for k, v in mid_w1s.items()}
+    c_ctx2: Counter = Counter()
+    n1f2: Counter = Counter()
+    c1p: Counter = Counter()
+    for (w2, w3), c in c2p.items():
+        c_ctx2[w2] += c
+        n1f2[w2] += 1
+        c1p[w3] += 1
+    n_types = len(c2p)
+
+    def p2(w2, w3):
+        return max(c2p[(w2, w3)] - D, 0.0) / c_ctx2[w2] + (
+            D * n1f2[w2] / c_ctx2[w2]
+        ) * (c1p[w3] / n_types)
+
+    def branch(w1, w2, w3):
+        if (w1, w2, w3) in c3:
+            p = max(c3[(w1, w2, w3)] - D, 0.0) / c_ctx3[(w1, w2)] + (
+                D * n1f3[(w1, w2)] / c_ctx3[(w1, w2)]
+            ) * p2(w2, w3)
+            return int(rhalf(math.log(p) * 1e6)), 0, 0
+        if (w1, w2) in c_ctx3 and (w2, w3) in c2p:
+            p = (D * n1f3[(w1, w2)] / c_ctx3[(w1, w2)]) * p2(w2, w3)
+            return int(rhalf(math.log(p) * 1e6)), 1, 0
+        return int(rhalf(math.log(1.0 / (n_types + 1)) * 1e6)), 0, 1
+
+    out = {}
+    for did, t in enumerate(tgt_texts):
+        toks = t.split()
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        if not tris:
+            continue
+        qs = [branch(*g) for g in tris]
+        s = sum(x[0] for x in qs)
+        out[did] = (
+            len(tris),
+            sum(x[1] for x in qs),
+            sum(x[2] for x in qs),
+            rhalf((-(s / 1e6) / len(tris)) * 1e6) / 1e6,
+        )
+    return out
+
+
+@given(ref=_CORPUS, tgt=_CORPUS)
+@settings(**SETTINGS)
+def test_kn3_score_with_matches_bruteforce_model(spark, ref, tgt):
+    """Property: kn3_score_with under a kn_trigram_model trained on an
+    arbitrary small corpus agrees EXACTLY (quantized microunits) with
+    the plain-Python order-3 KN serving spec on arbitrary target docs —
+    all three branches reachable via the tiny shared vocabulary."""
+    from workspace_qdrant_mcp_spark.operators import textstats
+
+    ref_texts = [" ".join(ws) for ws in ref]
+    tgt_texts = [" ".join(ws) for ws in tgt]
+    want = _kn3_model_and_score(ref_texts, tgt_texts)
+    if want is None:  # no trigram in the reference: nothing to train on
+        return
+    model = textstats.kn_trigram_model(
+        spark.createDataFrame(
+            list(enumerate(ref_texts)), "doc_id long, text string"
+        )
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"], r["n_backoff"], r["n_oov"], r["logppl"]
+        )
+        for r in textstats.kn3_score_with(
+            spark.createDataFrame(
+                list(enumerate(tgt_texts)), "doc_id long, text string"
+            ),
+            model,
+        ).collect()
+    }
+    assert got == want

@@ -156,7 +156,14 @@ def train_quality_classifier(
 ) -> DataFrame:
     """(feat_id, weight) — dim+1 rows after `rounds` unrolled full-batch
     GD steps from w=0: w' = micro6(w + lr * sum((y - p) x) / N), every
-    sum an exact int64 microunit aggregate (see module doc)."""
+    sum an exact int64 microunit aggregate (see module doc).
+
+    LIFETIME NOTE: the returned frame is backed by the final round's
+    localCheckpoint (truncated lineage — it cannot recompute). A caller
+    that holds it across a ckpt.clear_unpinned() sweep (e.g. bench's
+    between-queries hygiene) must ckpt.pin() it or re-materialize the
+    33 rows (spark.createDataFrame(w.collect(), w.schema)) first;
+    run_ingestion_stream does the pin itself for qc_weights."""
     spark = feats.sparkSession
     feats = feats.localCheckpoint()   # read 2x per round — build once
     labels = labels.localCheckpoint()

@@ -679,6 +679,10 @@ def main() -> None:
         "per_seed_ms": per_seed_ms,
         "counts": counts,
         "paired": paired,
+        # None unless SPARK_GRAFT_BENCH_STRESS10X=1 — the three tracked
+        # scale-shape ratios land in bench_history.jsonl so a scale
+        # regression is caught by diffing history, not re-measured by hand
+        "stress10x": stress,
     }
 
     # Full copy (with row counts) to disk first, so a clipped stdout capture

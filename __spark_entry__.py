@@ -1153,6 +1153,16 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(corpus)
 
 
+def _q_zipf_ttr_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical health card (textstats.zipf_ttr_card):
+    type-token ratio + fitted Zipf exponent over the top-100 terms —
+    the corpus-audit statistics next to the Gopher gates (natural text
+    fits slope ~ -1; boilerplate flattens, token soup steepens).
+    Engine-exact OLS on quantized ln() microunits. NEW IN r11;
+    in-window at birth."""
+    return textstats.zipf_ttr_card(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL half of exact substring dedup (dedup.dup_span_removal,
     Lee et al. 2021 §4): repeated_spans diagnoses, this one emits the
@@ -3351,22 +3361,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               quartet (T1/T2/T4/T5) and the bm25/dense/tag/centroid
     #               search legs — the SURVEY S2 core never carries the
     #               oldest evidence;
-    #   slots 17-47 the remaining r7-stale rows, alphabetical. 43 of the
-    #               49 r7 rows drain this round; the six deferred to
-    #               r12 (sequence_packing — its _bpe twin is r10-green —
-    #               two_hop_chain and value_quantiles, demoted mid-round
-    #               to pay for the three r11 additions, plus
+    #   slots 17-46 the remaining r7-stale rows, alphabetical. 42 of the
+    #               49 r7 rows drain this round; the seven deferred to
+    #               r12 (graph_eccentricity — an auxiliary analytic,
+    #               its harmonic sibling stays in-window —
+    #               sequence_packing — its _bpe twin is r10-green —
+    #               two_hop_chain and value_quantiles, all demoted
+    #               mid-round to pay for the four r11 additions, plus
     #               scd2_history, weighted_sample, hourly_anomalies:
     #               auxiliary analytics, not S2 anchors) sit first
     #               below the window;
-    #   slots 48-50 NEW IN r11 — kn3_heldout_scores (the trigram
+    #   slots 47-50 NEW IN r11 — kn3_heldout_scores (the trigram
     #               frozen-LM serving twin, VERDICT r10 #4),
     #               quality_classifier_indep_scores (the
     #               circularity-breaking cross-source variant, VERDICT
-    #               r10 #3), and dup_span_removal (the Lee-et-al
-    #               span-removal emission), in-window at birth.
-    # Further in-window r11 ADDITIONS (if any land mid-round) pay by
-    # demoting the alphabetical tail of slots 17-47, exactly like r10.
+    #               r10 #3), dup_span_removal (the Lee-et-al
+    #               span-removal emission) and zipf_ttr_card (the
+    #               lexical-health data card), in-window at birth.
     # Provenance per CORRECTNESS_r01-r10 (r11 staleness ledger:
     # r10:50, r9:44, r8:44, r7:49, never:4).
     return {
@@ -3399,7 +3410,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_dequeue": _q_fairness_dequeue,
         "graph_betweenness": _q_graph_betweenness,
         "graph_clustering_coeff": _q_graph_clustering,
-        "graph_eccentricity": _q_graph_eccentricity,
         "graph_harmonic": _q_graph_harmonic,
         "graph_ppr": _q_graph_ppr,
         "ingest_apply_events": _q_ingest_apply_events,
@@ -3430,8 +3440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_heldout_scores": _q_kn3_heldout_scores,
         "quality_classifier_indep_scores": _q_quality_classifier_indep_scores,
         "dup_span_removal": _q_dup_span_removal,
+        "zipf_ttr_card": _q_zipf_ttr_card,
         # ---- below the 50-row window: rotation queue, stalest-first.
-        # First the six r7 rows deferred to r12:
+        # First the seven r7 rows deferred to r12:
+        "graph_eccentricity": _q_graph_eccentricity,
         "sequence_packing": _q_sequence_packing,
         "two_hop_chain": _q_two_hop_chain,
         "value_quantiles": _q_value_quantiles,
@@ -3695,6 +3707,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oracles.semdedup(),
         "repeated_spans": oracles.repeated_spans(),
         "dup_span_removal": oracles.dup_span_removal(),
+        "zipf_ttr_card": oracles.zipf_ttr_card(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "dsir_logweights": oracles.dsir_logweights(),
         "asof_join": oracles.asof_join(),

@@ -125,6 +125,7 @@ R11_SCALE_QUERIES = [
     "quality_classifier_indep_scores",
     "quality_classifier_pr_card",   # schema changed in r11 (both curves)
     "dup_span_removal",
+    "zipf_ttr_card",
 ]
 
 

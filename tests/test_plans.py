@@ -581,6 +581,7 @@ def test_r10_continuation_queries_avoid_cartesian_and_python(spark):
         "quality_classifier_pr_card",
         "quality_classifier_indep_scores",
         "dup_span_removal",
+        "zipf_ttr_card",
         "embedding_pca",
         "embedding_pca_scores",
     ):

@@ -853,3 +853,77 @@ class TestFuzzyTermPairs:
         # bat appears once -> excluded at min_count=2
         assert textstats.fuzzy_term_pairs(docs, min_count=2).count() == 0
         assert textstats.fuzzy_term_pairs(docs, min_count=1).count() == 1
+
+
+class TestZipfTtrCard:
+    """textstats.zipf_ttr_card: per-source TTR + quantized-OLS Zipf
+    exponent (r11)."""
+
+    def test_hand_computed_and_numpy_ols(self, spark):
+        import math
+
+        import numpy as np
+
+        # source A: freqs 4,2,1 over words a,b,c (12 tokens? no:
+        # 4+2+1 = 7 tokens, 3 types); source B: uniform (slope 0 on
+        # ties broken by word order -> y constant -> slope 0)
+        a_text = "a a a a b b c"
+        rows = [(1, a_text, "A"), (2, "x y z", "B"), (3, "x y z", "B")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {r["source"]: r for r in
+               __import__("workspace_qdrant_mcp_spark.operators.textstats",
+                          fromlist=["textstats"]).zipf_ttr_card(docs)
+               .collect()}
+        assert out["A"]["n_tokens"] == 7 and out["A"]["n_types"] == 3
+        assert out["A"]["ttr"] == round(round(3 / 7 * 1e6) / 1e6, 6)
+        assert out["B"]["n_tokens"] == 6 and out["B"]["n_types"] == 3
+
+        def spec_slope(freqs):
+            x6 = [round(math.log(r + 1) * 1e6) for r in range(len(freqs))]
+            y6 = [round(math.log(f) * 1e6) for f in freqs]
+            k = len(freqs)
+            sx, sy = sum(x6), sum(y6)
+            sxy = sum(a * b for a, b in zip(x6, y6))
+            sxx = sum(a * a for a in x6)
+            return round(
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e6)
+                / 1e6, 6,
+            )
+
+        assert out["A"]["zipf_slope"] == spec_slope([4, 2, 1])
+        assert out["B"]["zipf_slope"] == spec_slope([2, 2, 2])  # == 0.0
+        # numpy OLS agrees with the quantized closed form to ~1e-5
+        np_slope = np.polyfit(
+            np.log(np.arange(1, 4)), np.log([4, 2, 1]), 1
+        )[0]
+        assert abs(out["A"]["zipf_slope"] - np_slope) < 1e-4
+
+    def test_degenerate_sources(self, spark):
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "solo", "one_term"), (2, "", "empty")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in
+               textstats.zipf_ttr_card(docs).collect()}
+        # single distinct term: rank table has one row -> denom 0 ->
+        # NULL slope, not a division error
+        assert out["one_term"]["n_types"] == 1
+        assert out["one_term"]["zipf_slope"] is None
+        # all-empty source never tokenizes -> absent entirely
+        assert "empty" not in out
+
+    def test_natural_corpus_slope_is_negative(self, spark):
+        from workspace_qdrant_mcp_spark.io import load_table
+        from workspace_qdrant_mcp_spark.operators import textstats
+
+        out = textstats.zipf_ttr_card(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()
+        assert len(out) == 20          # one row per source
+        for r in out:
+            assert r["zipf_slope"] is not None and r["zipf_slope"] < 0
+            assert 0 < r["ttr"] <= 1

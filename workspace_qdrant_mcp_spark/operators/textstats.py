@@ -1482,3 +1482,92 @@ def fuzzy_term_pairs(
         "count_a",
         "count_b",
     ).filter(F.col("dist").between(1, max_dist))
+
+
+def zipf_ttr_card(
+    docs: DataFrame,
+    top_k: int = 100,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, n_types, ttr, zipf_slope) — per-source lexical
+    health card: type-token ratio and the fitted Zipf exponent, the two
+    standard corpus-audit statistics next to the Gopher/heuristic gates
+    (natural text fits ln(freq) ≈ a + s·ln(rank) with s ≈ −1; template
+    or boilerplate-heavy sources flatten toward 0, token-soup sources
+    steepen — Zipf 1949; Piantadosi 2014 review).
+
+    zipf_slope = OLS slope of y=ln(freq) on x=ln(rank) over the
+    source's top_k terms (freq DESC, word ASC tiebreak — deterministic
+    ranks). Engine-exact: x and y quantize to int64 microunits at their
+    single ln() call; Σx, Σy, Σxy, Σx² are exact integer sums (bounded:
+    |x6·y6| ≲ 6.5e13 per term, k·that ≲ 6.5e15 « 2^63); the closed-form
+    slope (k·Σxy − Σx·Σy)/(k·Σx² − (Σx)²) is one fixed IEEE expression
+    over those integers, micro6 at the emission. Sources with fewer
+    than 2 distinct terms emit NULL slope (the 0/0 guard both engines
+    apply explicitly). ttr = micro6(n_types / n_tokens).
+
+    Plan shape: ONE corpus tokenize/explode feeds a (source, word)
+    count table (two-stage map-side-combinable agg); the rank window
+    partitions by source over that VOCAB-sized table (never the token
+    stream), the top_k filter bounds the regression input, and the
+    totals are a second aggregate of the same count table — the corpus
+    is touched once."""
+    words = fan_out(docs).select(
+        F.col(source_col).alias("source"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("w"),
+    )
+    cnt = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    totals = cnt.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    from pyspark.sql.window import Window
+
+    rw = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("w")
+    )
+    top = (
+        cnt.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x6"),
+            F.round(F.log(F.col("freq").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y6"),
+        )
+    )
+    reg = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    denom = (
+        F.col("k").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    slope = (
+        F.col("k").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / denom
+    return (
+        totals.join(reg, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            micro6(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("ttr"),
+            F.when(denom > 0, micro6(slope)).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )

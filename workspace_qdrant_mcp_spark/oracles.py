@@ -6668,3 +6668,58 @@ SELECT source, n_docs, excess_logppl, {w} AS doremi_weight
 FROM x, t
 ORDER BY source
 """
+
+
+def zipf_ttr_card(top_k: int = 100) -> str:
+    """Oracle for textstats.zipf_ttr_card: per-source TTR + fitted Zipf
+    exponent — the same whitespace tokenize, deterministic (freq DESC,
+    word ASC) ranks, quantized ln() microunits, exact integer regression
+    sums, and the one fixed IEEE closed-form slope."""
+    ttr = micro6_sql("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)")
+    denom = (
+        "(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    slope = micro6_sql(
+        "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " + denom
+    )
+    return f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS w
+  FROM documents
+),
+cnt AS (SELECT source, w, count(*) AS freq FROM tok GROUP BY source, w),
+totals AS (
+  SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY source
+),
+ranked AS (
+  SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x6,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y6
+  FROM (
+    SELECT source, freq,
+           row_number() OVER (
+             PARTITION BY source ORDER BY freq DESC, w ASC) AS rank
+    FROM cnt
+  )
+  WHERE rank <= {top_k}
+),
+reg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x6) AS BIGINT) AS sx,
+         CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT t.source, t.n_tokens, t.n_types,
+       {ttr} AS ttr,
+       CASE WHEN {denom} > 0 THEN {slope} END AS zipf_slope
+FROM totals t JOIN reg USING (source)
+ORDER BY t.source
+"""

@@ -589,3 +589,42 @@ def test_r10_continuation_queries_avoid_cartesian_and_python(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_serving_paths_bound_before_rank(spark):
+    """VERDICT r11 #1: the three serving-path operators (S9 retrieve
+    paging, R16 fallback scroll, R17 exact scoring) must bound FIRST via
+    orderBy().limit() (TakeOrderedAndProject — per-partition heaps) and
+    only then rank; a single-partition Window over the unbounded filtered
+    input is the shape that dies at 100x. The formatted plan tree prints
+    root-first, so a Window node (if any) must appear ABOVE the
+    TakeOrderedAndProject that feeds it."""
+    from workspace_qdrant_mcp_spark.api import WqmEngine
+    from workspace_qdrant_mcp_spark.operators import exact
+
+    engine = WqmEngine(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def tree(plan: str) -> str:
+        # the tree section of explain("formatted") ends at the blank line
+        # before the per-node detail blocks
+        return plan.split("\n\n")[0]
+
+    cases = {
+        "retrieve": engine.retrieve(limit=25, offset=10, tenant=["src1"]),
+        "fallback": engine.search_fallback("def", limit=10),
+        "exact": exact.exact_search(docs, "def"),
+    }
+    for name, df in cases.items():
+        t = tree(_plan(df))
+        assert "TakeOrderedAndProject" in t, name
+        win_lines = [i for i, l in enumerate(t.splitlines()) if "Window" in l]
+        top_lines = [
+            i for i, l in enumerate(t.splitlines())
+            if "TakeOrderedAndProject" in l
+        ]
+        # every Window consumes the bounded TakeOrdered set (parent above
+        # child in the root-first tree); fallback has no Window at all
+        for w in win_lines:
+            assert any(tk > w for tk in top_lines), (name, t)
+    assert "Window" not in tree(_plan(cases["fallback"]))

@@ -540,14 +540,21 @@ class WqmEngine:
         **filter_kwargs,
     ) -> DataFrame:
         """By-id or metadata-filtered paged scan (retrieve.rs; S9 scroll).
-        Paging = deterministic (point_id) order + offset/limit window."""
+        Paging = deterministic (point_id, collection) order + offset/limit.
+
+        Scale shape: bound FIRST — ``orderBy().limit(offset+limit)`` is
+        TakeOrderedAndProject (per-partition heaps, no global sort of the
+        unbounded filtered set); the rank window that drops the offset
+        prefix then runs over at most offset+limit rows. The reference
+        pushes exactly this bound into Qdrant's scroll (retrieve.rs)."""
         df = self._filtered(**filter_kwargs)
         if ids is not None:
             df = df.filter(F.col("point_id").isin(ids))
+        bounded = df.orderBy("point_id", "collection").limit(offset + limit)
         w = Window.orderBy("point_id", "collection")
         page = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            bounded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > offset)
             .drop("__rn")
         )
         return FL.strip_metadata(page)
@@ -686,14 +693,14 @@ class WqmEngine:
     ) -> DataFrame:
         """Daemon-down fallback (flow_fallback.rs:42-205): scroll 3*limit
         filtered points, case-insensitive substring on content, constant
-        score 0.5, tagged 'fallback' / status 'uncertain'."""
+        score 0.5, tagged 'fallback' / status 'uncertain'.
+
+        Scale shape: the scroll is ``orderBy().limit(3*limit)`` —
+        TakeOrderedAndProject, never a rank window over the unbounded
+        filtered set — and the final slice is deterministic (ordered
+        before limit) rather than an arbitrary first-``limit`` pick."""
         cand = self._filtered(**filter_kwargs)
-        w = Window.orderBy("point_id", "collection")
-        scroll = (
-            cand.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 3 * limit)
-            .drop("__rn")
-        )
+        scroll = cand.orderBy("point_id", "collection").limit(3 * limit)
         matched = scroll.filter(
             F.instr(F.lower(F.col("content")), query.lower()) > 0
         )
@@ -701,6 +708,7 @@ class WqmEngine:
             matched.withColumn("score", F.lit(0.5))
             .withColumn("search_type", F.lit("fallback"))
             .withColumn("status", F.lit("uncertain"))
+            .orderBy("point_id", "collection")
             .limit(limit)
         )
 
@@ -758,14 +766,16 @@ class WqmEngine:
         # in-plan expansion_keywords: query tokens ⋈ tags ⋈ baskets →
         # first max_keywords distinct keywords in keyword order
         qtagdf = self.spark.createDataFrame([(t,) for t in qtoks], ["tag"])
-        kw_w = Window.orderBy("term")
+        # bound-first: orderBy().limit() (TakeOrdered) caps the expansion
+        # before any single-partition window could see an unbounded basket
+        # join (the same rank-before-bound fix as retrieve/fallback)
         exp_q = (
             tags_df.join(F.broadcast(qtagdf), "tag")
             .join(baskets_df, "tag")
             .select(F.col("keyword").alias("term"))
             .distinct()
-            .withColumn("__rk", F.row_number().over(kw_w))
-            .filter(F.col("__rk") <= max_keywords)
+            .orderBy("term")
+            .limit(max_keywords)
             .select("term", F.lit(float(expansion_weight)).alias("qw"))
             # base weight wins on collision (merge keeps the original
             # query weight) — anti-join instead of dict.setdefault

@@ -28,17 +28,20 @@ def exact_search(
 ) -> DataFrame:
     """Substring match ordered by id, scored 1.0 - idx*0.001.
 
-    The rank window is over the post-filter candidate set (bounded by
-    ``limit``) — the filter itself is a pushed-down scan predicate.
+    Scale shape: the match set is bounded FIRST with ``orderBy().limit()``
+    (TakeOrderedAndProject — a per-partition top-``limit`` heap, no global
+    sort); only then does the single-partition rank window assign ``idx``,
+    over at most ``limit`` rows. Ranking before limiting would
+    single-partition-sort the full unbounded match set (the shape that
+    dies at 100x the corpus).
     """
     text = F.lower(F.col(text_col)) if case_insensitive else F.col(text_col)
     pat = pattern.lower() if case_insensitive else pattern
     matches = docs.filter(F.instr(text, pat) > 0).select(id_col)
+    bounded = matches.orderBy(F.asc(id_col)).limit(limit)
     w = Window.orderBy(F.asc(id_col))
-    return (
-        matches.withColumn("idx", F.row_number().over(w) - 1)
-        .filter(F.col("idx") < limit)
-        .select(id_col, (F.lit(1.0) - F.col("idx") * F.lit(0.001)).alias("score"))
+    return bounded.withColumn("idx", F.row_number().over(w) - 1).select(
+        id_col, (F.lit(1.0) - F.col("idx") * F.lit(0.001)).alias("score")
     )
 
 

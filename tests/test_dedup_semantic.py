@@ -605,3 +605,34 @@ class TestDupSpanRemoval:
         ).count() == 0
         # the near-copy construction guarantees some removal happens
         assert out.agg(F.sum("n_spans_removed")).collect()[0][0] > 0
+
+
+    def test_canonical_pick_survives_doc_ids_beyond_2_pow_32(self, spark):
+        # VERDICT r11 #5 / ADVICE r11: the earlier packed long key
+        # (doc_id*2^31 + off) silently mis-picked the canonical
+        # occurrence once doc_id >= 2^32 (key collisions across docs) or
+        # for negative ids; min(struct(doc_id, off)) must stay exact.
+        uniq = "".join(chr(97 + (i * 7) % 26) for i in range(120))
+        big = 2**33 + 5          # would have collided under the packed key
+        bigger = 2**34 + 1
+        got = self._rows(
+            spark, [(big, uniq), (bigger, uniq), (-3, "z" * 30)]
+        )
+        # lowest doc_id holds the canonical copy -> untouched
+        assert got[big]["n_spans_removed"] == 0
+        assert got[big]["trimmed_text"] == uniq
+        assert got[bigger]["n_spans_removed"] == 1
+        assert got[bigger]["trimmed_text"] == ""
+        # negative id, too short to window: verbatim pass-through
+        assert got[-3]["trimmed_text"] == "z" * 30
+
+    def test_canonical_pick_with_negative_doc_ids(self, spark):
+        # negative ids order below positive ones: the canonical copy
+        # must sit on the negative id, not wherever the packed key
+        # arithmetic happened to land
+        uniq = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(120))
+        got = self._rows(spark, [(-7, uniq), (4, uniq)])
+        assert got[-7]["n_spans_removed"] == 0
+        assert got[-7]["trimmed_text"] == uniq
+        assert got[4]["n_spans_removed"] == 1
+        assert got[4]["trimmed_text"] == ""

@@ -1114,14 +1114,15 @@ def dup_span_removal(
     granularity — the standard practical relaxation).
 
     Plan shape: one window explode ((len/stride) x corpus rows); the
-    canonical pick is a MAP-SIDE-COMBINABLE min over a packed
-    (doc_id << 31 | off) key — deliberately NOT a row_number over the
-    span partition, which a boilerplate span repeated 1e8 times would
-    turn into a single-reducer skew; island merging and segment
+    canonical pick is a MAP-SIDE-COMBINABLE ``min(struct(doc_id, off))``
+    (structs order lexicographically; partial min combines map-side) —
+    deliberately NOT a row_number over the span partition, which a
+    boilerplate span repeated 1e8 times would turn into a
+    single-reducer skew. The struct key is exact for ANY int64 doc_id /
+    offset (the earlier packed ``doc_id*2^31+off`` long broke silently
+    for doc_id >= 2^32 or negative ids). Island merging and segment
     reconstruction are window functions over the doc_id partitioning
-    (one shuffle, reused). Packed-key bound: doc_id < 2^32 and
-    offsets < 2^31 (the corpus contract); at larger id spaces switch
-    the key to min(struct(doc_id, off))."""
+    (one shuffle, reused)."""
     from pyspark.sql.window import Window
 
     d = docs.select("doc_id", "text").withColumn(
@@ -1144,18 +1145,13 @@ def dup_span_removal(
     ).select("doc_id", F.col("w.off").alias("off"), F.col("w.span").alias("span"))
     occ = fan_out(wins).groupBy("span").agg(
         F.count(F.lit(1)).alias("n_occ"),
-        F.min(
-            F.col("doc_id") * F.lit(2_147_483_648) + F.col("off")
-        ).alias("canon_key"),
+        F.min(F.struct("doc_id", "off")).alias("canon_key"),
     )
     marked = (
         wins.join(occ, "span")
         .filter(
             (F.col("n_occ") >= min_occ)
-            & (
-                F.col("doc_id") * F.lit(2_147_483_648) + F.col("off")
-                != F.col("canon_key")
-            )
+            & (F.struct("doc_id", "off") != F.col("canon_key"))
         )
         .select(
             "doc_id",

@@ -260,6 +260,14 @@ def _load_reference_record(here: str, sf: str) -> dict | None:
             if pin and str(rec.get("ts")) != pin:
                 continue
             ref = rec  # keep the LAST matching entry
+    if pin and ref is None:
+        # ADVICE r11: a typo'd pin must be distinguishable from an empty
+        # history — without this, the run silently reports no_reference
+        _log(
+            f"# bench: SPARK_GRAFT_BENCH_REF_TS={pin} matched no "
+            f"full-registry (>=50-query) record at sf={sf} in "
+            f"bench_history.jsonl — check the pinned ts"
+        )
     return ref
 
 
@@ -331,18 +339,30 @@ def _paired_recheck(
         out["status"] = "no_anchors"
         return out
     out["anchors"] = anchors
-    if len(flagged) > max_flagged:
+    # VERDICT r11 #3: a REPORTED regression must carry
+    # method="interleaved" — beyond the worst-max_flagged cap, any flag
+    # whose host-factor-normalized ratio is STILL above threshold gets
+    # interleave-adjudicated too; only flags that normalization already
+    # clears (<= threshold after dividing by host_factor) may settle as
+    # host_factor_only.
+    rest = flagged[max_flagged:]
+    still_hot = [q for q in rest if ratios[q] / host_factor > threshold]
+    cleared = [q for q in rest if ratios[q] / host_factor <= threshold]
+    to_interleave = flagged[:max_flagged] + still_hot
+    if rest:
         _log(
-            f"# paired recheck: {len(flagged)} raw flags, re-running worst "
-            f"{max_flagged} (cap); the rest inherit host_factor_raw"
+            f"# paired recheck: {len(flagged)} raw flags; interleaving "
+            f"worst {min(len(flagged), max_flagged)} + {len(still_hot)} "
+            f"still-hot after host-factor normalization; "
+            f"{len(cleared)} cleared by normalization"
         )
-    for q in flagged[max_flagged:]:
+    for q in cleared:
         out["flagged"][q] = {
             "raw_ratio": round(ratios[q], 3),
             "paired_ratio": round(ratios[q] / host_factor, 3),
             "method": "host_factor_only",
         }
-    for q in flagged[:max_flagged]:
+    for q in to_interleave:
         per_rep = []
         for _rep in range(reps):
             seq = []

@@ -283,3 +283,21 @@ def test_indep_generalizes_to_heldout_source(spark):
     ]
     auc_self = _auc(slf)
     assert auc_ind >= auc_self - 0.05, (auc_ind, auc_self)
+
+
+def test_indep_scores_fails_loud_on_bad_holdout_setup(spark):
+    """ADVICE r11: a docs frame without the source column, a holdout
+    source matching zero rows, or an all-holdout corpus must raise at
+    entry — never silently emit a card with the held-out curve absent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _mixed_source_docs(spark)
+    with pytest.raises(ValueError, match="no 'source' column"):
+        qc.quality_classifier_indep_scores(docs.drop("source"))
+    with pytest.raises(ValueError, match="matches no source value"):
+        qc.quality_classifier_indep_scores(docs, holdout_source="no_such")
+    with pytest.raises(ValueError, match="no training labels"):
+        qc.quality_classifier_indep_scores(
+            docs.withColumn("source", F.lit("only")), holdout_source="only"
+        )

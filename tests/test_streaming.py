@@ -2348,3 +2348,25 @@ def test_stream_maintains_gram_index_in_lockstep(spark, tmp_path):
     assert sorted(map(tuple, g.grep_exact_indexed(
         lines, idx, "gamma", id_col="path").collect())) == sorted(
         map(tuple, g.grep_exact(lines, "gamma", id_col="path").collect()))
+
+
+def test_stream_construction_failure_releases_model_pins(spark, tmp_path):
+    """ADVICE r11: an exception while BUILDING or STARTING the stream
+    (here: nonexistent events source path) must release the lm/qc model
+    pins too — the try/finally covers construction, not just the drain."""
+    from workspace_qdrant_mcp_spark import ckpt
+
+    model = spark.createDataFrame([("a", -1.0)], "term string, lp double")
+    before = ckpt.persistent_ids(spark)
+    with pytest.raises(Exception):
+        ingest.run_ingestion_stream(
+            spark,
+            str(tmp_path / "no_such_events_dir"),
+            str(tmp_path / "store"),
+            str(tmp_path / "dlq"),
+            str(tmp_path / "ckpt"),
+            lm_model=model,
+            ppl_gate=5.0,
+        )
+    leaked = ckpt.persistent_ids(spark) - before
+    assert leaked == set(), f"leaked pinned blocks: {leaked}"

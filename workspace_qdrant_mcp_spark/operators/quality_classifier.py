@@ -263,6 +263,34 @@ def quality_classifier_indep_scores(
     restriction is an inner join against the train-source label set
     (labels drive the residual/gradient joins), not a second corpus
     pass; scoring is one margin join under the broadcast weights."""
+    if source_col not in docs.columns:
+        raise ValueError(
+            f"quality_classifier_indep_scores: docs has no "
+            f"'{source_col}' column (columns: {docs.columns}) — pass "
+            f"source_col= to name the split column"
+        )
+    # fail loud at entry (house discipline): an absent holdout source
+    # would silently emit an empty held-out curve; an all-holdout corpus
+    # would train on zero labels. One tiny probe job, trainer-path only.
+    n_hold, n_train = docs.agg(
+        F.sum(
+            (F.col(source_col) == F.lit(holdout_source)).cast("long")
+        ),
+        F.sum(
+            (F.col(source_col) != F.lit(holdout_source)).cast("long")
+        ),
+    ).first()
+    if not n_hold:
+        raise ValueError(
+            f"quality_classifier_indep_scores: holdout_source "
+            f"'{holdout_source}' matches no {source_col} value — the "
+            f"held-out curve would be empty"
+        )
+    if not n_train:
+        raise ValueError(
+            f"quality_classifier_indep_scores: every row is in holdout "
+            f"source '{holdout_source}' — no training labels remain"
+        )
     feats = qc_features(docs, id_col, text_col)
     train_labels = qc_labels(
         docs.filter(F.col(source_col) != F.lit(holdout_source)),

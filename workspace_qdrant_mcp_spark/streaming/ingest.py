@@ -763,46 +763,53 @@ def run_ingestion_stream(
     from .. import ckpt
 
     lm_pins: set[int] = set()
-    if lm_model is not None:
-        lm_model, lm_pins = ckpt.pin_tracked(spark, lm_model.localCheckpoint)
-    if qc_weights is not None:
-        # same materialization contract as lm_model: (dim+1)-row weight
-        # table pinned once per stream, never re-derived per batch
-        qc_weights, qc_pins = ckpt.pin_tracked(
-            spark, qc_weights.localCheckpoint
-        )
-        lm_pins |= qc_pins
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        # W7 warmup throttling analog; per-tenant anti-starvation
-        # alternation is run_fair_ingestion_stream below (FairnessScheduler
-        # dequeue inside foreachBatch, mirroring fairness_scheduler.rs)
-        .option("maxFilesPerTrigger", 16)
-        .json(events_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda b, _id: process_batch(
-                spark, b, store_path, dlq_path, ignore_globs, allow_globs,
-                watchdog=watchdog, park_path=park_path,
-                postings_path=postings_path,
-                gram_index_path=gram_index_path,
-                graph_store_dir=graph_store_dir,
-                signature_store_path=signature_store_path,
-                feature_store_path=feature_store_path,
-                ppl_store_path=ppl_store_path,
-                lm_model=lm_model,
-                ppl_gate=ppl_gate,
-                lm_order=lm_order,
-                qc_weights=qc_weights,
-                qc_gate=qc_gate,
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        # pins INSIDE the try (ADVICE r11): an exception while building
+        # or starting the stream must release them too, not leak the
+        # localCheckpoint blocks for the session
+        if lm_model is not None:
+            lm_model, lm_pins = ckpt.pin_tracked(
+                spark, lm_model.localCheckpoint
+            )
+        if qc_weights is not None:
+            # same materialization contract as lm_model: (dim+1)-row
+            # weight table pinned once per stream, never re-derived
+            qc_weights, qc_pins = ckpt.pin_tracked(
+                spark, qc_weights.localCheckpoint
+            )
+            lm_pins |= qc_pins
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            # W7 warmup throttling analog; per-tenant anti-starvation
+            # alternation is run_fair_ingestion_stream below
+            # (FairnessScheduler dequeue inside foreachBatch, mirroring
+            # fairness_scheduler.rs)
+            .option("maxFilesPerTrigger", 16)
+            .json(events_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: process_batch(
+                    spark, b, store_path, dlq_path, ignore_globs,
+                    allow_globs,
+                    watchdog=watchdog, park_path=park_path,
+                    postings_path=postings_path,
+                    gram_index_path=gram_index_path,
+                    graph_store_dir=graph_store_dir,
+                    signature_store_path=signature_store_path,
+                    feature_store_path=feature_store_path,
+                    ppl_store_path=ppl_store_path,
+                    lm_model=lm_model,
+                    ppl_gate=ppl_gate,
+                    lm_order=lm_order,
+                    qc_weights=qc_weights,
+                    qc_gate=qc_gate,
+                )
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
     finally:
         # the pinned model snapshot is stream-lifetime, not

@@ -58,10 +58,20 @@ def build_stress_corpus(
     """Materialize the near-dup-heavy stress corpus under out_dir:
     documents.parquet rewritten with `factor` mutated copies per doc,
     every other table symlinked from sf_dir. Returns out_dir. Idempotent
-    (existing output is reused — delete out_dir to regenerate)."""
+    (a COMPLETE existing output — _SUCCESS present — is reused; a
+    partial one from a crashed run is discarded and rewritten)."""
     if not 1 <= factor <= 16:
         raise ValueError("factor must be in 1..16 (doc_id*16+k scheme)")
     docs_out = os.path.join(out_dir, "documents.parquet")
+    # reuse only a COMPLETE prior write: a crashed run leaves the dir
+    # without Spark's _SUCCESS marker, and feeding that truncated corpus
+    # into the scale-shape ratios would corrupt the gate silently
+    if os.path.exists(docs_out) and not os.path.exists(
+        os.path.join(docs_out, "_SUCCESS")
+    ):
+        import shutil
+
+        shutil.rmtree(docs_out)
     if not os.path.exists(docs_out):
         os.makedirs(out_dir, exist_ok=True)
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

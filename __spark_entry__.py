@@ -3347,102 +3347,34 @@ def _q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. This is the r11 rotation (VERDICT r10 #1 — close the
-    # last evidence debt, keep the drain stalest-first):
-    #   slots 1-4   the four never-recorded r10 post-window registrations
-    #               (quality_classifier_pr_card, embedding_pca,
-    #               embedding_pca_scores, kn_trigram_logppl) — all
-    #               oracle-backed + pytest-hash-verified since birth;
-    #               first driver rows land now;
-    #   slots 5-16  the S2-core head of the r7-stale drain, exactly as
-    #               the r10 slot map promised: the three ANN serving legs
-    #               + betweenness_exact (demoted from the r10 window to
-    #               pay for the KN/tokenizer additions), then the grep
-    #               quartet (T1/T2/T4/T5) and the bm25/dense/tag/centroid
-    #               search legs — the SURVEY S2 core never carries the
-    #               oldest evidence;
-    #   slots 17-46 the remaining r7-stale rows, alphabetical. 42 of the
-    #               49 r7 rows drain this round; the seven deferred to
-    #               r12 (graph_eccentricity — an auxiliary analytic,
-    #               its harmonic sibling stays in-window —
-    #               sequence_packing — its _bpe twin is r10-green —
-    #               two_hop_chain and value_quantiles, all demoted
-    #               mid-round to pay for the four r11 additions, plus
-    #               scd2_history, weighted_sample, hourly_anomalies:
-    #               auxiliary analytics, not S2 anchors) sit first
-    #               below the window;
-    #   slots 47-50 NEW IN r11 — kn3_heldout_scores (the trigram
-    #               frozen-LM serving twin, VERDICT r10 #4),
-    #               quality_classifier_indep_scores (the
-    #               circularity-breaking cross-source variant, VERDICT
-    #               r10 #3), dup_span_removal (the Lee-et-al
-    #               span-removal emission) and zipf_ttr_card (the
-    #               lexical-health data card), in-window at birth.
-    # Provenance per CORRECTNESS_r01-r10 (r11 staleness ledger:
-    # r10:50, r9:44, r8:44, r7:49, never:4).
+    # entries only. This is the r12 rotation (VERDICT r11 #2/#7 — drain
+    # the last r7-stale rows, then re-green the re-shaped serving plans,
+    # then spend everything left on the stalest r8 evidence):
+    #   slots 1-7   the seven r7-stale rows deferred from r11 exactly as
+    #               that slot map promised (graph_eccentricity,
+    #               sequence_packing, two_hop_chain, value_quantiles,
+    #               scd2_history, weighted_sample, hourly_anomalies) —
+    #               after this round nothing is older than r8;
+    #   slots 8-10  the three serving anchors re-shaped in r12 (VERDICT
+    #               r11 #1: rank-before-bound fixed to
+    #               orderBy().limit() + bounded window): scroll_retrieve
+    #               (S9), fallback_search (R16), exact_match_scoring
+    #               (R17) — promoted so the new plans get driver rows
+    #               immediately; results must hash-identical to their
+    #               r9/r10 rows (pure physical change);
+    #   slots 11-50 forty of the 44 r8-stale rows, alphabetical; the
+    #               four deferred to r13 (topk_per_group,
+    #               unigram_logppl, vocab_coverage, zorder_keys — the
+    #               alphabetical tail, all auxiliary analytics whose
+    #               operator families carry fresher anchors) sit first
+    #               below the window.
+    # Below the window: stalest-first queue — the 4 deferred r8 rows,
+    # then the 42 remaining r9 rows, the 49 remaining r10 rows, and the
+    # 50 r11 rows (the freshest evidence).
+    # Provenance per CORRECTNESS_r01-r11 (r12 staleness ledger at entry:
+    # r11:50, r10:50, r9:44, r8:44, r7:7, never:0).
     return {
-        # Slots 1-4: never-recorded r10 post-window registrations:
-        "quality_classifier_pr_card": _q_quality_classifier_pr_card,
-        "embedding_pca": _q_embedding_pca,
-        "embedding_pca_scores": _q_embedding_pca_scores,
-        "kn_trigram_logppl": _q_kn_trigram_logppl,
-        # Slots 5-16: S2-core head of the r7-stale drain:
-        "ann_bruteforce_topk": _q_ann_bruteforce,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq,
-        "betweenness_exact": _q_betweenness_exact,
-        "grep_count": _q_grep_count,
-        "grep_exact_lines": _q_grep_exact_lines,
-        "grep_regex_lines": _q_grep_regex_lines,
-        "grep_context_lines": _q_grep_context_lines,
-        "bm25_sparse_topk": _q_bm25_topk,
-        "dense_knn_cosine": _q_dense_knn,
-        "tag_expansion_sparse": _q_tag_expansion_sparse,
-        "centroid_rerank": _q_centroid_rerank,
-        # Slots 17-50: remaining r7-stale rows (alphabetical):
-        "chunk_text": _q_chunk_text,
-        "cooccurrence_top_pairs": _q_cooc_top_pairs,
-        "dedup_exact": _q_dedup_exact,
-        "diversity_rerank": _q_diversity,
-        "doc_fingerprint": _q_fingerprint,
-        "embedding_neardup": _q_embedding_neardup,
-        "events_debounce_last": _q_events_debounce,
-        "fairness_dequeue": _q_fairness_dequeue,
-        "graph_betweenness": _q_graph_betweenness,
-        "graph_clustering_coeff": _q_graph_clustering,
-        "graph_harmonic": _q_graph_harmonic,
-        "graph_ppr": _q_graph_ppr,
-        "ingest_apply_events": _q_ingest_apply_events,
-        "ingest_idempotency": _q_ingest_idempotency,
-        "keyword_baskets": _q_keyword_baskets,
-        "label_centroids": _q_label_centroids,
-        "lang_id": _q_lang_id,
-        "leiden_communities": _q_leiden_communities,
-        "lsp_enrichment": _q_lsp_enrichment,
-        "minhash_lsh_neardup": _q_minhash_lsh,
-        "mmr_tag_selection": _q_mmr_tag_selection,
-        "mock_embeddings": _q_mock_embeddings,
-        "nested_chunks": _q_nested_chunks,
-        "quality_score": _q_quality_score,
-        "queue_dequeue_order": _q_queue_dequeue_order,
-        "queue_stats": _q_queue_stats,
-        "reconcile_diff": _q_reconcile_diff,
-        "shard_assignment": _q_shard_assignment,
-        "simhash_neardup": _q_simhash_neardup,
-        "tfidf_keywords": _q_tfidf_keywords,
-        # Slots 48-50: NEW IN r11 — the trigram frozen-LM serving twin
-        # (VERDICT r10 #4), the circularity-breaking classifier variant
-        # (VERDICT r10 #3), and the Lee-et-al span-REMOVAL emission
-        # completing the exact-substring dedup pair, in-window at
-        # birth; sequence_packing (its _bpe twin is r10-green),
-        # two_hop_chain and value_quantiles (all r7) demoted to pay,
-        # now first in the r12 rotation:
-        "kn3_heldout_scores": _q_kn3_heldout_scores,
-        "quality_classifier_indep_scores": _q_quality_classifier_indep_scores,
-        "dup_span_removal": _q_dup_span_removal,
-        "zipf_ttr_card": _q_zipf_ttr_card,
-        # ---- below the 50-row window: rotation queue, stalest-first.
-        # First the seven r7 rows deferred to r12:
+        # Slots 1-7: the seven r7-stale rows (deferred from r11):
         "graph_eccentricity": _q_graph_eccentricity,
         "sequence_packing": _q_sequence_packing,
         "two_hop_chain": _q_two_hop_chain,
@@ -3450,7 +3382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "weighted_sample": _q_weighted_sample,
         "hourly_anomalies": _q_hourly_anomalies,
-        # then the 44 r8-green rows:
+        # Slots 8-10: the re-shaped serving anchors (VERDICT r11 #1):
+        "scroll_retrieve": _q_scroll_retrieve,
+        "fallback_search": _q_fallback_search,
+        "exact_match_scoring": _q_exact_scoring,
+        # Slots 11-50: r8-stale rows, alphabetical (4 deferred to r13):
         "ann_recall": _q_ann_recall,
         "asof_join": _q_asof_join,
         "bloom_pruned_join": _q_bloom_pruned_join,
@@ -3491,11 +3427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_busy_hours": _q_range_join_busy_hours,
         "repeated_spans": _q_repeated_spans,
         "salted_join_hot_key": _q_salted_join_hot_key,
+        # ---- below the 50-row window: rotation queue, stalest-first.
+        # First the four r8 rows deferred to r13:
         "topk_per_group": _q_topk_per_group,
         "unigram_logppl": _q_unigram_logppl,
         "vocab_coverage": _q_vocab_coverage,
         "zorder_keys": _q_zorder_keys,
-        # then the 44 r9-green rows:
+        # then the 42 remaining r9-green rows:
         "adjacency_export": _q_adjacency_export,
         "ann_pq_topk": _q_ann_pq,
         "ann_sq_topk": _q_ann_sq,
@@ -3517,8 +3455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_decisions": _q_dlq_decisions,
         "doc_extraction": _q_doc_extraction,
         "events_session_rollup": _q_events_session_rollup,
-        "exact_match_scoring": _q_exact_scoring,
-        "fallback_search": _q_fallback_search,
         "funnel_conversion": _q_funnel_conversion,
         "graph_2hop_neighbors": _q_graph_2hop,
         "graph_batch_2hop": _q_graph_batch_2hop,
@@ -3540,7 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "tier1_tags": _q_tier1_tags,
         "token_count": _q_token_count,
-        # then the 50 r10-green rows (the freshest evidence):
+        # then the 49 remaining r10-green rows:
         "ann_store_drift": _q_ann_store_drift,
         "bpe_fertility": _q_bpe_fertility,
         "bpe_merges": _q_bpe_merges,
@@ -3579,7 +3515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_decay_hybrid": _q_decay_hybrid,
         "rules_dedup_gate": _q_rules_dedup_gate,
         "scope_resolution": _q_scope_resolution,
-        "scroll_retrieve": _q_scroll_retrieve,
         "semdedup": _q_semdedup,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "simhash_fingerprints": _q_simhash_fp,
@@ -3591,6 +3526,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fps": _q_winnowing_fps,
         "wordpiece_doc_tokens": _q_wordpiece_doc_tokens,
         "wordpiece_merges": _q_wordpiece_merges,
+        # then the 50 r11-green rows (the freshest evidence):
+        "ann_bruteforce_topk": _q_ann_bruteforce,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "ann_ivf_topk": _q_ann_ivf,
+        "betweenness_exact": _q_betweenness_exact,
+        "bm25_sparse_topk": _q_bm25_topk,
+        "centroid_rerank": _q_centroid_rerank,
+        "chunk_text": _q_chunk_text,
+        "cooccurrence_top_pairs": _q_cooc_top_pairs,
+        "dedup_exact": _q_dedup_exact,
+        "dense_knn_cosine": _q_dense_knn,
+        "diversity_rerank": _q_diversity,
+        "doc_fingerprint": _q_fingerprint,
+        "dup_span_removal": _q_dup_span_removal,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_pca_scores": _q_embedding_pca_scores,
+        "events_debounce_last": _q_events_debounce,
+        "fairness_dequeue": _q_fairness_dequeue,
+        "graph_betweenness": _q_graph_betweenness,
+        "graph_clustering_coeff": _q_graph_clustering,
+        "graph_harmonic": _q_graph_harmonic,
+        "graph_ppr": _q_graph_ppr,
+        "grep_context_lines": _q_grep_context_lines,
+        "grep_count": _q_grep_count,
+        "grep_exact_lines": _q_grep_exact_lines,
+        "grep_regex_lines": _q_grep_regex_lines,
+        "ingest_apply_events": _q_ingest_apply_events,
+        "ingest_idempotency": _q_ingest_idempotency,
+        "keyword_baskets": _q_keyword_baskets,
+        "kn3_heldout_scores": _q_kn3_heldout_scores,
+        "kn_trigram_logppl": _q_kn_trigram_logppl,
+        "label_centroids": _q_label_centroids,
+        "lang_id": _q_lang_id,
+        "leiden_communities": _q_leiden_communities,
+        "lsp_enrichment": _q_lsp_enrichment,
+        "minhash_lsh_neardup": _q_minhash_lsh,
+        "mmr_tag_selection": _q_mmr_tag_selection,
+        "mock_embeddings": _q_mock_embeddings,
+        "nested_chunks": _q_nested_chunks,
+        "quality_classifier_indep_scores": _q_quality_classifier_indep_scores,
+        "quality_classifier_pr_card": _q_quality_classifier_pr_card,
+        "quality_score": _q_quality_score,
+        "queue_dequeue_order": _q_queue_dequeue_order,
+        "queue_stats": _q_queue_stats,
+        "reconcile_diff": _q_reconcile_diff,
+        "shard_assignment": _q_shard_assignment,
+        "simhash_neardup": _q_simhash_neardup,
+        "tag_expansion_sparse": _q_tag_expansion_sparse,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "zipf_ttr_card": _q_zipf_ttr_card,
     }
 
 

@@ -413,6 +413,46 @@ def _paired_recheck(
     return out
 
 
+def _write_perf_notes_stress_table(here: str, stress: dict | None, sf) -> None:
+    """Regenerate the stress10x table in PERF_NOTES.md from the measured
+    dict (VERDICT r11 #4: the table is generated from the artifact, not
+    maintained by hand). Replaces the block between the
+    STRESS10X_TABLE_BEGIN/END markers; no-op (logged) if the markers are
+    missing or the measurement errored — a bench run never fails on a
+    docs write."""
+    if not stress or "error" in stress:
+        return
+    path = os.path.join(here, "PERF_NOTES.md")
+    begin, end = "<!-- STRESS10X_TABLE_BEGIN -->", "<!-- STRESS10X_TABLE_END -->"
+    try:
+        with open(path) as f:
+            text = f.read()
+        if begin not in text or end not in text:
+            _log("# stress10x: PERF_NOTES markers missing, table not written")
+            return
+        lines = [
+            f"Auto-generated by bench.py from the latest stress10x run "
+            f"(base sf={sf}, factor=10; ratio = wall(10x)/wall(base), "
+            f"ok = ratio <= ceiling):",
+            "",
+            "| query | base_s | 10x_s | ratio | ceiling | ok |",
+            "|---|---|---|---|---|---|",
+        ]
+        for qn, r in stress.items():
+            lines.append(
+                f"| {qn} | {r['base_sec']} | {r['stress_sec']} | "
+                f"{r['ratio']} | {r['ceiling']} | "
+                f"{'OK' if r['ok'] else 'REGRESSION'} |"
+            )
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        with open(path, "w") as f:
+            f.write(head + begin + "\n" + "\n".join(lines) + "\n" + end + tail)
+        _log("# stress10x: PERF_NOTES table regenerated")
+    except Exception as exc:
+        _log(f"# stress10x PERF_NOTES write error: {exc}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -650,13 +690,16 @@ def main() -> None:
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
 
-    # Opt-in 10x stress tier (VERDICT r10 #5): re-measure the three
-    # heaviest families' scale shapes (trainer FLAT / LM SUBLINEAR /
-    # LSH pair-linear) on the committed near-dup-heavy stress corpus,
-    # same-session base-vs-10x ratios. Off by default (it adds ~2 min);
-    # enable with SPARK_GRAFT_BENCH_STRESS10X=1.
+    # 10x stress tier (VERDICT r10 #5, default-ON since r12 per VERDICT
+    # r11 #4 — every registry bench run persists the scale-shape ratios
+    # as data in bench_history.jsonl): re-measure the four heaviest
+    # families' scale shapes (trainer FLAT / LM + frozen-serving
+    # SUBLINEAR / LSH pair-linear) on the committed near-dup-heavy
+    # stress corpus, same-session base-vs-10x ratios. Adds ~2-3 min;
+    # disable with SPARK_GRAFT_BENCH_STRESS10X=0. Skipped automatically
+    # for subset (SPARK_GRAFT_BENCH_ONLY) runs.
     stress: dict | None = None
-    if os.environ.get("SPARK_GRAFT_BENCH_STRESS10X", "0") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS10X", "1") == "1" and not only:
         from workspace_qdrant_mcp_spark import stress as stressmod
 
         try:
@@ -674,6 +717,7 @@ def main() -> None:
             stress = {"error": str(exc)}
             _log(f"# stress10x error: {exc}")
         ckpt.clear_unpinned(spark)
+        _write_perf_notes_stress_table(here, stress, sf)
 
     # The recorder keeps a BOUNDED stdout tail: r1-r4 all clipped the front
     # of the JSON line once the per-query map pushed it past ~2 KB. So the

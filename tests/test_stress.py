@@ -48,9 +48,10 @@ def test_stress_corpus_generator(spark, tmp_path):
     reason="opt-in stress tier: set SPARK_GRAFT_STRESS10X=1",
 )
 def test_stress10x_scale_shapes(spark):
-    """The three heaviest families hold their documented scale shapes
-    on the 10x near-dup-heavy corpus: trainer FLAT, LM SUBLINEAR, LSH
-    linear in discovered pairs — each wall ratio under its ceiling
+    """The four heaviest families hold their documented scale shapes
+    on the 10x near-dup-heavy corpus: trainer FLAT, LM ladder + frozen
+    heldout serving SUBLINEAR, LSH linear in discovered pairs — each
+    wall ratio under its ceiling
     (stress.STRESS_CEILINGS; ~2x headroom over the r10 measurements so
     host drift passes but a quadratic blow-up cannot)."""
     out = stress.run_stress10x(

@@ -29,22 +29,32 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-# The three tracked families and the shape each must hold at 10x
+# The four tracked families and the shape each must hold at 10x
 # (ratio = wall(10x) / wall(base); pairs-normalized for LSH):
 #   bpe_merges          FLAT       — merge rounds run on the bounded
 #                                    vocab table; ratio ~1
 #   kn_trigram_logppl   SUBLINEAR  — model tables stay vocab-scale;
 #                                    ratio well under the 10x data ratio
+#   kn3_heldout_scores  SUBLINEAR  — two trigram explodes (train +
+#                                    score) but both join only bounded
+#                                    model artifacts
 #   minhash_lsh_neardup PAIR-LINEAR — wall tracks discovered pairs,
 #                                    not corpus^2
-STRESS_QUERIES = ("bpe_merges", "kn_trigram_logppl", "minhash_lsh_neardup")
+STRESS_QUERIES = (
+    "bpe_merges",
+    "kn_trigram_logppl",
+    "kn3_heldout_scores",
+    "minhash_lsh_neardup",
+)
 
 # Conservative regression ceilings on wall ratios at factor=10 (the r10
-# measurements were 0.98 / 2.8 / 4.6; ceilings leave ~2x headroom for
-# host drift without letting a quadratic blow-up pass):
+# measurements were 0.98 / 2.8 / 4.6, kn3_heldout 1.1-1.5 in r12;
+# ceilings leave ~2x headroom for host drift without letting a
+# quadratic blow-up pass):
 STRESS_CEILINGS = {
     "bpe_merges": 3.0,           # flat (measured ~1.0)
     "kn_trigram_logppl": 6.0,    # sublinear (measured 2.8 for 10x data)
+    "kn3_heldout_scores": 4.0,   # sublinear (measured 1.1-1.5, r12)
     "minhash_lsh_neardup": 9.0,  # pair-linear (measured 4.6 for 331x pairs)
 }
 

@@ -746,3 +746,39 @@ class TestGrepStoreServing:
         a = sorted(map(tuple, scan.grep("spark mark").collect()))
         b = sorted(map(tuple, served.grep("spark mark").collect()))
         assert a == b == []
+
+
+class TestKeysetPaging:
+    def test_keyset_pages_equal_offset_pages(self, engine):
+        """retrieve_after (the 100 TB keyset arm of S9) walks the same
+        deterministic (point_id, collection) order as offset paging —
+        every page identical — while each page plans as one filtered
+        TakeOrdered of `limit` rows instead of an offset+limit heap."""
+        cursor = None
+        seen = []
+        for pageno in range(4):
+            rows = engine.retrieve_after(
+                after=cursor, limit=10, tenant="src1"
+            ).collect()
+            want = engine.retrieve(
+                limit=10, offset=10 * pageno, tenant="src1"
+            ).collect()
+            assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+            if not rows:
+                break
+            seen += [r["point_id"] for r in rows]
+            last = rows[-1]
+            cursor = (last["point_id"], last["collection"])
+        assert len(seen) == len(set(seen)) and seen == sorted(seen)
+
+    def test_keyset_page_is_take_ordered_not_window(self, engine, spark):
+        import contextlib
+        import io
+
+        df = engine.retrieve_after(after=("p", "c"), limit=10)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().split("\n\n")[0]
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan

@@ -559,6 +559,35 @@ class WqmEngine:
         )
         return FL.strip_metadata(page)
 
+    def retrieve_after(
+        self,
+        after: tuple[str, str] | None = None,
+        limit: int = 50,
+        **filter_kwargs,
+    ) -> DataFrame:
+        """Keyset-paged scroll — the 100 TB arm of S9 (retrieve.rs pages
+        Qdrant with a numeric offset; Qdrant itself resumes scrolls with
+        a point-id cursor, and that is the shape that survives scale).
+
+        `after` is the last (point_id, collection) of the previous page;
+        each page is a plain pushable predicate + one TakeOrdered of
+        `limit` rows, so page N costs the same as page 1 — numeric
+        offset paging (`retrieve(offset=...)`) heaps offset+limit rows
+        per page, linearly deeper each page. Page boundary contract:
+        pages are identical to retrieve()'s at the same (filter, limit)
+        — asserted in tests — and the next cursor is simply the last
+        row of the page."""
+        df = self._filtered(**filter_kwargs)
+        if after is not None:
+            pid, coll = after
+            df = df.filter(
+                (F.col("point_id") > pid)
+                | ((F.col("point_id") == pid) & (F.col("collection") > coll))
+            )
+        return FL.strip_metadata(
+            df.orderBy("point_id", "collection").limit(limit)
+        )
+
     # -- grep ---------------------------------------------------------------
     def grep(
         self,

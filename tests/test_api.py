@@ -782,3 +782,25 @@ class TestKeysetPaging:
         plan = buf.getvalue().split("\n\n")[0]
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
+
+    def test_retrieve_page_has_more_contract(self, engine):
+        """has_more via over-fetch-by-1 (retrieve.rs:286-292 /
+        retrieve.ts:261): full pages report has_more until the final
+        short (or exactly-full) page, cursors chain without gaps, and
+        the concatenation equals one big page."""
+        all_rows = engine.retrieve_after(limit=10_000, tenant="src1").collect()
+        assert len(all_rows) > 10
+        got, cursor, has_more, pages = [], None, True, 0
+        while has_more:
+            rows, has_more, cursor = engine.retrieve_page(
+                after=cursor, limit=7, tenant="src1"
+            )
+            got += rows
+            pages += 1
+            assert len(rows) <= 7
+            if has_more:
+                assert len(rows) == 7 and cursor is not None
+            else:
+                assert cursor is None
+        assert [tuple(r) for r in got] == [tuple(r) for r in all_rows]
+        assert pages == -(-len(all_rows) // 7) or pages == len(all_rows) // 7 + 1

@@ -588,6 +588,30 @@ class WqmEngine:
             df.orderBy("point_id", "collection").limit(limit)
         )
 
+    def retrieve_page(
+        self,
+        after: tuple[str, str] | None = None,
+        limit: int = 50,
+        **filter_kwargs,
+    ):
+        """One materialized keyset page with the reference's response
+        contract (retrieve.rs:286-292 over-fetches by 1 to compute
+        hasMore; retrieve.ts:261): returns (rows, has_more, next_cursor)
+        where next_cursor feeds the next retrieve_page(after=...) call
+        and is None on the last page. The only action is one
+        TakeOrdered of limit+1 rows."""
+        rows = self.retrieve_after(
+            after=after, limit=limit + 1, **filter_kwargs
+        ).collect()
+        has_more = len(rows) > limit
+        rows = rows[:limit]
+        cursor = (
+            (rows[-1]["point_id"], rows[-1]["collection"])
+            if has_more and rows
+            else None
+        )
+        return rows, has_more, cursor
+
     # -- grep ---------------------------------------------------------------
     def grep(
         self,

@@ -804,3 +804,27 @@ class TestKeysetPaging:
                 assert cursor is None
         assert [tuple(r) for r in got] == [tuple(r) for r in all_rows]
         assert pages == -(-len(all_rows) // 7) or pages == len(all_rows) // 7 + 1
+
+    def test_paging_edges(self, engine):
+        """Bound-first paging edge cases: offset at/beyond the match
+        count returns empty (not an error), a cursor past the last key
+        returns empty, and limit larger than the set returns everything
+        exactly once."""
+        all_rows = engine.retrieve_after(limit=10_000, tenant="src1").collect()
+        n = len(all_rows)
+        assert engine.retrieve(limit=10, offset=n, tenant="src1").collect() == []
+        assert (
+            engine.retrieve(limit=10, offset=n + 50, tenant="src1").collect()
+            == []
+        )
+        last = all_rows[-1]
+        assert (
+            engine.retrieve_after(
+                after=(last["point_id"], last["collection"]),
+                limit=10,
+                tenant="src1",
+            ).collect()
+            == []
+        )
+        big = engine.retrieve(limit=n + 99, offset=0, tenant="src1").collect()
+        assert [tuple(r) for r in big] == [tuple(r) for r in all_rows]

@@ -828,3 +828,16 @@ class TestKeysetPaging:
         )
         big = engine.retrieve(limit=n + 99, offset=0, tenant="src1").collect()
         assert [tuple(r) for r in big] == [tuple(r) for r in all_rows]
+
+    def test_negative_offset_or_limit_fails_loud(self, engine):
+        """Fail-loud discipline: a negative offset would silently shrink
+        the TakeOrdered bound under the r12 bound-first paging plan —
+        reject it at entry instead."""
+        import pytest
+
+        with pytest.raises(ValueError, match="offset/limit"):
+            engine.retrieve(limit=10, offset=-5)
+        with pytest.raises(ValueError, match="offset/limit"):
+            engine.retrieve(limit=-1, offset=0)
+        with pytest.raises(ValueError, match="limit must be"):
+            engine.retrieve_after(limit=-1)

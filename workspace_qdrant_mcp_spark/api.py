@@ -547,6 +547,12 @@ class WqmEngine:
         unbounded filtered set); the rank window that drops the offset
         prefix then runs over at most offset+limit rows. The reference
         pushes exactly this bound into Qdrant's scroll (retrieve.rs)."""
+        if offset < 0 or limit < 0:
+            raise ValueError(
+                f"retrieve: offset/limit must be >= 0 (got offset={offset}, "
+                f"limit={limit}) — a negative offset would silently shrink "
+                f"the TakeOrdered bound"
+            )
         df = self._filtered(**filter_kwargs)
         if ids is not None:
             df = df.filter(F.col("point_id").isin(ids))
@@ -577,6 +583,8 @@ class WqmEngine:
         pages are identical to retrieve()'s at the same (filter, limit)
         — asserted in tests — and the next cursor is simply the last
         row of the page."""
+        if limit < 0:
+            raise ValueError(f"retrieve_after: limit must be >= 0, got {limit}")
         df = self._filtered(**filter_kwargs)
         if after is not None:
             pid, coll = after

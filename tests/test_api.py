@@ -841,3 +841,22 @@ class TestKeysetPaging:
             engine.retrieve(limit=-1, offset=0)
         with pytest.raises(ValueError, match="limit must be"):
             engine.retrieve_after(limit=-1)
+
+    def test_offset_paging_matches_python_slice(self, engine):
+        """Direct model check for the bound-first offset paging: every
+        (offset, limit) page equals the Python slice of the full
+        (point_id, collection)-ordered result."""
+        full = [
+            tuple(r)
+            for r in engine.retrieve_after(limit=100_000, tenant="src0").collect()
+        ]
+        n = len(full)
+        assert n > 30
+        for off, lim in [(0, 1), (3, 7), (10, 25), (n - 1, 10), (0, n + 5)]:
+            page = [
+                tuple(r)
+                for r in engine.retrieve(
+                    limit=lim, offset=off, tenant="src0"
+                ).collect()
+            ]
+            assert page == full[off:off + lim], (off, lim)

@@ -97,11 +97,64 @@ def test_real_epub_extraction_end_to_end(spark):
     assert row["text"] == "First chapter text\nSecond chapter"
 
 
-def test_remaining_real_stub_is_ocr_only():
-    with pytest.raises(NotImplementedError):
-        extraction.ocr_extract(b"img", use_real=True)
+def test_ocr_matrix_round_trip_and_noise_recovery():
+    """r12: OCR is real for machine-rendered glyph grids — render ->
+    recognize round-trips exactly, every single-pixel flip per glyph is
+    recovered (guaranteed by pairwise font Hamming distance >= 3), junk
+    cells come back as '?', and non-image payloads fail loud."""
+    import itertools
+
+    import numpy as np
+
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+    from workspace_qdrant_mcp_spark.sources import ocr
+
+    # the recovery guarantee's precondition: min pairwise distance >= 3
+    dmin = min(
+        (ocr._FONT_BITS[a] ^ ocr._FONT_BITS[b]).bit_count()
+        for a, b in itertools.combinations(ocr._FONT_BITS, 2)
+    )
+    assert dmin >= 3
+    text = "THE QUICK BROWN FOX 0123456789\nJUMPS OVER, LAZY DOG: A-Z."
+    png = ocr.render_text_png(text)
+    assert extraction.ocr_extract(png, use_real=True) == text
+    # single-pixel noise inside a glyph: nearest-template still recovers
+    h, w, c, px = mm._decode_png(png)
+    img = (px.reshape(h, w) * 255).astype(np.uint8)
+    img[2, 2] = 255 - img[2, 2]  # flip one pixel of the first glyph
+    assert extraction.ocr_extract(mm.encode_png_gray(img), use_real=True) == text
+    # a cell of dense junk ink maps to '?', not a confident wrong letter
+    junk = np.full((8, 6), 255, dtype=np.uint8)
+    junk[0:7:2, 0:5] = 0  # stripes: far from every glyph
+    got = extraction.ocr_extract(mm.encode_png_gray(junk), use_real=True)
+    assert got == "?"
+    with pytest.raises(ValueError, match="image container"):
+        extraction.ocr_extract(b"not an image", use_real=True)
+    # charset is fail-loud at render time
+    with pytest.raises(ValueError, match="unsupported characters"):
+        ocr.render_text_png("emoji ☃")
     # text path is real regardless
     assert extraction._extract_bytes(b"abc", "text", use_real=True) == "abc"
+
+
+def test_png_routes_through_ocr_in_extract_text(spark):
+    """End-to-end S3: a PNG payload is detected as 'image' by the
+    column-level magic dispatch and extract_text(use_real=True) emits
+    the recognized text through the same mapInPandas lane as pdf/epub."""
+    from workspace_qdrant_mcp_spark.sources import ocr
+
+    png = ocr.render_text_png("SCANNED PAGE 7")
+    files = spark.createDataFrame(
+        [(0, png), (1, b"plain body")], "doc_id long, media binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extraction.extract_text(files, use_real=True).collect()
+    }
+    assert rows[0]["format"] == "image"
+    assert rows[0]["text"] == "SCANNED PAGE 7"
+    assert rows[0]["n_chars"] == len("SCANNED PAGE 7")
+    assert rows[1]["format"] == "text" and rows[1]["text"] == "plain body"
 
 
 def test_dense_provider_registry(spark):

@@ -213,13 +213,47 @@ def test_real_wav_decode_end_to_end(spark):
     assert 0 < zcr < 0.25 and peak <= 20000 / 32768 + 1e-6
 
 
-def test_video_decode_remains_declared_stub():
+def test_video_decode_real_uncompressed_avi(spark):
+    """r12: video decode is REAL for uncompressed RIFF AVI — encoder/
+    decoder round-trip bit-exact, motion feature separates a moving
+    square from a static clip, and the Arrow mapInPandas stage carries
+    the real features. Codec'd containers (mp4 magic) stay the declared
+    env-gated slot with the ffmpeg pointer in the error."""
+    import numpy as np
     import pytest as _pytest
 
     from workspace_qdrant_mcp_spark.sources import multimodal as mm
 
-    with _pytest.raises(NotImplementedError):
-        mm._decode_media(b"\x00\x00\x00\x18ftypmp42", "video", use_real_decoder=True)
+    frames = []
+    for k in range(4):
+        f = np.zeros((16, 20, 3), dtype=np.uint8)
+        f[4:8, 2 + 3 * k : 6 + 3 * k] = 255
+        frames.append(f)
+    avi = mm.encode_avi_rgb(frames, fps=8)
+    fps, dec = mm._decode_avi_raw(avi)
+    assert fps == 8.0 and len(dec) == 4
+    for k in range(4):
+        assert np.allclose(dec[k], frames[k] / 255.0)
+    assets = spark.createDataFrame(
+        [
+            (0, "video", avi, "video/avi", None, None, 0.5),
+            (1, "video", mm.encode_avi_rgb([frames[0]] * 3, fps=5),
+             "video/avi", None, None, 0.6),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    got = {
+        r["asset_id"]: r["features"]
+        for r in mm.extract_features(assets, use_real_decoder=True).collect()
+    }
+    dur, fps_n, n, _mean, motion, _std, mx, ok = got[0]
+    assert (dur, fps_n, n, ok) == (0.5, round(8 / 60, 6), 4.0, 1.0)
+    assert motion > 0 and mx == 1.0
+    assert got[1][4] == 0.0  # static clip: zero motion
+    with _pytest.raises(ValueError, match="ffmpeg"):
+        mm._decode_media(
+            b"\x00\x00\x00\x18ftypmp42", "video", use_real_decoder=True
+        )
 
 
 def test_netpbm_whitespace_valued_first_sample():

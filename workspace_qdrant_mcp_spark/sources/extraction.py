@@ -9,8 +9,11 @@ extractors: `use_real=True` runs a spec-level PDF text extractor
 pypdf used instead when importable) and a real EPUB extractor (stdlib
 zipfile + HTMLParser over the OPF spine). The default `use_real=False`
 keeps the deterministic digest fake for SQL-reproducible driver oracles.
-OCR is the ONE remaining stub (no tesseract in this container) — a
-declared NotImplementedError behind the same flag.
+OCR is real since r12 for machine-rendered glyph grids: ocr_extract
+probes for a tesseract binding first (the env-gated engine slot,
+ocr.rs parity) and otherwise runs the built-in matrix-matching engine
+(sources/ocr.py — binarize, fixed-pitch segment, nearest 5x7 template);
+scanned-document OCR still needs the real engine.
 
 Scale shape: detection is a pure column expression on the first bytes
 (pushdown-friendly); extraction is `mapInPandas` over Arrow batches, so
@@ -28,18 +31,22 @@ from pyspark.sql import functions as F
 
 PDF_MAGIC = b"%PDF"
 ZIP_MAGIC = b"PK\x03\x04"  # epub = zip container (mimetype application/epub+zip)
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"  # never a valid text prefix (0x89 + CRLF/1A)
 
 EXTRACT_SCHEMA = "doc_id BIGINT, format STRING, text STRING, n_chars INT"
 
 
 def detect_format(media: Column) -> Column:
     """Magic-number dispatch (extraction/ router): '%PDF' → pdf,
-    zip local-file header → epub, else plain text. A column expression —
-    at scale this predicate prunes before any Python runs."""
+    zip local-file header → epub, PNG signature → image (the OCR lane;
+    the 8-byte signature cannot collide with text), else plain text.
+    A column expression — at scale this predicate prunes before any
+    Python runs."""
     head = F.substring(media, 1, 4)
     return (
         F.when(head == F.lit(PDF_MAGIC), F.lit("pdf"))
         .when(head == F.lit(ZIP_MAGIC), F.lit("epub"))
+        .when(F.substring(media, 1, 8) == F.lit(PNG_MAGIC), F.lit("image"))
         .otherwise(F.lit("text"))
     )
 
@@ -217,14 +224,33 @@ def _extract_bytes(payload: bytes, fmt: str, use_real: bool = False) -> str:
             return _extract_pdf_real(payload)
         if fmt == "epub":
             return _extract_epub_real(payload)
+        if fmt == "image":
+            return ocr_extract(payload, use_real=True)
         raise NotImplementedError(f"no real extractor for format {fmt!r}")
     return f"{fmt}:{hashlib.md5(payload).hexdigest()}"
 
 
 def ocr_extract(payload: bytes, use_real: bool = False) -> str:
-    """OCR slot (ocr.rs:1-119). No OCR engine in this container."""
+    """OCR slot (ocr.rs:1-119). use_real: probe for a tesseract binding
+    (the reference's engine; the env-gated slot — none in this
+    container), else run the built-in matrix-matching engine
+    (sources/ocr.py), which fully handles machine-rendered glyph grids
+    and raises ValueError on undecodable payloads. Default stays the
+    digest fake for SQL-reproducible oracles."""
     if use_real:
-        raise NotImplementedError("OCR requires tesseract or equivalent")
+        try:
+            import pytesseract  # the real engine, when the env has it
+            from PIL import Image
+
+            import io
+
+            return pytesseract.image_to_string(
+                Image.open(io.BytesIO(bytes(payload)))
+            ).strip()
+        except ImportError:
+            from .ocr import ocr_matrix
+
+            return ocr_matrix(payload)
     return f"ocr:{hashlib.md5(payload).hexdigest()}"
 
 

@@ -11,9 +11,12 @@ Decoding: the default is a deterministic md5-derived feature fake (so the
 oracle-backed driver query stays byte-reproducible in SQL), but
 use_real_decoder=True now decodes for real with no added dependencies —
 images via spec-level netpbm / 24-bit BMP / minimal PNG decoders (PIL
-preferred when importable), audio via stdlib WAV PCM — yielding pixel /
-amplitude statistics as the feature vector. Video decode is the one
-remaining declared stub (no ffmpeg in any form).
+preferred when importable), audio via stdlib WAV PCM, and (since r12)
+video via a spec-level uncompressed RIFF AVI parser ('00db'/'00dc' DIB
+frames per the public AVI 1.0 spec) — yielding pixel / amplitude /
+motion statistics as the feature vector. Codec'd video (H.264 etc.)
+remains the declared env-gated slot: it needs ffmpeg or equivalent,
+and _decode_video_real says so when handed a non-AVI container.
 """
 
 from __future__ import annotations
@@ -201,6 +204,39 @@ def _decode_png(media: bytes):
     return h, w, channels, px.reshape(h, w, channels) / 255.0
 
 
+def encode_png_gray(px) -> bytes:
+    """Minimal grayscale PNG writer (public spec: 8-bit color type 0,
+    filter 0 per scanline, one zlib IDAT) — the encoder twin of
+    _decode_png, used by the OCR fixtures and any sink that needs to
+    emit images without PIL."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_png_gray expects a 2-D grayscale array")
+    h, w = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_real(media: bytes) -> list[float]:
     """Real image decode (pypdf-style stance: prefer PIL when importable,
     else the dependency-free spec-level decoders) → FEATURE_DIM pixel
@@ -262,21 +298,141 @@ def _decode_audio_real(media: bytes) -> list[float]:
     ]
 
 
+def encode_avi_rgb(frames, fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI writer (RIFF 'AVI ' / 'hdrl' avih+strl /
+    'movi' with one '00db' DIB chunk per frame — the public AVI 1.0
+    container spec, BITMAPINFOHEADER biCompression=BI_RGB): frames are
+    (h, w, 3) uint8 RGB arrays, stored as the spec demands — bottom-up
+    BGR rows padded to 4 bytes. Fixture/writer twin of _decode_avi_raw."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_avi_rgb: need at least one frame")
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    frame_sz = stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 // fps), frame_sz * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX-less flags
+        len(frames), 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_sz, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    movi = b"movi"
+    for fr in frames:
+        bgr = np.ascontiguousarray(fr[::-1, :, ::-1]).astype(np.uint8)
+        rows = bgr.reshape(h, w * 3)
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = rows
+        movi += chunk(b"00db", padded.tobytes())
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi_raw(media: bytes):
+    """Parse an uncompressed RIFF AVI: returns (fps, [frame (h, w, 3)
+    float arrays in [0, 1]]). Walks the chunk tree per the AVI 1.0 spec:
+    avih for dims/timing, movi '00db'/'00dc' DIB payloads (bottom-up BGR,
+    4-byte row padding). Raises ValueError on anything codec'd — real
+    codecs need ffmpeg or equivalent (the env-gated slot)."""
+    import struct
+
+    import numpy as np
+
+    if media[:4] != b"RIFF" or media[8:12] != b"AVI ":
+        raise ValueError(
+            "not a RIFF AVI container — codec'd video (mp4/h264/vp9) "
+            "requires ffmpeg or equivalent, not available here"
+        )
+    w = h = n_frames = None
+    fps = 0.0
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, n_frames, fps
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload_at = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, payload_at + 4, payload_at + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", buf[payload_at : payload_at + 56])
+                fps = 1_000_000.0 / vals[0] if vals[0] else 0.0
+                n_frames, w, h = vals[4], vals[8], vals[9]
+            elif fourcc in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI movi chunk before avih header")
+                stride = (w * 3 + 3) & ~3
+                if size < stride * h:
+                    raise ValueError(
+                        "compressed AVI frame (size < DIB bits) — codecs "
+                        "require ffmpeg or equivalent"
+                    )
+                arr = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=payload_at
+                ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                frames.append(arr[::-1, :, ::-1].astype(np.float64) / 255.0)
+            pos = payload_at + size + (size % 2)
+
+    walk(media, 12, len(media))
+    if not frames:
+        raise ValueError("RIFF AVI with no uncompressed DIB frames")
+    return fps, frames
+
+
+def _decode_video_real(media: bytes) -> list[float]:
+    """Real video decode (uncompressed RIFF AVI) → FEATURE_DIM statistics
+    [duration_s, fps/60, n_frames, mean_luma, motion, std_luma, max_luma,
+    1.0]; motion = mean absolute inter-frame luminance difference — the
+    one feature that needs MORE than a single frame, which is the point
+    of the video arm."""
+    import numpy as np
+
+    fps, frames = _decode_avi_raw(bytes(media))
+    luma = [f.mean(axis=2) for f in frames]
+    stack = np.stack(luma)
+    motion = (
+        float(np.mean(np.abs(stack[1:] - stack[:-1]))) if len(luma) > 1 else 0.0
+    )
+    return [
+        round(len(frames) / fps, 6) if fps else 0.0,
+        round(fps / 60.0, 6),
+        float(len(frames)),
+        round(float(stack.mean()), 6),
+        round(motion, 6),
+        round(float(stack.std()), 6),
+        round(float(stack.max()), 6),
+        1.0,
+    ]
+
+
 def _decode_media(media: bytes, modality: str, use_real_decoder: bool = False) -> list[float]:
     """Per-asset decode. Default: deterministic md5-derived feature fake
     (oracle-reproducible). use_real_decoder=True decodes images (netpbm /
-    24-bit BMP / minimal PNG, or PIL when importable) and WAV PCM audio
-    for real; video stays the one declared stub (container parsing and
-    codecs are out of scope without ffmpeg in any form)."""
+    24-bit BMP / minimal PNG, or PIL when importable), WAV PCM audio, and
+    uncompressed RIFF AVI video for real; codec'd video remains the
+    env-gated slot (_decode_avi_raw raises with the ffmpeg pointer)."""
     if use_real_decoder:
         if modality == "image":
             return _decode_image_real(bytes(media))
         if modality == "audio":
             return _decode_audio_real(bytes(media))
-        raise NotImplementedError(
-            "real video decoding requires ffmpeg or equivalent — not "
-            "available in this environment"
-        )
+        return _decode_video_real(bytes(media))
     digest = hashlib.md5(modality.encode() + b"|" + media).digest()
     return [
         (int.from_bytes(digest[2 * i : 2 * i + 2], "big") % 10000) / 10000.0

@@ -296,3 +296,42 @@ def test_resize_images_nearest_neighbor_known_grid(spark):
     assert out[0]["error"] is None
     assert out[1]["pixels"] is None and "image-only" in out[1]["error"]
     assert out[2]["pixels"] is None and out[2]["error"]
+
+
+def test_sample_frames_executes_on_real_avi(spark):
+    """r12: frame sampling EXECUTES — every_s maps to a frame stride from
+    the container fps, per-frame luminance stats come from the decoded
+    pixels, and an undecodable asset yields an error row instead of
+    killing the Arrow batch."""
+    import numpy as np
+
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    # 10 frames at 5 fps = 2 s; frame k is a constant gray k*20
+    frames = [
+        np.full((8, 8, 3), k * 20, dtype=np.uint8) for k in range(10)
+    ]
+    avi = mm.encode_avi_rgb(frames, fps=5)
+    assets = spark.createDataFrame(
+        [
+            (0, "video", avi, "video/avi", None, None, 2.0),
+            (1, "video", b"\x00\x00\x00\x18ftypmp42", "video/mp4",
+             None, None, 9.9),
+            (2, "image", b"not-a-video", "image/png", 4, 4, None),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    rows = mm.sample_frames(assets, every_s=1.0).collect()
+    ok = sorted(
+        (r["frame_idx"], r["t_offset_s"], r["mean_luma"])
+        for r in rows
+        if r["asset_id"] == 0
+    )
+    # stride = round(1.0 * 5) = 5 -> frames 0 and 5 at t = 0.0, 1.0
+    assert ok == [
+        (0, 0.0, 0.0),
+        (5, 1.0, round(100 / 255, 6)),
+    ]
+    err = [r for r in rows if r["asset_id"] == 1]
+    assert len(err) == 1 and "ffmpeg" in err[0]["error"]
+    assert all(r["asset_id"] != 2 for r in rows)  # images filtered out

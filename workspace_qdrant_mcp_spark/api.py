@@ -576,10 +576,14 @@ class WqmEngine:
         a point-id cursor, and that is the shape that survives scale).
 
         `after` is the last (point_id, collection) of the previous page;
-        each page is a plain pushable predicate + one TakeOrdered of
-        `limit` rows, so page N costs the same as page 1 — numeric
-        offset paging (`retrieve(offset=...)`) heaps offset+limit rows
-        per page, linearly deeper each page. Page boundary contract:
+        each page is one filter + one TakeOrdered of `limit` rows, so
+        page N costs the same as page 1 — numeric offset paging
+        (`retrieve(offset=...)`) heaps offset+limit rows per page,
+        linearly deeper each page. In-session the filter runs over the
+        pinned materialized chunk store; in a persisted deployment the
+        chunk table sorts/Z-orders on (point_id, collection) so the
+        cursor predicate additionally prunes files at the scan.
+        Page boundary contract:
         pages are identical to retrieve()'s at the same (filter, limit)
         — asserted in tests — and the next cursor is simply the last
         row of the page."""

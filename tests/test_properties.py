@@ -1551,3 +1551,28 @@ def test_kn3_score_with_matches_bruteforce_model(spark, ref, tgt):
         ).collect()
     }
     assert got == want
+
+
+# ---- OCR render -> recognize == identity over the charset --------------
+
+OCR_TEXTS = st.text(
+    alphabet=st.sampled_from(
+        list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,-:\n")
+    ),
+    max_size=80,
+)
+
+
+@given(text=OCR_TEXTS)
+@settings(**SETTINGS)
+def test_ocr_matrix_round_trip_property(text):
+    """r12 matrix OCR: for ANY charset string, render -> recognize is the
+    identity up to the documented normalization (trailing spaces per line
+    and trailing blank lines are indistinguishable from canvas padding)."""
+    from workspace_qdrant_mcp_spark.sources import ocr
+
+    want = "\n".join(
+        ln.rstrip() for ln in text.upper().split("\n")
+    ).rstrip("\n")
+    got = ocr.ocr_matrix(ocr.render_text_png(text))
+    assert got == want

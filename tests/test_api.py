@@ -842,6 +842,17 @@ class TestKeysetPaging:
         with pytest.raises(ValueError, match="limit must be"):
             engine.retrieve_after(limit=-1)
 
+    def test_retrieve_page_zero_limit_fails_loud(self, engine):
+        """ADVICE r12: retrieve_page(limit=0) used to return ([], True,
+        None) — has_more with a None cursor breaks the chaining contract
+        (cursor is None only on the last page); now rejected at entry."""
+        import pytest
+
+        with pytest.raises(ValueError, match="limit must be"):
+            engine.retrieve_page(limit=0, tenant="src1")
+        with pytest.raises(ValueError, match="limit must be"):
+            engine.retrieve_page(limit=-3, tenant="src1")
+
     def test_offset_paging_matches_python_slice(self, engine):
         """Direct model check for the bound-first offset paging: every
         (offset, limit) page equals the Python slice of the full

@@ -137,6 +137,37 @@ def test_ocr_matrix_round_trip_and_noise_recovery():
     assert extraction._extract_bytes(b"abc", "text", use_real=True) == "abc"
 
 
+def test_ocr_falls_back_when_tesseract_binary_missing(monkeypatch):
+    """ADVICE r12: pytesseract installed but the tesseract BINARY absent
+    raises TesseractNotFoundError (not ImportError) — ocr_extract must
+    still fall back to the built-in matrix engine."""
+    import sys
+    import types
+
+    from workspace_qdrant_mcp_spark.sources import ocr
+
+    class _NotFound(Exception):
+        pass
+
+    fake_pt = types.ModuleType("pytesseract")
+    fake_pt.TesseractNotFoundError = _NotFound
+
+    def _boom(img):
+        raise _NotFound("tesseract is not installed or it's not in PATH")
+
+    fake_pt.image_to_string = _boom
+    fake_pil = types.ModuleType("PIL")
+    fake_img = types.ModuleType("PIL.Image")
+    fake_img.open = lambda b: b
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "pytesseract", fake_pt)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    png = ocr.render_text_png("FALLBACK OK")
+    assert extraction.ocr_extract(png, use_real=True) == "FALLBACK OK"
+
+
 def test_png_routes_through_ocr_in_extract_text(spark):
     """End-to-end S3: a PNG payload is detected as 'image' by the
     column-level magic dispatch and extract_text(use_real=True) emits

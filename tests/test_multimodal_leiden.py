@@ -36,6 +36,27 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             mm._decode_media(b"not an image", "image", use_real_decoder=True)
 
+    def test_real_decoder_rejects_unknown_modality(self):
+        # ADVICE r12: a modality outside image/audio/video used to route
+        # into the video decoder and raise a misleading ffmpeg error;
+        # now it names the actual problem
+        with pytest.raises(ValueError, match="unknown modality"):
+            mm._decode_media(b"whatever", "hologram", use_real_decoder=True)
+
+    def test_avi_writer_flags_honest_no_index(self):
+        # ADVICE r12: the writer emits no idx1 chunk, so avih dwFlags
+        # must not advertise AVIF_HASINDEX (0x10)
+        import struct
+
+        import numpy as np
+
+        avi = mm.encode_avi_rgb([np.zeros((4, 4, 3), dtype=np.uint8)], fps=5)
+        at = avi.index(b"avih") + 8
+        vals = struct.unpack("<14I", avi[at : at + 56])
+        assert vals[3] & 0x10 == 0
+        fps, dec = mm._decode_avi_raw(avi)
+        assert fps == 5.0 and len(dec) == 1
+
     def test_frame_sample_plan(self, spark):
         docs = load_table(spark, SF_SMOKE, "documents")
         assets = mm.build_assets(docs)

@@ -612,6 +612,12 @@ class WqmEngine:
         where next_cursor feeds the next retrieve_page(after=...) call
         and is None on the last page. The only action is one
         TakeOrdered of limit+1 rows."""
+        if limit <= 0:
+            # ADVICE r12: limit=0 used to return ([], True, None) when rows
+            # matched — has_more with no cursor violates the page contract
+            # (cursor is None only on the last page) and a chaining caller
+            # would spin; fail loud like retrieve/retrieve_after do.
+            raise ValueError(f"retrieve_page: limit must be > 0, got {limit}")
         rows = self.retrieve_after(
             after=after, limit=limit + 1, **filter_kwargs
         ).collect()

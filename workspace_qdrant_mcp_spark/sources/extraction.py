@@ -247,7 +247,12 @@ def ocr_extract(payload: bytes, use_real: bool = False) -> str:
             return pytesseract.image_to_string(
                 Image.open(io.BytesIO(bytes(payload)))
             ).strip()
-        except ImportError:
+        except Exception:
+            # ImportError (no binding) AND TesseractNotFoundError (binding
+            # installed but no tesseract binary — the common case, ADVICE
+            # r12) both fall back to the built-in matrix engine, which the
+            # docstring promises; ocr_matrix raises its own ValueError on
+            # genuinely undecodable payloads.
             from .ocr import ocr_matrix
 
             return ocr_matrix(payload)

@@ -320,7 +320,10 @@ def encode_avi_rgb(frames, fps: int = 10) -> bytes:
 
     avih = struct.pack(
         "<14I",
-        int(1_000_000 // fps), frame_sz * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX-less flags
+        # usec/frame, rate, pad, flags=0 — no idx1 chunk is written, so
+        # AVIF_HASINDEX (0x10) must NOT be set or strict readers would
+        # seek a nonexistent index (ADVICE r12)
+        int(1_000_000 // fps), frame_sz * fps, 0, 0,
         len(frames), 0, 1, frame_sz, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -432,7 +435,11 @@ def _decode_media(media: bytes, modality: str, use_real_decoder: bool = False) -
             return _decode_image_real(bytes(media))
         if modality == "audio":
             return _decode_audio_real(bytes(media))
-        return _decode_video_real(bytes(media))
+        if modality == "video":
+            return _decode_video_real(bytes(media))
+        raise ValueError(
+            f"unknown modality {modality!r} — expected image/audio/video"
+        )
     digest = hashlib.md5(modality.encode() + b"|" + media).digest()
     return [
         (int.from_bytes(digest[2 * i : 2 * i + 2], "big") % 10000) / 10000.0

@@ -1,22 +1,46 @@
 """Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line as the FINAL stdout line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+compact JSON summary line to stdout — the LAST stdout line is always a
+complete, parseable summary:
   {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": N,
-   "n_errors": N, "baseline_mapped": {...}, "env": {...}}.
+   "n_errors": N, "baseline_mapped": {...}, "env": {...}, "phase": ...}.
+
+Timeout-proofing (VERDICT r12 #1 — the r12 driver run hit its wall-clock
+budget mid-stress-tier and, because every artifact was written only at
+the very end, produced NO numbers at all):
+  - the run is PHASED (warmup -> timed -> baseline gates -> paired
+    recheck -> stress10x) and bench_out.json + this run's
+    bench_history.jsonl row are (re)written at every phase boundary, so
+    a kill at any point leaves the completed phases on disk;
+  - a summary line is printed right after the timed pass (phase
+    "timed") and again, enriched, at the end (phase "complete") — the
+    recorder keeps a bounded stdout TAIL, so the last complete line is
+    the one that parses;
+  - SIGTERM (what `timeout` sends at the budget) triggers a handler that
+    flushes the current state to disk and prints a summary line with
+    phase "truncated:<phase>" before exiting — a timeout can no longer
+    produce `parsed: null`;
+  - per-phase wall clocks land in env (warmup_sec/timed_sec/
+    baseline_sec/paired_sec/stress_sec) so budget arithmetic next round
+    is measured, not inferred (VERDICT r12 #6).
 
 Contract hardening (the per-round recorder keeps a bounded stdout tail and
 has clipped the front of the JSON line in every past round):
-  - stdout carries NOTHING but the single JSON line (progress -> stderr);
-  - the line carries ONLY scalar summary fields (~300 bytes) — the
+  - stdout carries NOTHING but summary JSON lines (progress -> stderr);
+  - each line carries ONLY scalar summary fields (~400 bytes) — the
     per-query timing map alone is ~2.5 KB and overflows the recorder's
     tail buffer, so it is EXCLUDED from stdout by design;
   - the full result (per-query timings, row counts, per-seed ms, env pin)
     is written to bench_out.json next to this file, so the detailed map is
     always recoverable from disk.
 
-A warm-up pass (untimed, every query once) runs before the timed pass so
-per-query numbers measure the plan, not JVM/codegen/session-cache
-initialization; disable with SPARK_GRAFT_BENCH_WARMUP=0.
+Warm-up (VERDICT r12 #1: the old full-registry untimed pass was 58% of
+wall): the default is now a TARGETED pass that primes exactly the
+session-lifetime stores the warmup exists for (_doc_terms postings, the
+co-occurrence graph store, the symbol graph, the maintained index
+stores, the engine chunk/line stores) plus a handful of representative
+queries. SPARK_GRAFT_BENCH_WARMUP=full restores the legacy every-query
+pass; =0 disables warmup entirely.
 """
 
 from __future__ import annotations
@@ -35,6 +59,129 @@ from workspace_qdrant_mcp_spark.session import get_spark  # noqa: E402
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+class _Artifacts:
+    """Incremental artifact writer (VERDICT r12 #1). One instance per run;
+    every flush() rewrites bench_out.json and UPSERTS this run's row in
+    bench_history.jsonl (keyed by the run's fixed ts), so the history
+    keeps exactly one row per run no matter how many phases flushed, and
+    a kill between flushes loses only the in-flight phase."""
+
+    def __init__(self, here: str) -> None:
+        self.here = here
+        self.ts = round(time.time())
+
+    def flush(self, full: dict, print_line: bool = False) -> None:
+        try:
+            with open(os.path.join(self.here, "bench_out.json"), "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+        except Exception as exc:
+            _log(f"# bench_out.json write error: {exc}")
+        hist = os.path.join(self.here, "bench_history.jsonl")
+        try:
+            lines = []
+            if os.path.exists(hist):
+                with open(hist) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            if json.loads(line).get("ts") == self.ts:
+                                continue  # replaced by this flush
+                        except Exception:
+                            pass
+                        lines.append(line)
+            lines.append(
+                json.dumps({"ts": self.ts, **full}, separators=(",", ":"))
+            )
+            tmp = hist + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(tmp, hist)
+        except Exception as exc:
+            _log(f"# bench_history.jsonl write error: {exc}")
+        if print_line:
+            line = json.dumps(_summary_of(full), separators=(",", ":"))
+            _log(f"# stdout line is {len(line)} bytes (phase={full.get('phase')})")
+            print(line, flush=True)
+
+
+_SUMMARY_KEYS = (
+    "metric", "value", "unit", "sf", "n_queries", "n_errors",
+    "baseline_mapped", "env", "paired_status", "n_flagged_raw",
+    "n_paired_regressions", "phase",
+)
+
+
+def _summary_of(full: dict) -> dict:
+    """The scalar-only stdout projection of the full artifact — never the
+    per-query maps (they overflow the recorder's bounded tail)."""
+    return {k: full[k] for k in _SUMMARY_KEYS if k in full}
+
+
+def _install_sigterm_flush(art: _Artifacts, full: dict) -> None:
+    """`timeout` sends SIGTERM at the driver's budget; flush whatever is
+    complete and print a parseable summary line before dying, so a
+    budget overrun degrades to a partial record instead of `parsed:
+    null` (VERDICT r12 #1). The handler touches no Spark/JVM state."""
+    import signal
+
+    def _on_term(signum, frame):
+        full["phase"] = f"truncated:{full.get('phase', '?')}"
+        try:
+            art.flush(full, print_line=True)
+        finally:
+            os._exit(143)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+
+# Representative queries for the targeted warmup: one per heavy family,
+# enough to warm the shared codegen/session paths without re-running the
+# whole registry untimed (the legacy full warmup was 58% of wall).
+_WARM_QUERIES = (
+    "hybrid_search_rrf",
+    "grep_indexed_lines",
+    "graph_degree_stats",
+    "corpus_stats",
+    "scroll_retrieve",
+)
+
+
+def _targeted_warmup(spark, sf_dir: str, queries: dict) -> None:
+    """Prime exactly the session-lifetime pinned stores the untimed
+    warmup pass existed for — _doc_terms postings, the co-occurrence
+    edge store, the extracted symbol graph, the maintained index stores
+    (postings/IVF/gram parquet), and the engine chunk/line stores — then
+    run a handful of representative queries so shared plan/codegen paths
+    are warm. Each step is individually fault-isolated: a warmup error
+    must never kill the bench."""
+    steps = [
+        ("doc_terms", lambda: entrymod._doc_terms(spark, sf_dir).count()),
+        ("edges", lambda: entrymod._edges(spark, sf_dir).count()),
+        ("symbol_graph", lambda: [d.count() for d in entrymod._symbol_graph(spark, sf_dir)]),
+        ("indexed_stores", lambda: entrymod._indexed_stores(spark, sf_dir)),
+        ("engine_chunks", lambda: entrymod._engine(spark, sf_dir).chunks.count()),
+        ("engine_lines", lambda: entrymod._engine(spark, sf_dir).lines.count()),
+    ]
+    for sname, step in steps:
+        try:
+            step()
+        except Exception as exc:
+            _log(f"# targeted warmup error ({sname}): {exc}")
+        ckpt.clear_unpinned(spark)
+    for name in _WARM_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as exc:
+            _log(f"# targeted warmup error ({name}): {exc}")
+        ckpt.clear_unpinned(spark)
 
 
 def _full_store_ingest_docs_per_min(
@@ -456,7 +603,10 @@ def _write_perf_notes_stress_table(here: str, stress: dict | None, sf) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # "1" (default) = targeted store-priming warmup; "full" = legacy
+    # every-query untimed pass; "0" = off
+    warmup_mode = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")
+    warmup = warmup_mode != "0"
     spark = get_spark("wqm-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -478,16 +628,35 @@ def main() -> None:
         queries = {n: fn for n, fn in queries.items() if n in keep}
         _log(f"# bench subset: {len(queries)} queries")
 
-    # JVM/codegen smoke on the smallest SF, then (by default) one untimed
-    # pass of every query at the bench SF: session-level caches (postings,
-    # graph store, chunk store) warm here so the timed pass measures steady
-    # state and round-over-round numbers stop absorbing cold-start swing.
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    here = os.path.dirname(os.path.abspath(__file__))
+    art = _Artifacts(here)
+    # the live artifact dict — every phase mutates it and flushes; the
+    # SIGTERM handler snapshots whatever is in it at kill time
+    full: dict = {
+        "metric": "query_suite_total",
+        "value": None,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": 0,
+        "n_errors": 0,
+        "baseline_mapped": {},
+        "env": {"cpus": cpus, "warmup": warmup_mode},
+        "phase": "warmup",
+    }
+    _install_sigterm_flush(art, full)
+
+    # Phase 1 — warmup. JVM/codegen smoke on the smallest SF, then prime
+    # the session-lifetime stores: the TARGETED pass by default (the
+    # legacy full-registry untimed pass was 58% of wall, VERDICT r12 #1);
+    # SPARK_GRAFT_BENCH_WARMUP=full restores the per-query pass so every
+    # query's own codegen is also warm.
     t_warm0 = time.perf_counter()
     try:
         entrymod.entry(spark).collect()
     except Exception as exc:
         _log(f"# bench warmup entry error: {exc}")
-    if warmup:
+    if warmup_mode == "full":
         for name, fn in queries.items():
             try:
                 fn(spark, sf_dir).collect()
@@ -495,12 +664,17 @@ def main() -> None:
                 _log(f"# bench warmup error in {name}: {exc}")
             # release the query's checkpoint blocks (pinned session stores
             # survive) — without this, superseded localCheckpoints pile up
-            # across the 119-query session and later queries run with
-            # shrinking execution memory (the r5 graph-family regression)
+            # across the session and later queries run with shrinking
+            # execution memory (the r5 graph-family regression)
             ckpt.clear_unpinned(spark)
+    elif warmup:
+        _targeted_warmup(spark, sf_dir, queries)
     warmup_sec = round(time.perf_counter() - t_warm0, 2)
-    _log(f"# warmup done in {warmup_sec}s (warmup={'on' if warmup else 'off'})")
+    full["env"]["warmup_sec"] = warmup_sec
+    _log(f"# warmup done in {warmup_sec}s (mode={warmup_mode})")
 
+    full["phase"] = "timed"
+    t_timed0 = time.perf_counter()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name, fn in queries.items():
@@ -516,30 +690,21 @@ def main() -> None:
         ckpt.clear_unpinned(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    here = os.path.dirname(os.path.abspath(__file__))
+    full.update(
+        value=total,
+        n_queries=len(timings),
+        n_errors=sum(1 for t in timings.values() if t < 0),
+        queries=timings,
+        counts=counts,
+    )
+    full["env"]["timed_sec"] = round(time.perf_counter() - t_timed0, 2)
+    # FLUSH + FIRST summary line: from here on, a kill can only lose the
+    # phases that have not yet run (VERDICT r12 #1)
+    art.flush(full, print_line=True)
 
-    # Paired interleaved regression adjudication (VERDICT r10 #2): raw
-    # round-over-round seconds are ±25% host noise, so any query flagged
-    # >1.3x vs the reference record is re-run interleaved with
-    # drift-anchor queries in this same session and judged on its
-    # anchor-normalized paired_ratio instead. Skipped for subset runs
-    # (no stable anchor pool); disable with SPARK_GRAFT_BENCH_PAIRED=0.
-    paired: dict = {"status": "skipped"}
-    if (
-        os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0"
-        and not only
-    ):
-        ref = _load_reference_record(here, sf)
-        if ref is None:
-            paired = {"status": "no_reference"}
-        else:
-            try:
-                paired = _paired_recheck(spark, sf_dir, queries, timings, ref)
-            except Exception as exc:
-                paired = {"status": f"error: {exc}"}
-                _log(f"# paired recheck error: {exc}")
-        ckpt.clear_unpinned(spark)
+    # Phase 3 — BASELINE.md-mapped gates + per-seed amortization.
+    full["phase"] = "baseline"
+    t_base0 = time.perf_counter()
 
     # Amortized interactive graph point-queries: per-seed ms for the
     # batched impact analysis (reference budget: 100 ms per impact query).
@@ -689,8 +854,42 @@ def main() -> None:
             _log(f"# bench serving-latency error: {exc}")
     except Exception as exc:
         _log(f"# bench baseline-map error: {exc}")
+    full["baseline_mapped"] = baseline_mapped
+    full["per_seed_ms"] = per_seed_ms
+    full["env"]["baseline_sec"] = round(time.perf_counter() - t_base0, 2)
+    art.flush(full)
 
-    # 10x stress tier (VERDICT r10 #5, default-ON since r12 per VERDICT
+    # Phase 4 — paired interleaved regression adjudication (VERDICT r10
+    # #2): raw round-over-round seconds are ±25% host noise, so any query
+    # flagged >1.3x vs the reference record is re-run interleaved with
+    # drift-anchor queries in this same session and judged on its
+    # anchor-normalized paired_ratio instead. Skipped for subset runs
+    # (no stable anchor pool); disable with SPARK_GRAFT_BENCH_PAIRED=0.
+    full["phase"] = "paired"
+    t_pair0 = time.perf_counter()
+    paired: dict = {"status": "skipped"}
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0"
+        and not only
+    ):
+        ref = _load_reference_record(here, sf)
+        if ref is None:
+            paired = {"status": "no_reference"}
+        else:
+            try:
+                paired = _paired_recheck(spark, sf_dir, queries, timings, ref)
+            except Exception as exc:
+                paired = {"status": f"error: {exc}"}
+                _log(f"# paired recheck error: {exc}")
+        ckpt.clear_unpinned(spark)
+    full["paired"] = paired
+    full["paired_status"] = paired.get("status")
+    full["n_flagged_raw"] = paired.get("n_flagged_raw")
+    full["n_paired_regressions"] = paired.get("n_paired_regressions")
+    full["env"]["paired_sec"] = round(time.perf_counter() - t_pair0, 2)
+    art.flush(full)
+
+    # Phase 5 — 10x stress tier (VERDICT r10 #5, default-ON since r12 per VERDICT
     # r11 #4 — every registry bench run persists the scale-shape ratios
     # as data in bench_history.jsonl): re-measure the four heaviest
     # families' scale shapes (trainer FLAT / LM + frozen-serving
@@ -698,6 +897,8 @@ def main() -> None:
     # stress corpus, same-session base-vs-10x ratios. Adds ~2-3 min;
     # disable with SPARK_GRAFT_BENCH_STRESS10X=0. Skipped automatically
     # for subset (SPARK_GRAFT_BENCH_ONLY) runs.
+    full["phase"] = "stress10x"
+    t_stress0 = time.perf_counter()
     stress: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_STRESS10X", "1") == "1" and not only:
         from workspace_qdrant_mcp_spark import stress as stressmod
@@ -718,67 +919,20 @@ def main() -> None:
             _log(f"# stress10x error: {exc}")
         ckpt.clear_unpinned(spark)
         _write_perf_notes_stress_table(here, stress, sf)
+    # None unless the stress tier ran — the tracked scale-shape ratios
+    # land in bench_history.jsonl so a scale regression is caught by
+    # diffing history, not re-measured by hand
+    full["stress10x"] = stress
+    full["env"]["stress_sec"] = round(time.perf_counter() - t_stress0, 2)
 
-    # The recorder keeps a BOUNDED stdout tail: r1-r4 all clipped the front
-    # of the JSON line once the per-query map pushed it past ~2 KB. So the
-    # stdout line carries ONLY the scalar summary (~300 bytes); the
-    # per-query timings/counts/per-seed map live exclusively in
-    # bench_out.json on disk.
-    summary = {
-        "metric": "query_suite_total",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "n_errors": sum(1 for t in timings.values() if t < 0),
-        "baseline_mapped": baseline_mapped,
-        "env": {"cpus": cpus, "warmup": warmup, "warmup_sec": warmup_sec},
-        "paired_status": paired.get("status"),
-        "n_flagged_raw": paired.get("n_flagged_raw"),
-        "n_paired_regressions": paired.get("n_paired_regressions"),
-    }
-    full = {
-        **summary,
-        "queries": timings,
-        "per_seed_ms": per_seed_ms,
-        "counts": counts,
-        "paired": paired,
-        # None unless SPARK_GRAFT_BENCH_STRESS10X=1 — the three tracked
-        # scale-shape ratios land in bench_history.jsonl so a scale
-        # regression is caught by diffing history, not re-measured by hand
-        "stress10x": stress,
-    }
-
-    # Full copy (with row counts) to disk first, so a clipped stdout capture
-    # is always recoverable. bench_out.json is COMMITTED (un-gitignored in
-    # r8, VERDICT r7 #3): the per-round recorder keeps only a ~2 KB stdout
-    # tail, which lost 148 of r7's 163 per-query timings; the disk artifact
-    # is the durable record. bench_history.jsonl additionally APPENDS one
-    # line per run, so a later local run cannot clobber the round's
-    # driver-run numbers.
-    out_path = os.path.join(here, "bench_out.json")
-    try:
-        with open(out_path, "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except Exception as exc:
-        _log(f"# bench_out.json write error: {exc}")
-    try:
-        with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
-            f.write(
-                json.dumps(
-                    {"ts": round(time.time()), **full},
-                    separators=(",", ":"),
-                )
-                + "\n"
-            )
-    except Exception as exc:
-        _log(f"# bench_history.jsonl write error: {exc}")
-
+    # Final flush + the authoritative summary line. bench_out.json is
+    # COMMITTED (un-gitignored in r8, VERDICT r7 #3): the per-round
+    # recorder keeps only a ~2 KB stdout tail, which lost 148 of r7's 163
+    # per-query timings; the disk artifact is the durable record.
+    # bench_history.jsonl keeps exactly one row per run (upserted by ts).
+    full["phase"] = "complete"
     sys.stdout.flush()
-    line = json.dumps(summary, separators=(",", ":"))
-    _log(f"# stdout line is {len(line)} bytes")
-    print(line, flush=True)
+    art.flush(full, print_line=True)
 
 
 if __name__ == "__main__":

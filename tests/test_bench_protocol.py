@@ -1,10 +1,107 @@
-"""Unit test for bench.py's paired interleaved regression protocol
-(VERDICT r11 #3): a reported regression must carry method="interleaved";
-host_factor_only may only settle flags that normalization clears."""
+"""Unit tests for bench.py's measurement protocol: the paired
+interleaved regression adjudication (VERDICT r11 #3 — a reported
+regression must carry method="interleaved"; host_factor_only may only
+settle flags that normalization clears) and the r13 timeout-proofing
+(VERDICT r12 #1 — phased artifact flushes, history upsert by run ts,
+and a SIGTERM handler that leaves a parseable summary line)."""
 
 from __future__ import annotations
 
+import json
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
 import bench
+
+
+def test_artifacts_upsert_keeps_one_row_per_run(tmp_path):
+    art = bench._Artifacts(str(tmp_path))
+    full = {"metric": "query_suite_total", "value": 1.0, "phase": "timed",
+            "queries": {"q": 1.0}, "env": {}}
+    art.flush(full)
+    full["value"] = 2.0
+    full["phase"] = "complete"
+    art.flush(full)
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "bench_history.jsonl")
+        if l.strip()
+    ]
+    assert len(rows) == 1  # upserted, not appended twice
+    assert rows[0]["phase"] == "complete" and rows[0]["value"] == 2.0
+    assert rows[0]["ts"] == art.ts
+    out = json.load(open(tmp_path / "bench_out.json"))
+    assert out["phase"] == "complete"
+    # a second run (different ts) appends a second row
+    art2 = bench._Artifacts(str(tmp_path))
+    art2.ts = art.ts + 1
+    art2.flush({"metric": "query_suite_total", "value": 3.0, "phase": "timed"})
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "bench_history.jsonl")
+        if l.strip()
+    ]
+    assert len(rows) == 2
+
+
+def test_summary_excludes_query_maps():
+    full = {
+        "metric": "query_suite_total", "value": 1.0, "unit": "sec",
+        "sf": "0.1", "n_queries": 2, "n_errors": 0, "phase": "complete",
+        "queries": {"a": 1.0}, "counts": {"a": 5}, "paired": {"x": 1},
+        "per_seed_ms": {}, "stress10x": None, "env": {},
+        "baseline_mapped": {},
+    }
+    s = bench._summary_of(full)
+    for heavy in ("queries", "counts", "paired", "per_seed_ms", "stress10x"):
+        assert heavy not in s
+    assert s["phase"] == "complete" and s["n_queries"] == 2
+
+
+def test_sigterm_leaves_parseable_line_and_artifacts(tmp_path):
+    """The driver kills an over-budget bench with SIGTERM (rc=124 came
+    from `timeout`); the handler must flush artifacts and print a
+    summary line whose phase marks the truncation — `parsed: null` must
+    be impossible after the timed pass."""
+    script = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {os.path.dirname(os.path.abspath(bench.__file__))!r})
+        import bench
+        art = bench._Artifacts({str(tmp_path)!r})
+        full = {{"metric": "query_suite_total", "value": 9.9, "unit": "sec",
+                 "sf": "0.01", "n_queries": 3, "n_errors": 0,
+                 "baseline_mapped": {{}}, "env": {{"timed_sec": 9.9}},
+                 "phase": "stress10x", "queries": {{"q": 9.9}}}}
+        bench._install_sigterm_flush(art, full)
+        print("READY", file=sys.stderr, flush=True)
+        time.sleep(60)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # wait for the handler to be installed before terminating
+    assert proc.stderr.readline().strip() == "READY"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 143
+    line = out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["phase"] == "truncated:stress10x"
+    assert parsed["value"] == 9.9
+    assert "queries" not in parsed  # summary projection only
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "bench_history.jsonl")
+        if l.strip()
+    ]
+    assert len(rows) == 1 and rows[0]["phase"] == "truncated:stress10x"
 
 
 def test_paired_recheck_interleaves_all_still_hot_flags(spark):

@@ -1644,6 +1644,49 @@ def _q_scroll_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEYSET_LIMIT, KEYSET_PAGES = 9, 3
+
+
+def _q_scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 KEYSET-cursor paging driver anchor (VERDICT r12 #3/#4;
+    retrieve.rs paging contract / Qdrant's point-id scroll resume): walk
+    KEYSET_PAGES retrieve_after pages by cursor chaining — each page is
+    one pushable cursor predicate + one TakeOrdered(limit), constant
+    cost per page at any depth — and union them tagged with their page
+    index. The oracle is the OFFSET formulation of the same scan (one
+    row_number window, page_idx = (rn-1) // limit), so the hash match
+    certifies the keyset and offset arms page-boundary-identical, not
+    just union-equal."""
+    api = _engine(spark, sf_dir)
+    pages = []
+    cursor = None
+    for i in range(KEYSET_PAGES):
+        page = api.retrieve_after(
+            after=cursor, limit=KEYSET_LIMIT,
+            tenant=list(SCROLL_TENANTS), branch="main",
+        )
+        pages.append(
+            page.select(
+                "point_id", "collection", "tenant_id", "relative_path",
+                F.col("chunk_index").cast("int").alias("chunk_index"),
+                "doc_id",
+            ).withColumn("page_idx", F.lit(i))
+        )
+        # the next cursor is the page's last (point_id, collection) —
+        # a bounded limit-row collect, the serving-page contract
+        keys = [
+            (r["point_id"], r["collection"])
+            for r in page.select("point_id", "collection").collect()
+        ]
+        if not keys:
+            break
+        cursor = max(keys)
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_orphan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 orphan nodes (metrics.rs:342-356): part universe with no
     incident edge in the weight-thresholded co-occurrence graph."""
@@ -3007,6 +3050,109 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OCR_N_DOCS, OCR_PREFIX_CHARS = 24, 48
+
+
+def _q_ocr_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 OCR driver-oracle anchor (VERDICT r12 #2; document_processor/
+    ocr.rs:1-119): the REAL render -> recognize round trip, end-to-end
+    through the extraction route. Each document's text prefix is
+    normalized to the matrix font's charset with column expressions
+    (upper + regex class filter + rtrim — the exact normalization the
+    DuckDB oracle recomputes), rasterized to a grayscale PNG by
+    render_text_png inside an Arrow-batched mapInPandas, then decoded
+    back via extract_text's magic-number dispatch (PNG -> image ->
+    ocr_extract(use_real=True) -> matrix matching). The oracle is the
+    normalized source text itself, so the hash match certifies the full
+    OCR pipeline — no digest fake anywhere in this path."""
+    import pandas as pd
+
+    from workspace_qdrant_mcp_spark.sources import extraction
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < OCR_N_DOCS
+    )
+    norm = F.rtrim(
+        F.regexp_replace(
+            F.upper(F.substring(F.col("text"), 1, OCR_PREFIX_CHARS)),
+            "[^A-Z0-9 .,:-]", "",
+        )
+    )
+    prepared = docs.select("doc_id", norm.alias("expected"))
+
+    def render(batches):
+        from workspace_qdrant_mcp_spark.sources.ocr import render_text_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [render_text_png(t) for t in pdf["expected"]],
+                }
+            )
+
+    files = prepared.mapInPandas(render, "doc_id BIGINT, media BINARY")
+    out = extraction.extract_text(files, use_real=True)
+    return out.select(
+        "doc_id",
+        "format",
+        F.col("text").alias("decoded"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+VIDEO_N_ASSETS = 8
+
+
+def _q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 video driver-oracle anchor (VERDICT r12 #2; image_ingestion/):
+    deterministic synthetic clips -> REAL uncompressed-AVI decode ->
+    motion features. Asset a gets 4+(a%4) solid frames of gray
+    51*((2a+k)%6) at 5+(a%3) fps, written by encode_avi_rgb and decoded
+    back by _decode_video_real (RIFF walk -> frame stack -> inter-frame
+    motion). A solid frame of byte v has luma exactly v/255, so the
+    DuckDB oracle recomputes duration/fps/n_frames/mean/motion/std/max
+    in closed form from the same (a, k) formula — the hash match
+    certifies the real decoder's arithmetic, no digest fake."""
+    import numpy as np
+    import pandas as pd
+
+    from workspace_qdrant_mcp_spark.sources import multimodal as mm
+
+    ids = spark.range(VIDEO_N_ASSETS).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            media = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                frames = [
+                    np.full((8, 8, 3), 51 * ((2 * a + k) % 6), dtype=np.uint8)
+                    for k in range(4 + a % 4)
+                ]
+                media.append(mm.encode_avi_rgb(frames, fps=5 + a % 3))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": "video",
+                    "media": media,
+                }
+            )
+
+    assets = ids.mapInPandas(
+        gen, "asset_id BIGINT, modality STRING, media BINARY"
+    )
+    feats = mm.extract_features(assets, use_real_decoder=True)
+    f = F.col("features")
+    return feats.select(
+        "asset_id",
+        f[0].alias("duration_s"), f[1].alias("fps_n"),
+        f[2].alias("n_frames"), f[3].alias("mean_luma"),
+        f[4].alias("motion"), f[5].alias("std_luma"),
+        f[6].alias("max_luma"),
+    )
+
+
 def _q_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R20 image search: cosine top-k over the image collection's feature
     vectors (the CLIP path with the stubbed decoder's deterministic
@@ -3347,93 +3493,39 @@ def _q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. This is the r12 rotation (VERDICT r11 #2/#7 — drain
-    # the last r7-stale rows, then re-green the re-shaped serving plans,
-    # then spend everything left on the stalest r8 evidence):
-    #   slots 1-7   the seven r7-stale rows deferred from r11 exactly as
-    #               that slot map promised (graph_eccentricity,
-    #               sequence_packing, two_hop_chain, value_quantiles,
-    #               scd2_history, weighted_sample, hourly_anomalies) —
-    #               after this round nothing is older than r8;
-    #   slots 8-10  the three serving anchors re-shaped in r12 (VERDICT
-    #               r11 #1: rank-before-bound fixed to
-    #               orderBy().limit() + bounded window): scroll_retrieve
-    #               (S9), fallback_search (R16), exact_match_scoring
-    #               (R17) — promoted so the new plans get driver rows
-    #               immediately; results must hash-identical to their
-    #               r9/r10 rows (pure physical change);
-    #   slots 11-50 forty of the 44 r8-stale rows, alphabetical; the
-    #               four deferred to r13 (topk_per_group,
-    #               unigram_logppl, vocab_coverage, zorder_keys — the
-    #               alphabetical tail, all auxiliary analytics whose
-    #               operator families carry fresher anchors) sit first
-    #               below the window.
-    # Below the window: stalest-first queue — the 4 deferred r8 rows,
-    # then the 42 remaining r9 rows, the 49 remaining r10 rows, and the
-    # 50 r11 rows (the freshest evidence).
-    # Provenance per CORRECTNESS_r01-r11 (r12 staleness ledger at entry:
-    # r11:50, r10:50, r9:44, r8:44, r7:7, never:0).
+    # entries only. This is the r13 rotation (VERDICT r12 #2/#3/#4/#5 —
+    # first-in-window rows for the new real-path anchors and the keyset
+    # arm, drain the last r8-stale rows, then spend everything left on
+    # the 42 r9-stale rows):
+    #   slots 1-2   NEW ocr_extraction + video_frame_features (VERDICT
+    #               r12 #2): the r12 real OCR and AVI-decode paths get
+    #               driver-oracle rows — deterministic render->recognize
+    #               and write->decode round trips, no digest fakes;
+    #   slot  3     NEW scroll_keyset (VERDICT r12 #3/#4): the keyset
+    #               paging arm vs the offset formulation, page-boundary
+    #               exact;
+    #   slots 4-7   the four r8-stale rows deferred from r12 exactly as
+    #               that slot map promised (topk_per_group,
+    #               unigram_logppl, vocab_coverage, zorder_keys) — after
+    #               this round nothing is older than r9;
+    #   slots 8-49  all 42 r9-stale rows, alphabetical (VERDICT r12 #5);
+    #   slot  50    ann_store_drift, the first r10-stale row by queue
+    #               order.
+    # Below the window: stalest-first queue — the 48 remaining r10 rows,
+    # the 50 r11 rows, then the 50 r12 rows (the freshest evidence).
+    # Provenance per CORRECTNESS_r01-r12 (r13 staleness ledger at entry:
+    # r12:50, r11:50, r10:49, r9:42, r8:4, never:3 — the 3 new queries).
     return {
-        # Slots 1-7: the seven r7-stale rows (deferred from r11):
-        "graph_eccentricity": _q_graph_eccentricity,
-        "sequence_packing": _q_sequence_packing,
-        "two_hop_chain": _q_two_hop_chain,
-        "value_quantiles": _q_value_quantiles,
-        "scd2_history": _q_scd2_history,
-        "weighted_sample": _q_weighted_sample,
-        "hourly_anomalies": _q_hourly_anomalies,
-        # Slots 8-10: the re-shaped serving anchors (VERDICT r11 #1):
-        "scroll_retrieve": _q_scroll_retrieve,
-        "fallback_search": _q_fallback_search,
-        "exact_match_scoring": _q_exact_scoring,
-        # Slots 11-50: r8-stale rows, alphabetical (4 deferred to r13):
-        "ann_recall": _q_ann_recall,
-        "asof_join": _q_asof_join,
-        "bloom_pruned_join": _q_bloom_pruned_join,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "bottomk_sample": _q_bottomk_sample,
-        "contrastive_pairs": _q_contrastive_pairs,
-        "curation_funnel": _q_curation_funnel,
-        "decayed_popularity": _q_decayed_popularity,
-        "dsir_logweights": _q_dsir_logweights,
-        "events_hourly_rollup": _q_events_hourly_rollup,
-        "events_interval_join": _q_events_interval_join,
-        "events_multires_rollup": _q_events_multires_rollup,
-        "events_sliding_rollup": _q_events_sliding_rollup,
-        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
-        "gopher_quality": _q_gopher_quality,
-        "gopher_repetition": _q_gopher_repetition,
-        "graph_ktruss": _q_graph_ktruss,
-        "graph_msf": _q_graph_msf,
-        "graph_scc": _q_graph_scc,
-        "heavy_hitters": _q_heavy_hitters,
-        "histogram_quantiles": _q_histogram_quantiles,
-        "hll_users_by_type": _q_hll_users_by_type,
-        "hybrid_search_indexed": _q_hybrid_search_indexed,
-        "kmv_source_overlap": _q_kmv_source_overlap,
-        "knn_graph": _q_knn_graph,
-        "last_touch_attribution": _q_last_touch_attribution,
-        "link_prediction_aa": _q_link_prediction,
-        "mixture_plan": _q_mixture_plan,
-        "mixture_plan_epochs": _q_mixture_plan_epochs,
-        "multimodal_features": _q_multimodal_features,
-        "ndcg_metrics": _q_ndcg_metrics,
-        "pii_detection": _q_pii_detection,
-        "pmi_collocations": _q_pmi_collocations,
-        "prefix_jaccard_neardup": _q_prefix_jaccard,
-        "quality_buckets": _q_quality_buckets,
-        "quality_survivors": _q_quality_survivors,
-        "random_walks": _q_random_walks,
-        "range_join_busy_hours": _q_range_join_busy_hours,
-        "repeated_spans": _q_repeated_spans,
-        "salted_join_hot_key": _q_salted_join_hot_key,
-        # ---- below the 50-row window: rotation queue, stalest-first.
-        # First the four r8 rows deferred to r13:
+        # Slots 1-3: the three NEW queries (first-in-window per VERDICT):
+        "ocr_extraction": _q_ocr_extraction,
+        "video_frame_features": _q_video_frame_features,
+        "scroll_keyset": _q_scroll_keyset,
+        # Slots 4-7: the four r8-stale rows (deferred from r12):
         "topk_per_group": _q_topk_per_group,
         "unigram_logppl": _q_unigram_logppl,
         "vocab_coverage": _q_vocab_coverage,
         "zorder_keys": _q_zorder_keys,
-        # then the 42 remaining r9-green rows:
+        # Slots 8-49: the 42 r9-stale rows, alphabetical:
         "adjacency_export": _q_adjacency_export,
         "ann_pq_topk": _q_ann_pq,
         "ann_sq_topk": _q_ann_sq,
@@ -3476,8 +3568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "tier1_tags": _q_tier1_tags,
         "token_count": _q_token_count,
-        # then the 49 remaining r10-green rows:
+        # Slot 50: the first r10-stale row in queue order:
         "ann_store_drift": _q_ann_store_drift,
+        # ---- below the 50-row window: rotation queue, stalest-first.
+        # The 48 remaining r10-green rows:
         "bpe_fertility": _q_bpe_fertility,
         "bpe_merges": _q_bpe_merges,
         "char_entropy": _q_char_entropy,
@@ -3577,6 +3671,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_expansion_sparse": _q_tag_expansion_sparse,
         "tfidf_keywords": _q_tfidf_keywords,
         "zipf_ttr_card": _q_zipf_ttr_card,
+        # then the 50 r12-green rows (the freshest evidence):
+        "ann_recall": _q_ann_recall,
+        "asof_join": _q_asof_join,
+        "bloom_pruned_join": _q_bloom_pruned_join,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "bottomk_sample": _q_bottomk_sample,
+        "contrastive_pairs": _q_contrastive_pairs,
+        "curation_funnel": _q_curation_funnel,
+        "decayed_popularity": _q_decayed_popularity,
+        "dsir_logweights": _q_dsir_logweights,
+        "events_hourly_rollup": _q_events_hourly_rollup,
+        "events_interval_join": _q_events_interval_join,
+        "events_multires_rollup": _q_events_multires_rollup,
+        "events_sliding_rollup": _q_events_sliding_rollup,
+        "exact_match_scoring": _q_exact_scoring,
+        # fallback_search's r12 re-shape made the final slice
+        # DETERMINISTIC (orderBy before limit) where it was an arbitrary
+        # pick before — a semantic tightening, not a purely physical
+        # change (ADVICE r12): a future hash change here when matches
+        # exceed the limit would be the old nondeterminism resurfacing,
+        # not a regression of the re-shape itself.
+        "fallback_search": _q_fallback_search,
+        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
+        "gopher_quality": _q_gopher_quality,
+        "gopher_repetition": _q_gopher_repetition,
+        "graph_eccentricity": _q_graph_eccentricity,
+        "graph_ktruss": _q_graph_ktruss,
+        "graph_msf": _q_graph_msf,
+        "graph_scc": _q_graph_scc,
+        "heavy_hitters": _q_heavy_hitters,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "hourly_anomalies": _q_hourly_anomalies,
+        "hybrid_search_indexed": _q_hybrid_search_indexed,
+        "kmv_source_overlap": _q_kmv_source_overlap,
+        "knn_graph": _q_knn_graph,
+        "last_touch_attribution": _q_last_touch_attribution,
+        "link_prediction_aa": _q_link_prediction,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_plan_epochs": _q_mixture_plan_epochs,
+        "multimodal_features": _q_multimodal_features,
+        "ndcg_metrics": _q_ndcg_metrics,
+        "pii_detection": _q_pii_detection,
+        "pmi_collocations": _q_pmi_collocations,
+        "prefix_jaccard_neardup": _q_prefix_jaccard,
+        "quality_buckets": _q_quality_buckets,
+        "quality_survivors": _q_quality_survivors,
+        "random_walks": _q_random_walks,
+        "range_join_busy_hours": _q_range_join_busy_hours,
+        "repeated_spans": _q_repeated_spans,
+        "salted_join_hot_key": _q_salted_join_hot_key,
+        "scd2_history": _q_scd2_history,
+        "scroll_retrieve": _q_scroll_retrieve,
+        "sequence_packing": _q_sequence_packing,
+        "two_hop_chain": _q_two_hop_chain,
+        "value_quantiles": _q_value_quantiles,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -3778,6 +3929,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_extraction": oracles.doc_extraction(),
         "token_count": oracles.token_count(),
         "scroll_retrieve": oracles.scroll_retrieve(SCROLL_TENANTS, 25, 10),
+        # keyset arm vs the OFFSET formulation (VERDICT r12 #4): the hash
+        # match certifies the two paging arms page-boundary-identical
+        "scroll_keyset": oracles.scroll_keyset(
+            SCROLL_TENANTS, KEYSET_LIMIT, KEYSET_PAGES
+        ),
+        "ocr_extraction": oracles.ocr_extraction(OCR_N_DOCS, OCR_PREFIX_CHARS),
+        "video_frame_features": oracles.video_frame_features(VIDEO_N_ASSETS),
         "orphan_nodes": oracles.orphan_nodes(ORPHAN_MIN_WEIGHT),
         "quality_metrics": oracles.quality_metrics(),
         "adjacency_export": oracles.adjacency_export(ADJ_CAP),

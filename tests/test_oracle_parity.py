@@ -135,6 +135,23 @@ def test_parity_sf01_scale_r11(spark, name):
     _check(spark, name, "/root/testdata/sf0.1")
 
 
+# r13 additions: scale evidence from birth (same sf0.1 exact compare).
+# ocr_extraction / video_frame_features render fixed-size synthetic
+# payloads so the sf0.1 run mainly exercises the corpus-driven OCR text;
+# scroll_keyset pages the 10x chunk store.
+R13_SCALE_QUERIES = [
+    "ocr_extraction",
+    "video_frame_features",
+    "scroll_keyset",
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize("name", R13_SCALE_QUERIES)
+def test_parity_sf01_scale_r13(spark, name):
+    _check(spark, name, "/root/testdata/sf0.1")
+
+
 # r10 (VERDICT r9 #1): the HUGEINT gate. DuckDB types an uncast integer
 # sum() as HUGEINT (int128); the driver's Arrow/pandas hash path
 # distinguishes it from Spark's LONG, while this repo's fetchall()-based

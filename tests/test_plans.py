@@ -628,3 +628,21 @@ def test_serving_paths_bound_before_rank(spark):
         for w in win_lines:
             assert any(tk > w for tk in top_lines), (name, t)
     assert "Window" not in tree(_plan(cases["fallback"]))
+
+
+def test_scroll_keyset_union_plan_is_take_ordered_per_page(spark):
+    """VERDICT r12 #4: the keyset-paging registry query unions chained
+    retrieve_after pages; the union plan must be one TakeOrderedAndProject
+    per page (constant cost per page at any depth) with NO Window node
+    and no global Sort of the unbounded filtered set — the offset
+    formulation's row_number shape lives only in the oracle."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_scroll_keyset(spark, SF_SMOKE)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    n_pages_taken = sum(
+        1 for l in tree.splitlines() if "TakeOrderedAndProject" in l
+    )
+    assert n_pages_taken >= entrymod.KEYSET_PAGES, tree
+    assert "Window" not in tree, tree

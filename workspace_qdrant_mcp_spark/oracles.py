@@ -1736,6 +1736,95 @@ FROM paged WHERE rn > {offset} AND rn <= {offset + limit}
 """
 
 
+def scroll_keyset(tenants: tuple[str, ...], page_limit: int, n_pages: int) -> str:
+    """S9 keyset paging: the OFFSET formulation of the first n_pages
+    keyset pages — one row_number window, page_idx = (rn-1) // limit.
+    Hash-matching the Spark union of chained retrieve_after pages
+    certifies the keyset and offset arms page-boundary-identical."""
+    tenant_in = ", ".join(f"'{t}'" for t in tenants)
+    return f"""
+WITH {duckdb_chunk_text_sql()},
+{CHUNK_META_SQL},
+pts AS (
+  SELECT md5(tenant_id || '|' || relative_path || '|'
+             || CAST(chunk_index AS VARCHAR)) AS point_id,
+         collection, tenant_id, relative_path,
+         CAST(chunk_index AS INT) AS chunk_index, doc_id
+  FROM meta
+  WHERE tenant_id IN ({tenant_in})
+    AND list_contains(branches, 'main')
+    AND NOT coalesce(deleted, false)
+),
+paged AS (
+  SELECT *, row_number() OVER (ORDER BY point_id, collection) AS rn FROM pts
+)
+SELECT point_id, collection, tenant_id, relative_path, chunk_index, doc_id,
+       CAST((rn - 1) // {page_limit} AS INT) AS page_idx
+FROM paged WHERE rn <= {page_limit * n_pages}
+"""
+
+
+def ocr_extraction(n_docs: int, prefix_chars: int) -> str:
+    """S3 OCR round trip: the decoded text must equal the charset-
+    normalized source prefix (upper -> keep [A-Z0-9 .,:-] -> rtrim) —
+    the same normalization the Spark side renders through
+    render_text_png and recognizes back with the matrix engine."""
+    norm = (
+        f"rtrim(regexp_replace(upper(substr(text, 1, {prefix_chars})), "
+        f"'[^A-Z0-9 .,:-]', '', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       'image' AS format,
+       {norm} AS decoded,
+       CAST(length({norm}) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < {n_docs}
+"""
+
+
+def video_frame_features(n_assets: int) -> str:
+    """S5 real AVI decode: closed-form recomputation of the decoder's
+    feature vector for synthetic solid-frame clips — asset a has
+    4+(a%4) frames of gray 51*((2a+k)%6) at 5+(a%3) fps; a solid frame
+    of byte v has luma exactly v/255, so every statistic is an exact
+    SQL aggregate over the frame-index range."""
+    return f"""
+WITH a AS (
+  SELECT CAST(x AS BIGINT) AS asset_id,
+         4 + (x % 4) AS nf, 5 + (x % 3) AS fps
+  FROM range(0, {n_assets}) t(x)
+),
+fr AS (
+  SELECT a.asset_id, a.nf, a.fps, k.x AS k,
+         (51 * ((2 * a.asset_id + k.x) % 6)) / 255.0 AS luma
+  FROM a JOIN range(0, 7) k(x) ON k.x < a.nf
+),
+mo AS (
+  SELECT f1.asset_id, avg(abs(f2.luma - f1.luma)) AS motion
+  FROM fr f1 JOIN fr f2
+    ON f2.asset_id = f1.asset_id AND f2.k = f1.k + 1
+  GROUP BY f1.asset_id
+),
+st AS (
+  -- the AVI container stores dwMicroSecPerFrame = floor(1e6 / fps), so
+  -- the DECODED fps is 1e6 / floor(1e6/fps), not the nominal fps —
+  -- model the same quantization the writer/decoder pair performs
+  SELECT asset_id,
+         CAST(any_value(nf) AS DOUBLE)
+           * (1000000 // any_value(fps)) / 1000000.0 AS duration_s,
+         (1000000.0 / (1000000 // any_value(fps))) / 60.0 AS fps_n,
+         CAST(any_value(nf) AS DOUBLE) AS n_frames,
+         avg(luma) AS mean_luma,
+         stddev_pop(luma) AS std_luma,
+         max(luma) AS max_luma
+  FROM fr GROUP BY asset_id
+)
+SELECT st.asset_id, st.duration_s, st.fps_n, st.n_frames, st.mean_luma,
+       mo.motion, st.std_luma, st.max_luma
+FROM st JOIN mo USING (asset_id)
+"""
+
+
 def orphan_nodes(min_weight: int = 2) -> str:
     """A2 orphan nodes (metrics.rs:342-356): part universe anti-joined
     against the endpoints of the weight-thresholded co-occurrence graph."""

@@ -383,12 +383,19 @@ def _serving_latency_ms(spark, sf_dir: str, n_reps: int = 9) -> dict[str, float]
     return out
 
 
-def _load_reference_record(here: str, sf: str) -> dict | None:
+def _load_reference_record(
+    here: str, sf: str, self_ts: int | None = None
+) -> dict | None:
     """Most recent bench_history.jsonl entry at the same SF with a full
     per-query map (>= 50 queries — skips SPARK_GRAFT_BENCH_ONLY subset
     runs). This is the 'reference row' the paired regression check
     compares against; override with SPARK_GRAFT_BENCH_REF_TS=<ts> to pin
-    a specific entry."""
+    a specific entry. `self_ts` excludes the CURRENT run's own row:
+    since the r13 phased flush, this run's row is upserted into the
+    history right after the timed pass, so without the exclusion the
+    paired phase would adjudicate the run against itself (every ratio
+    exactly 1.0 — the r13 before-run measured n_flagged_raw=0 on a host
+    2-4x slower than the reference, which is how this was caught)."""
     path = os.path.join(here, "bench_history.jsonl")
     if not os.path.exists(path):
         return None
@@ -400,6 +407,8 @@ def _load_reference_record(here: str, sf: str) -> dict | None:
                 rec = json.loads(line)
             except Exception:
                 continue
+            if self_ts is not None and rec.get("ts") == self_ts:
+                continue  # never adjudicate a run against itself
             if str(rec.get("sf")) != str(sf):
                 continue
             if len(rec.get("queries", {})) < 50:
@@ -872,7 +881,7 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0"
         and not only
     ):
-        ref = _load_reference_record(here, sf)
+        ref = _load_reference_record(here, sf, self_ts=art.ts)
         if ref is None:
             paired = {"status": "no_reference"}
         else:

@@ -34,13 +34,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     keep = list(qs) if names == "all" else [n.strip() for n in names.split(",")]
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def _group_counts(group: str) -> tuple[int, int, int]:
+        """(n_jobs, n_stages, n_tasks) run under a job group — a
+        noise-free structural cost metric (wall seconds on this host
+        swing 2-6x run-to-run)."""
+        jobs = tracker.getJobIdsForGroup(group)
+        n_stages = n_tasks = 0
+        for j in jobs:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for s in ji.stageIds:
+                si = tracker.getStageInfo(s)
+                if si is not None:
+                    n_stages += 1
+                    n_tasks += si.numTasks
+        return len(jobs), n_stages, n_tasks
+
     out = {}
     for name in keep:
         fn = qs[name]
-        spark.sparkContext.setJobDescription(f"r13-capture:{name}")
         try:
             rows = []
             for rep in range(reps):
+                group = f"cap-{name}-{rep}"
+                sc.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # force analysis+optimization+physical planning only
@@ -48,7 +69,10 @@ def main() -> None:
                 t1 = time.perf_counter()
                 n = len(df.collect())
                 t2 = time.perf_counter()
-                rows.append((round(t1 - t0, 3), round(t2 - t1, 3), n))
+                jst = _group_counts(group)
+                rows.append(
+                    (round(t1 - t0, 3), round(t2 - t1, 3), n) + jst
+                )
                 ckpt.clear_unpinned(spark)
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -62,6 +86,9 @@ def main() -> None:
                 "plan_s": best[0],
                 "exec_s": best[1],
                 "rows": best[2],
+                "jobs": best[3],
+                "stages": best[4],
+                "tasks": best[5],
                 "all": rows,
                 "n_exchange": plan.count("Exchange"),
                 "n_python": plan.count("EvalPython")
@@ -71,6 +98,7 @@ def main() -> None:
             }
             print(
                 f"{name}: plan={best[0]}s exec={best[1]}s rows={best[2]} "
+                f"jobs={best[3]} stages={best[4]} tasks={best[5]} "
                 f"exch={out[name]['n_exchange']} py={out[name]['n_python']}",
                 file=sys.stderr,
                 flush=True,

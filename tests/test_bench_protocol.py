@@ -48,6 +48,26 @@ def test_artifacts_upsert_keeps_one_row_per_run(tmp_path):
     assert len(rows) == 2
 
 
+def test_reference_record_excludes_own_run(tmp_path):
+    """The phased flush upserts THIS run's history row right after the
+    timed pass, so the paired phase must never pick it as the reference
+    — a run adjudicated against itself reads every ratio as 1.0 and the
+    regression gate goes blind (caught in the r13 before-run: 0 raw
+    flags on a host 2-4x slower than the previous record)."""
+    hist = tmp_path / "bench_history.jsonl"
+    qmap = {f"q{i}": 1.0 for i in range(60)}
+    prev = {"ts": 100, "sf": "0.1", "queries": qmap}
+    own = {"ts": 200, "sf": "0.1", "queries": {q: 9.9 for q in qmap}}
+    hist.write_text(
+        json.dumps(prev) + "\n" + json.dumps(own) + "\n"
+    )
+    ref = bench._load_reference_record(str(tmp_path), "0.1", self_ts=200)
+    assert ref is not None and ref["ts"] == 100
+    # without the exclusion the last (own) row would have been picked
+    ref_unguarded = bench._load_reference_record(str(tmp_path), "0.1")
+    assert ref_unguarded["ts"] == 200
+
+
 def test_summary_excludes_query_maps():
     full = {
         "metric": "query_suite_total", "value": 1.0, "unit": "sec",

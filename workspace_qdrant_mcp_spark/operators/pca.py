@@ -15,24 +15,43 @@ round is sqrt() on a bit-identical double, immediately divided back into
 quantized components. A DuckDB oracle unrolls the identical chain, so
 the whole spectral computation is hash-compared, not trusted.
 
-Scale shape: the corpus is touched ONCE (explode + quantize); the
-covariance build is a vec_id self-equi-join emitting dim^2 keys with
-map-side combine (dim^2 = 4096 keys at dim 64 — the shuffle is
-model-sized, not corpus-sized); every round thereafter runs on the
-bounded dim^2 / dim tables with RollingCheckpoint lineage control.
+Scale shape (re-shaped r13, "decide with small rows" — optimization
+guide §8): the corpus is touched in two narrow passes — a per-dimension
+sum (dim-row result) and a per-row pair-product pass that generates the
+dim^2 covariance terms INSIDE each scan task (nested posexplode over the
+centered array, no vec_id self-join, no corpus-sized shuffle) with
+map-side combine down to dim^2 = 4096 keys at dim 64. The bounded
+covariance matrix is then collected ONCE and the fixed-round power
+iteration runs driver-side in exact replicated arithmetic (Spark round
+on a double == BigDecimal(shortest-repr) HALF_UP == Python
+Decimal(repr(x)) ROUND_HALF_UP; F.sqrt == math.sqrt, both IEEE
+correctly-rounded), so 8 rounds of dim-sized Spark jobs (~70 job
+submissions, ~50 exchanges) collapse to pure Python over a 32 KB
+matrix. Values are bit-identical by construction and remain oracle
+hash-compared.
 """
 
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.emit import micro6
 from ..io import fan_out
 
 PCA_ROUNDS = 8
+
+
+def _rnd(x: float) -> int:
+    """Exact replica of Spark's round(double) → long: BigDecimal of the
+    double's shortest decimal repr, scale 0, HALF_UP (away from zero).
+    Python's repr(float) emits the same shortest round-trip digits as
+    Java's Double.toString, so the decimal being rounded is identical."""
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
 
 
 def _pca_fit(
@@ -42,14 +61,12 @@ def _pca_fit(
     id_col: str,
     vec_col: str,
 ) -> dict:
-    """Shared fit: quantized inputs, exact-integer covariance, unrolled
-    power iteration. Returns the tables both public ops compose:
-    ex (quantized inputs, corpus-sized), st (per-dim sums), v (final
-    component), sg (sign), tr (trace), ei (eigenvalue) — everything but
-    ex is bounded model state."""
-    spark = vecs.sparkSession
-    from ..ckpt import RollingCheckpoint
-
+    """Shared fit. Distributed: ex (quantized exploded inputs,
+    corpus-sized — reused by the scores projection) and the two corpus
+    passes (per-dim sums; pair products). Driver-side: the power
+    iteration over the collected dim^2 covariance, yielding the bounded
+    model — mu (per-dim means), v6 (final quantized component), sgn
+    (sign convention), t6 (quantized trace), eig (eigenvalue)."""
     v06 = round(1e6 / math.sqrt(dim))
     ex = fan_out(vecs).select(
         F.col(id_col).alias("vec_id"),
@@ -61,110 +78,101 @@ def _pca_fit(
             "x6"
         ),
     )
-    st = ex.groupBy("i").agg(
+
+    # pass 1: per-dimension quantized sums + counts (dim rows), plus the
+    # corpus row count — the only inputs the mean needs
+    st_rows = ex.groupBy("i").agg(
         F.sum("x6").alias("s6"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    n_total = vecs.count()
+    # exact double chain: (s6 as double / 1e6) / n — same ops as the
+    # former column expression
+    mu = {int(r["i"]): (r["s6"] / 1e6) / r["n"] for r in st_rows}
+
+    # pass 2: covariance as exact integer sums of per-row quantized
+    # products. The centered array is computed once per row; nested
+    # posexplode generates the dim^2 (i, j) terms inside the scan task —
+    # no self-join, no corpus-sized exchange; partial aggregation
+    # reduces each task's output to <= dim^2 rows before the single
+    # model-sized shuffle.
+    d_max = max(mu) if mu else 0
+    mu_arr = F.array(*[F.lit(float(mu.get(k + 1, 0.0))) for k in range(d_max)])
+    carr = F.transform(
+        F.col(vec_col),
+        lambda x, k: (
+            F.round(x.cast("double") * F.lit(1e6))
+            .cast("long")
+            .cast("double")
+            / F.lit(1e6)
+        )
+        - F.element_at(mu_arr, k + F.lit(1)),
+    ).alias("carr")
+    e1 = fan_out(vecs).select(carr).select(
+        F.posexplode("carr").alias("pi", "ci"), "carr"
     )
-    mu = (F.col("s6").cast("double") / F.lit(1e6)) / F.col("n")
-    ce = ex.join(st, "i").select(
-        "vec_id",
-        "i",
-        ((F.col("x6").cast("double") / F.lit(1e6)) - mu).alias("c"),
-    )
-    a, b = ce.alias("a"), ce.alias("b")
-    cv = (
-        a.join(b, "vec_id")
+    cv_rows = (
+        e1.select(
+            (F.col("pi") + F.lit(1)).cast("int").alias("i"),
+            "ci",
+            F.posexplode("carr").alias("pj", "cj"),
+        )
         .select(
-            F.col("a.i").alias("i"),
-            F.col("b.i").alias("j"),
-            F.round(F.col("a.c") * F.col("b.c") * F.lit(1e6))
+            "i",
+            (F.col("pj") + F.lit(1)).cast("int").alias("j"),
+            F.round(F.col("ci") * F.col("cj") * F.lit(1e6))
             .cast("long")
             .alias("p6"),
         )
         .groupBy("i", "j")
         .agg(F.sum("p6").alias("c6"))
+        .collect()
     )
-    nn = vecs.agg(F.count(F.lit(1)).alias("n"))
-    cd = cv.crossJoin(F.broadcast(nn)).select(
-        "i",
-        "j",
-        ((F.col("c6").cast("double") / F.lit(1e6)) / F.col("n")).alias("cd"),
-    ).localCheckpoint()
+    cd = {
+        (int(r["i"]), int(r["j"])): (r["c6"] / 1e6) / n_total
+        for r in cv_rows
+    }
 
-    # keep_last=2: the final eigenvalue read (q_last) lazily references
-    # the SECOND-to-last v through its matvec — one extra generation
-    # must stay materialized past the loop
-    roll = RollingCheckpoint(spark, keep_last=2)
-    v = st.select(
-        F.col("i").alias("j"), F.lit(int(v06)).cast("long").alias("v6")
-    )
+    # driver-side fixed-round power iteration — identical value chain to
+    # the former unrolled Spark loop (each matvec term re-quantized,
+    # integer sums, one sqrt per round)
+    v6 = {int(r["i"]): int(v06) for r in st_rows}
     q_last = None
     for _ in range(rounds):
-        u = (
-            cd.join(v, "j")
-            .select(
-                "i",
-                F.round(
-                    F.col("cd")
-                    * (F.col("v6").cast("double") / F.lit(1e6))
-                    * F.lit(1e6)
-                )
-                .cast("long")
-                .alias("t6"),
-            )
-            .groupBy("i")
-            .agg(F.sum("t6").alias("u6"))
-        )
-        q = u.agg(
-            F.sum(
-                F.round(
-                    (F.col("u6").cast("double") / F.lit(1e6))
-                    * (F.col("u6").cast("double") / F.lit(1e6))
-                    * F.lit(1e6)
-                ).cast("long")
-            ).alias("q6")
-        )
-        v = roll(
-            u.crossJoin(F.broadcast(q)).select(
-                F.col("i").alias("j"),
-                F.when(
-                    F.col("q6") > 0,
-                    F.round(
-                        (F.col("u6").cast("double") / F.lit(1e6))
-                        / F.sqrt(F.col("q6").cast("double") / F.lit(1e6))
-                        * F.lit(1e6)
-                    ).cast("long"),
-                )
-                .otherwise(F.lit(int(v06)).cast("long"))
-                .alias("v6"),
-            )
-        )
-        q_last = q
-    from pyspark.sql import Window
+        u6: dict[int, int] = {}
+        for (i, j), cdv in cd.items():
+            if j in v6:
+                t6 = _rnd(cdv * (v6[j] / 1e6) * 1e6)
+                u6[i] = u6.get(i, 0) + t6
+        q6 = sum(_rnd((u / 1e6) * (u / 1e6) * 1e6) for u in u6.values())
+        if q6 > 0:
+            nrm = math.sqrt(q6 / 1e6)
+            v6 = {i: _rnd((u / 1e6) / nrm * 1e6) for i, u in u6.items()}
+        else:
+            v6 = {i: int(v06) for i in u6}
+        q_last = q6
 
-    w = Window.orderBy(F.abs(F.col("v6")).desc(), F.col("j").asc())
-    sg = (
-        v.select("v6", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.when(F.col("v6") < 0, F.lit(-1))
-            .otherwise(F.lit(1))
-            .cast("long")
-            .alias("sgn")
-        )
+    # sign convention: component with the largest |value| (ties: lowest
+    # i) made positive
+    if v6:
+        top = min(v6.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[0]
+        sgn = -1 if v6[top] < 0 else 1
+    else:
+        sgn = 1
+    t6 = sum(_rnd(cd[(i, i)] * 1e6) for (i, j) in cd if i == j)
+    eig = (
+        math.sqrt(q_last / 1e6)
+        if q_last is not None and q_last > 0
+        else 0.0
     )
-    tr = cd.filter(F.col("i") == F.col("j")).agg(
-        F.sum(F.round(F.col("cd") * F.lit(1e6)).cast("long")).alias("t6")
-    )
-    ei = q_last.select(
-        F.when(
-            F.col("q6") > 0,
-            F.sqrt(F.col("q6").cast("double") / F.lit(1e6)),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("eig")
-    )
-    return {"ex": ex, "st": st, "v": v, "sg": sg, "tr": tr, "ei": ei,
-            "mu": mu}
+    return {
+        "ex": ex,
+        "st": sorted((int(r["i"]) for r in st_rows)),
+        "mu": mu,
+        "v6": v6,
+        "sgn": sgn,
+        "t6": t6,
+        "eig": eig,
+    }
 
 
 def embedding_pca(
@@ -184,33 +192,28 @@ def embedding_pca(
     `dim` only sets the deterministic INIT constant round(1e6/sqrt(dim));
     the actual dimensionality comes from the data. Degenerate zero
     covariance (single repeated vector) falls back to the init vector
-    with eigval 0 rather than dividing by zero."""
+    with eigval 0 rather than dividing by zero.
+
+    The card itself is dim rows of driver-computed model state (the fit
+    collects the bounded covariance and iterates locally — guide §8
+    "decide with small rows"); values are identical to the former
+    all-Spark unrolled chain and stay oracle hash-compared."""
     m = _pca_fit(vecs, rounds, dim, id_col, vec_col)
-    st, v = m["st"], m["v"]
-    return (
-        st.join(v, st["i"] == v["j"])
-        .crossJoin(F.broadcast(m["sg"]))
-        .crossJoin(F.broadcast(m["tr"]))
-        .crossJoin(F.broadcast(m["ei"]))
-        .select(
-            "i",
-            micro6(m["mu"]).alias("mean"),
-            (
-                (F.col("sgn") * F.col("v6")).cast("double") / F.lit(1e6)
-            ).alias("pc1"),
-            micro6(F.col("eig")).alias("eigval"),
-            F.when(
-                F.col("t6") > 0,
-                micro6(
-                    F.col("eig")
-                    / (F.col("t6").cast("double") / F.lit(1e6))
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("explained_var"),
-        )
-        .orderBy("i")
-    )
+    mu, v6, sgn, t6, eig = m["mu"], m["v6"], m["sgn"], m["t6"], m["eig"]
+    rows = []
+    for i in m["st"]:
+        if i not in v6:
+            continue
+        mean = _rnd(mu[i] * 1e6) / 1e6
+        pc1 = sgn * v6[i] / 1e6
+        eigval = _rnd(eig * 1e6) / 1e6
+        ev = _rnd(eig / (t6 / 1e6) * 1e6) / 1e6 if t6 > 0 else 0.0
+        rows.append((i, mean, pc1, eigval, ev))
+    return vecs.sparkSession.createDataFrame(
+        rows,
+        "i int, mean double, pc1 double, eigval double, "
+        "explained_var double",
+    ).orderBy("i")
 
 
 def embedding_pca_scores(
@@ -228,20 +231,16 @@ def embedding_pca_scores(
     is an exact integer sum — engine-identical by construction.
 
     Plan: the projection joins the corpus-sized exploded table against
-    the dim-sized (mean, component) model — one narrow join + one
-    groupBy(vec_id) with map-side combine; no corpus self-join."""
+    the dim-sized driver-computed (mean, component) model — one
+    broadcast join + one groupBy(vec_id) with map-side combine; no
+    corpus self-join."""
     m = _pca_fit(vecs, rounds, dim, id_col, vec_col)
-    st, v = m["st"], m["v"]
-    model = (
-        st.join(v, st["i"] == v["j"])
-        .crossJoin(F.broadcast(m["sg"]))
-        .select(
-            "i",
-            m["mu"].alias("mu"),
-            (
-                (F.col("sgn") * F.col("v6")).cast("double") / F.lit(1e6)
-            ).alias("pc"),
-        )
+    mu, v6, sgn = m["mu"], m["v6"], m["sgn"]
+    model_rows = [
+        (i, float(mu[i]), sgn * v6[i] / 1e6) for i in m["st"] if i in v6
+    ]
+    model = vecs.sparkSession.createDataFrame(
+        model_rows, "i int, mu double, pc double"
     )
     return (
         m["ex"]

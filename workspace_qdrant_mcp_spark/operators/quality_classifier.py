@@ -45,20 +45,31 @@ sf0.1 (5k docs) stays well inside; at 100 TB the numerator switches to
 double partial sums (ulp-tolerant, no oracle twin) — the integer path
 is the oracle-replayable correctness twin, same output contract.
 
-100 TB shape: one corpus pass per round — a margin join (weights always
-broadcast: QC_DIM+1 rows) + a doc_id partial aggregate + a feat_id
-gradient aggregate (both map-side combinable, bounded key spaces). The
-feature table is built ONCE and localCheckpoint'ed through the rounds
-(RollingCheckpoint would release it — it is read by every round, so it
-is pinned for the call and released by the between-queries sweep).
+100 TB shape (re-shaped r13, optimization guide §2.4/§8): the corpus is
+aggregated ONCE into a per-doc feature array (doc_id, y, fx) and
+localCheckpoint'ed; each GD round is then ONE narrow pass over that
+table — the margin is an integer aggregate() over the fx array under a
+LITERAL weight array (weights are dim+1 bounded model values carried
+driver-side between rounds, exactly like the reference engine's
+in-memory head), and the gradient is an explode + feat_id partial
+aggregate whose single exchange moves <= (dim+1) x n_tasks partial
+rows. The former shape paid a doc_id exchange for the margin groupBy,
+a doc_id join for the residual, and a doc_id join for the gradient
+EVERY round (~5 exchanges + a 33-row checkpoint action per round); now
+a round is one job with one model-sized exchange. The weight update
+w' = micro6(w + lr*g/(1e12*n)) runs driver-side with arithmetic that
+replicates Spark bit-for-bit (Decimal-HALF_UP round on the shortest
+repr; IEEE +,*,/); sigmoid's exp() stays IN Spark so no libm boundary
+moves.
 """
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.emit import micro6
 from ..functions.hashing import md5_hash64
 from ..io import fan_out
 from .textstats import _ws_tokens, quality_col
@@ -122,28 +133,53 @@ def qc_labels(
     )
 
 
+def _rnd(x: float) -> int:
+    """Exact replica of Spark's round(double) → long: BigDecimal of the
+    double's shortest decimal repr, scale 0, HALF_UP (away from zero)."""
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _w6_literal(w: DataFrame) -> "F.Column":
+    """Bounded weight table (dim+1 rows) → literal long array of
+    quantized weights, indexable by feat_id+1. w6 = round(weight*1e6)
+    is exact (weights are 6-decimal by construction). Feat_ids absent
+    from w map to 0 — value-identical to the former inner-join shape
+    (a dropped row contributed nothing to the integer margin sum)."""
+    w6 = {int(r["feat_id"]): _rnd(r["weight"] * 1e6) for r in w.collect()}
+    top = max(w6) if w6 else 0
+    return F.array(
+        *[F.lit(w6.get(k, 0)).cast("long") for k in range(top + 1)]
+    )
+
+
+def _p6_col(m6: "F.Column") -> "F.Column":
+    """Exact-integer margin (microunits^2) → sigmoid re-quantized to
+    integer microunits; the single libm call stays in Spark."""
+    m = m6.cast("double") / F.lit(1e12)
+    return F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-m))).cast("long")
+
+
 def _margins(feats: DataFrame, w: DataFrame, id_col: str) -> DataFrame:
     """(doc_id, p6) — sigmoid of the exact-integer margin, re-quantized
-    to integer microunits. w6 = round(weight*1e6) is exact (weights are
-    6-decimal by construction)."""
-    w6 = w.select(
-        "feat_id", F.round(F.col("weight") * F.lit(1e6)).cast("long").alias("w6")
-    )
+    to integer microunits. The bounded weight table becomes a literal
+    array (no broadcast-join job); one map-side-combinable doc_id
+    aggregate remains."""
+    w6_arr = _w6_literal(w)
     m = (
-        feats.join(F.broadcast(w6), "feat_id")
+        feats.filter(
+            (F.col("feat_id") >= 0) & (F.col("feat_id") < F.size(w6_arr))
+        )
         .groupBy(id_col)
-        .agg(F.sum(F.col("x6") * F.col("w6")).alias("m6"))
-        .select(
-            F.col(id_col),
-            (F.col("m6").cast("double") / F.lit(1e12)).alias("m"),
+        .agg(
+            F.sum(
+                F.col("x6")
+                * F.element_at(w6_arr, F.col("feat_id").cast("int") + F.lit(1))
+            ).alias("m6")
         )
     )
-    return m.select(
-        F.col(id_col),
-        F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-F.col("m"))))
-        .cast("long")
-        .alias("p6"),
-    )
+    return m.select(F.col(id_col), _p6_col(F.col("m6")).alias("p6"))
 
 
 def train_quality_classifier(
@@ -158,44 +194,84 @@ def train_quality_classifier(
     GD steps from w=0: w' = micro6(w + lr * sum((y - p) x) / N), every
     sum an exact int64 microunit aggregate (see module doc).
 
-    LIFETIME NOTE: the returned frame is backed by the final round's
-    localCheckpoint (truncated lineage — it cannot recompute). A caller
-    that holds it across a ckpt.clear_unpinned() sweep (e.g. bench's
-    between-queries hygiene) must ckpt.pin() it or re-materialize the
-    33 rows (spark.createDataFrame(w.collect(), w.schema)) first;
-    run_ingestion_stream does the pin itself for qc_weights."""
+    The returned frame is a dim+1-row LOCAL relation (the weights live
+    driver-side during training) — safe to hold across any
+    ckpt.clear_unpinned() sweep; nothing to re-materialize.
+
+    Plan shape per round (guide §2.4/§8): one narrow pass over the
+    checkpointed per-doc feature-array table — integer aggregate() over
+    the fx array under the literal weight array gives the margin with
+    NO doc_id exchange; explode + feat_id partial aggregate gives the
+    gradient with one model-sized exchange; the dim+1 gradient rows are
+    collected and the micro6 weight update replays Spark's arithmetic
+    exactly on the driver."""
     spark = feats.sparkSession
-    feats = feats.localCheckpoint()   # read 2x per round — build once
-    labels = labels.localCheckpoint()
-    nd = labels.agg(F.count(F.lit(1)).alias("nd"))
-    w = spark.range(dim + 1).select(
-        F.col("id").alias("feat_id"), F.lit(0.0).alias("weight")
+    per_doc = _fx_agg(feats, id_col).join(labels, id_col).localCheckpoint()
+    weights = _train_rounds(per_doc, labels.count(), lr, rounds, dim)
+    return spark.createDataFrame(
+        sorted(weights.items()), "feat_id long, weight double"
     )
+
+
+def _fx_agg(feats: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, fx) — the per-doc feature array (collect_list order is
+    nondeterministic; every consumer is an order-free integer sum)."""
+    return feats.groupBy(id_col).agg(
+        F.collect_list(F.struct("feat_id", "x6")).alias("fx")
+    )
+
+
+def _fx_p6(weights: dict, dim: int) -> "F.Column":
+    """p6 scoring expression over the per-doc fx array under a LITERAL
+    quantized-weight array — no join, no groupBy. Out-of-range feat_ids
+    are filtered exactly as the former weight inner join dropped them;
+    every doc carries its intercept row, so no doc loses all rows."""
+    w6 = {fid: _rnd(wt * 1e6) for fid, wt in weights.items()}
+    w6_arr = F.array(
+        *[F.lit(w6.get(k, 0)).cast("long") for k in range(dim + 1)]
+    )
+    m6 = F.aggregate(
+        F.filter(
+            F.col("fx"),
+            lambda s: (s["feat_id"] >= 0) & (s["feat_id"] <= F.lit(dim)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + s["x6"]
+        * F.element_at(w6_arr, s["feat_id"].cast("int") + F.lit(1)),
+    )
+    return _p6_col(m6)
+
+
+def _train_rounds(
+    per_doc: DataFrame, nd: int, lr: float, rounds: int, dim: int
+) -> dict:
+    """The unrolled GD rounds over a (doc_id, fx, y) table; returns the
+    final {feat_id: weight} dict (exact 6-decimal doubles)."""
+    if nd == 0 and rounds > 0:
+        raise ValueError("train_quality_classifier: zero labeled documents")
+    weights = {fid: 0.0 for fid in range(dim + 1)}
     for _ in range(rounds):
-        p = _margins(feats, w, id_col)
-        resid = labels.join(p, id_col).select(
-            F.col(id_col), (F.col("y") * F.lit(1_000_000) - F.col("p6")).alias("r6")
-        )
-        grad = (
-            feats.join(resid, id_col)
-            .groupBy("feat_id")
-            .agg(F.sum(F.col("x6") * F.col("r6")).alias("g"))
-        )
-        w = (
-            w.join(grad, "feat_id", "left")
-            .crossJoin(F.broadcast(nd))
-            .select(
-                "feat_id",
-                micro6(
-                    F.col("weight")
-                    + F.lit(lr)
-                    * F.coalesce(F.col("g"), F.lit(0)).cast("double")
-                    / (F.lit(1e12) * F.col("nd").cast("double"))
-                ).alias("weight"),
+        grad_rows = (
+            per_doc.select(
+                (
+                    F.col("y") * F.lit(1_000_000) - _fx_p6(weights, dim)
+                ).alias("r6"),
+                F.explode("fx").alias("s"),
             )
-            .localCheckpoint()  # 33 rows; keeps round lineage shallow
+            .groupBy(F.col("s.feat_id").alias("feat_id"))
+            .agg(F.sum(F.col("s.x6") * F.col("r6")).alias("g"))
+            .collect()
         )
-    return w
+        g = {int(r["feat_id"]): int(r["g"]) for r in grad_rows}
+        weights = {
+            fid: _rnd(
+                (wt + lr * float(g.get(fid, 0)) / (1e12 * float(nd))) * 1e6
+            )
+            / 1e6
+            for fid, wt in weights.items()
+        }
+    return weights
 
 
 def quality_classifier_weights(

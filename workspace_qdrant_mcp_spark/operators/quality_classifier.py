@@ -294,16 +294,27 @@ def quality_classifier_scores(
     the INTEGER microunit threshold (>= 0.5 — no float-boundary
     exposure), label = the bootstrap seed for filter-audit reporting.
     The production filter keeps pred=1 (or thresholds score by stratum);
-    this emission is the data-card view of the same decision."""
+    this emission is the data-card view of the same decision.
+
+    Plan shape (re-shaped r13, guide §2.4): ONE corpus pass builds the
+    checkpointed per-doc feature-array table; training runs its rounds
+    over it driver-side; scoring is then a narrow exchange-free
+    projection of the SAME table under the literal trained weights —
+    the former shape rebuilt qc_features a second time and paid a
+    doc_id margin aggregate + two doc_id joins to score."""
     feats = qc_features(docs, id_col, text_col)
     labels = qc_labels(docs, id_col=id_col, text_col=text_col)
-    w = train_quality_classifier(feats, labels, id_col=id_col)
-    p = _margins(feats, w, id_col)
+    per_doc = _fx_agg(feats, id_col).join(labels, id_col).localCheckpoint()
+    weights = _train_rounds(per_doc, per_doc.count(), QC_LR, QC_ROUNDS, QC_DIM)
     return (
-        labels.join(p, id_col)
-        .select(
+        per_doc.select(
             F.col(id_col),
             F.col("y").alias("label"),
+            _fx_p6(weights, QC_DIM).alias("p6"),
+        )
+        .select(
+            F.col(id_col),
+            "label",
             (F.col("p6").cast("double") / F.lit(1e6)).alias("score"),
             F.when(F.col("p6") >= F.lit(500_000), F.lit(1))
             .otherwise(F.lit(0))
@@ -335,10 +346,12 @@ def quality_classifier_indep_scores(
 
     label = the heuristic seed on ALL docs (the audit/validation
     signal — for held-out rows it was never used in training).
-    Plan shape identical to quality_classifier_scores: the training
-    restriction is an inner join against the train-source label set
-    (labels drive the residual/gradient joins), not a second corpus
-    pass; scoring is one margin join under the broadcast weights."""
+    Plan shape identical to quality_classifier_scores (re-shaped r13):
+    ONE corpus pass builds the checkpointed per-doc table carrying
+    is_holdout; training runs driver-side over its is_holdout=0 subset
+    (value-identical to the former inner join against the train-source
+    label set); scoring is a narrow projection of the full table under
+    the frozen literal weights."""
     if source_col not in docs.columns:
         raise ValueError(
             f"quality_classifier_indep_scores: docs has no "
@@ -368,26 +381,37 @@ def quality_classifier_indep_scores(
             f"source '{holdout_source}' — no training labels remain"
         )
     feats = qc_features(docs, id_col, text_col)
-    train_labels = qc_labels(
-        docs.filter(F.col(source_col) != F.lit(holdout_source)),
-        id_col=id_col, text_col=text_col,
-    )
-    w = train_quality_classifier(feats, train_labels, id_col=id_col)
     all_labels = qc_labels(docs, id_col=id_col, text_col=text_col)
-    p = _margins(feats, w, id_col)
     flags = docs.select(
         F.col(id_col),
         (F.col(source_col) == F.lit(holdout_source))
         .cast("long")
         .alias("is_holdout"),
     )
+    per_doc = (
+        _fx_agg(feats, id_col)
+        .join(all_labels, id_col)
+        .join(flags, id_col)
+        .localCheckpoint()
+    )
+    weights = _train_rounds(
+        per_doc.filter(F.col("is_holdout") == 0),
+        int(n_train),
+        QC_LR,
+        QC_ROUNDS,
+        QC_DIM,
+    )
     return (
-        flags.join(all_labels, id_col)
-        .join(p, id_col)
-        .select(
+        per_doc.select(
             F.col(id_col),
             "is_holdout",
             F.col("y").alias("label"),
+            _fx_p6(weights, QC_DIM).alias("p6"),
+        )
+        .select(
+            F.col(id_col),
+            "is_holdout",
+            "label",
             (F.col("p6").cast("double") / F.lit(1e6)).alias("score"),
             F.when(F.col("p6") >= F.lit(500_000), F.lit(1))
             .otherwise(F.lit(0))

@@ -30,10 +30,11 @@ runs the very same replace — parity is by construction, not by rounding
 
 Per round: adjacent-pair counts weighted by word frequency (one
 map-side-combinable aggregate over the VOCABULARY table, never the
-corpus), the argmax pair by (count DESC, pair ASC) as a 1-row broadcast,
-one replace projection. Rounds are a fixed small constant; each round's
-word table is RollingCheckpoint'ed so the unrolled chain stays shallow
-instead of replaying exponentially.
+corpus), the argmax pair by (count DESC, pair ASC) COLLECTED as 1-row
+bounded model state, one literal replace projection. Rounds are a fixed
+small constant; the word table is checkpointed once and Catalyst
+collapses the stacked replace projections, so the unrolled chain stays
+depth-constant with one job per round.
 
 Scale shape at 100 TB: the corpus is touched exactly once (the word-count
 aggregate); everything after runs on the bounded vocabulary table
@@ -51,7 +52,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import ckpt
 from ..functions.emit import micro6
 from .textstats import _ws_tokens
 
@@ -114,50 +114,42 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 def _bpe_chain(
     docs: DataFrame, n_merges: int, text_col: str
-) -> tuple[list[DataFrame], DataFrame]:
-    """Run the unrolled merge rounds; returns (per-round 1-row best-pair
-    DataFrames tagged with merge_round, final word table). Each round's
-    word table is RollingCheckpoint'ed (constant footprint, shallow
-    plans); the tiny best rows are plain localCheckpoints so the roll
-    never releases them."""
-    spark = docs.sparkSession
-    roll = ckpt.RollingCheckpoint(spark)
-    words = roll(_word_counts(docs, text_col))
-    bests: list[DataFrame] = []
+) -> tuple[list[tuple], DataFrame]:
+    """Run the unrolled merge rounds; returns (collected per-round best
+    tuples (merge_round, lhs, rhs, cnt), final word table).
+
+    Re-shaped r13 (optimization guide §2.4, §8): the vocabulary is
+    checkpointed ONCE; each round's 1-row argmax is COLLECTED (bounded
+    model state — the apply_merges / unigram_lm cost-map discipline) and
+    the merge applied as a LITERAL replace projection. Catalyst's
+    CollapseProject folds the stacked replaces into one projection over
+    the checkpoint, so the plan stays depth-constant with no per-round
+    checkpoint action and no per-round broadcast join — one job per
+    round instead of three. An empty argmax (vocabulary exhausted: no
+    pairs left) breaks out — pair counts over an unchanged word table
+    are deterministically empty in every later round, so the fixed-round
+    unroll's no-op tail is skipped with identical output."""
+    words = _word_counts(docs, text_col).localCheckpoint()
+    bests: list[tuple] = []
     for r in range(1, n_merges + 1):
-        best = (
+        rows = (
             _pair_counts(words)
             .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        bests.append(best.select(F.lit(r).alias("merge_round"), "*"))
-        # empty best (vocabulary exhausted: no pairs left) must leave the
-        # word table INTACT — later rounds are no-ops and bpe_doc_tokens
-        # still re-tokenizes off the final table (a crossJoin would empty
-        # it). LEFT join the 1-row best on a constant key, rewrite only
-        # when a pair exists — the fixed-round unroll with no-op tail,
-        # same convergence contract as the oracle's unrolled CTEs.
-        rewritten = F.replace(
-            F.col("repr"),
-            F.concat(
-                F.lit(SEP), F.col("lhs"), F.lit(BOUND),
-                F.col("rhs"), F.lit(SEP),
-            ),
-            F.concat(F.lit(SEP), F.col("lhs"), F.col("rhs"), F.lit(SEP)),
-        )
-        words = roll(
-            words.withColumn("__k", F.lit(1))
-            .join(
-                F.broadcast(best.withColumn("__k", F.lit(1))), "__k", "left"
-            )
-            .select(
-                "word",
-                "wc",
-                F.when(F.col("lhs").isNull(), F.col("repr"))
-                .otherwise(rewritten)
-                .alias("repr"),
-            )
+        if not rows:
+            break
+        b = rows[0]
+        bests.append((r, b["lhs"], b["rhs"], int(b["cnt"])))
+        words = words.select(
+            "word",
+            "wc",
+            F.replace(
+                F.col("repr"),
+                F.lit(SEP + b["lhs"] + BOUND + b["rhs"] + SEP),
+                F.lit(SEP + b["lhs"] + b["rhs"] + SEP),
+            ).alias("repr"),
         )
     return bests, words
 
@@ -172,14 +164,10 @@ def bpe_merges(
     vocabulary exhausts first. This IS the tokenizer artifact a BPE
     trainer ships; apply it with bpe_doc_tokens."""
     bests, _ = _bpe_chain(docs, n_merges, text_col)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "merge_round",
-        F.col("lhs").alias("left_sym"),
-        F.col("rhs").alias("right_sym"),
-        F.col("cnt").alias("pair_count"),
+    return docs.sparkSession.createDataFrame(
+        bests,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count long",
     ).orderBy("merge_round")
 
 
@@ -326,42 +314,34 @@ def _wp_scored_pairs(words: DataFrame) -> DataFrame:
 
 def _wp_chain(
     docs: DataFrame, n_merges: int, text_col: str
-) -> tuple[list[DataFrame], DataFrame]:
+) -> tuple[list[tuple], DataFrame]:
     """bpe._bpe_chain with the WordPiece argmax: per round the pair
-    maximizing (score_micro DESC, lhs ASC, rhs ASC); same no-op-tail
-    left-join rewrite."""
-    spark = docs.sparkSession
-    roll = ckpt.RollingCheckpoint(spark)
-    words = roll(_word_counts(docs, text_col))
-    bests: list[DataFrame] = []
+    maximizing (score_micro DESC, lhs ASC, rhs ASC); same collected
+    1-row argmax + literal-replace projection shape (see _bpe_chain),
+    best tuples (merge_round, lhs, rhs, cnt, score_micro)."""
+    words = _word_counts(docs, text_col).localCheckpoint()
+    bests: list[tuple] = []
     for r in range(1, n_merges + 1):
-        best = (
+        rows = (
             _wp_scored_pairs(words)
             .orderBy(F.desc("score_micro"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        bests.append(best.select(F.lit(r).alias("merge_round"), "*"))
-        rewritten = F.replace(
-            F.col("repr"),
-            F.concat(
-                F.lit(SEP), F.col("lhs"), F.lit(BOUND),
-                F.col("rhs"), F.lit(SEP),
-            ),
-            F.concat(F.lit(SEP), F.col("lhs"), F.col("rhs"), F.lit(SEP)),
+        if not rows:
+            break
+        b = rows[0]
+        bests.append(
+            (r, b["lhs"], b["rhs"], int(b["cnt"]), int(b["score_micro"]))
         )
-        words = roll(
-            words.withColumn("__k", F.lit(1))
-            .join(
-                F.broadcast(best.withColumn("__k", F.lit(1))), "__k", "left"
-            )
-            .select(
-                "word",
-                "wc",
-                F.when(F.col("lhs").isNull(), F.col("repr"))
-                .otherwise(rewritten)
-                .alias("repr"),
-            )
+        words = words.select(
+            "word",
+            "wc",
+            F.replace(
+                F.col("repr"),
+                F.lit(SEP + b["lhs"] + BOUND + b["rhs"] + SEP),
+                F.lit(SEP + b["lhs"] + b["rhs"] + SEP),
+            ).alias("repr"),
         )
     return bests, words
 
@@ -378,15 +358,10 @@ def wordpiece_merges(
     WordPiece favors pairs whose parts rarely appear apart, BPE favors
     raw frequency)."""
     bests, _ = _wp_chain(docs, n_merges, text_col)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "merge_round",
-        F.col("lhs").alias("left_sym"),
-        F.col("rhs").alias("right_sym"),
-        F.col("cnt").alias("pair_count"),
-        "score_micro",
+    return docs.sparkSession.createDataFrame(
+        bests,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count long, score_micro long",
     ).orderBy("merge_round")
 
 

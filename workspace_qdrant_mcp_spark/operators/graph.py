@@ -1419,12 +1419,20 @@ def strongly_connected_components(
     # flags and the shrinking edge set interleave, so each gets its own
     roll_rem = RollingCheckpoint(spark)
     ed = edges.select("src", "dst").distinct().localCheckpoint()
-    all_nodes = nodes_from_edges(ed).localCheckpoint()
+    # lazy on purpose: all_nodes is read exactly once, in the final
+    # leftover-singleton assembly — checkpointing it was a whole extra
+    # action over the full edge table per call (guide §5: cache only
+    # what is reused)
+    all_nodes = nodes_from_edges(ed)
     assigned = None  # (node_id, scc_id)
 
     def _fixpoint_colors(rem: DataFrame, nodes: DataFrame) -> DataFrame:
-        # keep_last=2: the changed-probe reads generation t AND t-1
-        roll = RollingCheckpoint(spark, keep_last=2)
+        # the per-round change flag rides INSIDE the checkpointed
+        # generation (chg = incoming min beats current color), so the
+        # convergence probe is a scan of the fresh checkpoint — not a
+        # second shuffle join of generation t against t-1 (guide §2.4:
+        # one exchange fewer per round, and keep_last drops to 1)
+        roll = RollingCheckpoint(spark)
         colors = roll(nodes.select("node_id", F.col("node_id").alias("color")))
         for _ in range(n_iters):
             msg = (
@@ -1441,16 +1449,11 @@ def strongly_connected_components(
                     F.least(
                         F.col("color"), F.coalesce("m", F.col("color"))
                     ).alias("color"),
+                    (F.col("m") < F.col("color")).alias("chg"),
                 )
             )
-            changed = (
-                new.alias("n")
-                .join(colors.alias("o"), "node_id")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .limit(1)
-                .count()
-            )
-            colors = new
+            changed = new.filter("chg").limit(1).count()
+            colors = new.select("node_id", "color")
             if changed == 0:
                 return colors
         raise RuntimeError(
@@ -1466,18 +1469,26 @@ def strongly_connected_components(
         # directed cycle — singleton SCC; removing it can expose more,
         # so iterate. A pure DAG empties here without one coloring round.
         for _trim in range(max_trim_rounds):
-            nontriv = remaining.filter(F.col("src") != F.col("dst"))
-            in_both = (
-                nontriv.select(F.col("src").alias("node_id"))
-                .distinct()
-                .join(
-                    nontriv.select(F.col("dst").alias("node_id")).distinct(),
-                    "node_id",
+            # one union + one max-groupBy instead of two distincts, a
+            # join and an anti-join against nodes_from_edges (guide
+            # §2.3/§2.4: same answer — a node is trivial iff it lacks a
+            # non-self-loop out-edge or in-edge — in a single exchange)
+            endpoint_flags = remaining.select(
+                F.col("src").alias("node_id"),
+                (F.col("src") != F.col("dst")).alias("o"),
+                F.lit(False).alias("i"),
+            ).unionByName(
+                remaining.select(
+                    F.col("dst").alias("node_id"),
+                    F.lit(False).alias("o"),
+                    (F.col("src") != F.col("dst")).alias("i"),
                 )
             )
             triv = (
-                nodes_from_edges(remaining)
-                .join(in_both, "node_id", "left_anti")
+                endpoint_flags.groupBy("node_id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+                .filter(~(F.col("has_out") & F.col("has_in")))
+                .select("node_id")
                 .localCheckpoint()
             )
             if triv.limit(1).count() == 0:
@@ -1505,8 +1516,11 @@ def strongly_connected_components(
             break
         nodes = nodes_from_edges(remaining)
         colors = _fixpoint_colors(remaining, nodes)
-        # backward reach-the-root flags within each color class
-        roll_fl = RollingCheckpoint(spark, keep_last=2)
+        # backward reach-the-root flags within each color class; as in
+        # _fixpoint_colors the newly-flagged bit rides inside the
+        # checkpointed generation so the convergence probe is a scan,
+        # not a t-vs-t-1 shuffle join (guide §2.4)
+        roll_fl = RollingCheckpoint(spark)
         flags = roll_fl(
             colors.select(
                 "node_id",
@@ -1539,16 +1553,13 @@ def strongly_connected_components(
                     (
                         F.col("inscc") | F.coalesce("f2", F.lit(False))
                     ).alias("inscc"),
+                    (
+                        ~F.col("inscc") & F.coalesce("f2", F.lit(False))
+                    ).alias("chg"),
                 )
             )
-            changed = (
-                new.alias("n")
-                .join(flags.alias("o"), "node_id")
-                .filter(F.col("n.inscc") != F.col("o.inscc"))
-                .limit(1)
-                .count()
-            )
-            flags = new
+            changed = new.filter("chg").limit(1).count()
+            flags = new.select("node_id", "color", "inscc")
             if changed == 0:
                 break
         found = flags.filter("inscc").select(
@@ -1899,17 +1910,21 @@ def k_truss(edges: DataFrame, k: int = 4, n_iters: int = 10) -> DataFrame:
     cohesion gate that single high-degree hubs cannot pass, which is
     what makes it the standard dense-community primitive.
 
-    Computed by the support-peeling fixpoint: per round, enumerate the
-    current subgraph's triangles with the SAME degree-ordered
-    orientation as triangle_counts (work Σ d(v)² bounded O(m^1.5),
-    hub-safe), credit each triangle to its three canonical edges
-    (map-side combinable count), drop edges below k-2, repeat. n_iters
-    bounds the rounds; the peel only removes edges, so an unchanged
-    count is a fixpoint and iteration stops early — preserving exact
-    fixed-round semantics for the oracle's unrolled CTE chain (the
-    k_core discipline). RollingCheckpoint keeps the iteration state
-    footprint constant."""
-    cur = (
+    Computed by the support-peeling fixpoint: orient every edge ONCE by
+    the initial (degree, id) key — triangle_counts' degree-ordered
+    scheme, work Σ d(v)² bounded O(m^1.5), hub-safe — then per round
+    enumerate the surviving subgraph's triangles over the oriented edge
+    list itself, credit each triangle to its three edges (map-side
+    combinable count), drop edges below k-2, repeat. Any strict total
+    node order enumerates each triangle exactly once, so the per-edge
+    support is identical whether the orientation is recomputed per round
+    or fixed up front; fixing it saves the degree aggregation and both
+    re-keying joins every round (r13). n_iters bounds the rounds; the
+    peel only removes edges, so an unchanged count is a fixpoint and
+    iteration stops early — preserving exact fixed-round semantics for
+    the oracle's unrolled CTE chain (the k_core discipline).
+    RollingCheckpoint keeps the iteration state footprint constant."""
+    simple = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"),
@@ -1917,42 +1932,90 @@ def k_truss(edges: DataFrame, k: int = 4, n_iters: int = 10) -> DataFrame:
         )
         .distinct()
     )
+    # Orient ONCE by the initial (degree, id) key and keep the oriented
+    # edge list itself as the iteration state (guide §2.4): any strict
+    # total node order enumerates each triangle exactly once, so the
+    # per-edge support — and with it every peel round's survivor set —
+    # is independent of WHICH order is used. The previous shape
+    # re-derived degrees and re-keyed/re-oriented the surviving edge set
+    # inside every round (~3 extra exchanges per round for identical
+    # output). Initial-degree orientation keeps the O(√m) out-degree
+    # bound exactly on round one and within a constant afterwards
+    # (peeling only removes edges).
+    und = simple.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        simple.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    keyed = deg.select(
+        "node_id",
+        (F.col("deg") * F.lit(_TRI_PACK) + F.col("node_id")).alias("k"),
+    )
+    oriented = (
+        und.join(
+            keyed.select(F.col("node_id").alias("src"), F.col("k").alias("ks")),
+            "src",
+        )
+        .join(
+            keyed.select(F.col("node_id").alias("dst"), F.col("k").alias("kd")),
+            "dst",
+        )
+        .filter(F.col("ks") < F.col("kd"))
+        .select("src", "dst", "ks", "kd")
+    )
     roll = RollingCheckpoint(edges.sparkSession)
-    cur = roll(cur)
+    cur = roll(oriented)
     prev_n = None
 
-    def _support(cur_edges: DataFrame) -> DataFrame:
-        und = cur_edges.select(
-            F.col("u").alias("src"), F.col("v").alias("dst")
-        ).unionByName(
-            cur_edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-        tris = _closed_triangles(und)
-        pairs = (
-            tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
-            .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
-            .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
-        )
-        return (
-            pairs.select(
-                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    def _support(cur_o: DataFrame) -> DataFrame:
+        """(src, dst, support) keyed by the oriented edge: each triangle
+        (a,b,c) credits its three oriented edges (a,b), (a,c), (b,c) —
+        the same map-side-combinable count as before, minus the per-round
+        re-orientation."""
+        wedges = (
+            cur_o.alias("x")
+            .join(cur_o.alias("y"), "src")
+            .filter(F.col("x.kd") < F.col("y.kd"))
+            .select(
+                F.col("src").alias("a"),
+                F.col("x.dst").alias("b"),
+                F.col("y.dst").alias("c"),
             )
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        tris = wedges.join(
+            cur_o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
+        ).select("a", "b", "c")
+        pairs = (
+            tris.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                tris.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            )
+            .unionByName(
+                tris.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+            )
+        )
+        return pairs.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("support")
         )
 
     for _ in range(n_iters):
         sup = _support(cur)
         cur = roll(
-            cur.join(sup, ["u", "v"], "left")
+            cur.join(sup, ["src", "dst"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("u", "v")
+            .select("src", "dst", "ks", "kd")
         )
         n = cur.count()
         if n == prev_n:
             break
         prev_n = n
     final_sup = _support(cur)
-    return cur.join(final_sup, ["u", "v"], "left").select(
-        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    return cur.join(final_sup, ["src", "dst"], "left").select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        F.coalesce("support", F.lit(0)).alias("support"),
     )

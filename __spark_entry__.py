@@ -1217,36 +1217,43 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_queries, k, recall) — recall@k of the approximate ANN
     paths (IVF with n_probe pruning, banded SRP-LSH) against the exact
     cosine brute force on the same query set: the similarity-search
-    quality report every ANN deployment publishes. A left-semi join of
-    each approximate top-k against the exact top-k; all three legs are
-    the existing bounded-broadcast operators."""
+    quality report every ANN deployment publishes. The four approximate
+    top-k legs are tagged and unioned, then ONE left-semi join against a
+    single exact top-k leg scores them all (r13: the per-method join
+    recomputed the corpus-scan brute-force leg 4x; unioning first makes
+    it appear once in the plan), and a per-method count — left-joined
+    onto the literal method list so a 0-recall method still emits its
+    row — yields the identical recall values."""
     k, nq = 5, len(ANN_QUERY_IDS)
     exact = _q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    legs = []
-    for method, qfn in (
+    methods = (
         ("ivf", _q_ann_ivf),
         ("srp", _q_ann_srp),
         ("pq", _q_ann_pq),
         ("ivf_pq", _q_ann_ivf_pq),
-    ):
-        hits = (
-            qfn(spark, sf_dir)
-            .select("query_id", "vec_id")
-            .join(exact, ["query_id", "vec_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tagged = None
+    for method, qfn in methods:
+        leg = qfn(spark, sf_dir).select(
+            F.lit(method).alias("method"), "query_id", "vec_id"
         )
-        legs.append(
-            hits.select(
-                F.lit(method).alias("method"),
-                F.lit(nq).cast("int").alias("n_queries"),
-                F.lit(k).cast("int").alias("k"),
-                F.round(F.col("n_hits") / F.lit(nq * k), 6).alias("recall"),
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+        tagged = leg if tagged is None else tagged.unionByName(leg)
+    hits = (
+        tagged.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    seed = spark.createDataFrame(
+        [(m,) for m, _ in methods], "method string"
+    )
+    return seed.join(hits, "method", "left").select(
+        "method",
+        F.lit(nq).cast("int").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(nq * k), 6
+        ).alias("recall"),
+    )
 
 
 def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -579,38 +579,57 @@ def pq_codebook(
     2011); like semdedup's centroids, codebook QUALITY only moves the
     recall/compression trade-off — the plan shape is identical, and the
     exact-rescore funnel bounds the damage of a bad codebook."""
+    # single scan: the m subspace rows are generated per input row by an
+    # inline explode instead of an m-way union of m full scans (r13,
+    # guide §2.3 — identical rows, 1/m the scan work and plan size)
     s = dim // m
-    out = None
     base = emb.filter(F.col(id_col) < n_codes)
-    for mi in range(m):
-        part = base.select(
-            F.lit(mi).alias("m"),
-            F.col(id_col).alias("code_id"),
-            F.transform(
-                F.slice(F.col(vec_col), mi * s + 1, s),
-                lambda x: x.cast("double"),
-            ).alias("sub"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mi * s + 1, s),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return base.select(
+        F.col(id_col).alias("code_id"), F.explode(subs).alias("__ms")
+    ).select(
+        F.col("__ms.m").alias("m"),
+        "code_id",
+        F.col("__ms.sub").alias("sub"),
+    )
 
 
 def _subspaces(
     df: DataFrame, dim: int, m: int, key_col: str, vec_col: str, out_key: str
 ) -> DataFrame:
+    # single scan via inline explode, not an m-way union of full scans
+    # (r13, guide §2.3): identical (key, m, sub) rows, 1/m the scan work
     s = dim // m
-    out = None
-    for mi in range(m):
-        part = df.select(
-            F.col(key_col).alias(out_key),
-            F.lit(mi).alias("m"),
-            F.transform(
-                F.slice(F.col(vec_col), mi * s + 1, s),
-                lambda x: x.cast("double"),
-            ).alias("sub"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mi * s + 1, s),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return df.select(
+        F.col(key_col).alias(out_key), F.explode(subs).alias("__ms")
+    ).select(
+        out_key,
+        F.col("__ms.m").alias("m"),
+        F.col("__ms.sub").alias("sub"),
+    )
 
 
 def pq_encode(

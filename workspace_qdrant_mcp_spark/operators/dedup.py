@@ -223,18 +223,36 @@ def lsh_band_buckets(
     """(doc_id, band, bucket) — bucket = md5 of the band's ordered minhash
     values. String bucket keys keep the join key scalar (identical semantics
     in the oracle). Bands come from the wide signature by column slicing —
-    no shuffle at all."""
+    no shuffle at all; the per-band rows are generated by ONE inline
+    explode instead of a bands-way union of scans (r13, guide §2.3 —
+    identical rows, 1/bands the scan work and plan size, which doubles up
+    because both sides of the downstream band self-join carry this
+    subtree)."""
     rows = n_hashes // bands
-    out = None
-    for band in range(bands):
-        cols = [F.col(f"v{band * rows + r}").cast("string") for r in range(rows)]
-        part = signatures.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat_ws(",", *cols).cast("binary")).alias("bucket"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"v{band * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    ).cast("binary")
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.explode(per_band).alias("__bb")
+    ).select(
+        "doc_id",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
 
 
 def minhash_lsh_neardup(
@@ -585,17 +603,28 @@ def simhash_neardup(
     sim = simhash(corpus, terms=terms) if signatures is None else signatures
     band_width = SIMHASH_BITS // bands
     mask = (1 << band_width) - 1
-    bs = None
-    for k in range(bands):
-        part = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("k"),
-            F.shiftright(F.col("simhash"), k * band_width)
-            .bitwiseAND(F.lit(mask))
-            .alias("bk"),
-        )
-        bs = part if bs is None else bs.unionByName(part)
+    # one inline explode, not a bands-way union of scans (r13, guide
+    # §2.3): identical rows, and the saving doubles because BOTH sides
+    # of the band self-join below carry this subtree
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("simhash"), k * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bk"),
+            )
+            for k in range(bands)
+        ]
+    )
+    bs = sim.select(
+        "doc_id", "simhash", F.explode(per_band).alias("__kb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("__kb.k").alias("k"),
+        F.col("__kb.bk").alias("bk"),
+    )
     cand = (
         bs.alias("a")
         .join(bs.alias("b"), ["k", "bk"])

@@ -278,48 +278,62 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # static (node_id, out_deg) table — pinned once; each round unions it
+    # into the contribution aggregate so every node stays present WITHOUT
+    # the former per-round join-back onto the rank state (r13, guide
+    # §2.4: sum over {contribs…, 0.0} == coalesce(sum(contribs), 0.0)
+    # exactly for these nonnegative doubles, and max over {out_deg, nulls}
+    # recovers the static degree)
+    static = (
+        nodes.join(out_deg, "node_id", "left")
+        .select(
+            "node_id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+        )
+        .localCheckpoint()
+    )
+    n = static.count()
     # each iteration's rank state supersedes the previous one — roll the
     # checkpoints so storage stays constant across n_iters (and across a
     # long multi-query session; see ckpt.py)
     roll = RollingCheckpoint(edges.sparkSession)
     ranks = roll(
-        nodes.join(out_deg, "node_id", "left")
-        .select(
-            "node_id",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.lit(1.0).alias("rank"),
-        )
+        static.select("node_id", "out_deg", F.lit(1.0 / n).alias("rank"))
     )
-    n = ranks.count()
-    ranks = roll(ranks.withColumn("rank", F.lit(1.0 / n)))
     # Small-state graphs: broadcast the rank vector into the edge join so
     # each iteration is map-side over the (checkpointed, never reshuffled)
     # edge table + ONE shuffle for the dst aggregation. Huge graphs fall
     # back to the shuffle join automatically.
     bcast = n <= BROADCAST_STATE_MAX_NODES
     for _ in range(n_iters):
-        # dangling mass as a lazy 1-row aggregate cross-joined into the
-        # update — one Spark job per iteration (the checkpoint), not two
+        # dangling mass collected from the fresh checkpoint as a literal
+        # (r13): same aggregate value as the former lazy 1-row
+        # crossJoin(broadcast(dang)), minus a broadcast exchange per round
         dang = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
         state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
         contrib = (
             e.join(F.broadcast(state) if bcast else state, "src")
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+                F.lit(None).cast("long").alias("od"),
+            )
+        )
+        base = static.select(
+            "node_id", F.lit(0.0).alias("c"), F.col("out_deg").alias("od")
         )
         ranks = roll(
-            ranks.select("node_id", "out_deg")
-            .join(contrib, "node_id", "left")
-            .crossJoin(F.broadcast(dang))
+            contrib.unionByName(base)
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("inflow"), F.max("od").alias("out_deg"))
             .select(
                 "node_id",
                 "out_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dang") / F.lit(float(n)))
+                    * (F.col("inflow") + F.lit(dang) / F.lit(float(n)))
                 ).alias("rank"),
             )
             # eager checkpoint: one materialization per iteration, constant
@@ -354,40 +368,47 @@ def personalized_pagerank(
     pcol = F.when(F.col("node_id").isin(seeds), F.lit(p_seed)).otherwise(
         F.lit(0.0)
     )
-    roll = RollingCheckpoint(edges.sparkSession)
-    ranks = roll(
+    # static (node_id, out_deg) union leg replaces the per-round
+    # join-back, dangling mass collected as a literal — same re-shape as
+    # pagerank() above (r13, guide §2.4); float-exact because the extra
+    # 0.0 term is additive identity for these nonnegative sums
+    static = (
         nodes.join(out_deg, "node_id", "left")
         .select(
-            "node_id",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            pcol.alias("rank"),
+            "node_id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
         )
+        .localCheckpoint()
     )
-    bcast = ranks.count() <= BROADCAST_STATE_MAX_NODES
+    roll = RollingCheckpoint(edges.sparkSession)
+    ranks = roll(static.select("node_id", "out_deg", pcol.alias("rank")))
+    bcast = static.count() <= BROADCAST_STATE_MAX_NODES
     for _ in range(n_iters):
         dang = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
         state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
         contrib = (
             e.join(F.broadcast(state) if bcast else state, "src")
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+                F.lit(None).cast("long").alias("od"),
+            )
+        )
+        base = static.select(
+            "node_id", F.lit(0.0).alias("c"), F.col("out_deg").alias("od")
         )
         ranks = roll(
-            ranks.select("node_id", "out_deg")
-            .join(contrib, "node_id", "left")
-            .crossJoin(F.broadcast(dang))
+            contrib.unionByName(base)
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("inflow"), F.max("od").alias("out_deg"))
             .select(
                 "node_id",
                 "out_deg",
                 (
                     F.lit(1.0 - damping) * pcol
                     + F.lit(damping)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + F.col("dang") * pcol
-                    )
+                    * (F.col("inflow") + F.lit(dang) * pcol)
                 ).alias("rank"),
             )
         )
@@ -420,19 +441,17 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
     prev_sum = None
     for _ in range(n_iters):
         state = labels.select(F.col("node_id").alias("src"), "component")
-        nbr_min = (
-            und.join(F.broadcast(state) if bcast else state, "src")
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.min("component").alias("nbr"))
-        )
+        # min over {own label} ∪ {neighbor labels} via union+groupBy —
+        # exactly least(own, min(nbrs)) but without the per-round
+        # join-back onto the label state (r13, guide §2.4; integer min
+        # is order- and duplicate-insensitive)
+        msgs = und.join(
+            F.broadcast(state) if bcast else state, "src"
+        ).select(F.col("dst").alias("node_id"), "component")
         labels = roll(
-            labels.join(nbr_min, "node_id", "left")
-            .select(
-                "node_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr", F.col("component"))
-                ).alias("component"),
-            )
+            msgs.unionByName(labels.select("node_id", "component"))
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component"))
         )
         # labels only ever decrease; an unchanged sum ⇒ fixed point reached
         # — further iterations are identity, so early exit preserves the

@@ -3126,7 +3126,13 @@ def _q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from workspace_qdrant_mcp_spark.sources import multimodal as mm
 
-    ids = spark.range(VIDEO_N_ASSETS).select(F.col("id").alias("asset_id"))
+    # one partition on purpose (guide §4): 8 tiny assets over default
+    # parallelism spread 1 row per task, so a cold run paid up to 32
+    # Python-worker pandas/numpy imports for ~ms of real work each —
+    # single-slice range keeps the heavyweight init to one worker
+    ids = spark.range(0, VIDEO_N_ASSETS, 1, 1).select(
+        F.col("id").alias("asset_id")
+    )
 
     def gen(batches):
         for pdf in batches:

@@ -978,19 +978,36 @@ def lloyd_kmeans(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cents = pts.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cluster_id"), F.col("v").alias("c")
-    )
     # the first-k init REQUIRES ids 0..k-1 to all be present (dense
     # zero-based numeric ids, the corpus contract); sparse / non-zero-
     # based / string ids would silently yield fewer than k clusters and
     # skew every downstream per-cluster quota — fail loudly instead
     # (the loud-failure discipline; the probe is bounded by k rows).
-    n_init = cents.count()
-    if n_init != k:
+    # r13: the centroid state is BOUNDED model state (k×dim rounded
+    # doubles), so it lives on the driver between rounds — the former
+    # lazy cents lineage referenced each round's centroids twice
+    # (assign + the empty-cluster join), so the final plan duplicated
+    # the corpus-assign subtree exponentially in n_rounds (~1900
+    # formatted plan lines, 114 Exchange at 3 rounds). Collected
+    # round-6 means are exact: collect returns the engine's double,
+    # createDataFrame replays it bit-for-bit (guide §2.4, §8).
+    init_rows = (
+        pts.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cluster_id"), "v")
+        .collect()
+    )
+    cent_map = {r["cluster_id"]: list(r["v"]) for r in init_rows}
+    if len(cent_map) != k or sorted(cent_map) != list(range(k)):
         raise ValueError(
-            f"lloyd_kmeans first-k init found {n_init} of {k} centroids: "
-            f"ids 0..{k - 1} must all be present in {id_col}"
+            f"lloyd_kmeans first-k init found {len(cent_map)} of {k} "
+            f"centroids: ids 0..{k - 1} must all be present in {id_col}"
+        )
+    spark = emb.sparkSession
+
+    def _cents_df(cmap):
+        return spark.createDataFrame(
+            [(cid, cmap[cid]) for cid in sorted(cmap)],
+            "cluster_id int, c array<double>",
         )
 
     def assign(points, centroids):
@@ -1011,8 +1028,8 @@ def lloyd_kmeans(
         )
 
     for _ in range(n_rounds):
-        assigned = assign(pts, cents)
-        means = (
+        assigned = assign(pts, _cents_df(cent_map))
+        mean_rows = (
             assigned.select(
                 "cluster_id", F.posexplode("v").alias("pos", "val")
             )
@@ -1025,14 +1042,13 @@ def lloyd_kmeans(
                     lambda s: s["m"],
                 ).alias("cm")
             )
+            .collect()
         )
-        cents = (
-            cents.join(means, "cluster_id", "left")
-            .select(
-                "cluster_id", F.coalesce("cm", F.col("c")).alias("c")
-            )
-        )
-    final = assign(pts, cents)
+        # empty clusters keep their previous centroid (the former
+        # left-join coalesce, replayed driver-side)
+        for r in mean_rows:
+            cent_map[r["cluster_id"]] = list(r["cm"])
+    final = assign(pts, _cents_df(cent_map))
     return final.select(
         id_col, "cluster_id", F.round("__d", 6).alias("dist")
     )

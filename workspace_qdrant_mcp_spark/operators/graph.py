@@ -1694,11 +1694,14 @@ def minimum_spanning_forest(
     a segmented distributed pointer-jumping pass on the same comp
     graph with no driver state. Both paths compute the identical
     min-label components, so the switch never changes the result. Per
-    round the driver path costs 3 small jobs — min-edge collect,
-    forest checkpoint, label remap. RollingCheckpoint per state (edge
-    set / forest / labels have independent lifetimes) bounds lineage
-    and storage; the empty-pair fixpoint exit preserves exact
-    fixed-round semantics for the oracle's unrolled CTE chain."""
+    round the driver path costs 2 small jobs — min-edge collect and
+    label remap; the selected-forest accumulator stays LAZY (a union
+    chain over the per-round checkpointed min tables, lineage depth =
+    round count; cross-round edge sets are disjoint by construction so
+    no union-wide re-distinct, r13). RollingCheckpoint on the label
+    state bounds lineage and storage; the empty-pair fixpoint exit
+    preserves exact fixed-round semantics for the oracle's unrolled
+    CTE chain."""
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -1711,7 +1714,6 @@ def minimum_spanning_forest(
     )
     e = e.localCheckpoint()
     spark = edges.sparkSession
-    roll_sel = RollingCheckpoint(spark)
     roll_lab = RollingCheckpoint(spark)
     nodes = (
         e.select(F.col("src").alias("node_id"))
@@ -1775,10 +1777,17 @@ def minimum_spanning_forest(
             )
         else:
             labels = _pointer_jump_labels(labels, mins, roll_lab)
+        # lazy accumulation (r13): sel_new reads the CHECKPOINTED mins,
+        # so the union chain's lineage depth is just the round count —
+        # the former per-round roll_sel checkpoint action bought
+        # nothing. Cross-round edges are disjoint by construction (a
+        # selected edge's endpoints share a component from the merge
+        # on), so the within-round distinct suffices and the former
+        # union-wide re-distinct per round is dropped.
         sel_new = mins.select("src", "dst", "weight").distinct()
-        selected = roll_sel(
+        selected = (
             sel_new if selected is None
-            else selected.unionByName(sel_new).distinct()
+            else selected.unionByName(sel_new)
         )
     if selected is None:
         return e.limit(0)

@@ -45,23 +45,38 @@ def affinity_components(pairs: DataFrame, n_iters: int = CC_SWEEPS) -> DataFrame
         .distinct()
         .localCheckpoint()
     )
-    labels = und.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
+    labels = (
+        und.select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # r13 (the connected_components discipline): min over {own label} ∪
+    # {neighbor labels} via union+groupBy — exactly least(own, min(nbrs))
+    # without the per-round join-back. The own row rides a flag so the
+    # convergence probe is a scan of the fresh checkpoint (new < old,
+    # valid for any orderable label type incl. strings); labels only
+    # ever decrease, so no change ⇒ fixed point ⇒ the remaining fixed
+    # sweeps are identity and early exit preserves the exact n_iters
+    # output.
     for _ in range(n_iters):
-        nbr_min = (
-            und.join(labels, und.v == labels.node)
-            .groupBy(F.col("u").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+        msgs = und.join(labels, und.v == labels.node).select(
+            F.col("u").alias("node"), "label", F.lit(False).alias("own")
         )
-        labels = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        new = (
+            msgs.unionByName(
+                labels.select("node", "label", F.lit(True).alias("own"))
+            )
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
             )
             .localCheckpoint()
         )
+        changed = new.filter(F.col("label") < F.col("__old")).limit(1).count()
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
     return labels.select(
         F.col("node").alias("tenant_id"), F.col("label").alias("group_key")
     )

@@ -141,40 +141,44 @@ def curation_funnel(docs: DataFrame, strata_col: str = "source") -> DataFrame:
     fixture text), (4) exact-dedup canonicality (the minimum doc_id for
     its normalized-text fingerprint).
 
-    Shape: four doc-keyed narrow aggregates equi-joined on doc_id, then
-    one groupBy(source) — AQE coalesces the join shuffles; nothing is
-    broadcast or collected."""
+    Shape (r13, guide §2.3): the quality gates, the PII total and the
+    dedup fingerprint are all PER-ROW expressions, so they ride ONE
+    fused projection over the scan (they were formerly four separate
+    scans equi-joined on doc_id); canonicality is a window over fp on
+    the same frame. Only the repetition gate — a true aggregate (gram
+    counts) — still joins back on doc_id. Values are identical: the
+    fused flags evaluate the same rounded expressions the standalone
+    operators project."""
     from pyspark.sql import Window
 
+    from ..io import fan_out
     from . import pii as pii_mod
-    from .textstats import fingerprint, gopher_quality, gopher_repetition
+    from .textstats import (
+        fingerprint_expr,
+        gopher_quality_exprs,
+        gopher_repetition,
+    )
 
-    q = gopher_quality(docs).select(
+    gq = gopher_quality_exprs("text")
+    q_pass = (
+        gq["pass_word_count"]
+        & gq["pass_mean_word_len"]
+        & gq["pass_symbol_ratio"]
+        & gq["pass_alpha_words"]
+    )
+    base = fan_out(pii_mod.augment_with_pii(docs)).select(
         "doc_id",
-        (
-            F.col("pass_word_count")
-            & F.col("pass_mean_word_len")
-            & F.col("pass_symbol_ratio")
-            & F.col("pass_alpha_words")
-        ).alias("q_pass"),
+        strata_col,
+        q_pass.alias("q_pass"),
+        pii_mod.pii_total_expr("pii_text").alias("pii_total"),
+        fingerprint_expr("text").alias("fp"),
+    )
+    base = base.withColumn(
+        "is_canon",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
     )
     rep = gopher_repetition(docs).select("doc_id", "repetition_pass")
-    p = pii_mod.pii_detect(pii_mod.augment_with_pii(docs)).select(
-        "doc_id", "pii_total"
-    )
-    canon = fingerprint(docs).select(
-        "doc_id",
-        (
-            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
-        ).alias("is_canon"),
-    )
-    j = (
-        docs.select("doc_id", strata_col)
-        .join(q, "doc_id")
-        .join(rep, "doc_id")
-        .join(p, "doc_id")
-        .join(canon, "doc_id")
-    )
+    j = base.join(rep, "doc_id")
     s1 = F.col("q_pass")
     s2 = s1 & F.col("repetition_pass")
     s3 = s2 & (F.col("pii_total") == 0)

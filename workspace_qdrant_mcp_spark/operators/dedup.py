@@ -108,13 +108,22 @@ def ngram_jaccard_pairs(
     # join on the gram's int64 hash, not the ~3-word string — smaller
     # shuffle keys and cheaper hash-join probes (collisions ~1e-10/pair,
     # mirrored in the oracle)
-    grams = fan_out(corpus).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                word_ngrams(F.col("text"), n), lambda g: md5_hash64(g)
-            )
-        ).alias("gram"),
+    # materialize the gram table once (r13, guide §5: cache what is
+    # reused): it feeds FOUR consumers — the stop-gram df count, both
+    # sides of the inverted-index self-join, and the kept-size
+    # aggregate — and scan subtrees are not covered by AQE exchange
+    # reuse, so the lazy shape re-ran the explode+md5 per consumer
+    grams = (
+        fan_out(corpus)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    word_ngrams(F.col("text"), n), lambda g: md5_hash64(g)
+                )
+            ).alias("gram"),
+        )
+        .localCheckpoint()
     )
     if max_df_frac is not None:
         # n_docs as a lazy 1-row broadcast aggregate (no driver action);

@@ -92,13 +92,20 @@ def pii_detect(
         red = F.regexp_replace(
             red, pat, {"ipv4": "<IP>", "govid": "<ID>"}.get(name, f"<{name.upper()}>")
         )
+    return fan_out(docs).select(
+        F.col(id_col),
+        *counts.values(),
+        pii_total_expr(text_col).alias("pii_total"),
+        F.substring(F.md5(red.cast("binary")), 1, 16).alias("redacted_fp"),
+    )
+
+
+def pii_total_expr(text_col: str = "pii_text"):
+    """The pii_total column expression alone (shared with
+    curation_funnel's fused single-scan shape, r13)."""
+    t = F.col(text_col)
     total = None
     for name, _ in PII_PATTERNS:
         c = F.regexp_count(t, F.lit(dict(PII_PATTERNS)[name])).cast("int")
         total = c if total is None else total + c
-    return fan_out(docs).select(
-        F.col(id_col),
-        *counts.values(),
-        total.alias("pii_total"),
-        F.substring(F.md5(red.cast("binary")), 1, 16).alias("redacted_fp"),
-    )
+    return total

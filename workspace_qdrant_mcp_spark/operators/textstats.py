@@ -226,6 +226,54 @@ def gopher_repetition(
     )
 
 
+def gopher_quality_exprs(text_col: str = "text") -> dict:
+    """The Gopher-quality columns as a name → expression dict over a
+    single projection — THE one definition, shared by gopher_quality and
+    curation_funnel so the funnel can fuse all per-row gates into one
+    scan instead of a doc_id join per gate (r13, guide §2.3). Values
+    are identical to the former two-stage select: the pass flags read
+    the same rounded expressions the stat columns carry."""
+    t = F.col(text_col)
+    words = _ws_tokens(t)
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    mwl = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / denom,
+        6,
+    )
+    swr = F.round(
+        F.regexp_count(t, F.lit(GOPHER_SYMBOL_RE)).cast("double") / denom, 6
+    )
+    faw = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
+        / denom,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
+    pass_wc = n_words.between(50, 100000)
+    pass_mwl = mwl.between(3.0, 10.0)
+    pass_sym = swr < 0.1
+    pass_alpha = faw > 0.8
+    pass_stop = n_stop >= 2
+    return {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": swr,
+        "frac_alpha_words": faw,
+        "stopwords_present": n_stop,
+        "pass_word_count": pass_wc,
+        "pass_mean_word_len": pass_mwl,
+        "pass_symbol_ratio": pass_sym,
+        "pass_alpha_words": pass_alpha,
+        "pass_stopwords": pass_stop,
+        "keep": pass_wc & pass_mwl & pass_sym & pass_alpha & pass_stop,
+    }
+
+
 def gopher_quality(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -234,43 +282,9 @@ def gopher_quality(
     symbol-to-word ratio < 0.1, >80% words containing an alphabetic char,
     ≥2 distinct required stopwords — plus the per-rule booleans and the
     conjunction `keep`. Shuffle-free: a narrow map over the scan."""
-    t = F.col(text_col)
-    words = _ws_tokens(t)
-    n_words = F.size(words)
-    denom = F.greatest(n_words, F.lit(1))
-    mwl = (
-        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
-            "double"
-        )
-        / denom
-    )
-    swr = F.regexp_count(t, F.lit(GOPHER_SYMBOL_RE)).cast("double") / denom
-    faw = (
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double") / denom
-    )
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
-    d = fan_out(docs).select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(swr, 6).alias("symbol_word_ratio"),
-        F.round(faw, 6).alias("frac_alpha_words"),
-        n_stop.alias("stopwords_present"),
-    )
-    pass_wc = F.col("n_words").between(50, 100000)
-    pass_mwl = F.col("mean_word_len").between(3.0, 10.0)
-    pass_sym = F.col("symbol_word_ratio") < 0.1
-    pass_alpha = F.col("frac_alpha_words") > 0.8
-    pass_stop = F.col("stopwords_present") >= 2
-    return d.select(
-        "*",
-        pass_wc.alias("pass_word_count"),
-        pass_mwl.alias("pass_mean_word_len"),
-        pass_sym.alias("pass_symbol_ratio"),
-        pass_alpha.alias("pass_alpha_words"),
-        pass_stop.alias("pass_stopwords"),
-        (pass_wc & pass_mwl & pass_sym & pass_alpha & pass_stop).alias("keep"),
+    ex = gopher_quality_exprs(text_col)
+    return fan_out(docs).select(
+        F.col(id_col), *[v.alias(k) for k, v in ex.items()]
     )
 
 
@@ -354,11 +368,16 @@ def fingerprint(
     (lowercased, whitespace collapsed). The md5 prefix is the distributed
     analog of the reference's content-hash dedup key (file_hash,
     chunk_embed/payload.rs)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
     return fan_out(docs).select(
-        F.col(id_col),
-        F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fp"),
+        F.col(id_col), fingerprint_expr(text_col).alias("fp")
     )
+
+
+def fingerprint_expr(text_col: str = "text"):
+    """The fingerprint column expression alone (shared with
+    curation_funnel's fused single-scan shape, r13)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return F.substring(F.md5(norm.cast("binary")), 1, 16)
 
 
 

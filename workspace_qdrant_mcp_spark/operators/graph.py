@@ -1454,21 +1454,33 @@ def strongly_connected_components(
         roll = RollingCheckpoint(spark)
         colors = roll(nodes.select("node_id", F.col("node_id").alias("color")))
         for _ in range(n_iters):
-            msg = (
-                rem.join(
-                    colors.select(F.col("node_id").alias("src"), "color"),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("node_id"))
-                .agg(F.min("color").alias("m"))
+            # min over {own color} ∪ {incoming colors} via union+groupBy
+            # (r13, the connected_components shape): exactly
+            # least(own, min(msgs)) with no join-back exchange; chg =
+            # the min beat the own color, read from the own-row flag
+            msgs = rem.join(
+                colors.select(F.col("node_id").alias("src"), "color"),
+                "src",
+            ).select(
+                F.col("dst").alias("node_id"),
+                "color",
+                F.lit(False).alias("own"),
             )
             new = roll(
-                colors.join(msg, "node_id", "left").select(
+                msgs.unionByName(
+                    colors.select("node_id", "color", F.lit(True).alias("own"))
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.min("color").alias("color"),
+                    F.min(
+                        F.when(F.col("own"), F.col("color"))
+                    ).alias("__old"),
+                )
+                .select(
                     "node_id",
-                    F.least(
-                        F.col("color"), F.coalesce("m", F.col("color"))
-                    ).alias("color"),
-                    (F.col("m") < F.col("color")).alias("chg"),
+                    "color",
+                    (F.col("color") < F.col("__old")).alias("chg"),
                 )
             )
             changed = new.filter("chg").limit(1).count()
@@ -1556,25 +1568,44 @@ def strongly_connected_components(
                 .select(F.col("src").alias("node_id"), "dcolor")
                 .distinct()
             )
+            # union+groupBy instead of the join-back (r13, same shape
+            # as the forward loop): max(bool) over {own inscc, match
+            # hits} is the OR; the own row carries color (match rows
+            # ride a null) and the old flag for the chg probe
             match = (
                 cand.join(
                     colors.withColumnRenamed("color", "vcolor"), "node_id"
                 )
                 .filter(F.col("dcolor") == F.col("vcolor"))
-                .select("node_id")
+                .select(
+                    "node_id",
+                    F.lit(None)
+                    .cast(flags.schema["color"].dataType)
+                    .alias("color"),
+                    F.lit(True).alias("inscc"),
+                    F.lit(False).alias("own"),
+                )
                 .distinct()
-                .withColumn("f2", F.lit(True))
             )
             new = roll_fl(
-                flags.join(match, "node_id", "left").select(
+                match.unionByName(
+                    flags.select(
+                        "node_id", "color", "inscc", F.lit(True).alias("own")
+                    )
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.max("color").alias("color"),
+                    F.max("inscc").alias("inscc"),
+                    F.max(
+                        F.when(F.col("own"), F.col("inscc"))
+                    ).alias("__old"),
+                )
+                .select(
                     "node_id",
                     "color",
-                    (
-                        F.col("inscc") | F.coalesce("f2", F.lit(False))
-                    ).alias("inscc"),
-                    (
-                        ~F.col("inscc") & F.coalesce("f2", F.lit(False))
-                    ).alias("chg"),
+                    "inscc",
+                    (F.col("inscc") & ~F.col("__old")).alias("chg"),
                 )
             )
             changed = new.filter("chg").limit(1).count()

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm
 
 
 def bruteforce_topk(
@@ -30,16 +30,25 @@ def bruteforce_topk(
 ) -> DataFrame:
     """(query_id, vec_id, score, rnk) — exact cosine top-k per query row,
     excluding self-matches. queries: (query_id, embedding), broadcast."""
+    # per-side norms computed BEFORE the pair join (r13, guide §2.3):
+    # each corpus vector's norm fold runs once, not once per query —
+    # bit-identical (cosine = dot/(norm(a)*norm(b)), same folds)
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select(id_col, vec_col, norm(F.col(vec_col)).alias("__nv"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+            (
+                dot(F.col(vec_col), F.col("__qv"))
+                / (F.col("__nv") * F.col("__nq"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -298,14 +307,22 @@ def _cell_probe_topk(
     id ASC). broadcast_queries=False when the query side is corpus-sized
     (the k-NN graph) — then the equi-join shuffles both sides on the
     cell instead."""
-    q = F.broadcast(qcells) if broadcast_queries else qcells
+    # per-side norms before the join (r13): one norm fold per corpus
+    # vector / per probe row instead of one per scored pair —
+    # bit-identical to cosine()
+    qn = qcells.withColumn("__nq", norm(F.col("__qv")))
+    q = F.broadcast(qn) if broadcast_queries else qn
     scored = (
-        assigned.join(q, "cell_id")
+        assigned.withColumn("__nv", norm(F.col(vec_col)))
+        .join(q, "cell_id")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+            (
+                dot(F.col(vec_col), F.col("__qv"))
+                / (F.col("__nv") * F.col("__nq"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -524,13 +541,18 @@ def sq_topk(
         .withColumn("__qdq", sq_dequant_expr(F.col("__qcode")))
         .select(query_id_col, "__qv", "__qdq")
     )
+    # per-side norms before the pair join (r13) — bit-identical
     approx = (
-        coded.crossJoin(F.broadcast(q))
+        coded.withColumn("__ndq", norm(F.col("__dq")))
+        .crossJoin(F.broadcast(q.withColumn("__nqdq", norm(F.col("__qdq")))))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("__dq"), F.col("__qdq")).alias("__ascore"),
+            (
+                dot(F.col("__dq"), F.col("__qdq"))
+                / (F.col("__ndq") * F.col("__nqdq"))
+            ).alias("__ascore"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("__ascore"), F.asc(id_col))

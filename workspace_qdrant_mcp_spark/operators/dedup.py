@@ -112,7 +112,9 @@ def ngram_jaccard_pairs(
     # reused): it feeds FOUR consumers — the stop-gram df count, both
     # sides of the inverted-index self-join, and the kept-size
     # aggregate — and scan subtrees are not covered by AQE exchange
-    # reuse, so the lazy shape re-ran the explode+md5 per consumer
+    # reuse, so the lazy shape re-ran the explode+md5 per consumer.
+    # eager=False: plan assembly stays job-free (locked by
+    # test_cap_is_plan_side_not_driver); the first action materializes.
     grams = (
         fan_out(corpus)
         .select(
@@ -123,7 +125,7 @@ def ngram_jaccard_pairs(
                 )
             ).alias("gram"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if max_df_frac is not None:
         # n_docs as a lazy 1-row broadcast aggregate (no driver action);
@@ -717,19 +719,31 @@ def embedding_neardup(
     """(id_a, id_b, cos_sim) — cosine >= threshold within blocks. Blocking
     turns the O(N²) cross join into Σ block² — at 100 TB the block key is an
     LSH bucket or IVF centroid id instead of a label, same plan shape."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
+    # per-VECTOR norms ride each join side (r13, guide §2.3): the norm
+    # fold runs once per vector instead of once per pair side —
+    # bit-identical, cosine = dot/(norm(a)*norm(b)) with the same folds
     corpus = with_perturbed_vectors(emb)
     a = corpus.select(
-        F.col(block_col), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+        F.col(block_col),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        norm(F.col("e")).alias("na"),
     )
     b = corpus.select(
-        F.col(block_col), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+        F.col(block_col),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        norm(F.col("e")).alias("nb"),
     )
     return (
         a.join(b, block_col)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -769,7 +783,7 @@ def semdedup(
     """
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine, dot, norm
 
     corpus = with_perturbed_vectors(emb)
     if centroid_mode == "kmeans":
@@ -814,16 +828,27 @@ def semdedup(
         .select("vec_id", "cluster_id", "e")
         .localCheckpoint()
     )
+    # per-vector norms on each side (r13): one norm fold per vector,
+    # not per pair side — bit-identical to cosine()
     a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        norm(F.col("e")).alias("na"),
     )
     b = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        norm(F.col("e")).alias("nb"),
     )
     dominated = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("dropped_for"))
     )
@@ -1069,7 +1094,7 @@ def contrastive_pairs(
     negative for the same anchor."""
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     if neg_hi > pos_threshold:
         raise ValueError(
@@ -1078,16 +1103,27 @@ def contrastive_pairs(
             "both positive and negative"
         )
     corpus = with_perturbed_vectors(emb)
+    # per-vector norms on each side (r13): one norm fold per vector,
+    # not per pair side — bit-identical to cosine()
     a = corpus.select(
-        F.col(block_col), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+        F.col(block_col),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        norm(F.col("e")).alias("na"),
     )
     b = corpus.select(
-        F.col(block_col), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+        F.col(block_col),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        norm(F.col("e")).alias("nb"),
     )
     pairs = (
         a.join(b, block_col)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        )
         .select("id_a", "id_b", "cos_sim")
         .localCheckpoint()
     )

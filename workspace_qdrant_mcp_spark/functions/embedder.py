@@ -222,20 +222,29 @@ def splade_postings(
     toks = df.select(F.col(id_col), F.explode(tokenize_bm25(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     w0 = F.log(F.lit(1.0) + F.col("tf"))
-    legs = []
-    for k in range(n_expansions + 1):
-        legs.append(
-            tf.select(
-                F.col(id_col),
-                (md5_hash64(F.col("term"), salt=f"splade{k}|") % vocab_size).alias(
-                    "term_id"
-                ),
+    # the n_expansions+1 activation rows are generated per tf row by ONE
+    # inline explode instead of a legs-way union of projections over the
+    # same tf subtree (r13, guide §2.3 — the PQ-subspace / LSH-band
+    # discipline): identical (id, term_id, w) rows, 1/legs the post-
+    # shuffle aggregate work, and the final sum is unchanged (weights
+    # land in round(·, 6), which absorbs partial-agg order exactly as
+    # in the union shape)
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    md5_hash64(F.col("term"), salt=f"splade{k}|") % vocab_size
+                ).alias("term_id"),
                 (w0 * F.lit(decay**k)).alias("w"),
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+            for k in range(n_expansions + 1)
+        ]
+    )
+    out = tf.select(F.col(id_col), F.explode(entries).alias("__e")).select(
+        F.col(id_col),
+        F.col("__e.term_id").alias("term_id"),
+        F.col("__e.w").alias("w"),
+    )
     return out.groupBy(id_col, "term_id").agg(
         F.round(F.sum("w"), 6).alias("weight")
     )

@@ -1907,13 +1907,17 @@ def random_walks(edges: DataFrame, walk_len: int = 4) -> DataFrame:
 
     Scale shape: step t is ONE equi-join of the current frontier (one
     row per live walk) against the adjacency on the current node, then
-    a per-walk row_number over (hash, node) — a window whose partitions
-    are each walk's neighbor candidates (bounded by max degree). Work
-    per step is Σ deg(current nodes) — the same cost as one sparse
-    matrix-vector step — and the plan is a linear chain of walk_len
-    such joins with no iteration-state checkpointing needed."""
+    a per-walk argmin over (hash, node) — a min(struct(h, v)) hash
+    aggregate (r13, guide §2.3: map-side partial aggregation collapses
+    each walk's candidates to one row per map task BEFORE the shuffle,
+    where the former row_number window shipped and sorted every
+    candidate; (h, v) is unique per walk since the simple graph's
+    neighbors are distinct, so struct-min == the (h asc, v asc)
+    row_number pick exactly). Work per step is Σ deg(current nodes) —
+    the same cost as one sparse matrix-vector step — and the plan is a
+    linear chain of walk_len such joins with no iteration-state
+    checkpointing needed."""
     from ..functions.hashing import md5_hash64
-    from pyspark.sql.window import Window
 
     und = _undirected_simple(edges)
     starts = (
@@ -1942,19 +1946,12 @@ def random_walks(edges: DataFrame, walk_len: int = 4) -> DataFrame:
         )
         nxt = (
             cand.withColumn("__h", h)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("walk_id").orderBy(
-                        F.asc("__h"), F.asc("v")
-                    )
-                ),
-            )
-            .filter(F.col("__rn") == 1)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("__h", "v")).alias("__m"))
             .select(
                 "walk_id",
                 F.lit(t).alias("step"),
-                F.col("v").alias("node"),
+                F.col("__m.v").alias("node"),
             )
         )
         frames.append(nxt)

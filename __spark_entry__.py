@@ -1224,8 +1224,23 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it appear once in the plan), and a per-method count — left-joined
     onto the literal method list so a 0-recall method still emits its
     row — yields the identical recall values."""
+    # r13 plan-size fix (optimization guide §3.3 "very wide unions/joins
+    # of many inputs produce enormous plans; planning time itself can
+    # become the bottleneck"): each leg's top-k result is nq*k <= 25
+    # rows — bounded model-sized output — so every leg is MATERIALIZED
+    # with a localCheckpoint before the union. The lazy shape handed
+    # Catalyst a ~3,500-line 4-method tree (192 Exchange) whose planning
+    # alone cost ~20 s warm and blew past 160 s under a long session's
+    # driver pressure; now each leg plans and runs as its own
+    # medium-sized query (the same per-leg work — every leg still
+    # computes from the parquet inputs on every invocation) and the
+    # recall tail is a trivial join over <=125 materialized rows.
     k, nq = 5, len(ANN_QUERY_IDS)
-    exact = _q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    exact = (
+        _q_ann_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
     methods = (
         ("ivf", _q_ann_ivf),
         ("srp", _q_ann_srp),
@@ -1236,7 +1251,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, qfn in methods:
         leg = qfn(spark, sf_dir).select(
             F.lit(method).alias("method"), "query_id", "vec_id"
-        )
+        ).localCheckpoint()
         tagged = leg if tagged is None else tagged.unionByName(leg)
     hits = (
         tagged.join(exact, ["query_id", "vec_id"], "left_semi")

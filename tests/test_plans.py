@@ -552,15 +552,16 @@ def test_unigram_viterbi_is_shuffle_free(spark):
     assert "Join" not in plan
 
 
-def test_wordpiece_scoring_broadcasts_symbol_counts(spark):
-    # the likelihood score joins pair counts against the bounded symbol
-    # table twice — both must broadcast (the vocab table is the big side)
+def test_wordpiece_scoring_is_join_free(spark):
+    # the likelihood score attaches the bounded symbol table as a
+    # collected literal map (r13) — the scored-pair plan must carry NO
+    # join of any kind: the only shuffle is the pair-count aggregate
     from workspace_qdrant_mcp_spark.operators import bpe
 
     docs = load_table(spark, SF_SMOKE, "documents")
     words = bpe._word_counts(docs, "text")
     plan = _plan(bpe._wp_scored_pairs(words))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -285,15 +285,24 @@ def _symbol_counts(words: DataFrame) -> DataFrame:
 
 def _wp_scored_pairs(words: DataFrame) -> DataFrame:
     """(lhs, rhs, cnt, score_micro): adjacent pairs with the quantized
-    log-likelihood score. The symbol table is bounded — both joins
-    broadcast."""
-    sc = _symbol_counts(words)
-    lc = sc.select(F.col("sym").alias("lhs"), F.col("sc").alias("lc"))
-    rc = sc.select(F.col("sym").alias("rhs"), F.col("sc").alias("rc"))
+    log-likelihood score. The symbol table is bounded model state
+    (vocabulary symbols), so it is COLLECTED and attached as a literal
+    map instead of two per-round broadcast joins (r13, guide §2.4 —
+    the _bpe_chain collected-argmax discipline): one aggregate job for
+    the symbol counts, then the pair argmax scores via element_at over
+    the literals — identical arithmetic (same JVM log over the same
+    doubles), two fewer joins and broadcast materializations per
+    round."""
+    sym = {
+        r["sym"]: int(r["sc"]) for r in _symbol_counts(words).collect()
+    }
+    m = F.create_map(
+        *[x for s in sorted(sym) for x in (F.lit(s), F.lit(sym[s]))]
+    )
     return (
         _pair_counts(words)
-        .join(F.broadcast(lc), "lhs")
-        .join(F.broadcast(rc), "rhs")
+        .withColumn("lc", F.element_at(m, F.col("lhs")))
+        .withColumn("rc", F.element_at(m, F.col("rhs")))
         .select(
             "lhs",
             "rhs",

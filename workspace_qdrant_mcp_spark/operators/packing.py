@@ -11,25 +11,26 @@ Semantics (sequential first-fit, the common streaming packer):
   - bin ids are dense per group starting at 0.
 
 Scale shape: token counting is a JVM regexp pass over the scan; the
-walk itself is order-defined, so it runs as `applyInPandas` per group —
-sequential WITHIN a group (that is the semantics), parallel ACROSS
-groups/shards, which is exactly how production packers shard at 100 TB
-(pack per input shard, never globally). Per-group state is two ints.
+walk itself is order-defined — sequential WITHIN a group (that is the
+semantics), parallel ACROSS groups/shards, which is exactly how
+production packers shard at 100 TB (pack per input shard, never
+globally). Per-group state is two ints. The walk runs as a JVM
+higher-order `aggregate` fold over the group's collected (doc_id,
+tokens) array (r13, optimization guide §4.1: built-ins over the Python
+boundary) — the former `applyInPandas` walk materialized the same
+whole group in a pandas frame, so the per-group memory contract is
+unchanged while the ArrowEvalPython round-trip and per-task Python
+worker disappear from the plan.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import BPE_TOKEN_RE
 
 PACK_BUDGET = 512
-
-PACK_SCHEMA = (
-    "source STRING, doc_id BIGINT, tokens INT, bin_id INT, bin_fill INT"
-)
 
 
 def pack_documents(
@@ -88,23 +89,56 @@ def pack_documents_bpe(
 
 
 def _pack_counted(counted: DataFrame, budget: int) -> DataFrame:
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, fills = [], []
-        bin_id, fill = 0, 0
-        for i, t in enumerate(pdf["tokens"]):
-            t = int(t)
-            if i == 0:
-                fill = t
-            elif fill + t > budget:
-                bin_id += 1
-                fill = t
-            else:
-                fill += t
-            bins.append(bin_id)
-            fills.append(fill)
-        pdf["bin_id"] = pd.Series(bins, dtype="int32")
-        pdf["bin_fill"] = pd.Series(fills, dtype="int32")
-        return pdf
+    """The sequential first-fit walk as a JVM fold: per group, collect
+    and sort the (doc_id, tokens) structs (doc_id is unique per group,
+    so struct order == doc_id order) and run the two-int recurrence with
+    F.aggregate, emitting one (doc_id, tokens, bin_id, bin_fill) struct
+    per doc. Exact integer arithmetic — value-identical to the former
+    pandas walk, with no Python evaluation node in the plan."""
+    ds = counted.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tokens"))).alias(
+            "ds"
+        )
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("bin_id"),
+        F.lit(0).cast("int").alias("fill"),
+        F.array()
+        .cast(
+            "array<struct<doc_id:bigint,tokens:int,bin_id:int,"
+            "bin_fill:int>>"
+        )
+        .alias("out"),
+    )
 
-    return counted.groupBy("source").applyInPandas(walk, PACK_SCHEMA)
+    def step(acc, d):
+        first = F.size(acc["out"]) == 0
+        overflow = (acc["fill"] + d["tokens"]) > F.lit(budget)
+        new_bin = (
+            F.when(first, F.lit(0).cast("int"))
+            .when(overflow, acc["bin_id"] + F.lit(1))
+            .otherwise(acc["bin_id"])
+        )
+        new_fill = F.when(first | overflow, d["tokens"]).otherwise(
+            acc["fill"] + d["tokens"]
+        )
+        row = F.struct(
+            d["doc_id"].alias("doc_id"),
+            d["tokens"].alias("tokens"),
+            new_bin.alias("bin_id"),
+            new_fill.alias("bin_fill"),
+        )
+        return F.struct(
+            new_bin.alias("bin_id"),
+            new_fill.alias("fill"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    packed = F.aggregate(F.col("ds"), zero, step)["out"]
+    return ds.select("source", F.explode(packed).alias("r")).select(
+        "source",
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.tokens").alias("tokens"),
+        F.col("r.bin_id").alias("bin_id"),
+        F.col("r.bin_fill").alias("bin_fill"),
+    )

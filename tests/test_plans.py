@@ -553,9 +553,11 @@ def test_unigram_viterbi_is_shuffle_free(spark):
 
 
 def test_wordpiece_scoring_is_join_free(spark):
-    # the likelihood score attaches the bounded symbol table as a
-    # collected literal map (r13) — the scored-pair plan must carry NO
-    # join of any kind: the only shuffle is the pair-count aggregate
+    # r13 second pass: ONE extended-pair aggregate per round is
+    # collected (bounded model state), the symbol denominators are
+    # integer lhs-sums of the collected rows, and the scored pairs are
+    # a LOCAL relation — the scored-pair plan must carry NO join and NO
+    # exchange; the word table is scanned once per round, not twice
     from workspace_qdrant_mcp_spark.operators import bpe
 
     docs = load_table(spark, SF_SMOKE, "documents")
@@ -563,6 +565,51 @@ def test_wordpiece_scoring_is_join_free(spark):
     plan = _plan(bpe._wp_scored_pairs(words))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+    # createDataFrame(list) plans as a local ExistingRDD scan
+    assert (
+        "LocalTableScan" in plan
+        or "ExistingRDD" in plan
+        or "EmptyRelation" in plan
+    )
+
+
+def test_ext_pair_counts_match_pair_and_symbol_counts(spark):
+    # the extended aggregate's interior rows must equal _pair_counts and
+    # its lhs-sums must equal the per-symbol occurrence counts the old
+    # separate symbol scan produced (the WordPiece score denominator) —
+    # including single-symbol words (boundary-only rows) and repeated
+    # adjacent symbols
+    from workspace_qdrant_mcp_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "aaa ab b ab aaa x"), (1, "aaa bx")],
+        "doc_id long, text string",
+    )
+    words = bpe._word_counts(docs, "text")
+    ext = bpe._ext_pair_counts(words).collect()
+    interior = {
+        (r["lhs"], r["rhs"]): int(r["cnt"]) for r in ext if r["rhs"] != ""
+    }
+    pairs = {
+        (r["lhs"], r["rhs"]): int(r["cnt"])
+        for r in bpe._pair_counts(words).collect()
+    }
+    assert interior == pairs
+    sc: dict[str, int] = {}
+    for r in ext:
+        sc[r["lhs"]] = sc.get(r["lhs"], 0) + int(r["cnt"])
+    # per-symbol occurrence counts computed independently
+    import re as _re
+
+    expect: dict[str, int] = {}
+    for d in docs.collect():
+        for w in _re.split(r"\s+", d["text"]):
+            if not w:
+                continue
+            for ch in w:
+                expect[ch] = expect.get(ch, 0) + 1
+    assert sc == expect
 
 
 def test_r10_continuation_queries_avoid_cartesian_and_python(spark):

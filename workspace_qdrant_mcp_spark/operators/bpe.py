@@ -192,12 +192,15 @@ def bpe_fertility(
     temperature_mixture's zero-token contract.
 
     Scale shape: bpe_doc_tokens' counts (corpus touched once, vocab
-    table rounds) + one map-side-combinable per-source rollup."""
-    per_doc = bpe_doc_tokens(docs, n_merges, text_col, id_col)
+    table rounds) + one map-side-combinable per-source rollup; the
+    source label rides the occ pass (r13 second pass, guide §2.3 —
+    formerly a third corpus scan joined back by doc_id)."""
+    _, words = _bpe_chain(docs, n_merges, text_col)
+    per_doc = _doc_tokens_from_words(
+        words, docs, "n_bpe_tokens", id_col, text_col, group_col
+    )
     return (
-        docs.select(F.col(id_col), F.col(group_col).alias("source"))
-        .join(per_doc, id_col)
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("n_words"),
@@ -207,6 +210,62 @@ def bpe_fertility(
             ).alias("fertility"),
         )
         .orderBy("source")
+    )
+
+
+def _word_occ(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """(doc_id[, source], word, occ) — the single tokenized corpus pass
+    of the doc-token family. When group_col is given, the group label
+    rides the aggregation key (functionally dependent on doc_id — same
+    row count, no extra exchange), so the fertility rollups need no
+    third corpus scan + doc_id join (r13 second pass, guide §2.3)."""
+    from ..io import fan_out
+
+    cols = [F.col(id_col)]
+    keys = [id_col]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("source"))
+        keys.append("source")
+    return (
+        fan_out(docs)
+        .select(*cols, F.explode(_ws_tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(SEP))
+        .groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+def _doc_tokens_from_words(
+    words: DataFrame,
+    docs: DataFrame,
+    tok_col: str,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Shared re-tokenization tail of bpe_doc_tokens and
+    wordpiece_doc_tokens: join the occ pass against the TRAINED word
+    table's symbol counts and roll up per doc (plus the group label when
+    the caller is a fertility rollup)."""
+    parts = F.split(F.col("repr"), BOUND)
+    seg = words.select("word", (F.size(parts) - F.lit(2)).alias("n_syms"))
+    occ = _word_occ(docs, id_col, text_col, group_col)
+    keys = [id_col] + (["source"] if group_col is not None else [])
+    return (
+        occ.join(seg, "word")
+        .groupBy(*keys)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_syms"))
+            .cast("bigint")
+            .alias(tok_col),
+        )
+        .orderBy(id_col)
     )
 
 
@@ -226,33 +285,9 @@ def bpe_doc_tokens(
     vocabulary report 0 BPE tokens for those words only via the join —
     with the default filter only separator-byte words are excluded, so
     in practice every word resolves."""
-    from ..io import fan_out
-
     _, words = _bpe_chain(docs, n_merges, text_col)
-    parts = F.split(F.col("repr"), BOUND)
-    seg = words.select(
-        "word", (F.size(parts) - F.lit(2)).alias("n_syms")
-    )
-    occ = (
-        fan_out(docs)
-        .select(
-            F.col(id_col),
-            F.explode(_ws_tokens(F.col(text_col))).alias("word"),
-        )
-        .filter(~F.col("word").contains(SEP))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
-    return (
-        occ.join(seg, "word")
-        .groupBy(id_col)
-        .agg(
-            F.sum("occ").cast("bigint").alias("n_words"),
-            F.sum(F.col("occ") * F.col("n_syms")).cast("bigint").alias(
-                "n_bpe_tokens"
-            ),
-        )
-        .orderBy(id_col)
+    return _doc_tokens_from_words(
+        words, docs, "n_bpe_tokens", id_col, text_col
     )
 
 
@@ -270,54 +305,89 @@ def bpe_doc_tokens(
 # ---------------------------------------------------------------------------
 
 
-def _symbol_counts(words: DataFrame) -> DataFrame:
-    """(sym, sc): per-symbol occurrence counts over the word table,
-    weighted by word frequency — the denominator of the WordPiece score.
-    Bounded by the vocabulary like _pair_counts."""
+def _ext_pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent symbol pairs EXTENDED with one
+    (last_symbol, '') boundary row per word occurrence, weighted by word
+    frequency. The interior rows (rhs != '') are exactly _pair_counts;
+    the boundary rows make the aggregate self-sufficient for the
+    WordPiece denominator, because every symbol occurrence is the lhs of
+    exactly one extended pair (its successor symbol, or '' at the word
+    end): sc(s) = Σ_r cnt(s, r). '' can never collide with a real symbol
+    (chars are length-filtered, merges concatenate non-empty). Output is
+    bounded by (symbol alphabet + n_merges)² — model state, independent
+    of corpus size."""
     parts = F.split(F.col("repr"), BOUND)
     syms = F.slice(parts, F.lit(2), F.size(parts) - F.lit(2))
+    n = F.size(F.col("syms"))
+    idx = F.sequence(F.lit(1), n - F.lit(1))
+    interior = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("syms"), i).alias("lhs"),
+            F.element_at(F.col("syms"), i + F.lit(1)).alias("rhs"),
+        ),
+    )
+    ext = F.concat(
+        F.when(n > 1, interior).otherwise(
+            F.array().cast("array<struct<lhs:string,rhs:string>>")
+        ),
+        F.array(
+            F.struct(
+                F.element_at(F.col("syms"), n).alias("lhs"),
+                F.lit("").alias("rhs"),
+            )
+        ),
+    )
     return (
-        words.select("wc", F.explode(syms).alias("sym"))
-        .groupBy("sym")
-        .agg(F.sum("wc").alias("sc"))
+        words.select("wc", syms.alias("syms"))
+        .select("wc", F.explode(ext).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("wc").alias("cnt"))
     )
 
 
 def _wp_scored_pairs(words: DataFrame) -> DataFrame:
     """(lhs, rhs, cnt, score_micro): adjacent pairs with the quantized
-    log-likelihood score. The symbol table is bounded model state
-    (vocabulary symbols), so it is COLLECTED and attached as a literal
-    map instead of two per-round broadcast joins (r13, guide §2.4 —
-    the _bpe_chain collected-argmax discipline): one aggregate job for
-    the symbol counts, then the pair argmax scores via element_at over
-    the literals — identical arithmetic (same JVM log over the same
-    doubles), two fewer joins and broadcast materializations per
-    round."""
-    sym = {
-        r["sym"]: int(r["sc"]) for r in _symbol_counts(words).collect()
-    }
-    m = F.create_map(
-        *[x for s in sorted(sym) for x in (F.lit(s), F.lit(sym[s]))]
+    log-likelihood score. Both the pair counts and the symbol counts are
+    bounded model state (≤ (alphabet + n_merges)² rows), so ONE extended
+    pair aggregate is COLLECTED per round (r13 second pass, guide §2.3/
+    §2.4 — was one symbol-count scan of the word table PLUS one pair
+    scan): the symbol denominators are exact integer lhs-sums of the
+    collected rows, and the scores are computed over the re-created
+    LOCAL relation — no join, no exchange, and the word table is scanned
+    once per round instead of twice. Identical arithmetic: the same JVM
+    `log` over the same doubles, driver-side work is integer-only."""
+    spark = words.sparkSession
+    ext = _ext_pair_counts(words).collect()
+    sc: dict[str, int] = {}
+    for r in ext:
+        sc[r["lhs"]] = sc.get(r["lhs"], 0) + int(r["cnt"])
+    rows = [
+        (r["lhs"], r["rhs"], int(r["cnt"]), sc[r["lhs"]], sc[r["rhs"]])
+        for r in ext
+        if r["rhs"] != ""
+    ]
+    # NOTE: measured — .coalesce(1) on this local relation costs ~4.5 s
+    # per action (single-pipe Python->JVM serialization) vs ~0.5 s for
+    # the default-parallelism slices; the extra empty micro-tasks are
+    # the cheaper side, so the relation stays un-coalesced.
+    local = spark.createDataFrame(
+        rows, "lhs string, rhs string, cnt long, lc long, rc long"
     )
-    return (
-        _pair_counts(words)
-        .withColumn("lc", F.element_at(m, F.col("lhs")))
-        .withColumn("rc", F.element_at(m, F.col("rhs")))
-        .select(
-            "lhs",
-            "rhs",
-            "cnt",
-            F.round(
-                (
-                    F.log(F.col("cnt").cast("double"))
-                    - F.log(F.col("lc").cast("double"))
-                    - F.log(F.col("rc").cast("double"))
-                )
-                * F.lit(1e6)
+    return local.select(
+        "lhs",
+        "rhs",
+        "cnt",
+        F.round(
+            (
+                F.log(F.col("cnt").cast("double"))
+                - F.log(F.col("lc").cast("double"))
+                - F.log(F.col("rc").cast("double"))
             )
-            .cast("long")
-            .alias("score_micro"),
+            * F.lit(1e6)
         )
+        .cast("long")
+        .alias("score_micro"),
     )
 
 
@@ -383,33 +453,9 @@ def wordpiece_doc_tokens(
     """(doc_id, n_words, n_wp_tokens) — per-document token counts under
     the WordPiece vocabulary: bpe_doc_tokens' contract (a JOIN against
     the trained word table's symbol counts, never a per-doc replay)."""
-    from ..io import fan_out
-
     _, words = _wp_chain(docs, n_merges, text_col)
-    parts = F.split(F.col("repr"), BOUND)
-    seg = words.select(
-        "word", (F.size(parts) - F.lit(2)).alias("n_syms")
-    )
-    occ = (
-        fan_out(docs)
-        .select(
-            F.col(id_col),
-            F.explode(_ws_tokens(F.col(text_col))).alias("word"),
-        )
-        .filter(~F.col("word").contains(SEP))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
-    return (
-        occ.join(seg, "word")
-        .groupBy(id_col)
-        .agg(
-            F.sum("occ").cast("bigint").alias("n_words"),
-            F.sum(F.col("occ") * F.col("n_syms")).cast("bigint").alias(
-                "n_wp_tokens"
-            ),
-        )
-        .orderBy(id_col)
+    return _doc_tokens_from_words(
+        words, docs, "n_wp_tokens", id_col, text_col
     )
 
 
@@ -423,14 +469,16 @@ def wordpiece_fertility(
     """(source, n_docs, n_words, n_wp_tokens, fertility) — per-source
     fertility under the WordPiece vocabulary: bpe_fertility's contract
     (wordpiece_doc_tokens' counts + one map-side-combinable per-source
-    rollup, microunit float emission)."""
+    rollup, microunit float emission; source rides the occ pass — r13
+    second pass, guide §2.3)."""
     from ..functions.emit import micro6
 
-    per_doc = wordpiece_doc_tokens(docs, n_merges, text_col, id_col)
+    _, words = _wp_chain(docs, n_merges, text_col)
+    per_doc = _doc_tokens_from_words(
+        words, docs, "n_wp_tokens", id_col, text_col, group_col
+    )
     return (
-        docs.select(F.col(id_col), F.col(group_col).alias("source"))
-        .join(per_doc, id_col)
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("n_words"),

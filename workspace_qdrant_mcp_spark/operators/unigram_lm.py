@@ -219,31 +219,53 @@ def ulm_doc_tokens(
     pieces: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(doc_id, n_words, n_pieces) — re-tokenization under the trained
-    piece table: a JOIN against the word table's Viterbi piece counts,
-    never a per-doc DP replay (bpe_doc_tokens' contract). Words over
-    MAX_WORD chars fall back to one piece per char."""
+    """(doc_id[, source], n_words, n_pieces) — re-tokenization under the
+    trained piece table: a JOIN against the word table's Viterbi piece
+    counts, never a per-doc DP replay (bpe_doc_tokens' contract). Words
+    over MAX_WORD chars fall back to one piece per char.
+
+    One corpus pass (r13 second pass, guide §2.3): the Viterbi word
+    table is DERIVED from the occ aggregate (same explode, summed
+    per-doc counts — identical (word, n) rows to ulm_word_counts, and
+    the Viterbi segmentation never reads n anyway). occ has two real
+    consumers (the words derivation and the per-word join), and exchange
+    reuse cannot deduplicate them — Catalyst pushes the MAX_WORD filter
+    through the derivation's aggregate, making the subtrees canonically
+    different — so occ is localCheckpointed: one tokenize+explode+agg
+    pass materialized, instead of the former two full corpus scans.
+    When group_col is given, the source label rides the occ key — the
+    fertility rollup then needs no third corpus scan + doc_id join."""
     cost6 = {
         r["piece"]: int(r["cost_micro"]) for r in pieces.collect()
     }  # bounded: the model artifact
-    words = ulm_word_counts(docs, text_col)
+    cols = [F.col(id_col)]
+    keys = [id_col]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("source"))
+        keys.append("source")
+    occ = (
+        fan_out(docs)
+        .select(*cols, F.explode(_ws_tokens(F.col(text_col))).alias("word"))
+        .groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    ).localCheckpoint()
+    words = (
+        occ.filter(F.length("word") <= MAX_WORD)
+        .groupBy("word")
+        .agg(F.sum("occ").alias("n"))
+    )
     seg = ulm_viterbi_pieces(words, cost6).select(
         "word", F.size("pieces").alias("n_pieces_word")
     )
-    occ = (
-        fan_out(docs)
-        .select(F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
     per_word = occ.join(seg, "word", "left").select(
-        F.col(id_col),
+        *keys,
         "occ",
         F.coalesce(F.col("n_pieces_word"), F.length("word")).alias("npw"),
     )
     return (
-        per_word.groupBy(id_col)
+        per_word.groupBy(*keys)
         .agg(
             F.sum("occ").alias("n_words"),
             F.sum(F.col("occ") * F.col("npw")).alias("n_pieces"),
@@ -263,15 +285,15 @@ def unigram_fertility(
     tokenizer fertility under the TRAINED unigram-LM piece table:
     bpe_fertility's twin, the direct BPE-vs-unigram data-card contrast
     (same corpus, same rollup, different vocabulary learner). Microunit
-    float emission (functions/emit.py)."""
+    float emission (functions/emit.py); source rides the occ pass (r13
+    second pass, guide §2.3 — formerly a third corpus scan joined back
+    by doc_id)."""
     from ..functions.emit import micro6
 
     pieces = unigram_lm_pieces(docs, rounds, text_col)
-    per_doc = ulm_doc_tokens(docs, pieces, id_col, text_col)
+    per_doc = ulm_doc_tokens(docs, pieces, id_col, text_col, group_col)
     return (
-        docs.select(F.col(id_col), F.col(group_col).alias("source"))
-        .join(per_doc, id_col)
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("n_words"),

@@ -24,14 +24,24 @@ the very end, produced NO numbers at all):
     baseline_sec/paired_sec/stress_sec) so budget arithmetic next round
     is measured, not inferred (VERDICT r12 #6).
 
-Contract hardening (the per-round recorder keeps a bounded stdout tail and
-has clipped the front of the JSON line in every past round):
+Contract hardening (the per-round recorder keeps a bounded stdout tail —
+measured at exactly 2000 bytes in BENCH_r09..r13 — and has clipped the
+front of the JSON line in every past round):
   - stdout carries NOTHING but summary JSON lines (progress -> stderr);
-  - each line carries ONLY scalar summary fields (~400 bytes) — the
-    per-query timing map alone is ~2.5 KB and overflows the recorder's
-    tail buffer, so it is EXCLUDED from stdout by design;
+  - the driver contract wants a per-query `queries` map on the line, but
+    the full 198-entry map is ~5 KB and the recorder keeps only the last
+    2000 bytes — a full map would clip the line's FRONT and parse as
+    nothing (the r7 failure: 148 of 163 timings lost, `parsed: null`).
+    r14 fix (VERDICT r13 #1 — PERF per_query/scaling blocks were empty
+    because the line had NO queries key at all): the line now carries
+    the TOP-N-by-wall subset of the per-query map, added greedily
+    while the whole line stays under _STDOUT_LINE_BUDGET bytes, plus
+    `n_queries_omitted` so a partial map is explicit. The heavy queries
+    are exactly the ones whose low-core/high-core scaling ratio the
+    driver needs; the c32 and c8 runs' top sets overlap so the
+    intersection is populated.
   - the full result (per-query timings, row counts, per-seed ms, env pin)
-    is written to bench_out.json next to this file, so the detailed map is
+    is written to bench_out.json next to this file, so the complete map is
     always recoverable from disk.
 
 Warm-up (VERDICT r12 #1: the old full-registry untimed pass was 58% of
@@ -115,11 +125,36 @@ _SUMMARY_KEYS = (
     "n_paired_regressions", "phase",
 )
 
+# The recorder keeps the last 2000 bytes of output; the summary line must
+# survive IN FULL at the very end of it. Leave headroom for a trailing
+# newline and minor recorder framing.
+_STDOUT_LINE_BUDGET = 1850
+
 
 def _summary_of(full: dict) -> dict:
-    """The scalar-only stdout projection of the full artifact — never the
-    per-query maps (they overflow the recorder's bounded tail)."""
-    return {k: full[k] for k in _SUMMARY_KEYS if k in full}
+    """The stdout projection of the full artifact: every scalar summary
+    field, plus as many per-query timings (heaviest first) as fit in the
+    recorder's 2000-byte tail. The complete map lives in bench_out.json."""
+    out = {k: full[k] for k in _SUMMARY_KEYS if k in full}
+    timings = full.get("queries")
+    if not timings:
+        return out
+    base_len = len(json.dumps(out, separators=(",", ":")))
+    # greedy fill, heaviest queries first (deterministic name tiebreak):
+    # these are the scaling-relevant entries; +24 covers the wrapper keys
+    # `"queries":{},"n_queries_omitted":NNN`
+    budget = _STDOUT_LINE_BUDGET - base_len - 44
+    picked: dict[str, float] = {}
+    used = 0
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        cost = len(name) + len(json.dumps(timings[name])) + 4
+        if used + cost > budget:
+            break
+        picked[name] = timings[name]
+        used += cost
+    out["queries"] = picked
+    out["n_queries_omitted"] = len(timings) - len(picked)
+    return out
 
 
 def _install_sigterm_flush(art: _Artifacts, full: dict) -> None:
@@ -436,7 +471,8 @@ def _paired_recheck(
     threshold: float = 1.3,
     max_flagged: int = 12,
     reps: int = 2,
-    n_anchors: int = 5,
+    n_anchors: int = 4,
+    budget_sec: float | None = None,
 ) -> dict:
     """Host-drift-proof regression adjudication (VERDICT r10 #2).
 
@@ -461,8 +497,27 @@ def _paired_recheck(
       5. paired_ratio_q = median over reps of
          (flagged_now / ref_q) / anchor_factor_rep.
     paired_ratio ≈ 1 ⇒ the raw flag was host drift; paired_ratio >
-    threshold ⇒ a genuine plan/code regression worth bisecting."""
+    threshold ⇒ a genuine plan/code regression worth bisecting.
+
+    r14 phase-budget bound (VERDICT r13 #3: the r13 paired phase cost
+    1.6x the timed pass itself — 683.68 s vs 416.16 s — because every
+    flag paid reps x (2 x n_anchors) full query runs against anchors
+    chosen purely by ratio-closeness, i.e. sometimes 5-second queries):
+      - anchors prefer drift exemplars with SMALL reference walls
+        (0.5 s <= ref < 2.5 s) so an interleave rep costs seconds, not
+        tens of seconds; falls back to the >= 0.5 s pool when thin;
+      - a flag whose first rep comes back clearly-drift (paired ratio
+        <= early_exit) skips its remaining reps — most flags are drift,
+        so this halves the common case;
+      - `budget_sec` (wired to 0.5 x timed_sec in main) bounds the whole
+        phase: flags are adjudicated worst-raw-ratio-first and any flag
+        the budget cannot reach is reported method
+        "interleave_skipped_budget" with paired_ratio None (visibly
+        unadjudicated — never silently counted as regression or pass)."""
     import statistics
+
+    t_phase0 = time.perf_counter()
+    early_exit = 1.15
 
     ref_t = ref.get("queries", {})
     ratios = {
@@ -487,10 +542,20 @@ def _paired_recheck(
     }
     if not flagged:
         return out
-    anchors = sorted(
-        (q for q, r in ratios.items() if ref_t[q] >= 0.5 and q not in flagged),
-        key=lambda q: abs(ratios[q] - host_factor),
-    )[:n_anchors]
+    # drift exemplars with CHEAP walls first (r14): a 0.5-2.5 s anchor
+    # carries the same instantaneous-host-state signal as a 5 s one at a
+    # fraction of the phase cost
+    cheap_pool = [
+        q
+        for q, r in ratios.items()
+        if 0.5 <= ref_t[q] < 2.5 and q not in flagged
+    ]
+    pool = cheap_pool if len(cheap_pool) >= n_anchors else [
+        q for q, r in ratios.items() if ref_t[q] >= 0.5 and q not in flagged
+    ]
+    anchors = sorted(pool, key=lambda q: abs(ratios[q] - host_factor))[
+        :n_anchors
+    ]
     if not anchors:
         out["status"] = "no_anchors"
         return out
@@ -518,7 +583,24 @@ def _paired_recheck(
             "paired_ratio": round(ratios[q] / host_factor, 3),
             "method": "host_factor_only",
         }
-    for q in to_interleave:
+    for qi, q in enumerate(to_interleave):
+        if (
+            budget_sec is not None
+            and time.perf_counter() - t_phase0 > budget_sec
+        ):
+            skipped = to_interleave[qi:]
+            _log(
+                f"# paired recheck: phase budget {budget_sec:.0f}s "
+                f"exhausted — {len(skipped)} flags left unadjudicated "
+                f"({', '.join(skipped)})"
+            )
+            for sq in skipped:
+                out["flagged"][sq] = {
+                    "raw_ratio": round(ratios[sq], 3),
+                    "paired_ratio": None,
+                    "method": "interleave_skipped_budget",
+                }
+            break
         per_rep = []
         for _rep in range(reps):
             seq = []
@@ -542,6 +624,11 @@ def _paired_recheck(
             )
             flag_now = statistics.median(t_by[q])
             per_rep.append((flag_now / ref_t[q]) / anchor_factor)
+            # clear-drift early exit (r14): one rep that lands well under
+            # threshold settles the flag — further reps only refine a
+            # number that cannot cross back over 1.3
+            if per_rep[-1] <= early_exit:
+                break
         if per_rep:
             pr = statistics.median(per_rep)
             out["flagged"][q] = {
@@ -886,7 +973,12 @@ def main() -> None:
             paired = {"status": "no_reference"}
         else:
             try:
-                paired = _paired_recheck(spark, sf_dir, queries, timings, ref)
+                paired = _paired_recheck(
+                    spark, sf_dir, queries, timings, ref,
+                    # VERDICT r13 #3: the adjudication phase must not
+                    # outweigh the measurement it de-noises
+                    budget_sec=0.5 * full["env"]["timed_sec"],
+                )
             except Exception as exc:
                 paired = {"status": f"error: {exc}"}
                 _log(f"# paired recheck error: {exc}")

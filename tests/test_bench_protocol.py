@@ -68,18 +68,54 @@ def test_reference_record_excludes_own_run(tmp_path):
     assert ref_unguarded["ts"] == 200
 
 
-def test_summary_excludes_query_maps():
+def test_summary_keeps_heavy_maps_out_but_carries_topn_queries():
+    """r14 (VERDICT r13 #1): the stdout line must carry a per-query map
+    (the driver's PERF per_query/scaling blocks were empty because r13's
+    line had no `queries` key at all) — but the recorder keeps only the
+    last 2000 bytes, so the line carries the TOP-N-by-wall subset under
+    a hard byte budget, heaviest first, with the omission count
+    explicit. Other per-query maps (counts/paired/...) stay disk-only."""
     full = {
         "metric": "query_suite_total", "value": 1.0, "unit": "sec",
         "sf": "0.1", "n_queries": 2, "n_errors": 0, "phase": "complete",
-        "queries": {"a": 1.0}, "counts": {"a": 5}, "paired": {"x": 1},
+        "queries": {"a": 1.0, "b": 3.0}, "counts": {"a": 5},
+        "paired": {"x": 1},
         "per_seed_ms": {}, "stress10x": None, "env": {},
         "baseline_mapped": {},
     }
     s = bench._summary_of(full)
-    for heavy in ("queries", "counts", "paired", "per_seed_ms", "stress10x"):
+    for heavy in ("counts", "paired", "per_seed_ms", "stress10x"):
         assert heavy not in s
     assert s["phase"] == "complete" and s["n_queries"] == 2
+    # both tiny queries fit; heaviest-first map, nothing omitted
+    assert s["queries"] == {"a": 1.0, "b": 3.0}
+    assert s["n_queries_omitted"] == 0
+
+
+def test_summary_line_respects_recorder_tail_budget():
+    """198 realistic-width query names cannot all fit: the line must
+    stay under the 2000-byte recorder tail, keep the HEAVIEST queries,
+    and report how many were dropped."""
+    names = [f"some_realistic_query_name_{i:03d}" for i in range(198)]
+    full = {
+        "metric": "query_suite_total", "value": 345.8, "unit": "sec",
+        "sf": "0.1", "n_queries": 198, "n_errors": 0, "phase": "complete",
+        "queries": {n: round(0.3 + (i % 40) * 0.37, 2)
+                    for i, n in enumerate(names)},
+        "env": {"cpus": "32", "timed_sec": 346.3, "paired_sec": 100.0},
+        "baseline_mapped": {f"gate_{i}": 1234.5 for i in range(18)},
+    }
+    s = bench._summary_of(full)
+    line = json.dumps(s, separators=(",", ":"))
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert 0 < len(s["queries"]) < 198
+    assert s["n_queries_omitted"] == 198 - len(s["queries"])
+    # the kept entries are exactly the heaviest ones
+    kept_min = min(s["queries"].values())
+    dropped_max = max(
+        v for n, v in full["queries"].items() if n not in s["queries"]
+    )
+    assert kept_min >= dropped_max
 
 
 def test_sigterm_leaves_parseable_line_and_artifacts(tmp_path):
@@ -115,7 +151,9 @@ def test_sigterm_leaves_parseable_line_and_artifacts(tmp_path):
     parsed = json.loads(line)
     assert parsed["phase"] == "truncated:stress10x"
     assert parsed["value"] == 9.9
-    assert "queries" not in parsed  # summary projection only
+    # r14: the summary projection now carries the top-N queries map
+    assert parsed["queries"] == {"q": 9.9}
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
     rows = [
         json.loads(l)
         for l in open(tmp_path / "bench_history.jsonl")

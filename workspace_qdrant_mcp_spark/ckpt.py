@@ -101,6 +101,19 @@ def clear_unpinned(spark: SparkSession) -> int:
     return len(stale)
 
 
+def checkpoint_with(df: DataFrame, action):
+    """localCheckpoint `df` and run `action(checkpointed_df)` as ONE job
+    (r14, guide §2.4) — the non-rolling twin of
+    RollingCheckpoint.with_action for bounded tables whose first use is
+    an immediate probe (an emptiness count, a size probe): the lazy mark
+    lets the probe job materialize the checkpoint, so the separate
+    eager-materialization job disappears. `action` must touch every
+    partition (aggregate/count without limit). Returns
+    (checkpointed_df, action_result)."""
+    out = df.localCheckpoint(eager=False)
+    return out, action(out)
+
+
 class RollingCheckpoint:
     """Checkpoint successive iteration states, releasing the superseded
     one — constant storage footprint for iterative loops.
@@ -132,3 +145,33 @@ class RollingCheckpoint:
             # generation's map — never release what we just created
             release(self.spark, old - created)
         return out
+
+    def with_action(self, df: DataFrame, action):
+        """Checkpoint `df` and run `action(checkpointed_df)` as ONE job
+        (r14, guide §2.4): the fixpoint loops all follow their per-round
+        eager checkpoint with a probe/model-state action over the fresh
+        state (pagerank's dangling-mass sum, SCC's change-flag probe,
+        k-core's survivor count) — two full passes over the round state
+        where one suffices. Marking the checkpoint LAZY and letting the
+        probe job materialize it fuses the passes: Spark's local
+        checkpointer persists every partition the probe job computes and
+        recomputes any it missed at job end, so the truncation semantics
+        are identical to the eager form.
+
+        Ordering safety is unchanged: the superseded generation is only
+        released AFTER the action returns, i.e. after generation t is
+        fully materialized (the eager form's invariant, kept explicit
+        here). `action` should touch every partition (an aggregate/count
+        without limit) so materialization rides the probe job instead of
+        a follow-up cleanup job.
+
+        Returns (checkpointed_df, action_result)."""
+        before = persistent_ids(self.spark)
+        out = df.localCheckpoint(eager=False)
+        created = persistent_ids(self.spark) - before
+        result = action(out)
+        self._gens.append(created)
+        while len(self._gens) > self.keep_last:
+            old = self._gens.pop(0)
+            release(self.spark, old - created)
+        return out, result

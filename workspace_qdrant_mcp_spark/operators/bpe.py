@@ -256,7 +256,7 @@ def _doc_tokens_from_words(
     seg = words.select("word", (F.size(parts) - F.lit(2)).alias("n_syms"))
     occ = _word_occ(docs, id_col, text_col, group_col)
     keys = [id_col] + (["source"] if group_col is not None else [])
-    return (
+    out = (
         occ.join(seg, "word")
         .groupBy(*keys)
         .agg(
@@ -265,8 +265,14 @@ def _doc_tokens_from_words(
             .cast("bigint")
             .alias(tok_col),
         )
-        .orderBy(id_col)
     )
+    if group_col is not None:
+        # fertility rollups immediately re-aggregate by source — the
+        # per-doc sort is semantically dead there, so don't construct it
+        # (r14, ADVICE r13: relying on Catalyst's EliminateSorts to drop
+        # the exchange is weaker than not asking for it)
+        return out
+    return out.orderBy(id_col)
 
 
 def bpe_doc_tokens(
@@ -356,7 +362,13 @@ def _wp_scored_pairs(words: DataFrame) -> DataFrame:
     collected rows, and the scores are computed over the re-created
     LOCAL relation — no join, no exchange, and the word table is scanned
     once per round instead of twice. Identical arithmetic: the same JVM
-    `log` over the same doubles, driver-side work is integer-only."""
+    `log` over the same doubles, driver-side work is integer-only.
+
+    The round-trip through spark.createDataFrame exists SPECIFICALLY to
+    keep the log() evaluation in the JVM for oracle bit-parity (ADVICE
+    r13): CPython's math.log is the same correctly-rounded IEEE double
+    on this platform, but that equivalence is a platform property, not a
+    contract — do not 'simplify' the scoring to driver-side math.log."""
     spark = words.sparkSession
     ext = _ext_pair_counts(words).collect()
     sc: dict[str, int] = {}

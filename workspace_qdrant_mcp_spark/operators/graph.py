@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ckpt import RollingCheckpoint
+from ..ckpt import RollingCheckpoint, checkpoint_with
 from ..io import fan_out
 
 PAGERANK_DAMPING = 0.85
@@ -296,8 +296,17 @@ def pagerank(
     # checkpoints so storage stays constant across n_iters (and across a
     # long multi-query session; see ckpt.py)
     roll = RollingCheckpoint(edges.sparkSession)
-    ranks = roll(
-        static.select("node_id", "out_deg", F.lit(1.0 / n).alias("rank"))
+    # the dangling-mass probe rides the checkpoint-materialization job
+    # (r14, guide §2.4): the eager-checkpoint-then-collect shape paid TWO
+    # full passes over the rank state per round; with_action fuses them
+    # into one job with identical values (same aggregate over the same
+    # materialized state)
+    _dang_probe = lambda d: d.filter(F.col("out_deg") == 0).agg(  # noqa: E731
+        F.coalesce(F.sum("rank"), F.lit(0.0))
+    ).collect()[0][0]
+    ranks, dang = roll.with_action(
+        static.select("node_id", "out_deg", F.lit(1.0 / n).alias("rank")),
+        _dang_probe,
     )
     # Small-state graphs: broadcast the rank vector into the edge join so
     # each iteration is map-side over the (checkpointed, never reshuffled)
@@ -305,12 +314,6 @@ def pagerank(
     # back to the shuffle join automatically.
     bcast = n <= BROADCAST_STATE_MAX_NODES
     for _ in range(n_iters):
-        # dangling mass collected from the fresh checkpoint as a literal
-        # (r13): same aggregate value as the former lazy 1-row
-        # crossJoin(broadcast(dang)), minus a broadcast exchange per round
-        dang = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
         state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
         contrib = (
             e.join(F.broadcast(state) if bcast else state, "src")
@@ -323,7 +326,7 @@ def pagerank(
         base = static.select(
             "node_id", F.lit(0.0).alias("c"), F.col("out_deg").alias("od")
         )
-        ranks = roll(
+        nxt = (
             contrib.unionByName(base)
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"), F.max("od").alias("out_deg"))
@@ -336,9 +339,10 @@ def pagerank(
                     * (F.col("inflow") + F.lit(dang) / F.lit(float(n)))
                 ).alias("rank"),
             )
-            # eager checkpoint: one materialization per iteration, constant
-            # lineage depth (without it the plan deepens quadratically)
         )
+        # one checkpoint materialization per iteration (constant lineage
+        # depth); the NEXT round's dangling mass is probed by the same job
+        ranks, dang = roll.with_action(nxt, _dang_probe)
     return ranks.select("node_id", "rank")
 
 
@@ -380,12 +384,15 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     roll = RollingCheckpoint(edges.sparkSession)
-    ranks = roll(static.select("node_id", "out_deg", pcol.alias("rank")))
+    # dangling probe fused into the checkpoint job — see pagerank (r14)
+    _dang_probe = lambda d: d.filter(F.col("out_deg") == 0).agg(  # noqa: E731
+        F.coalesce(F.sum("rank"), F.lit(0.0))
+    ).collect()[0][0]
+    ranks, dang = roll.with_action(
+        static.select("node_id", "out_deg", pcol.alias("rank")), _dang_probe
+    )
     bcast = static.count() <= BROADCAST_STATE_MAX_NODES
     for _ in range(n_iters):
-        dang = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
         state = ranks.select(F.col("node_id").alias("src"), "rank", "out_deg")
         contrib = (
             e.join(F.broadcast(state) if bcast else state, "src")
@@ -398,7 +405,7 @@ def personalized_pagerank(
         base = static.select(
             "node_id", F.lit(0.0).alias("c"), F.col("out_deg").alias("od")
         )
-        ranks = roll(
+        nxt = (
             contrib.unionByName(base)
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"), F.max("od").alias("out_deg"))
@@ -412,6 +419,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         )
+        ranks, dang = roll.with_action(nxt, _dang_probe)
     return ranks.select("node_id", F.round("rank", 6).alias("rank"))
 
 
@@ -448,15 +456,17 @@ def connected_components(edges: DataFrame, n_iters: int = 15) -> DataFrame:
         msgs = und.join(
             F.broadcast(state) if bcast else state, "src"
         ).select(F.col("dst").alias("node_id"), "component")
-        labels = roll(
-            msgs.unionByName(labels.select("node_id", "component"))
-            .groupBy("node_id")
-            .agg(F.min("component").alias("component"))
-        )
         # labels only ever decrease; an unchanged sum ⇒ fixed point reached
         # — further iterations are identity, so early exit preserves the
-        # exact fixed-n_iters semantics (and the oracle's output)
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # exact fixed-n_iters semantics (and the oracle's output). The sum
+        # probe rides the checkpoint-materialization job (r14, guide
+        # §2.4: one pass per round instead of checkpoint + probe).
+        labels, cur_sum = roll.with_action(
+            msgs.unionByName(labels.select("node_id", "component"))
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component")),
+            lambda d: d.agg(F.sum("component")).collect()[0][0],
+        )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -834,11 +844,13 @@ def k_core(edges: DataFrame, k: int = 3, n_iters: int = 30) -> DataFrame:
             .filter(F.col("deg") >= k)
             .select("node_id")
         )
-        cur = roll(
+        # the fixpoint count probe rides the checkpoint-materialization
+        # job (r14, guide §2.4: one pass per peel round, not two)
+        cur, n = roll.with_action(
             cur.join(keep.withColumnRenamed("node_id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+            .join(keep.withColumnRenamed("node_id", "dst"), "dst", "left_semi"),
+            lambda d: d.count(),
         )
-        n = cur.count()
         if n == prev_n:
             break
         prev_n = n
@@ -1437,7 +1449,12 @@ def strongly_connected_components(
     # t-1 when t lands, which is only safe on a linear chain — colors,
     # flags and the shrinking edge set interleave, so each gets its own
     roll_rem = RollingCheckpoint(spark)
-    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    # edge-count probe rides the materialization job (r14, guide §2.4);
+    # n_rem tracks the surviving edge count so the per-peel emptiness
+    # probes are free (they used to be a limit(1).count() job each)
+    ed, n_rem = checkpoint_with(
+        edges.select("src", "dst").distinct(), lambda d: d.count()
+    )
     # lazy on purpose: all_nodes is read exactly once, in the final
     # leftover-singleton assembly — checkpointing it was a whole extra
     # action over the full edge table per call (guide §5: cache only
@@ -1466,7 +1483,9 @@ def strongly_connected_components(
                 "color",
                 F.lit(False).alias("own"),
             )
-            new = roll(
+            # the chg probe rides the checkpoint-materialization job
+            # (r14, guide §2.4: one pass per round, not checkpoint+probe)
+            new, changed = roll.with_action(
                 msgs.unionByName(
                     colors.select("node_id", "color", F.lit(True).alias("own"))
                 )
@@ -1481,9 +1500,9 @@ def strongly_connected_components(
                     "node_id",
                     "color",
                     (F.col("color") < F.col("__old")).alias("chg"),
-                )
+                ),
+                lambda d: d.filter("chg").count(),
             )
-            changed = new.filter("chg").limit(1).count()
             colors = new.select("node_id", "color")
             if changed == 0:
                 return colors
@@ -1493,7 +1512,7 @@ def strongly_connected_components(
 
     remaining = ed
     for _peel in range(max_peels):
-        if remaining.limit(1).count() == 0:
+        if n_rem == 0:
             break
         # TRIM fixpoint: a node absent from the non-self-loop src set
         # (zero out-degree) or dst set (zero in-degree) cannot be in any
@@ -1515,14 +1534,15 @@ def strongly_connected_components(
                     (F.col("src") != F.col("dst")).alias("i"),
                 )
             )
-            triv = (
+            # emptiness probe rides the checkpoint job (r14, guide §2.4)
+            triv, n_triv = checkpoint_with(
                 endpoint_flags.groupBy("node_id")
                 .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
                 .filter(~(F.col("has_out") & F.col("has_in")))
-                .select("node_id")
-                .localCheckpoint()
+                .select("node_id"),
+                lambda d: d.count(),
             )
-            if triv.limit(1).count() == 0:
+            if n_triv == 0:
                 break
             found_triv = triv.select(
                 "node_id", F.col("node_id").alias("scc_id")
@@ -1532,7 +1552,7 @@ def strongly_connected_components(
                 if assigned is None
                 else assigned.unionByName(found_triv)
             )
-            remaining = roll_rem(
+            remaining, n_rem = roll_rem.with_action(
                 remaining.join(
                     triv.withColumnRenamed("node_id", "src"),
                     "src",
@@ -1541,9 +1561,12 @@ def strongly_connected_components(
                     triv.withColumnRenamed("node_id", "dst"),
                     "dst",
                     "left_anti",
-                )
+                ),
+                lambda d: d.count(),
             )
-        if remaining.limit(1).count() == 0:
+            if n_rem == 0:
+                break
+        if n_rem == 0:
             break
         nodes = nodes_from_edges(remaining)
         colors = _fixpoint_colors(remaining, nodes)
@@ -1587,7 +1610,7 @@ def strongly_connected_components(
                 )
                 .distinct()
             )
-            new = roll_fl(
+            new, changed = roll_fl.with_action(
                 match.unionByName(
                     flags.select(
                         "node_id", "color", "inscc", F.lit(True).alias("own")
@@ -1606,25 +1629,29 @@ def strongly_connected_components(
                     "color",
                     "inscc",
                     (F.col("inscc") & ~F.col("__old")).alias("chg"),
-                )
+                ),
+                lambda d: d.filter("chg").count(),
             )
-            changed = new.filter("chg").limit(1).count()
             flags = new.select("node_id", "color", "inscc")
             if changed == 0:
                 break
+        # lazy: the roll_rem.with_action job below reads `gone` (derived
+        # from found) and materializes this checkpoint as part of the
+        # same pass (r14) — nothing releases it before then
         found = flags.filter("inscc").select(
             "node_id", F.col("color").alias("scc_id")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         assigned = (
             found if assigned is None else assigned.unionByName(found)
         )
         gone = found.select("node_id")
-        remaining = roll_rem(
+        remaining, n_rem = roll_rem.with_action(
             remaining.join(
                 gone.withColumnRenamed("node_id", "src"), "src", "left_anti"
             ).join(
                 gone.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
-            )
+            ),
+            lambda d: d.count(),
         )
     else:
         raise RuntimeError(f"scc: not peeled out after {max_peels} rounds")
@@ -2064,12 +2091,13 @@ def k_truss(edges: DataFrame, k: int = 4, n_iters: int = 10) -> DataFrame:
 
     for _ in range(n_iters):
         sup = _support(cur)
-        cur = roll(
+        # fixpoint count probe fused into the checkpoint job (r14, §2.4)
+        cur, n = roll.with_action(
             cur.join(sup, ["src", "dst"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("src", "dst", "ks", "kd")
+            .select("src", "dst", "ks", "kd"),
+            lambda d: d.count(),
         )
-        n = cur.count()
         if n == prev_n:
             break
         prev_n = n

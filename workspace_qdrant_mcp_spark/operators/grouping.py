@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint_with
+
 TAG_AFFINITY_THRESHOLD = 0.25  # tag_affinity.rs:14
 EMBEDDING_AFFINITY_THRESHOLD = 0.7  # affinity/config.rs:14
 CC_SWEEPS = 8  # fixed sweeps; post-fixed-point sweeps are no-ops
@@ -62,7 +64,9 @@ def affinity_components(pairs: DataFrame, n_iters: int = CC_SWEEPS) -> DataFrame
         msgs = und.join(labels, und.v == labels.node).select(
             F.col("u").alias("node"), "label", F.lit(False).alias("own")
         )
-        new = (
+        # the convergence probe rides the checkpoint-materialization job
+        # (r14, guide §2.4: one pass per sweep, not checkpoint + probe)
+        new, changed = checkpoint_with(
             msgs.unionByName(
                 labels.select("node", "label", F.lit(True).alias("own"))
             )
@@ -70,10 +74,9 @@ def affinity_components(pairs: DataFrame, n_iters: int = CC_SWEEPS) -> DataFrame
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
-            )
-            .localCheckpoint()
+            ),
+            lambda d: d.filter(F.col("label") < F.col("__old")).count(),
         )
-        changed = new.filter(F.col("label") < F.col("__old")).limit(1).count()
         labels = new.select("node", "label")
         if changed == 0:
             break

@@ -94,7 +94,18 @@ def _pack_counted(counted: DataFrame, budget: int) -> DataFrame:
     so struct order == doc_id order) and run the two-int recurrence with
     F.aggregate, emitting one (doc_id, tokens, bin_id, bin_fill) struct
     per doc. Exact integer arithmetic — value-identical to the former
-    pandas walk, with no Python evaluation node in the plan."""
+    pandas walk, with no Python evaluation node in the plan.
+
+    COST BOUND (ADVICE r13): the fold appends to the accumulator with
+    concat(acc.out, array(row)), which copies the accumulated array on
+    every step — O(n²) element copies per group (the pandas walk was
+    O(n) but paid the Python boundary). Fine for this engine's group
+    sizes (sources are bounded, and both sides hold the whole group in
+    memory either way); a deployment packing millions of docs per group
+    should pre-shard groups (pack per input shard — the natural 100 TB
+    shape, since bins never span shards a packer emits independently)
+    or fall back to the iterator-form mapInArrow walk, which keeps the
+    O(n) recurrence at the cost of the Arrow round-trip."""
     ds = counted.groupBy("source").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tokens"))).alias(
             "ds"

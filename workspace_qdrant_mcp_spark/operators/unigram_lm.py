@@ -245,12 +245,22 @@ def ulm_doc_tokens(
     if group_col is not None:
         cols.append(F.col(group_col).alias("source"))
         keys.append("source")
+    # LAZY mark (r14, ADVICE r13): occ is corpus-vocabulary-sized, so an
+    # eager checkpoint here made merely CONSTRUCTING this plan run a full
+    # tokenize+explode+agg job even if the caller never executed the
+    # result; eager=False defers materialization to the first consumer
+    # action, which persists it for the second consumer exactly as
+    # before. Known trade-off of localCheckpoint at any eagerness: the
+    # blocks are executor-local and non-replicated, so an executor loss
+    # mid-job fails the downstream stages unrecoverably — acceptable
+    # here because the table is derived state inside one query, and the
+    # retry is the query itself.
     occ = (
         fan_out(docs)
         .select(*cols, F.explode(_ws_tokens(F.col(text_col))).alias("word"))
         .groupBy(*keys, "word")
         .agg(F.count(F.lit(1)).alias("occ"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     words = (
         occ.filter(F.length("word") <= MAX_WORD)
         .groupBy("word")

@@ -1236,22 +1236,40 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes from the parquet inputs on every invocation) and the
     # recall tail is a trivial join over <=125 materialized rows.
     k, nq = 5, len(ANN_QUERY_IDS)
-    exact = (
-        _q_ann_bruteforce(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .localCheckpoint()
-    )
     methods = (
         ("ivf", _q_ann_ivf),
         ("srp", _q_ann_srp),
         ("pq", _q_ann_pq),
         ("ivf_pq", _q_ann_ivf_pq),
     )
-    tagged = None
-    for method, qfn in methods:
-        leg = qfn(spark, sf_dir).select(
+
+    # r14 (guide §2.6 "overlap independent jobs"): the five legs are
+    # independent medium-sized queries whose cost is dominated by
+    # Catalyst planning + a short job each; built serially they occupy
+    # one driver thread and leave the executor pool idle between legs.
+    # A small thread pool plans and materializes them concurrently —
+    # same per-leg plans, same bounded (nq*k <= 25 rows) checkpoints,
+    # identical union — so wall approaches max(leg) instead of sum(leg).
+    # Planning happens in the JVM (py4j releases the GIL), so the
+    # parallelism is real on the driver too.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _leg(item) -> DataFrame:
+        method, qfn = item
+        if method == "exact":
+            return (
+                _q_ann_bruteforce(spark, sf_dir)
+                .select("query_id", "vec_id")
+                .localCheckpoint()
+            )
+        return qfn(spark, sf_dir).select(
             F.lit(method).alias("method"), "query_id", "vec_id"
         ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact, *legs = pool.map(_leg, (("exact", None),) + methods)
+    tagged = None
+    for leg in legs:
         tagged = leg if tagged is None else tagged.unionByName(leg)
     hits = (
         tagged.join(exact, ["query_id", "vec_id"], "left_semi")

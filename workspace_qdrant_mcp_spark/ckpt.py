@@ -75,7 +75,13 @@ def pin_tracked(spark: SparkSession, build: Callable[[], T]) -> tuple[T, set[int
     """pin() that also returns the block ids it pinned, so the owner can
     later release_pins() them — the lifecycle a REFRESHABLE pinned store
     needs (api.enable_store_serving re-snapshots after a store rebuild;
-    without the handle the superseded snapshot stays pinned forever)."""
+    without the handle the superseded snapshot stays pinned forever).
+
+    Still diff-based (a builder may persist several frames), so under
+    CONCURRENT driver threads it can over-pin blocks another thread
+    persisted in the window — benign (they stay resident until session
+    end) but worth knowing; the destructive mis-attribution path was in
+    RollingCheckpoint, which now uses exact ids (checkpoint_rdd_id)."""
     before = persistent_ids(spark)
     out = build()
     created = persistent_ids(spark) - before
@@ -99,6 +105,17 @@ def clear_unpinned(spark: SparkSession) -> int:
     stale = persistent_ids(spark) - _PINNED
     release(spark, stale)
     return len(stale)
+
+
+def checkpoint_rdd_id(df: DataFrame) -> int:
+    """The EXACT persistent-RDD id backing a localCheckpoint()ed
+    DataFrame, read off its LogicalRDD plan (r14). The former
+    before/after diff of getPersistentRDDs() could adopt a block some
+    OTHER driver thread persisted in the same window — releasing it
+    later destroys that thread's truncated-lineage state. Concurrent
+    queries in one session (tokenizer_compare's trainer pool, the
+    thread-batched parity tests) need the attribution to be exact."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
 
 
 def checkpoint_with(df: DataFrame, action):
@@ -135,14 +152,13 @@ class RollingCheckpoint:
         self._gens: list[set[int]] = []
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        before = persistent_ids(self.spark)
         out = df.localCheckpoint()
-        created = persistent_ids(self.spark) - before
+        # exact-id attribution (r14): never adopt blocks persisted by a
+        # concurrent driver thread — see checkpoint_rdd_id
+        created = {checkpoint_rdd_id(out)}
         self._gens.append(created)
         while len(self._gens) > self.keep_last:
             old = self._gens.pop(0)
-            # a block id could in principle be reused by the new
-            # generation's map — never release what we just created
             release(self.spark, old - created)
         return out
 
@@ -166,9 +182,8 @@ class RollingCheckpoint:
         a follow-up cleanup job.
 
         Returns (checkpointed_df, action_result)."""
-        before = persistent_ids(self.spark)
         out = df.localCheckpoint(eager=False)
-        created = persistent_ids(self.spark) - before
+        created = {checkpoint_rdd_id(out)}
         result = action(out)
         self._gens.append(created)
         while len(self._gens) > self.keep_last:

@@ -529,32 +529,48 @@ def tokenizer_compare(
     from .unigram_lm import unigram_fertility
 
     r = _ULM_ROUNDS if ulm_rounds is None else ulm_rounds
-    b = bpe_fertility(docs, n_merges, text_col, id_col, group_col).select(
-        "source",
-        F.lit("bpe").alias("family"),
-        "n_docs",
-        "n_words",
-        F.col("n_bpe_tokens").alias("n_tokens"),
-        "fertility",
-    )
-    u = unigram_fertility(docs, r, text_col, id_col, group_col).select(
-        "source",
-        F.lit("unigram").alias("family"),
-        "n_docs",
-        "n_words",
-        F.col("n_pieces").alias("n_tokens"),
-        "fertility",
-    )
-    w = wordpiece_fertility(
-        docs, n_merges, text_col, id_col, group_col
-    ).select(
-        "source",
-        F.lit("wordpiece").alias("family"),
-        "n_docs",
-        "n_words",
-        F.col("n_wp_tokens").alias("n_tokens"),
-        "fertility",
-    )
+    # r14 (guide §2.6 "overlap independent jobs"): each trainer chain is
+    # a sequence of small per-round driver actions (argmax collects / EM
+    # aggregates) that leave the executors mostly idle; the three chains
+    # are independent until the final union, so they train concurrently
+    # from a small thread pool — identical per-chain plans and collects,
+    # wall approaches max(chain) instead of sum(chain).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fb = pool.submit(
+            bpe_fertility, docs, n_merges, text_col, id_col, group_col
+        )
+        fu = pool.submit(
+            unigram_fertility, docs, r, text_col, id_col, group_col
+        )
+        fw = pool.submit(
+            wordpiece_fertility, docs, n_merges, text_col, id_col, group_col
+        )
+        b = fb.result().select(
+            "source",
+            F.lit("bpe").alias("family"),
+            "n_docs",
+            "n_words",
+            F.col("n_bpe_tokens").alias("n_tokens"),
+            "fertility",
+        )
+        u = fu.result().select(
+            "source",
+            F.lit("unigram").alias("family"),
+            "n_docs",
+            "n_words",
+            F.col("n_pieces").alias("n_tokens"),
+            "fertility",
+        )
+        w = fw.result().select(
+            "source",
+            F.lit("wordpiece").alias("family"),
+            "n_docs",
+            "n_words",
+            F.col("n_wp_tokens").alias("n_tokens"),
+            "fertility",
+        )
     return b.unionAll(u).unionAll(w).orderBy("source", "family")
 
 

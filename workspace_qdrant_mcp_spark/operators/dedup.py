@@ -356,6 +356,51 @@ def _verify_against_corpus(
     return _jaccard_from_sets(cand, sets, threshold)
 
 
+def _intersect_batches(it):
+    """mapInArrow kernel of the exact-verify tail (r14, guide §4.2 "hand
+    whole batches to vectorized native libraries"): per (pair, sa, sb)
+    row, |sa ∩ sb| — computed for the WHOLE batch with numpy instead of
+    one JVM hash-set build per pair (array_intersect re-hashed each
+    doc's set once per pair it appears in; this was the single biggest
+    exec-bound cell of the bench). Exact integer output: element values
+    are remapped to compact ids with np.unique, keyed by row, and a key
+    seen twice is common to both sides (within one side keys are unique
+    because the set arrays are array_distinct). Constructed once per
+    task, vectorized over every batch (guide §4.5)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in it:
+        n = b.num_rows
+        sa, sb = b.column(2), b.column(3)
+        if sa.null_count or sb.null_count:  # inner joins feed this
+            raise ValueError("_intersect_batches: null set array")
+        la = sa.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = sb.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        va = sa.flatten().to_numpy(zero_copy_only=False)
+        vb = sb.flatten().to_numpy(zero_copy_only=False)
+        ra = np.repeat(np.arange(n, dtype=np.int64), la)
+        rb = np.repeat(np.arange(n, dtype=np.int64), lb)
+        # compact value ids (bounded by total elements < 2^32 per batch)
+        _, inv = np.unique(np.concatenate([va, vb]), return_inverse=True)
+        ka = (ra << np.int64(32)) | inv[: len(va)]
+        kb = (rb << np.int64(32)) | inv[len(va):]
+        uk, counts = np.unique(np.concatenate([ka, kb]), return_counts=True)
+        inter = np.bincount(
+            (uk[counts == 2] >> np.int64(32)), minlength=n
+        ).astype(np.int32)
+        yield pa.record_batch(
+            [
+                b.column(0),
+                b.column(1),
+                pa.array(inter),
+                pa.array(la.astype(np.int32)),
+                pa.array(lb.astype(np.int32)),
+            ],
+            names=["id_a", "id_b", "inter", "na", "nb"],
+        )
+
+
 def _jaccard_from_sets(
     cand: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
@@ -364,25 +409,36 @@ def _jaccard_from_sets(
     candidates — the shared exact-verify tail of the minhash (char
     shingles) and prefix-filter (word grams) paths. Both set tables are
     broadcast: candidates are a vanishing fraction of the corpus at
-    scale, so the broadcast side is bounded by |candidates|."""
+    scale, so the broadcast side is bounded by |candidates|.
+
+    The per-pair intersection count runs as a vectorized Arrow batch
+    kernel (_intersect_batches; r14 A/B vs F.size(array_intersect) in
+    OPTIMIZATION_r14.md) — only the four needed columns cross the
+    boundary, and the jaccard division + threshold filter stay in the
+    JVM on the exact integer (inter, na, nb) emission, so the output is
+    bit-identical to the former expression."""
+    id_t = dict(cand.dtypes)
+    paired = cand.join(
+        F.broadcast(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("sa"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("sb"))
+        ),
+        "id_b",
+    )
+    counted = paired.select("id_a", "id_b", "sa", "sb").mapInArrow(
+        _intersect_batches,
+        f"id_a {id_t['id_a']}, id_b {id_t['id_b']}, "
+        "inter int, na int, nb int",
+    )
     return (
-        cand.join(
-            F.broadcast(
-                sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("sa"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("sb"))
-            ),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .withColumn(
+        counted.withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.size("sa") + F.size("sb") - F.col("inter")),
+            / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
